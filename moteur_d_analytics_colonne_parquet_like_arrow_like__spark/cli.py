@@ -1,0 +1,113 @@
+"""CLI: write / scan / query — flag-compatible with the reference CLI.
+
+Reference usage (``cae/src/cli.cpp:16-27``)::
+
+    write <out> <rows> [seed]
+    scan <in>
+    query <in> [--select c1,c2] [--where col op literal]* \
+               [--agg count|sum|min|max col] [--groupby col]
+
+op tokens: eq ne lt le gt ge (``cae/src/cli.cpp:172-180``). Multiple
+``--where`` clauses AND together (``cae/src/execution.cpp:163-188``).
+Divergences (documented in SURVEY.md §2.1): literals may be float/string,
+not just int64; filters on non-comparable columns error instead of being
+silently ignored; display cap is a ``--limit`` flag instead of a hardcoded
+20-row print cap (``cae/src/cli.cpp:276-279``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .query import AggFunc, Predicate, QueryExecutor
+from .session import get_spark
+from .sources.scanner import scan_metadata
+from .sources.writer import generate_synthetic, write_parquet
+
+
+def _cmd_write(args: argparse.Namespace) -> int:
+    spark = get_spark("moteur_cli_write")
+    df = generate_synthetic(spark, args.rows, seed=args.seed, variant=args.variant)
+    write_parquet(df, args.out, rows_per_row_group=args.row_group_size)
+    print(f"wrote {args.rows} rows (seed {args.seed}, variant {args.variant}) to {args.out}")
+    return 0
+
+
+def _cmd_scan(args: argparse.Namespace) -> int:
+    meta = scan_metadata(args.path)
+    json.dump(meta, sys.stdout, indent=2, default=str)
+    print()
+    return 0
+
+
+def _cmd_query(args: argparse.Namespace) -> int:
+    spark = get_spark("moteur_cli_query")
+    qe = QueryExecutor(spark, args.path)
+    if args.select:
+        qe.set_projection([c.strip() for c in args.select.split(",") if c.strip()])
+    for col, op, lit in args.where or []:
+        qe.add_filter(Predicate.parse(col, op, lit))
+    if args.groupby:
+        if not args.agg:
+            print("error: --groupby requires --agg", file=sys.stderr)
+            return 2
+        qe.set_aggregation(AggFunc(args.agg[0]), args.agg[1])
+        qe.set_group_by(args.groupby)
+        rows = qe.execute_group_by().collect()
+        for r in rows:
+            print(f"{r[args.groupby]}\tcount={r['count']}\tsum={r['sum']}\tmin={r['min']}\tmax={r['max']}")
+        return 0
+    if args.agg:
+        qe.set_aggregation(AggFunc(args.agg[0]), args.agg[1])
+        res = qe.execute_aggregate()
+        print(f"count={res.count}\tsum={res.sum}\tmin={res.min}\tmax={res.max}")
+        return 0
+    df = qe.execute_query()
+    df.show(args.limit, truncate=False)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="moteur-spark", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    w = sub.add_parser("write", help="generate seeded synthetic data → parquet")
+    w.add_argument("out")
+    w.add_argument("rows", type=int)
+    w.add_argument("seed", type=int, nargs="?", default=42)
+    w.add_argument("--variant", choices=["cli", "bench"], default="cli")
+    w.add_argument("--row-group-size", type=int, default=None)
+    w.set_defaults(fn=_cmd_write)
+
+    s = sub.add_parser("scan", help="dump schema + row-group metadata + stats")
+    s.add_argument("path")
+    s.set_defaults(fn=_cmd_scan)
+
+    q = sub.add_parser("query", help="projected/filtered/aggregated query")
+    q.add_argument("path")
+    q.add_argument("--select", default=None)
+    q.add_argument("--where", nargs=3, action="append", metavar=("COL", "OP", "LIT"))
+    q.add_argument("--agg", nargs=2, metavar=("FUNC", "COL"))
+    q.add_argument("--groupby", default=None)
+    q.add_argument("--limit", type=int, default=20)
+    q.set_defaults(fn=_cmd_query)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        return args.fn(args)
+    except (ValueError, KeyError, TypeError, FileNotFoundError) as e:
+        # User-facing errors (bad op token, unknown column, illegal encoding)
+        # print cleanly, matching the reference CLI's stderr+exit-1 behavior
+        # (cae/src/cli.cpp:330-343).
+        msg = e.args[0] if e.args else str(e)
+        print(f"error: {msg}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

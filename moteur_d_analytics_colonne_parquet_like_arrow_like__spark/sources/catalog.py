@@ -1,0 +1,61 @@
+"""Table catalog over the driver testdata (TESTDATA.md).
+
+The reference addresses exactly one file per query (``cae/README.md:137``);
+multi-table is our extension surface. The catalog maps logical table names to
+parquet paths under a scale-factor directory and registers temp views so the
+same queries run via DataFrame or ``spark.sql``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Logical tables shipped by the driver (TESTDATA.md).
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor; fact tables
+# are the scan-heavy side. Used by operators to pick broadcast joins.
+DIM_TABLES: frozenset[str] = frozenset(
+    {"region", "nation", "supplier", "part", "customer"}
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] | list[str] = TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] | list[str] = TABLES
+) -> dict[str, DataFrame]:
+    """Register each table as a temp view for spark.sql use."""
+    dfs = load_tables(spark, sf_dir, names)
+    for n, df in dfs.items():
+        df.createOrReplaceTempView(n)
+    return dfs

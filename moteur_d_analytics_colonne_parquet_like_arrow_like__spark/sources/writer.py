@@ -1,0 +1,110 @@
+"""Parquet sink + seeded synthetic generator.
+
+Mirrors the reference write path (``cae/src/format.cpp:130-441`` FileWriter;
+CLI ``write`` verb ``cae/src/cli.cpp:64-118``; bench generator
+``cae/benches/benchmark.cpp:42-95``) on Spark:
+
+- row-group sizing: the reference flushes fixed-size row groups (10k CLI /
+  50k bench); Parquet's ``parquet.block.size`` plus ``maxRecordsPerFile``
+  give the same layout control,
+- per-column encodings: delegated to the Parquet writer (dictionary etc.),
+  with the schema's encoding *hints* controlling dictionary on/off,
+- synthetic data: seeded and distributed — generated with ``spark.range``
+  partition-parallel so a 10^9-row table never materializes on the driver,
+  unlike the reference's in-memory vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..schema import EncodingType, Schema
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    rows_per_row_group: int | None = None,
+    schema_hint: Schema | None = None,
+    compression: str = "snappy",
+) -> None:
+    """Write a DataFrame as Parquet with reference-like layout control.
+
+    ``rows_per_row_group`` approximates the reference's fixed row-group
+    flushing (cae/src/format.cpp:380-420) via ``maxRecordsPerFile`` — at
+    cluster scale prefer the default (128 MB row groups) and partition count
+    sized so each task writes ~1 file.
+    """
+    writer = df.write.mode(mode).option("compression", compression)
+    if schema_hint is not None:
+        use_dict = any(
+            c.encoding is EncodingType.DICTIONARY for c in schema_hint.columns
+        )
+        writer = writer.option("parquet.enable.dictionary", str(use_dict).lower())
+    if rows_per_row_group:
+        writer = writer.option("maxRecordsPerFile", rows_per_row_group)
+        writer = writer.option("parquet.block.size", 8 * 1024 * 1024)
+    writer.parquet(path)
+
+
+def generate_synthetic(
+    spark: SparkSession,
+    num_rows: int,
+    seed: int = 42,
+    variant: str = "cli",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic seeded synthetic table, distributed.
+
+    Variants mirror the reference generators (FIXTURES.md F3/F4):
+
+    - ``cli`` (cae/src/cli.cpp:29-62): id, value U[0,10000], category U[1,5],
+      region {north,south,east,west}, status {active,pending,closed}
+    - ``bench`` (cae/benches/benchmark.cpp:55-61): id, value U[0,100000],
+      score U[1,10], region 8 compass values
+
+    Determinism comes from hashing the row id with the seed (xxhash64) rather
+    than a stateful RNG, so generation parallelizes with no cross-partition
+    coordination — the 100 TB-friendly version of the reference's mt19937 loop.
+    """
+    base = spark.range(0, num_rows, 1, partitions or spark.sparkContext.defaultParallelism)
+
+    def u(col_salt: int, bound: int):
+        # Deterministic uniform in [0, bound): 64-bit hash of (id, seed, salt).
+        h = F.xxhash64(F.col("id"), F.lit(seed), F.lit(col_salt))
+        return F.pmod(h, F.lit(bound))
+
+    if variant == "cli":
+        regions = F.array(*[F.lit(s) for s in ("north", "south", "east", "west")])
+        statuses = F.array(*[F.lit(s) for s in ("active", "pending", "closed")])
+        return base.select(
+            F.col("id").cast("long").alias("id"),
+            u(1, 10001).cast("long").alias("value"),
+            (u(2, 5) + 1).cast("int").alias("category"),
+            regions[u(3, 4).cast("int")].alias("region"),
+            statuses[u(4, 3).cast("int")].alias("status"),
+        )
+    if variant == "bench":
+        regions = F.array(
+            *[
+                F.lit(s)
+                for s in (
+                    "north",
+                    "south",
+                    "east",
+                    "west",
+                    "northeast",
+                    "northwest",
+                    "southeast",
+                    "southwest",
+                )
+            ]
+        )
+        return base.select(
+            F.col("id").cast("long").alias("id"),
+            u(1, 100001).cast("long").alias("value"),
+            (u(2, 10) + 1).cast("int").alias("score"),
+            regions[u(3, 8).cast("int")].alias("region"),
+        )
+    raise ValueError(f"unknown variant {variant!r}; expected 'cli' or 'bench'")
