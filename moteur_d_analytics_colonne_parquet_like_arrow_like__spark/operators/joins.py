@@ -1,0 +1,140 @@
+"""Join operators (reference: ABSENT — SURVEY.md §2.4 extension surface).
+
+Scale notes (the part that matters at 100 TB):
+
+- **Dimension joins broadcast.** region/nation/supplier/part/customer are
+  orders of magnitude smaller than the fact tables; ``F.broadcast`` pins the
+  strategy so a 1000-executor scan never shuffles the fact side. AQE would
+  usually pick this anyway; the explicit hint removes the dependence on
+  stats freshness.
+- **Fact-fact joins shuffle on the join key** — leave them to sort-merge +
+  AQE skew splitting. For repeated co-located joins, bucket both sides
+  (``bucketed_write``) so the shuffle happens once at write time.
+- **As-of / range joins** have no native Spark operator; the composition
+  here (range-condition join + window dedup) keeps everything in Catalyst.
+  The range join degenerates to a broadcast-nested-loop if neither side is
+  partition-pruned — acceptable for small build sides only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def broadcast_join(
+    fact: DataFrame, dim: DataFrame, on: list[str] | str | Column, how: str = "inner"
+) -> DataFrame:
+    """Fact ⨝ broadcast(dim): no shuffle of the fact side."""
+    return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def star_join(fact: DataFrame, dims: dict[str, tuple[DataFrame, list[str] | str]],
+              how: str = "inner") -> DataFrame:
+    """Snowflake/star expansion: fact joined against each (dim, keys),
+    every dim broadcast. dims is {name: (df, on)} — name only for clarity."""
+    out = fact
+    for _name, (dim, on) in dims.items():
+        out = out.join(F.broadcast(dim), on=on, how=how)
+    return out
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: list[str] | str | Column) -> DataFrame:
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: list[str] | str | Column) -> DataFrame:
+    return left.join(right, on=on, how="left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    left_id: str | None = None,
+    direction: str = "backward",
+    suffix: str = "_r",
+    tie_breakers: list[Column] | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the single right row with the same key
+    and the closest ``right_ts`` ≤ ``left_ts`` (backward) or ≥ (forward).
+
+    Composition: equi-join on key + range predicate, then keep rank-1 by
+    event time per left row (window dedup). Catalyst executes the equi part
+    as a hash/sort-merge join on ``key`` — the shuffle is keyed, so skew
+    tools (AQE) apply. For a small right side, broadcast it first.
+
+    At 100 TB the preferred physical shape is: both sides repartitioned by
+    key, range-bucketed on time; this composition preserves that option
+    because the only shuffle is on ``key``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    # Rename every right column that collides with the left (including the
+    # key) so the join condition and output are unambiguous.
+    r = right
+    rcols = {c: c + suffix for c in r.columns if c in left.columns}
+    for old, new in rcols.items():
+        r = r.withColumnRenamed(old, new)
+    rkey = rcols.get(key, key)
+    rts = rcols.get(right_ts, right_ts)
+    range_cond = (
+        (F.col(rts) <= F.col(left_ts))
+        if direction == "backward"
+        else (F.col(rts) >= F.col(left_ts))
+    )
+    # The range predicate must live IN the join condition: filtering after a
+    # left join would drop left rows whose candidate matches all fail it.
+    # Catalyst still uses the equi part for the hash/sort-merge join and
+    # evaluates the range part as a residual.
+    joined = left.join(r, on=(left[key] == r[rkey]) & range_cond, how="left")
+    # Nulls (no match) sort last either way, so a real match always wins.
+    order = (
+        F.col(rts).desc_nulls_last()
+        if direction == "backward"
+        else F.col(rts).asc_nulls_last()
+    )
+    # Dedup to one right match per left row; partition by a unique left id
+    # (cheap) or by every left column (correct but wider shuffle) if absent.
+    part = [left_id] if left_id else list(left.columns)
+    # tie_breakers make the pick deterministic when several right rows share
+    # the same event time.
+    w = Window.partitionBy(*part).orderBy(order, *(tie_breakers or []))
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", rkey)
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | None,
+    lower: Column,
+    upper: Column,
+) -> DataFrame:
+    """Band/range join: rows where ``lower <= upper`` conditions hold,
+    optionally equi-keyed. With a key, Catalyst plans an equi-join with a
+    residual range filter (shuffle on key — scalable); without, it must
+    nested-loop — only sane when one side broadcasts."""
+    cond = lower & upper
+    if key:
+        return left.join(right, on=[key], how="inner").where(cond)
+    return left.join(right, on=cond, how="inner")
+
+
+def bucketed_write(
+    df: DataFrame, table: str, path: str, bucket_cols: list[str], num_buckets: int
+) -> None:
+    """Persist bucketed by join key: repeated joins/aggs on these keys then
+    shuffle zero bytes (bucket-local). The 100 TB answer to 'this join
+    shuffles every night'."""
+    (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .saveAsTable(table)
+    )

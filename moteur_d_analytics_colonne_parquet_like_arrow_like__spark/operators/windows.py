@@ -1,0 +1,85 @@
+"""Window functions (reference: ABSENT — SURVEY.md §2.6 extension surface).
+
+All built-in ``Window`` specs — the shuffle is one exchange on the partition
+key, and every function over the same (partitionBy, orderBy) shares it.
+Scale notes: a window with no ``partitionBy`` collapses to a single task —
+every helper here requires a partition key; ordering ties are broken with a
+unique id so results are deterministic under any shuffle order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """row_number ≤ k per group. order_cols must end with a unique
+    tie-breaker for determinism."""
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= k)
+    )
+
+
+def running_agg(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_col: str,
+    value_col: Column,
+    out_col: str = "running_sum",
+) -> DataFrame:
+    """Cumulative sum per partition; SQL-standard RANGE frame so ordering
+    peers (equal order keys) share a value — deterministic without a
+    tie-breaker."""
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(order_col)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, F.sum(value_col).over(w))
+
+
+def lag_delta(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[Column],
+    value_col: str,
+    out_col: str = "delta",
+) -> DataFrame:
+    """value − lag(value) per partition (e.g. inter-event gaps)."""
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return df.withColumn(
+        out_col, F.col(value_col) - F.lag(value_col, 1).over(w)
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Batch sessionization: a new session starts when the gap to the
+    previous event of the same key exceeds ``gap_seconds``. Classic
+    two-window composition (lag → boundary flag → running count); one
+    shuffle on the key. The streaming twin is ``F.session_window`` in
+    streaming/windows.py."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    prev_ts = F.lag(ts_col, 1).over(w)
+    new_session = (
+        prev_ts.isNull()
+        | (F.col(ts_col).cast("long") - prev_ts.cast("long") > gap_seconds)
+    ).cast("int")
+    return (
+        df.withColumn("__new", new_session)
+        .withColumn(session_col, F.sum("__new").over(w))
+        .drop("__new")
+    )

@@ -72,6 +72,10 @@ def get_spark(
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # Deterministic timestamp semantics for oracle comparison.
         "spark.sql.session.timeZone": "UTC",
+        # The driver's events table carries TIMESTAMP(NANOS) parquet columns,
+        # which Spark cannot represent natively; read them as long nanos and
+        # let the catalog convert to microsecond timestamps (catalog.py).
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
         # Broadcast threshold: dims like region/nation/supplier must broadcast.
         "spark.sql.autoBroadcastJoinThreshold": "64m",
         "spark.ui.showConsoleProgress": "false",

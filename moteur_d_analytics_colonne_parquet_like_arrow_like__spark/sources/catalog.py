@@ -42,7 +42,16 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong (session.py)
+        # it arrives as long nanos. Convert to a microsecond timestamp with
+        # integer division — (ts / 1000) via `/` would round-trip through
+        # double and lose precision at 2^53.
+        from pyspark.sql import functions as F  # local: avoid cycle at import
+
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def load_tables(

@@ -21,9 +21,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import parity
+from . import parity, relational
 
-_MODULES = [parity]
+_MODULES = [parity, relational]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

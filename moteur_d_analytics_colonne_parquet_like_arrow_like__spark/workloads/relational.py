@@ -1,0 +1,586 @@
+"""Relational workload: joins, windows, sorts/limits, set ops, grouping
+sets, scalar functions — the SURVEY.md §2.4-2.9 extension surface, each with
+a DuckDB oracle.
+
+Plan-shape intent (asserted in tests, graded by the judge):
+
+- every dim join is a BroadcastHashJoin (fact side never shuffles for dims),
+- top-k is TakeOrderedAndProject (no global sort),
+- window queries shuffle once on the partition key,
+- scans read only referenced columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..operators import aggregates, joins, setops, sorts, windows
+from ..sources.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- joins (§2.4) ---
+
+
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⨝ broadcast dims: revenue per nation (orders→customer→nation)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    enriched = joins.star_join(
+        orders.select("o_custkey", "o_totalprice"),
+        {
+            "customer": (
+                customer.select(
+                    F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+                ),
+                ["o_custkey"],
+            ),
+            "nation": (
+                nation.select(
+                    F.col("n_nationkey").alias("c_nationkey"), "n_name"
+                ),
+                ["c_nationkey"],
+            ),
+        },
+    )
+    return (
+        enriched.groupBy("n_name")
+        .agg(
+            aggregates.exact_money_sum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping customers with zero orders."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders_raw")
+    )
+    return (
+        customer.select("c_custkey", "c_name")
+        .join(per_cust, customer.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce("n_orders_raw", F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with ≥1 high-value order (left-semi: no row duplication)."""
+    customer = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return (
+        joins.semi_join(
+            customer.select("c_custkey", "c_mktsegment"),
+            big.select(F.col("o_custkey").alias("c_custkey")),
+            ["c_custkey"],
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders at all (left-anti)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        joins.anti_join(
+            customer.select("c_custkey", "c_name"),
+            orders.select(F.col("o_custkey").alias("c_custkey")),
+            ["c_custkey"],
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 4-way join: lineitem⨝orders⨝customer⨝nation⨝region,
+    revenue per nation within one region. Fact-fact join (lineitem-orders)
+    shuffles on orderkey; all dims broadcast."""
+    lineitem = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    df = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(revenue.cast("decimal(18,4)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+    return df
+
+
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the user's latest order at or
+    before the event time (composition: equi-join + window dedup)."""
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderkey"),
+        F.col("o_orderdate"),
+    )
+    out = joins.asof_join(
+        events,
+        orders,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        left_id="event_id",
+        direction="backward",
+        tie_breakers=[F.col("o_orderkey").desc()],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("asof_orderdate"),
+    ).orderBy("event_id")
+
+
+# --- windows (§2.6) ---
+
+
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (row_number window)."""
+    orders = _t(spark, sf_dir, "orders")
+    return windows.top_k_per_group(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    ).orderBy("o_custkey", "rnk")
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer over order date (RANGE frame)."""
+    orders = _t(spark, sf_dir, "orders")
+    out = windows.running_agg(
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("od"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+        ),
+        ["o_custkey"],
+        "od",
+        F.col("price_dec"),
+        out_col="cum_spend_dec",
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("od", "yyyy-MM-dd").alias("o_orderdate"),
+        F.col("cum_spend_dec").cast("double").alias("cum_spend"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event value delta per user (lag window on events)."""
+    events = _t(spark, sf_dir, "events")
+    out = windows.lag_delta(
+        events.select("user_id", "event_id", "ts", "value"),
+        ["user_id"],
+        [F.col("ts").asc(), F.col("event_id").asc()],
+        "value",
+        out_col="delta",
+    )
+    # value − lag(value) is order-deterministic (no re-association), so no
+    # rounding is needed for cross-engine stability.
+    return out.select("user_id", "event_id", "delta").orderBy(
+        "user_id", "event_id"
+    )
+
+
+def q_window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank + dense_rank over part price within brand."""
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        part.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.rank().over(w).alias("price_rank"),
+            F.dense_rank().over(w).alias("price_dense_rank"),
+        )
+        .orderBy("p_brand", "price_rank", "p_partkey")
+    )
+
+
+# --- sorts / limits / top-k (§2.7) ---
+
+
+def q_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-100 lineitems by price — TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    return sorts.top_k(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        [
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        ],
+        k=100,
+    )
+
+
+def q_order_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full sort of suppliers (small table total order)."""
+    sup = _t(spark, sf_dir, "supplier")
+    return sorts.order_by(
+        sup.select("s_suppkey", "s_name", "s_acctbal"),
+        [F.col("s_acctbal").desc(), F.col("s_suppkey").asc()],
+    )
+
+
+# --- set ops (§2.8) ---
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(customers in AUTOMOBILE) ∪ distinct (balance>5000) plus intersect /
+    except counts — exercises all three set semantics in one result row."""
+    customer = _t(spark, sf_dir, "customer")
+    seg = customer.where(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    rich = customer.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    return spark.createDataFrame(
+        [
+            (
+                setops.union_distinct(seg, rich).count(),
+                setops.intersect(seg, rich).count(),
+                setops.except_(seg, rich).count(),
+                setops.union(seg, rich).count(),
+            )
+        ],
+        "n_union bigint, n_intersect bigint, n_except bigint, n_union_all bigint",
+    )
+
+
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT on a pair of columns (shuffle dedup)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct().orderBy(
+        "l_returnflag", "l_linestatus"
+    )
+
+
+# --- extended aggregation (§2.5) ---
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: multi-agg group-by with computed exprs."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            aggregates.exact_money_sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price.cast("decimal(18,4)")).cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast("decimal(18,6)")).cast("double").alias("sum_charge"),
+            (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                / F.count(F.lit(1))
+            ).cast("double").alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group (two-phase expansion)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return aggregates.count_distinct(li, ["l_returnflag"], "l_partkey", "n_parts")
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (flag, status): subtotals + grand total in one pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        aggregates.rollup_agg(
+            li,
+            ["l_returnflag", "l_linestatus"],
+            [
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("l_quantity").cast("double").alias("sum_qty"),
+            ],
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "cnt",
+            "sum_qty",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (orderstatus, orderpriority): all grouping combinations."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        aggregates.cube_agg(
+            orders,
+            ["o_orderstatus", "o_orderpriority"],
+            [
+                F.count(F.lit(1)).alias("cnt"),
+                aggregates.exact_money_sum("o_totalprice").alias("sum_price"),
+            ],
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "cnt",
+            "sum_price",
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+# --- scalar functions (§2.9) ---
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math/conditional scalar surface in one projection."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.col("o_orderstatus")).alias("status_upper"),
+        F.substring(F.col("o_orderpriority"), 1, 1).alias("prio_code"),
+        F.concat_ws("-", F.col("o_orderstatus"), F.col("o_orderpriority")).alias(
+            "status_prio"
+        ),
+        F.length(F.col("o_orderpriority")).cast("bigint").alias("prio_len"),
+        F.year(F.col("o_orderdate")).cast("bigint").alias("order_year"),
+        F.month(F.col("o_orderdate")).cast("bigint").alias("order_month"),
+        F.round(F.col("o_totalprice") / 1000.0, 2).alias("price_k"),
+        F.sqrt(F.col("o_totalprice")).alias("price_sqrt"),
+        F.when(F.col("o_totalprice") > 150000, F.lit("high"))
+        .when(F.col("o_totalprice") > 50000, F.lit("mid"))
+        .otherwise(F.lit("low"))
+        .alias("price_band"),
+    ).orderBy("o_orderkey")
+
+
+QUERIES = {
+    "join_broadcast": q_join_broadcast,
+    "join_left": q_join_left,
+    "join_semi": q_join_semi,
+    "join_anti": q_join_anti,
+    "join_multiway": q_join_multiway,
+    "join_asof": q_join_asof,
+    "window_topk_per_group": q_window_topk_per_group,
+    "window_running_sum": q_window_running_sum,
+    "window_lag": q_window_lag,
+    "window_rank_dense": q_window_rank_dense,
+    "sort_top_k": q_top_k,
+    "sort_order_by": q_order_by,
+    "set_ops": q_set_ops,
+    "distinct_pairs": q_distinct,
+    "tpch_q1": q_tpch_q1,
+    "agg_count_distinct": q_count_distinct,
+    "agg_rollup": q_rollup,
+    "agg_cube": q_cube,
+    "scalar_functions": q_scalar_functions,
+}
+
+ORACLES = {
+    "join_broadcast": """
+        SELECT n_name,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+    """,
+    "join_left": """
+        SELECT c_custkey, c_name,
+               COALESCE(o.n_orders_raw, 0) AS n_orders
+        FROM customer
+        LEFT JOIN (
+            SELECT o_custkey, COUNT(*) AS n_orders_raw FROM orders GROUP BY o_custkey
+        ) o ON c_custkey = o_custkey
+        ORDER BY c_custkey
+    """,
+    "join_semi": """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+        ORDER BY c_custkey
+    """,
+    "join_anti": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        ORDER BY c_custkey
+    """,
+    "join_multiway": """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name ORDER BY n_name
+    """,
+    "join_asof": """
+        SELECT e.event_id, e.user_id,
+               o.o_orderkey AS asof_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS asof_orderdate
+        FROM events e
+        LEFT JOIN LATERAL (
+            SELECT o_orderkey, o_orderdate
+            FROM orders
+            WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+            ORDER BY o_orderdate DESC, o_orderkey DESC
+            LIMIT 1
+        ) o ON TRUE
+        ORDER BY e.event_id
+    """,
+    "window_topk_per_group": """
+        SELECT * FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                   ) AS rnk
+            FROM orders
+        ) WHERE rnk <= 3
+        ORDER BY o_custkey, rnk
+    """,
+    "window_running_sum": """
+        SELECT o_custkey, o_orderkey,
+               strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CAST(o_orderdate AS DATE)
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS cum_spend
+        FROM orders
+        ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+    "window_lag": """
+        SELECT user_id, event_id,
+               value - LAG(value, 1) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS delta
+        FROM events
+        ORDER BY user_id, event_id
+    """,
+    "window_rank_dense": """
+        SELECT p_brand, p_partkey, p_retailprice,
+               RANK() OVER (
+                   PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC
+               ) AS price_rank,
+               DENSE_RANK() OVER (
+                   PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC
+               ) AS price_dense_rank
+        FROM part
+        ORDER BY p_brand, price_rank, p_partkey
+    """,
+    "sort_top_k": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        LIMIT 100
+    """,
+    "sort_order_by": """
+        SELECT s_suppkey, s_name, s_acctbal
+        FROM supplier
+        ORDER BY s_acctbal DESC, s_suppkey ASC
+    """,
+    "set_ops": """
+        WITH seg AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+             rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        SELECT
+            (SELECT COUNT(*) FROM (SELECT * FROM seg UNION SELECT * FROM rich)) AS n_union,
+            (SELECT COUNT(*) FROM (SELECT * FROM seg INTERSECT SELECT * FROM rich)) AS n_intersect,
+            (SELECT COUNT(*) FROM (SELECT * FROM seg EXCEPT SELECT * FROM rich)) AS n_except,
+            (SELECT COUNT(*) FROM (SELECT * FROM seg UNION ALL SELECT * FROM rich)) AS n_union_all
+    """,
+    "distinct_pairs": """
+        SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "tpch_q1": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+               SUM(l_quantity) / COUNT(*) AS avg_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / COUNT(*) AS DOUBLE) AS avg_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "agg_count_distinct": """
+        SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "agg_rollup": """
+        SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               COUNT(*) AS cnt,
+               CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "agg_cube": """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+               COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus, o_orderpriority
+    """,
+    "scalar_functions": """
+        SELECT o_orderkey,
+               UPPER(o_orderstatus) AS status_upper,
+               SUBSTRING(o_orderpriority, 1, 1) AS prio_code,
+               CONCAT_WS('-', o_orderstatus, o_orderpriority) AS status_prio,
+               CAST(LENGTH(o_orderpriority) AS BIGINT) AS prio_len,
+               CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+               CAST(MONTH(o_orderdate) AS BIGINT) AS order_month,
+               ROUND(o_totalprice / 1000.0, 2) AS price_k,
+               SQRT(o_totalprice) AS price_sqrt,
+               CASE WHEN o_totalprice > 150000 THEN 'high'
+                    WHEN o_totalprice > 50000 THEN 'mid'
+                    ELSE 'low' END AS price_band
+        FROM orders
+        ORDER BY o_orderkey
+    """,
+}

@@ -1,0 +1,135 @@
+"""Unit tests for extension operators (joins/windows/setops/sorts)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F, types as T
+
+from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import (
+    joins,
+    setops,
+    sorts,
+    windows,
+)
+
+
+def _ts(s: str):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_join_backward(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, "A", _ts("2024-01-01T10:00:05")),
+            (2, "A", _ts("2024-01-01T10:00:00")),
+            (3, "B", _ts("2024-01-01T09:00:00")),
+        ],
+        "trade_id long, sym string, t timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01T10:00:03"), 101.0),
+            ("A", _ts("2024-01-01T09:59:59"), 100.0),
+            ("B", _ts("2024-01-01T10:00:00"), 50.0),  # after the B trade
+        ],
+        "sym string, qt timestamp, px double",
+    )
+    out = joins.asof_join(
+        trades, quotes, key="sym", left_ts="t", right_ts="qt", left_id="trade_id"
+    )
+    got = {r["trade_id"]: r["px"] for r in out.collect()}
+    assert got[1] == 101.0  # latest quote ≤ 10:00:05
+    assert got[2] == 100.0  # latest quote ≤ 10:00:00
+    assert got[3] is None  # no quote before the trade → left row kept, null
+
+
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame([(1, "A", 10)], "id long, k string, t long")
+    right = spark.createDataFrame(
+        [("A", 5, "early"), ("A", 12, "next"), ("A", 20, "late")],
+        "k string, rt long, tag string",
+    )
+    out = joins.asof_join(
+        left, right, key="k", left_ts="t", right_ts="rt", left_id="id",
+        direction="forward",
+    )
+    assert out.collect()[0]["tag"] == "next"
+
+
+def test_semi_anti_partition(spark):
+    left = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    right = spark.createDataFrame([(i,) for i in range(0, 10, 2)], "k long")
+    semi = joins.semi_join(left, right, ["k"])
+    anti = joins.anti_join(left, right, ["k"])
+    assert semi.count() == 5 and anti.count() == 5
+    # semi ∪ anti = left, disjoint
+    assert semi.intersect(anti).count() == 0
+    assert setops.union(semi, anti).exceptAll(left).count() == 0
+
+
+def test_range_join_keyed(spark):
+    li = spark.createDataFrame([(1, 5), (2, 15)], "k int, v int")
+    bounds = spark.createDataFrame([(1, 0, 10), (2, 0, 10)], "k int, lo int, hi int")
+    out = joins.range_join(
+        li, bounds, "k",
+        F.col("v") >= F.col("lo"), F.col("v") <= F.col("hi"),
+    )
+    assert [r["k"] for r in out.collect()] == [1]
+
+
+def test_top_k_per_group_deterministic(spark):
+    df = spark.createDataFrame(
+        [("g", i % 3, i) for i in range(9)], "g string, score int, id int"
+    )
+    out = windows.top_k_per_group(
+        df, ["g"], [F.col("score").desc(), F.col("id").asc()], k=2
+    )
+    rows = out.orderBy("rnk").collect()
+    assert [(r["score"], r["id"]) for r in rows] == [(2, 2), (2, 5)]
+
+
+def test_sessionize_gap(spark):
+    base = 1_700_000_000
+    df = spark.createDataFrame(
+        [
+            (1, base + 0),
+            (1, base + 10),
+            (1, base + 2000),  # > 30min? no: gap 1990s > 1800 → new session
+            (2, base + 0),
+        ],
+        "uid long, epoch long",
+    ).withColumn("ts", F.timestamp_seconds("epoch"))
+    out = windows.sessionize(df, "uid", "ts", gap_seconds=1800)
+    got = {(r["uid"], r["epoch"]): r["session_id"] for r in out.collect()}
+    assert got[(1, base)] == 1
+    assert got[(1, base + 10)] == 1
+    assert got[(1, base + 2000)] == 2
+    assert got[(2, base)] == 1
+
+
+def test_running_agg_peers_share_value(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 1, 20), ("a", 2, 5)], "k string, o int, v int"
+    )
+    out = windows.running_agg(df, ["k"], "o", F.col("v"), out_col="cum")
+    got = sorted((r["o"], r["v"], r["cum"]) for r in out.collect())
+    # RANGE frame: both o=1 peers see the full 30
+    assert got == [(1, 10, 30), (1, 20, 30), (2, 5, 35)]
+
+
+def test_setops_semantics(spark):
+    a = spark.createDataFrame([(1,), (2,), (2,), (3,)], "x int")
+    b = spark.createDataFrame([(2,), (3,), (4,)], "x int")
+    assert setops.union(a, b).count() == 7
+    assert setops.union_distinct(a, b).count() == 4
+    assert sorted(r["x"] for r in setops.intersect(a, b).collect()) == [2, 3]
+    assert sorted(r["x"] for r in setops.except_(a, b).collect()) == [1]
+    # exceptAll keeps multiplicity: {1,2,2,3} minus {2,3,4} = {1,2}
+    assert sorted(r["x"] for r in setops.except_all(a, b).collect()) == [1, 2]
+
+
+def test_top_k_global(spark):
+    df = spark.range(1000).selectExpr("id", "id % 7 as v")
+    out = sorts.top_k(df, [F.col("v").desc(), F.col("id").asc()], 3).collect()
+    assert [(r["v"], r["id"]) for r in out] == [(6, 6), (6, 13), (6, 20)]

@@ -1,0 +1,69 @@
+"""Physical-plan assertions: the optimizations the reference hand-rolls
+(SURVEY.md §4.1) must appear in our Catalyst plans."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from moteur_d_analytics_colonne_parquet_like_arrow_like__spark import plans
+from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import (
+    parity,
+    relational,
+)
+
+
+def test_filter_pushdown_reaches_scan(spark, exec_basic_path):
+    # Analogue of zone-map skipping (cae/src/execution.cpp:48-71): the
+    # predicate must be in PushedFilters so parquet prunes row groups.
+    df = spark.read.parquet(exec_basic_path).filter(F.col("value") > 150)
+    assert plans.has_pushed_filter(df, "GreaterThan(value,150)")
+
+
+def test_column_pruning(spark, exec_basic_path):
+    # Analogue of projection pruning (cae/src/execution.cpp:252-261).
+    df = spark.read.parquet(exec_basic_path).select("id", "value")
+    cols = plans.read_columns(df)
+    assert cols and cols[0] == {"id", "value"}
+
+
+def test_agg_reads_only_needed_column(spark, sf_dir):
+    # cae/src/execution.cpp:282-291: agg scans only its input column.
+    df = parity.q_aggregate(spark, sf_dir)
+    cols = plans.read_columns(df)
+    assert cols and cols[0] == {"l_quantity"}
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    # Dimension joins must be BroadcastHashJoin — the fact side never
+    # shuffles for dims at any scale.
+    df = relational.q_join_broadcast(spark, sf_dir)
+    strategies = plans.join_strategies(df)
+    assert strategies and all(s == "BroadcastHashJoin" for s in strategies)
+
+
+def test_multiway_join_broadcasts_dims(spark, sf_dir):
+    df = relational.q_join_multiway(spark, sf_dir)
+    strategies = plans.join_strategies(df)
+    assert strategies.count("BroadcastHashJoin") >= 3
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    # orderBy().limit(k) must plan TakeOrderedAndProject, not a global sort.
+    df = relational.q_top_k(spark, sf_dir)
+    assert "TakeOrderedAndProject" in plans.formatted_plan(df)
+
+
+def test_vectorized_scan_active(spark, sf_dir):
+    # The reference's columnar Batch scanner (cae/include/execution.h:19-36)
+    # maps to Spark's vectorized parquet reader: `Batched: true` in the scan.
+    # (WholeStageCodegen spans only appear in the post-execution AQE plan, so
+    # we assert batching here and codegen in the bench harness.)
+    plan = plans.formatted_plan(parity.q_group_by(spark, sf_dir))
+    assert "Batched: true" in plan
+
+
+def test_groupby_is_partial_plus_final(spark, sf_dir):
+    # Spark's two-phase hash agg (map-side combine) supersedes the
+    # reference's single-process hash map (cae/src/execution.cpp:339-401).
+    plan = plans.formatted_plan(parity.q_group_by(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
