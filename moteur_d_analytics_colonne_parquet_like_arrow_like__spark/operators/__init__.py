@@ -7,6 +7,26 @@ Arrow-batched pandas UDFs only where they genuinely don't (minhash band
 hashing, embedding kernels, multimodal decode).
 """
 
-from . import joins, windows, setops, sorts, aggregates
+from . import (
+    aggregates,
+    dedup,
+    joins,
+    multimodal,
+    setops,
+    similarity,
+    sorts,
+    text,
+    windows,
+)
 
-__all__ = ["joins", "windows", "setops", "sorts", "aggregates"]
+__all__ = [
+    "aggregates",
+    "dedup",
+    "joins",
+    "multimodal",
+    "setops",
+    "similarity",
+    "sorts",
+    "text",
+    "windows",
+]

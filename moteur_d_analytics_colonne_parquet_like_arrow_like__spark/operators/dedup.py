@@ -1,0 +1,325 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five dedup families, all reference-free extensions (the reference engine has
+no dedup surface; this is the north-star scope from BASELINE.json):
+
+- **exact**: hash group-by on content — one shuffle on the content hash.
+- **MinHash + LSH**: shingle → 31-bit stable hash → k permutations → band →
+  bucket-join. The only pairwise work happens inside LSH buckets, so cost is
+  ~O(n · sig) + skew-bounded bucket joins, not O(n²) — the 100 TB path.
+- **SimHash**: 31-bit fingerprint whose hamming distance tracks cosine
+  similarity of shingle sets; near-dup candidates come from fingerprint
+  band equality.
+- **n-gram Jaccard**: exact set similarity via inverted-index join
+  (doc-shingle exploded, joined on shingle) — exact but heavier; used to
+  verify the sketch-based families.
+- **embedding cosine**: see similarity.py for the bucketed form.
+
+All hashing uses the md5-based stable family (functions/__init__.py) so every
+operator is verifiable against a DuckDB oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions import (
+    HASH31_PRIME,
+    MINHASH_COEFFS,
+    PERM_PRIME,
+    dot_product,
+    normalize_text,
+    stable_hash31,
+    stable_hash60,
+    word_shingles,
+)
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, content_cols: list[str]
+) -> DataFrame:
+    """Exact dedup: one row per distinct content, keeping the smallest id
+    (deterministic keeper) plus the duplicate count.
+
+    Shuffles once on the content hash; at 100 TB, group on a 60-bit content
+    hash instead of the raw text to keep shuffle rows narrow.
+    """
+    content_hash = stable_hash60(F.concat_ws("", *content_cols))
+    return (
+        df.withColumn("__chash", content_hash)
+        .groupBy("__chash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .drop("__chash")
+    )
+
+
+def _doc_shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int
+) -> DataFrame:
+    """(id, h31) per distinct shingle per doc."""
+    return (
+        df.select(id_col, F.explode(word_shingles(text_col, shingle_k)).alias("__sh"))
+        .select(id_col, stable_hash31(F.col("__sh")).alias("h31"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: sig[i] = min over shingles of
+    (a_i · h31 + b_i) mod P61.
+
+    One explode + one groupBy with ``num_hashes`` min-aggregates — a single
+    shuffle on the doc id, fully JVM-side.
+    """
+    if num_hashes > len(MINHASH_COEFFS):
+        raise ValueError(f"at most {len(MINHASH_COEFFS)} hashes supported")
+    sh = _doc_shingle_hashes(df, id_col, text_col, shingle_k)
+    aggs = []
+    for i in range(num_hashes):
+        a, b = MINHASH_COEFFS[i]
+        aggs.append(
+            F.min(
+                F.pmod(F.lit(a) * F.col("h31") + F.lit(b), F.lit(PERM_PRIME))
+            ).alias(f"mh{i}")
+        )
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[f"mh{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH banding.
+
+    Docs agreeing on ALL rows of any band become candidates; candidates are
+    scored by estimated Jaccard (fraction of equal signature components) and
+    kept if ≥ threshold. Pairwise work is confined to LSH buckets — at scale,
+    bucket skew is the thing to watch (cap bucket size or add a second-level
+    salt for adversarial data).
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must divide evenly into bands")
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).cache()
+
+    band_entries = sig.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.col("signature")[b * rows_per_band + r].cast(
+                                    "string"
+                                )
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", "bk.band", "bk.key")
+
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    est = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("sig_b"),
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(float(num_hashes))
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity via inverted-index join.
+
+    jaccard(A,B) = |A∩B| / (|A|+|B|−|A∩B|), computed by joining the exploded
+    (doc, shingle-hash) relation with itself on the shingle hash — only docs
+    sharing ≥1 shingle ever pair up. Exact, so O(sum of bucket²) worst case:
+    at 100 TB, drop ultra-frequent shingles (stop-shingles) first; here the
+    shingle space is diverse enough to skip that.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = _doc_shingle_hashes(df, id_col, text_col, shingle_k).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "h31")
+    b = sh.select(F.col(id_col).alias("id_b"), "h31")
+    common = (
+        a.join(b, "h31")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 2,
+    num_bits: int = 31,
+) -> DataFrame:
+    """SimHash fingerprint per doc: bit j of the fingerprint is the sign of
+    Σ over shingles of (±1 depending on bit j of the shingle hash).
+
+    One explode + one groupBy with ``num_bits`` sum-aggregates; hamming
+    distance between fingerprints approximates shingle-set cosine distance.
+    """
+    sh = _doc_shingle_hashes(df, id_col, text_col, shingle_k)
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h31"), j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"s{j}")
+        for j in range(num_bits)
+    ]
+    agg = sh.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for j in range(num_bits):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return agg.select(id_col, fp.cast("bigint").alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Popcount of XOR via bit_count (JVM-side)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    shingle_k: int = 2,
+) -> DataFrame:
+    """SimHash near-dup candidates: band the 31-bit fingerprint into
+    (max_hamming+1) chunks — any pair within hamming ≤ max_hamming must agree
+    exactly on ≥1 chunk (pigeonhole), so candidates come from chunk-equality
+    buckets, never a full cross join."""
+    fps = simhash_fingerprints(df, id_col, text_col, shingle_k).cache()
+    chunks = max_hamming + 1
+    bits = 31
+    per = (bits + chunks - 1) // chunks
+    entries = fps.select(
+        F.col(id_col).alias("__id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * per)
+                        .bitwiseAND(F.lit((1 << per) - 1))
+                        .alias("key"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("__id", "simhash", "ck.chunk", "ck.key")
+    a, b = entries.alias("a"), entries.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            hamming_distance(F.col("a.simhash"), F.col("b.simhash")).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Embedding near-dup: pairs with cosine ≥ threshold, brute force O(n²).
+
+    Correct baseline for verification; at scale use
+    similarity.lsh_bucketed_topk's random-hyperplane buckets to confine the
+    pairing (same code path, bucket column added).
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    cos = dot_product(F.col("v_a"), F.col("v_b"))  # unit vectors: dot = cosine
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

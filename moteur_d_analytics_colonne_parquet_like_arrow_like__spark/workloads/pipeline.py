@@ -1,0 +1,424 @@
+"""Training-data-pipeline workload: dedup, similarity search, text analysis,
+multimodal plumbing — each with a DuckDB oracle where SQL can express it.
+
+The oracles share exact constants (MinHash permutation coefficients, primes,
+stopword profiles, token regex) with the Spark operators, and both sides use
+the md5-based stable hash family — so sketch outputs (MinHash signatures,
+SimHash fingerprints) are bit-identical across engines, not just
+approximately similar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import HASH31_PRIME, MINHASH_COEFFS, PERM_PRIME
+from ..operators import dedup, multimodal, similarity, text
+from ..sources.catalog import load_table
+
+# ---------------------------------------------------------------- SQL pieces
+
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_H31 = "CAST(concat('0x', substr(md5({s}), 1, 15)) AS BIGINT) % {p}".format(
+    s="{s}", p=HASH31_PRIME
+)
+_H60 = "CAST(concat('0x', substr(md5({s}), 1, 15)) AS BIGINT)"
+
+
+def _shingle_cte(k: int) -> str:
+    """CTEs docs→w→sh→h: distinct (doc_id, h31) per k-word shingle."""
+    return f"""
+        docs AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+        w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM docs),
+        sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(words) - {k - 1}, 0)),
+                       i -> array_to_string(words[i:i+{k - 1}], ' ')
+                   ))) AS s
+            FROM w
+        ),
+        h AS (SELECT DISTINCT doc_id, {_H31.format(s='s')} AS h31 FROM sh)
+    """
+
+
+def _minhash_sig_sql(num_hashes: int) -> str:
+    cols = ", ".join(
+        f"min(({a} * h31 + {b}) % {PERM_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
+    )
+    return f"sig AS (SELECT doc_id, {cols} FROM h GROUP BY doc_id)"
+
+
+# ------------------------------------------------------------------- queries
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup.exact_dedup(_documents(spark, sf_dir), "doc_id", ["text"])
+    return out.orderBy("keeper_id")
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        _documents(spark, sf_dir),
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        shingle_k=3,
+        threshold=0.5,
+    ).orderBy("id_a", "id_b")
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _documents(spark, sf_dir), "doc_id", "text", shingle_k=3, threshold=0.8
+    ).orderBy("id_a", "id_b")
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_fingerprints(
+        _documents(spark, sf_dir), "doc_id", "text", shingle_k=2
+    ).orderBy("doc_id")
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_dup_pairs(
+        _documents(spark, sf_dir), "doc_id", "text", max_hamming=3, shingle_k=2
+    ).orderBy("id_a", "id_b")
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup.embedding_near_dup_pairs(
+        _embeddings(spark, sf_dir), "vec_id", "embedding", threshold=0.45
+    )
+    return out.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine_r")
+    ).orderBy("id_a", "id_b")
+
+
+def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=5).orderBy(
+        "query_id", "rnk"
+    )
+
+
+def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.lsh_bucketed_topk(
+        emb, queries, "vec_id", "embedding", k=5
+    ).orderBy("query_id", "rnk")
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text.lang_id(_documents(spark, sf_dir), "text")
+    return out.select("doc_id", "lang", "lang_pred").orderBy("doc_id")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text.quality_features(
+        _documents(spark, sf_dir).select("doc_id", "text"), "text"
+    )
+    return out.select(
+        "doc_id",
+        "q_chars",
+        "q_words",
+        "q_mean_word_len",
+        "q_punct_ratio",
+        "q_digit_ratio",
+        "q_stop_ratio",
+        "q_score",
+    ).orderBy("doc_id")
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text.token_counts(
+        _documents(spark, sf_dir).select("doc_id", "text"), "text"
+    )
+    return out.select(
+        "doc_id", "n_ws_tokens", "n_bpe_tokens", "chars_per_token"
+    ).orderBy("doc_id")
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text.doc_fingerprints(
+        _documents(spark, sf_dir).select("doc_id", "text"), "text", shingle_k=4
+    )
+    return out.select(
+        "doc_id", "fp_exact", "fp_min_shingle", "fp_max_shingle"
+    ).orderBy("doc_id")
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic media → mapInPandas decode → metadata rollup. Not
+    SQL-expressible (Arrow-batched Python stage) → rows-only check."""
+    media = multimodal.generate_synthetic_media(spark, 200, seed=42)
+    feats = multimodal.decode_media(media)
+    return multimodal.media_summary(feats)
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_ngram_jaccard": q_dedup_ngram,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_embedding": q_dedup_embedding,
+    "sim_topk_bruteforce": q_sim_topk_bruteforce,
+    "sim_topk_lsh": q_sim_topk_lsh,
+    "text_lang_id": q_text_lang_id,
+    "text_quality": q_text_quality,
+    "text_tokens": q_text_tokens,
+    "text_fingerprint": q_text_fingerprint,
+    "multimodal_decode": q_multimodal_decode,
+}
+
+
+# ------------------------------------------------------------------- oracles
+
+
+def _minhash_oracle() -> str:
+    nh, bands = 16, 4
+    rpb = nh // bands
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, concat_ws('-', {cols}) AS key FROM sig".format(
+            b=b,
+            cols=", ".join(f"mh{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    eq_sum = " + ".join(
+        f"CAST((sa.mh{i} = sb.mh{i}) AS INT)" for i in range(nh)
+    )
+    return f"""
+        WITH {_shingle_cte(3)},
+        {_minhash_sig_sql(nh)},
+        bands AS ({band_selects}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, ({eq_sum}) / 16.0 AS est_jaccard
+        FROM cand
+        JOIN sig sa ON sa.doc_id = id_a
+        JOIN sig sb ON sb.doc_id = id_b
+        WHERE ({eq_sum}) / 16.0 >= 0.5
+        ORDER BY id_a, id_b
+    """
+
+
+def _simhash_fp_sql(num_bits: int = 31) -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (h31 >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(num_bits)
+    )
+    fp = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END"
+        for j in range(num_bits)
+    )
+    return f"""
+        agg AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+        fps AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM agg)
+    """
+
+
+def _simhash_oracle() -> str:
+    return f"""
+        WITH {_shingle_cte(2)},
+        {_simhash_fp_sql()}
+        SELECT doc_id, simhash FROM fps ORDER BY doc_id
+    """
+
+
+def _simhash_pairs_oracle(max_hamming: int = 3) -> str:
+    chunks = max_hamming + 1
+    per = (31 + chunks - 1) // chunks
+    chunk_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {c} AS chunk, "
+        f"(simhash >> {c * per}) & {(1 << per) - 1} AS key FROM fps"
+        for c in range(chunks)
+    )
+    return f"""
+        WITH {_shingle_cte(2)},
+        {_simhash_fp_sql()},
+        entries AS ({chunk_selects}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming
+            FROM entries a JOIN entries b
+              ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, hamming FROM pairs
+        WHERE hamming <= {max_hamming}
+        ORDER BY id_a, id_b
+    """
+
+
+_DOT = (
+    "list_reduce(list_transform(generate_series(1, 64), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), "
+    "(x, y) -> x + y)"
+)
+
+_LANG_SCORES = {
+    lang: "len(list_filter(string_split({norm}, ' '), w -> list_contains([{words}], w)))".format(
+        norm="norm", words=", ".join(f"'{w}'" for w in text.LANG_PROFILES[lang])
+    )
+    for lang in sorted(text.LANG_PROFILES)
+}
+
+
+def _lang_id_oracle() -> str:
+    scores = ", ".join(f"{sql} AS s_{lang}" for lang, sql in _LANG_SCORES.items())
+    langs = sorted(text.LANG_PROFILES)
+    best = "greatest(" + ", ".join(f"s_{la}" for la in langs) + ")"
+    case = "CASE WHEN " + best + " <= 0 THEN 'und' " + " ".join(
+        f"WHEN s_{la} = {best} THEN '{la}'" for la in langs
+    ) + " END"
+    return f"""
+        WITH docs AS (SELECT doc_id, lang, {_NORM} AS norm FROM documents),
+        scored AS (SELECT doc_id, lang, {scores} FROM docs)
+        SELECT doc_id, lang, {case} AS lang_pred FROM scored ORDER BY doc_id
+    """
+
+
+_EN_WORDS = ", ".join(f"'{w}'" for w in text.LANG_PROFILES["en"])
+
+ORACLES = {
+    "dedup_exact": f"""
+        SELECT min(doc_id) AS keeper_id, count(*) AS dup_count
+        FROM documents
+        GROUP BY {_H60.format(s='text')}
+        ORDER BY keeper_id
+    """,
+    "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_ngram_jaccard": f"""
+        WITH {_shingle_cte(3)},
+        sizes AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+            FROM h a JOIN h b ON a.h31 = b.h31 AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b,
+               n_common / (na.n + nb.n - n_common) AS jaccard
+        FROM common
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+        WHERE n_common / (na.n + nb.n - n_common) >= 0.8
+        ORDER BY id_a, id_b
+    """,
+    "dedup_simhash": _simhash_oracle(),
+    "dedup_simhash_pairs": _simhash_pairs_oracle(),
+    "dedup_embedding": f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({_DOT}, 6) AS cosine_r
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_DOT} >= 0.45
+        ORDER BY id_a, id_b
+    """,
+    "sim_topk_bruteforce": f"""
+        WITH scored AS (
+            SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
+                   round({_DOT}, 6) AS cosine_r
+            FROM embeddings a JOIN embeddings b
+              ON b.vec_id < 10 AND a.vec_id <> b.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, corpus_id, cosine_r,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine_r DESC, corpus_id ASC
+                   ) AS rnk
+            FROM scored
+        )
+        SELECT query_id, corpus_id, cosine_r, rnk FROM ranked
+        WHERE rnk <= 5 ORDER BY query_id, rnk
+    """,
+    "sim_topk_lsh": f"""
+        WITH bucketed AS (
+            SELECT vec_id, embedding,
+                   {' + '.join(f'CASE WHEN embedding[{d + 1}] >= 0 THEN {2**i} ELSE 0 END' for i, d in enumerate(similarity.DEFAULT_BUCKET_DIMS))} AS bucket
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
+                   round({_DOT}, 6) AS cosine_r
+            FROM bucketed a JOIN bucketed b
+              ON a.bucket = b.bucket AND b.vec_id < 10 AND a.vec_id <> b.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, corpus_id, cosine_r,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine_r DESC, corpus_id ASC
+                   ) AS rnk
+            FROM scored
+        )
+        SELECT query_id, corpus_id, cosine_r, rnk FROM ranked
+        WHERE rnk <= 5 ORDER BY query_id, rnk
+    """,
+    "text_lang_id": _lang_id_oracle(),
+    "text_quality": f"""
+        WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+        f AS (
+            SELECT doc_id, norm,
+                   length(norm) AS n_chars,
+                   len(string_split(norm, ' ')) AS n_words,
+                   length(regexp_replace(norm, '[a-z0-9 ]', '', 'g')) AS punct,
+                   length(regexp_replace(norm, '[^0-9]', '', 'g')) AS digits,
+                   len(list_filter(string_split(norm, ' '),
+                       w -> list_contains([{_EN_WORDS}], w))) AS stop
+            FROM d
+        )
+        SELECT doc_id,
+               CAST(n_chars AS BIGINT) AS q_chars,
+               CAST(n_words AS BIGINT) AS q_words,
+               n_chars / n_words AS q_mean_word_len,
+               punct / n_chars AS q_punct_ratio,
+               digits / n_chars AS q_digit_ratio,
+               stop / n_words AS q_stop_ratio,
+               0.4 * (stop / n_words) + 0.3 * (1.0 - punct / n_chars)
+                 + 0.2 * (least(CAST(n_words AS DOUBLE), 100.0) / 100.0)
+                 + 0.1 * (1.0 - digits / n_chars) AS q_score
+        FROM f ORDER BY doc_id
+    """,
+    "text_tokens": f"""
+        WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents)
+        SELECT doc_id,
+               CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(norm, '{text.TOKEN_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+               length(norm) / len(regexp_extract_all(norm, '{text.TOKEN_PATTERN}')) AS chars_per_token
+        FROM d ORDER BY doc_id
+    """,
+    "text_fingerprint": f"""
+        WITH docs AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+        w AS (SELECT doc_id, norm, string_split(norm, ' ') AS words FROM docs),
+        shl AS (
+            SELECT doc_id, norm,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(len(words) - 3, 0)),
+                       i -> array_to_string(words[i:i+3], ' ')
+                   )) AS shingles
+            FROM w
+        )
+        SELECT doc_id,
+               {_H60.format(s='norm')} AS fp_exact,
+               list_min(list_transform(shingles, s -> {_H31.format(s='s')})) AS fp_min_shingle,
+               list_max(list_transform(shingles, s -> {_H31.format(s='s')})) AS fp_max_shingle
+        FROM shl ORDER BY doc_id
+    """,
+    # multimodal_decode: mapInPandas stage — intentionally no oracle.
+}

@@ -1,0 +1,177 @@
+"""Unit tests for dedup / similarity / text / multimodal operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank now"),
+    (3, "completely different content about spark columnar execution engines"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank today"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = dedup.exact_dedup(_docs(spark), "doc_id", ["text"]).collect()
+    got = {r["keeper_id"]: r["dup_count"] for r in out}
+    # docs 1 and 4 identical → keeper 1 with count 2
+    assert got[1] == 2 and got[2] == 1 and got[3] == 1
+    assert 4 not in got
+
+
+def test_minhash_estimates_jaccard(spark):
+    pairs = dedup.minhash_lsh_pairs(
+        _docs(spark), "doc_id", "text", num_hashes=16, bands=4, threshold=0.3
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    assert got[(1, 4)] == 1.0  # identical docs → identical signatures
+    assert (1, 2) in got  # one-word edit → high estimated jaccard
+    assert got[(1, 2)] >= 0.3
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_ngram_jaccard_exact(spark):
+    pairs = dedup.ngram_jaccard_pairs(
+        _docs(spark), "doc_id", "text", shingle_k=3, threshold=0.1
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got[(1, 4)] == 1.0
+    # 14-word docs differing in the last word: 12 shingles each, 11 common
+    # → jaccard = 11 / (12 + 12 − 11) = 11/13
+    assert abs(got[(1, 2)] - 11 / 13) < 1e-12
+    assert (1, 3) not in got
+
+
+def test_simhash_properties(spark):
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_fingerprints(_docs(spark), "doc_id", "text").collect()
+    }
+    assert fps[1] == fps[4]  # identical text → identical fingerprint
+    assert 0 <= fps[1] < 2**31
+    ham_close = bin(fps[1] ^ fps[2]).count("1")
+    ham_far = bin(fps[1] ^ fps[3]).count("1")
+    assert ham_close < ham_far  # near-dup closer in hamming space
+
+
+def test_simhash_pairs_finds_identical(spark):
+    pairs = dedup.simhash_near_dup_pairs(
+        _docs(spark), "doc_id", "text", max_hamming=3
+    ).collect()
+    assert any(r["id_a"] == 1 and r["id_b"] == 4 and r["hamming"] == 0 for r in pairs)
+
+
+def test_embedding_near_dup_and_topk(spark):
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.0447, 0.0, 0.0]),  # ~0.999 cosine with 1
+        (3, [0.0, 1.0, 0.0, 0.0]),       # orthogonal
+        (4, [-1.0, 0.0, 0.0, 0.0]),      # opposite
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    pairs = dedup.embedding_near_dup_pairs(df, "vec_id", "embedding", 0.9).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+    topk = similarity.cosine_topk(df, df.where("vec_id = 1"), "vec_id", "embedding", k=3)
+    rows = topk.orderBy("rnk").collect()
+    assert [r["corpus_id"] for r in rows] == [2, 3, 4]  # by descending cosine
+
+
+def test_lsh_bucket_excludes_opposite_sign(spark):
+    vecs = [
+        (1, [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
+        (2, [0.9, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
+        (3, [-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = similarity.lsh_bucketed_topk(
+        df, df.where("vec_id = 1"), "vec_id", "embedding", k=5
+    ).collect()
+    assert [r["corpus_id"] for r in out] == [2]  # 3 lives in another bucket
+
+
+def test_lang_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is warm"),
+            (2, "el perro y el gato en la casa que se ve"),
+            (3, "xyzzy qwerty plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in text.lang_id(df, "text").collect()}
+    assert got[1] == "en" and got[2] == "es" and got[3] == "und"
+
+
+def test_quality_and_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox! It is 42 years old.")], "doc_id long, text string"
+    )
+    q = text.quality_features(df, "text").collect()[0]
+    assert q["q_words"] == 9
+    assert 0.0 < q["q_score"] <= 1.0
+    assert q["q_digit_ratio"] > 0
+    t = text.token_counts(df, "text").collect()[0]
+    assert t["n_ws_tokens"] == 9
+    # 8 alpha runs + 2 digits + 2 punct = 12 BPE-ish tokens
+    assert t["n_bpe_tokens"] == 12
+
+
+def test_fingerprint_stability(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "  a  b c d e f g "), (3, "a b c d e f h")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r for r in text.doc_fingerprints(df, "text").collect()}
+    # whitespace-normalized: 1 and 2 identical
+    assert fp[1]["fp_exact"] == fp[2]["fp_exact"]
+    assert fp[1]["fp_exact"] != fp[3]["fp_exact"]
+
+
+def test_multimodal_plumbing(spark):
+    def names_types(st):
+        return [(f.name, f.dataType) for f in st.fields]
+
+    media = multimodal.generate_synthetic_media(spark, 60, seed=42)
+    assert names_types(media.schema) == names_types(multimodal.MEDIA_SCHEMA)
+    feats = multimodal.decode_media(media)
+    assert names_types(feats.schema) == names_types(multimodal.FEATURE_SCHEMA)
+    rows = feats.collect()
+    assert len(rows) == 60
+    for r in rows:
+        assert len(r["feature"]) == 8
+        if r["kind"] == "image":
+            assert r["width"] is not None and r["duration_ms"] is None
+        if r["kind"] == "audio":
+            assert r["width"] is None and r["duration_ms"] is not None
+    # determinism
+    again = multimodal.decode_media(
+        multimodal.generate_synthetic_media(spark, 60, seed=42)
+    )
+    assert feats.exceptAll(again).count() == 0
+
+    frames = multimodal.frame_sample(media).collect()
+    assert all(r["frame_idx"] < 4 for r in frames)
+    assert {r["media_id"] for r in frames} == {
+        r["media_id"] for r in rows if r["kind"] == "video"
+    }
+
+
+def test_decode_stub_raises_for_real_codec(spark):
+    import pytest
+
+    media = multimodal.generate_synthetic_media(spark, 5)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(media, require_real_codec=True)
