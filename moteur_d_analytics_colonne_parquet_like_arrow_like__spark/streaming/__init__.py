@@ -1,0 +1,214 @@
+"""Structured Streaming surface (reference: ABSENT — SURVEY.md §2.10).
+
+The driver's ``events`` table doubles as a replayable stream: a file-source
+``readStream`` over the parquet path. Operators:
+
+- tumbling / sliding window aggregation (``F.window``) with watermarks,
+- session windows (``F.session_window``),
+- streaming dedup (``dropDuplicates`` within a watermark),
+- custom stateful per-key processing (``applyInPandasWithState``).
+
+``run_to_memory`` executes any streaming plan with an ``availableNow``
+trigger into a memory sink and returns the result as a batch DataFrame —
+real micro-batch execution with state + watermarks, but bounded, so the
+driver's oracle can compare it against batch SQL.
+
+Scale notes: streaming aggregation state lives in the state store keyed by
+(window, group) — at 100 TB/day the watermark bounds state size; session
+windows additionally need the gap to bound session growth. Output modes:
+windowed aggs run in "complete" here (memory sink); production sinks use
+"append" + watermark-closed windows.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        # TIMESTAMP(NANOS) parquet → long nanos under nanosAsLong (session.py)
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (one-file glob so the rest of
+    the sf_dir is invisible to the stream)."""
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_window_agg(
+    stream: DataFrame,
+    width: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling-window count/sum per event_type with a watermark bounding
+    late data and state."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_agg(
+    stream: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding windows: each event lands in width/slide overlapping windows."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+        )
+    )
+
+
+def session_window_agg(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "60 minutes",
+) -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity. Emits session start/end (end = last event + gap, Spark's
+    documented semantics) + stats."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys: list[str],
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming dedup on key columns within the watermark horizon. Emits
+    key columns only: which row 'wins' per key is arrival-order dependent,
+    so projecting the keys keeps output deterministic."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .select(*keys, "ts")
+        .dropDuplicatesWithinWatermark(keys)
+        .select(*keys)
+    )
+
+
+def run_to_memory(
+    sdf: DataFrame,
+    output_mode: str = "complete",
+    query_name: str | None = None,
+) -> DataFrame:
+    """Execute a streaming plan to completion (availableNow) into a memory
+    sink; returns the sink contents as a batch DataFrame."""
+    name = query_name or f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join("/tmp", f"ckpt_{name}"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def stateful_user_running_stats(
+    stream: DataFrame, timeout_minutes: int | None = None
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    event count + value sum, emitting the updated state each micro-batch.
+
+    The state store holds one (count, sum) pair per user. Pass
+    ``timeout_minutes`` on a continuous deployment to evict idle users (the
+    pattern for unbounded keyspaces at scale); leave None for bounded
+    (availableNow) runs — a processing-time timeout keeps the query alive
+    waiting for timer expiry, which never ends under availableNow.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("n_events", T.LongType(), False),
+            T.StructField("sum_value", T.DoubleType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType(), False),
+            T.StructField("s", T.DoubleType(), False),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_minutes is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

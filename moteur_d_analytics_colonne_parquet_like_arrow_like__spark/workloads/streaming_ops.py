@@ -1,0 +1,102 @@
+"""Streaming workload: windowed/sessionized/deduped event streams executed
+as bounded micro-batch runs (availableNow → memory sink), oracle-checked
+against batch SQL over the same events.
+
+Executing through the real streaming engine (state store, watermarks,
+micro-batch planner) and comparing to batch SQL is exactly the equivalence
+Structured Streaming promises — a strong correctness check for the
+streaming operator surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import streaming as S
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sdf = S.tumbling_window_agg(S.events_stream(spark, sf_dir))
+    return S.run_to_memory(sdf, output_mode="update").orderBy(
+        "window_start", "event_type"
+    )
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sdf = S.sliding_window_agg(S.events_stream(spark, sf_dir))
+    return S.run_to_memory(sdf, output_mode="update").orderBy("window_start")
+
+
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sdf = S.session_window_agg(S.events_stream(spark, sf_dir))
+    # session-window aggregation supports append/complete, not update
+    return S.run_to_memory(sdf, output_mode="complete").orderBy(
+        "user_id", "session_start"
+    )
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sdf = S.dedup_within_watermark(
+        S.events_stream(spark, sf_dir), ["user_id", "event_type"]
+    )
+    return S.run_to_memory(sdf, output_mode="append").orderBy(
+        "user_id", "event_type"
+    )
+
+
+QUERIES = {
+    "stream_tumbling_window": q_stream_tumbling,
+    "stream_sliding_window": q_stream_sliding,
+    "stream_session_window": q_stream_session,
+    "stream_dedup": q_stream_dedup,
+}
+
+ORACLES = {
+    "stream_tumbling_window": """
+        SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY window_start, event_type
+    """,
+    "stream_sliding_window": """
+        SELECT strftime(time_bucket(INTERVAL '5 minutes', ts) - k * INTERVAL '5 minutes',
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               COUNT(*) AS n_events
+        FROM events, UNNEST([0, 1]) AS t(k)
+        GROUP BY 1
+        ORDER BY window_start
+    """,
+    "stream_session_window": """
+        WITH marked AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             >= INTERVAL '30 minutes'
+                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        sessions AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_id
+            FROM marked
+        )
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+               strftime(MAX(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM sessions
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_start
+    """,
+    "stream_dedup": """
+        SELECT DISTINCT user_id, event_type FROM events
+        ORDER BY user_id, event_type
+    """,
+}

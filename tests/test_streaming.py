@@ -1,0 +1,134 @@
+"""Streaming operator tests: micro-batch execution, stateful ops, watermark
+late-data behavior."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from moteur_d_analytics_colonne_parquet_like_arrow_like__spark import streaming as S
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_tumbling_equals_batch(spark):
+    out = S.run_to_memory(
+        S.tumbling_window_agg(S.events_stream(spark, SF)), output_mode="update"
+    )
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.catalog import (
+        load_table,
+    )
+
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    assert out.exceptAll(batch).count() == 0
+    assert batch.exceptAll(out).count() == 0
+
+
+def test_stateful_running_stats_matches_batch(spark):
+    out = S.run_to_memory(
+        S.stateful_user_running_stats(S.events_stream(spark, SF)),
+        output_mode="update",
+    )
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.catalog import (
+        load_table,
+    )
+
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    got = {r["user_id"]: r["n_events"] for r in out.collect()}
+    want = {r["user_id"]: r["n_events"] for r in batch.collect()}
+    assert got == want
+
+
+def test_watermark_finalizes_windows_append_mode(spark, tmp_path):
+    """Two micro-batches in append mode: only windows whose end has passed
+    the watermark are emitted; open windows are withheld. (Spark treats the
+    watermark as an *eligibility* threshold for dropping late rows — the
+    drop itself is not guaranteed, so we assert the guaranteed behavior:
+    append-mode finalization.)"""
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, schema).coalesce(1)
+        p = str(src / name)
+        df.write.mode("overwrite").parquet(p)
+        for root, _d, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+        os.utime(p, (mtime, mtime))
+
+    import datetime
+
+    t = lambda s: datetime.datetime.fromisoformat(s)
+    now = time.time()
+    # Batch 1: events up to 12:00 → watermark after batch = 12:00 − 10 min
+    write_file(
+        "b1",
+        [
+            (1, t("2024-01-01T11:00:00"), 1, "click", 1.0, "{}"),
+            (2, t("2024-01-01T12:00:00"), 1, "click", 1.0, "{}"),
+        ],
+        now - 100,
+    )
+    # Batch 2: one on-time event + one very late event (09:00 < 11:50)
+    write_file(
+        "b2",
+        [
+            (3, t("2024-01-01T12:01:00"), 1, "click", 1.0, "{}"),
+            (4, t("2024-01-01T09:00:00"), 1, "click", 99.0, "{}"),
+        ],
+        now - 50,
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(src) + "/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "60 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("win.start", "HH:mm").alias("w"), "n")
+    )
+    got = {
+        r["w"]: r["n"]
+        for r in S.run_to_memory(agg, output_mode="append").collect()
+    }
+    # Final watermark = 12:01 − 10 min = 11:51. Only the (late-arriving)
+    # 09:00 window has end ≤ watermark → it alone is finalized+emitted;
+    # the 11:00 and 12:00 windows remain open and are withheld.
+    assert got == {"09:00": 1}
+
+
+def test_streaming_dedup(spark):
+    out = S.run_to_memory(
+        S.dedup_within_watermark(S.events_stream(spark, SF), ["event_type"]),
+        output_mode="append",
+    )
+    rows = sorted(r["event_type"] for r in out.collect())
+    assert rows == sorted(set(rows))  # no duplicates
+    assert len(rows) >= 2
