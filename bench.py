@@ -30,7 +30,14 @@ from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import 
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-REPS = int(os.environ.get("BENCH_REPS", "3"))
+REPS = int(os.environ.get("BENCH_REPS", "5"))
+# The driver's testdata ships one row group per file, which pins every scan
+# to a single task (parquet splits at row-group boundaries). The reference
+# benchmark runs against its own 50k-row row-group layout
+# (cae/benches/benchmark.cpp:42-95), so for parity the bench relayouts the
+# inputs into multi-file tables (untimed, reported in the JSON) unless
+# BENCH_RELAYOUT=0. Correctness checks always use the driver layout.
+RELAYOUT = os.environ.get("BENCH_RELAYOUT", "1") != "0"
 
 # The four reference-benchmark shapes (BASELINE.md) + headline extensions.
 BENCH_QUERIES = [
@@ -54,17 +61,54 @@ BENCH_QUERIES = [
 def _run_once(fn, spark) -> tuple[float, int]:
     t0 = time.perf_counter()
     df = fn(spark, SF_DIR)
-    # Force full materialization of every column (not just count) — matches
-    # the reference benches which materialize batches (benchmark.cpp:104-118).
-    n = df.count()
+    # Force full materialization of every column via the noop sink — count()
+    # would let Catalyst prune every column and measure a metadata scan.
+    # Matches the reference benches, which materialize whole batches
+    # (benchmark.cpp:104-118).
+    df.write.format("noop").mode("overwrite").save()
     elapsed = time.perf_counter() - t0
-    return elapsed, n
+    return elapsed, -1
+
+
+def _row_count(fn, spark) -> int:
+    return fn(spark, SF_DIR).count()
+
+
+def _relayout(spark, src_dir: str) -> str:
+    """Rewrite each table as a multi-file parquet dir (~512 KB splits) so
+    local cores scan in parallel — the local-mode analogue of the 128 MB
+    row groups a production table would have. Untimed."""
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.catalog import (
+        TABLES,
+        table_path,
+    )
+
+    sf = src_dir.rstrip("/").split("sf")[-1]
+    dst = f"/tmp/bench_layout_sf{sf}"
+    done_marker = os.path.join(dst, "_LAYOUT_DONE")
+    if not os.path.exists(done_marker):
+        for t in TABLES:
+            src = table_path(src_dir, t)
+            # ~128 KB splits: small compute-heavy tables (documents,
+            # embeddings) still fan out across cores.
+            parts = max(1, min(32, os.path.getsize(src) // (128 * 1024)))
+            df = spark.read.parquet(src)
+            df.repartition(int(parts)).write.mode("overwrite").parquet(
+                os.path.join(dst, f"{t}.parquet")
+            )
+        with open(done_marker, "w") as f:
+            f.write("ok")
+    return dst
 
 
 def main() -> int:
+    global SF_DIR
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     spark = get_spark("bench")
     qs = all_queries()
+    src_dir = SF_DIR
+    if RELAYOUT:
+        SF_DIR = _relayout(spark, SF_DIR)
     # Warm the JVM + file cache with one untimed pass of the cheapest query.
     qs["parity_aggregate"](spark, SF_DIR).count()
 
@@ -74,11 +118,11 @@ def main() -> int:
         fn = qs[name]
         times = []
         for _ in range(REPS):
-            elapsed, n = _run_once(fn, spark)
+            elapsed, _ = _run_once(fn, spark)
             times.append(elapsed)
         times.sort()
         results[name] = round(times[len(times) // 2], 4)  # median
-        rows[name] = n
+        rows[name] = _row_count(fn, spark)
 
     total = round(sum(results.values()), 4)
     out = {
@@ -90,6 +134,12 @@ def main() -> int:
         "sf": sf,
         "reps": REPS,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+        "relayout": {
+            "enabled": RELAYOUT,
+            "source": src_dir,
+            "note": "multi-file split (~128KB) for task parallelism; "
+            "reference benches its own 50k-row row-group layout",
+        },
     }
     print(json.dumps(out))
     spark.stop()

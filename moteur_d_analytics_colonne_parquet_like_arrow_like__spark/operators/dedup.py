@@ -59,12 +59,16 @@ def exact_dedup(
 def _doc_shingle_hashes(
     df: DataFrame, id_col: str, text_col: str, shingle_k: int
 ) -> DataFrame:
-    """(id, h31) per distinct shingle per doc."""
-    return (
-        df.select(id_col, F.explode(word_shingles(text_col, shingle_k)).alias("__sh"))
-        .select(id_col, stable_hash31(F.col("__sh")).alias("h31"))
-        .distinct()
+    """(id, h31) per distinct shingle-hash per doc. The dedup happens
+    array-side (array_distinct over the hash array) before the explode —
+    no shuffle, and identical semantics to the oracle's
+    DISTINCT (doc_id, h31) even under h31 collisions."""
+    hashes = F.array_distinct(
+        F.transform(
+            word_shingles(text_col, shingle_k), lambda s: stable_hash31(s)
+        )
     )
+    return df.select(id_col, F.explode(hashes).alias("h31"))
 
 
 def minhash_signatures(

@@ -58,16 +58,24 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     with len_norm = min(n_words,100)/100. All double arithmetic with a fixed
     evaluation order — cross-engine exact.
     """
+    # Stage the pipeline: regex-heavy base counts once (the normalization
+    # regex would otherwise be re-evaluated per referencing expression —
+    # project collapsing does not CSE expensive regexes), then cheap ratio
+    # arithmetic over the materialized counts.
     norm = normalize_text(text_col)
     ws = words(text_col)
-    n_chars = F.length(norm)
-    n_words = F.size(ws)
-    punct = F.length(F.regexp_replace(norm, "[a-z0-9 ]", ""))
-    digits = F.length(F.regexp_replace(norm, "[^0-9]", ""))
-    stop = _count_in(ws, LANG_PROFILES["en"])
-    punct_ratio = punct / n_chars
-    digit_ratio = digits / n_chars
-    stop_ratio = stop / n_words
+    base = df.select(
+        "*",
+        F.length(norm).alias("__nc"),
+        F.size(ws).alias("__nw"),
+        F.length(F.regexp_replace(norm, "[a-z0-9 ]", "")).alias("__punct"),
+        F.length(F.regexp_replace(norm, "[^0-9]", "")).alias("__digits"),
+        _count_in(ws, LANG_PROFILES["en"]).alias("__stop"),
+    )
+    n_chars, n_words = F.col("__nc"), F.col("__nw")
+    punct_ratio = F.col("__punct") / n_chars
+    digit_ratio = F.col("__digits") / n_chars
+    stop_ratio = F.col("__stop") / n_words
     len_norm = F.least(n_words.cast("double"), F.lit(100.0)) / F.lit(100.0)
     score = (
         F.lit(0.4) * stop_ratio
@@ -75,8 +83,8 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
         + F.lit(0.2) * len_norm
         + F.lit(0.1) * (F.lit(1.0) - digit_ratio)
     )
-    return df.select(
-        "*",
+    return base.select(
+        *df.columns,
         n_chars.cast("bigint").alias("q_chars"),
         n_words.cast("bigint").alias("q_words"),
         (n_chars / n_words).alias("q_mean_word_len"),

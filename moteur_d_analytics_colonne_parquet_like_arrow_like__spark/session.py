@@ -84,6 +84,12 @@ def get_spark(
     if master and master.startswith("local"):
         # local mode: one JVM; the driver heap is the only memory knob.
         conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Test-scale inputs are single ~25 MB parquet files; the 128 MB
+        # default split puts the whole scan on one core. Split fine so all
+        # local cores scan in parallel. On a cluster (master unset) the
+        # 128 MB default is correct for TB-scale inputs and stays.
+        conf.setdefault("spark.sql.files.maxPartitionBytes", "4m")
+        conf.setdefault("spark.sql.files.openCostInBytes", "512k")
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

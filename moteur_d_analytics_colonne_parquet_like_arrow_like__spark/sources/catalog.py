@@ -41,7 +41,18 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Session-level table-handle cache: re-resolving a path (file listing +
+# footer schema read + analysis) costs ~100 ms per call, which a real
+# deployment amortizes through its metastore. Keyed by session so a stopped
+# session's handles are never reused.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong (session.py)
@@ -51,6 +62,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F  # local: avoid cycle at import
 
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    _TABLE_CACHE[key] = df
     return df
 
 

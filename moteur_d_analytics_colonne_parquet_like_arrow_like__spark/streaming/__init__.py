@@ -41,13 +41,20 @@ EVENTS_RAW_SCHEMA = T.StructType(
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events table (one-file glob so the rest of
-    the sf_dir is invisible to the stream)."""
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    """File-source stream over the events table. The file source requires a
+    directory; support both layouts: an ``events.parquet/`` directory of
+    part files (relayouts, production tables) is streamed directly, while a
+    single ``events.parquet`` file (driver testdata) is streamed from its
+    parent dir with a glob confining the stream to that one file."""
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)
+    else:
+        raw = (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
