@@ -125,6 +125,35 @@ def range_join(
     return left.join(right, on=cond, how="inner")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-buster join: the skewed (left) side gets a random-free,
+    deterministic salt from its row content hash; the small-but-not-
+    broadcastable right side is replicated ``salt_buckets`` times. The hot
+    key's rows then spread over ``salt_buckets`` reducers instead of one.
+
+    AQE's skew-join splitting handles most skew automatically; explicit
+    salting remains the tool when a single key exceeds what one task can
+    hold even after AQE splits (the 100 TB "null key / celebrity user"
+    case). Deterministic salt (hash of all columns, not rand()) keeps
+    retries and speculative tasks consistent.
+    """
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)
+    ).cast("int")
+    l_salted = left.withColumn("__salt", salt)
+    r_rep = right.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+    )
+    return l_salted.join(r_rep, on=[key, "__salt"], how=how).drop("__salt")
+
+
 def bucketed_write(
     df: DataFrame, table: str, path: str, bucket_cols: list[str], num_buckets: int
 ) -> None:

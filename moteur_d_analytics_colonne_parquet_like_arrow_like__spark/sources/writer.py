@@ -48,6 +48,28 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partition + sort by ``sort_cols`` before writing: row-group
+    min/max ranges become disjoint on the sort key, so predicate pushdown
+    skips all but the matching files/row groups (the layout-side half of
+    zone-map skipping — the reference computes stats at write time the same
+    way, cae/src/format.cpp:153-181, but cannot choose layout).
+
+    The 100 TB default for time-series facts: sort by (day, key) so both
+    partition pruning and row-group skipping engage.
+    """
+    out = df.repartitionByRange(*sort_cols) if num_files is None else (
+        df.repartitionByRange(num_files, *sort_cols)
+    )
+    out.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
 def generate_synthetic(
     spark: SparkSession,
     num_rows: int,

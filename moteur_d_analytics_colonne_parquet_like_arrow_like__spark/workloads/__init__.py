@@ -21,9 +21,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import parity, pipeline, relational, relational2, streaming_ops
+from . import parity, pipeline, relational, relational2, relational3, streaming_ops
 
-_MODULES = [parity, relational, relational2, pipeline, streaming_ops]
+_MODULES = [parity, relational, relational2, relational3, pipeline, streaming_ops]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
