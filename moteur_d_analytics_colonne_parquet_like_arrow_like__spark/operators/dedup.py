@@ -306,6 +306,58 @@ def simhash_near_dup_pairs(
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Resolve near-dup pairs into duplicate clusters: connected components
+    by iterative min-label propagation. Returns (node, label) where label =
+    smallest doc id in the component — the canonical "keeper".
+
+    Each iteration is one join + groupBy (shuffles on node id);
+    ``localCheckpoint`` cuts lineage so plans stay flat. Converges in
+    graph-diameter iterations — near-dup graphs are shallow (dup clusters
+    are cliques or short chains), so typically 2-3 rounds. For
+    billion-edge graphs the same loop applies with the alternating
+    large-star/small-star optimization; the fixpoint (min id per component)
+    is identical and deterministic on any engine.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_labels = edges.join(
+            labels, edges.dst == labels.node
+        ).select(F.col("src").alias("node"), "label")
+        new_labels = (
+            labels.union(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,

@@ -25,10 +25,10 @@ _H31 = "CAST(concat('0x', substr(md5({s}), 1, 15)) AS BIGINT) % {p}".format(
 _H60 = "CAST(concat('0x', substr(md5({s}), 1, 15)) AS BIGINT)"
 
 
-def _shingle_cte(k: int) -> str:
+def _shingle_cte(k: int, src: str = "documents") -> str:
     """CTEs docs→w→sh→h: distinct (doc_id, h31) per k-word shingle."""
     return f"""
-        docs AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+        docs AS (SELECT doc_id, {_NORM} AS norm FROM {src}),
         w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM docs),
         sh AS (
             SELECT doc_id,
@@ -160,6 +160,37 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs resolved to duplicate clusters (connected components,
+    iterative min-label propagation)."""
+    pairs = dedup.ngram_jaccard_pairs(
+        _documents(spark, sf_dir), "doc_id", "text", shingle_k=3, threshold=0.8
+    )
+    return dedup.duplicate_clusters(pairs).orderBy("node")
+
+
+def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: quality-filter documents, resolve near-dup
+    clusters among survivors, keep one doc per cluster (smallest id).
+    Returns the kept doc ids — the shape of a real training-data pass."""
+    docs = _documents(spark, sf_dir)
+    scored = text.quality_features(docs.select("doc_id", "text"), "text")
+    kept_quality = scored.where(F.col("q_score") >= 0.5).select("doc_id", "text")
+    pairs = dedup.ngram_jaccard_pairs(
+        kept_quality, "doc_id", "text", shingle_k=3, threshold=0.8
+    )
+    clusters = dedup.duplicate_clusters(pairs)
+    # drop any doc whose cluster label is a smaller id (a kept duplicate)
+    dropped = clusters.where(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+    return (
+        kept_quality.join(dropped, "doc_id", "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic media → mapInPandas decode → metadata rollup. Not
     SQL-expressible (Arrow-batched Python stage) → rows-only check."""
@@ -181,8 +212,68 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_tokens": q_text_tokens,
     "text_fingerprint": q_text_fingerprint,
+    "dedup_clusters": q_dedup_clusters,
+    "pipeline_curate": q_pipeline_curate,
     "multimodal_decode": q_multimodal_decode,
 }
+
+
+def _jaccard_pairs_sql(k: int, threshold: float, src: str = "documents") -> str:
+    """CTE chain ending in ``pairs(id_a, id_b)`` with jaccard ≥ threshold."""
+    return f"""
+        {_shingle_cte(k, src)},
+        sizes AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+            FROM h a JOIN h b ON a.h31 = b.h31 AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        pairs AS (
+            SELECT id_a, id_b FROM common
+            JOIN sizes na ON na.doc_id = id_a
+            JOIN sizes nb ON nb.doc_id = id_b
+            WHERE n_common / (na.n + nb.n - n_common) >= {threshold}
+        )
+    """
+
+
+_CLUSTERS_SQL = """
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach AS (
+            SELECT DISTINCT src AS node, src AS label FROM edges
+            UNION
+            SELECT e.src AS node, r.label
+            FROM edges e JOIN reach r ON e.dst = r.node
+        ),
+        clusters AS (
+            SELECT node, min(label) AS label FROM reach GROUP BY node
+        )
+"""
+
+def _quality_kept_sql() -> str:
+    return f"""
+        qd AS (SELECT doc_id, text, {_NORM} AS norm FROM documents),
+        qf AS (
+            SELECT doc_id, text,
+                   length(norm) AS n_chars,
+                   len(string_split(norm, ' ')) AS n_words,
+                   length(regexp_replace(norm, '[a-z0-9 ]', '', 'g')) AS punct,
+                   length(regexp_replace(norm, '[^0-9]', '', 'g')) AS digits,
+                   len(list_filter(string_split(norm, ' '),
+                       w -> list_contains([{_EN_WORDS}], w))) AS stop
+            FROM qd
+        ),
+        kept AS (
+            SELECT doc_id, text FROM qf
+            WHERE 0.4 * (stop / n_words) + 0.3 * (1.0 - punct / n_chars)
+                  + 0.2 * (least(CAST(n_words AS DOUBLE), 100.0) / 100.0)
+                  + 0.1 * (1.0 - digits / n_chars) >= 0.5
+        )
+"""
 
 
 # ------------------------------------------------------------------- oracles
@@ -419,6 +510,20 @@ ORACLES = {
                list_min(list_transform(shingles, s -> {_H31.format(s='s')})) AS fp_min_shingle,
                list_max(list_transform(shingles, s -> {_H31.format(s='s')})) AS fp_max_shingle
         FROM shl ORDER BY doc_id
+    """,
+    "dedup_clusters": f"""
+        WITH RECURSIVE {_jaccard_pairs_sql(3, 0.8)},
+        {_CLUSTERS_SQL}
+        SELECT node, label FROM clusters ORDER BY node
+    """,
+    "pipeline_curate": f"""
+        WITH RECURSIVE {_quality_kept_sql()},
+        {_jaccard_pairs_sql(3, 0.8, src="kept")},
+        {_CLUSTERS_SQL},
+        dropped AS (SELECT node AS doc_id FROM clusters WHERE node <> label)
+        SELECT k.doc_id FROM kept k
+        WHERE k.doc_id NOT IN (SELECT doc_id FROM dropped)
+        ORDER BY k.doc_id
     """,
     # multimodal_decode: mapInPandas stage — intentionally no oracle.
 }

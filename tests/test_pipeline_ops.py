@@ -175,3 +175,24 @@ def test_decode_stub_raises_for_real_codec(spark):
     media = multimodal.generate_synthetic_media(spark, 5)
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(media, require_real_codec=True)
+
+
+def test_duplicate_clusters_components(spark):
+    # chain 1-2-3, clique 10-11, singleton edge 20-21: labels = component min
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["label"] for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_duplicate_clusters_long_chain(spark):
+    # a 12-node path exercises multiple propagation iterations
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    labels = dedup.duplicate_clusters(pairs).collect()
+    assert all(r["label"] == 0 for r in labels)
+    assert len(labels) == 13
