@@ -150,7 +150,25 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.run_to_memory(agg, output_mode="update").orderBy("c_mktsegment")
 
 
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the 100 TB substitutes for exact distinct/
+    percentiles: HLL++ cardinality + t-digest quantiles in one pass.
+    Engine-private sketch internals → no SQL oracle (rows-only check);
+    accuracy vs exact is asserted in tests/test_scale_features.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.percentile_approx("l_quantity", 0.5, 1000).alias("approx_p50"),
+            F.percentile_approx("l_extendedprice", 0.9, 1000).alias("approx_p90_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
+    "agg_approx_sketches": q_approx_sketches,
     "subquery_scalar": q_subquery_scalar,
     "subquery_correlated": q_subquery_correlated,
     "pivot_event_types": q_pivot,

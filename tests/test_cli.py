@@ -1,0 +1,61 @@
+"""CLI surface tests (in-process main(), shared session)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from moteur_d_analytics_colonne_parquet_like_arrow_like__spark import cli
+
+
+@pytest.fixture(scope="module")
+def written(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cli") / "t.parquet")
+    assert cli.main(["write", out, "2000", "42"]) == 0
+    return out
+
+
+def test_write_scan(written, capsys):
+    assert cli.main(["scan", written]) == 0
+    meta = json.loads(capsys.readouterr().out)
+    assert meta["total_rows"] == 2000
+    assert [c["name"] for c in meta["schema"]] == [
+        "id", "value", "category", "region", "status",
+    ]
+
+
+def test_query_groupby(written, capsys):
+    rc = cli.main(
+        ["query", written, "--where", "value", "gt", "5000",
+         "--agg", "sum", "value", "--groupby", "region"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 4  # north/south/east/west
+    assert all("count=" in line and "sum=" in line for line in out)
+
+
+def test_query_aggregate(written, capsys):
+    rc = cli.main(["query", written, "--agg", "count", "id"])
+    assert rc == 0
+    assert "count=2000" in capsys.readouterr().out
+
+
+def test_query_select_where(written, capsys):
+    rc = cli.main(
+        ["query", written, "--select", "id,value", "--where", "value", "le", "100",
+         "--limit", "5"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "id" in out and "value" in out
+
+
+def test_error_paths(written, capsys):
+    assert cli.main(["query", written, "--where", "value", "zz", "1"]) == 1
+    assert "unknown compare op" in capsys.readouterr().err
+    assert cli.main(["query", written, "--where", "nope", "gt", "1"]) == 1
+    assert "column not found" in capsys.readouterr().err
+    assert cli.main(["query", written, "--groupby", "region"]) == 2
+    assert "--groupby requires --agg" in capsys.readouterr().err

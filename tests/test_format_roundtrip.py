@@ -117,3 +117,24 @@ def test_synthetic_generator_deterministic(spark):
     ).collect()[0]
     assert 0 <= row["lo"] and row["hi"] <= 10000
     assert 1 <= row["clo"] and row["chi"] <= 5
+
+
+def test_truncated_file_clean_error(spark, tmp_path):
+    # cae/tests/test_corruption.cpp:146-182 analogue: a valid file cut short
+    # (footer offset beyond EOF) must raise a clean error, not garbage data.
+    import glob
+    import shutil
+
+    good = str(tmp_path / "good.parquet")
+    spark.range(1000).coalesce(1).write.mode("overwrite").parquet(good)
+    part = glob.glob(good + "/part-*.parquet")[0]
+    bad_dir = tmp_path / "trunc.parquet"
+    bad_dir.mkdir()
+    bad = str(bad_dir / "part-00000.parquet")
+    shutil.copy(part, bad)
+    with open(bad, "r+b") as f:
+        f.truncate(100)  # cut mid-file: footer gone
+    import pytest
+
+    with pytest.raises(Exception):
+        spark.read.parquet(str(bad_dir)).collect()

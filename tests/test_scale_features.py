@@ -105,3 +105,29 @@ def test_pandas_udf_cosine_matches_expression(spark):
         (F.abs(expr_col - udf_col) < 1e-9).alias("ok")
     )
     assert out.where(~F.col("ok")).count() == 0
+
+
+def test_approx_sketches_accuracy(spark, sf_dir):
+    """HLL++ and t-digest must land near the exact answers."""
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads.relational2 import (
+        q_approx_sketches,
+    )
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.catalog import (
+        load_table,
+    )
+
+    approx = {r["l_returnflag"]: r for r in q_approx_sketches(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a["approx_parts"] - e["parts"]) / e["parts"] < 0.1
+        assert abs(a["approx_p50"] - e["p50"]) <= 2
