@@ -23,6 +23,7 @@ import sys
 
 from .query import AggFunc, Predicate, QueryExecutor
 from .session import get_spark
+from .sources import colfile
 from .sources.scanner import scan_metadata
 from .sources.writer import generate_synthetic, write_parquet
 
@@ -30,13 +31,44 @@ from .sources.writer import generate_synthetic, write_parquet
 def _cmd_write(args: argparse.Namespace) -> int:
     spark = get_spark("moteur_cli_write")
     df = generate_synthetic(spark, args.rows, seed=args.seed, variant=args.variant)
-    write_parquet(df, args.out, rows_per_row_group=args.row_group_size)
+    if args.out.endswith(".col"):
+        # reference-compatible container (cli parity with cae `write`)
+        colfile.write_col(df, args.out, rows_per_group=args.row_group_size or 10_000)
+    else:
+        write_parquet(df, args.out, rows_per_row_group=args.row_group_size)
     print(f"wrote {args.rows} rows (seed {args.seed}, variant {args.variant}) to {args.out}")
     return 0
 
 
 def _cmd_scan(args: argparse.Namespace) -> int:
-    meta = scan_metadata(args.path)
+    if args.path.endswith(".col"):
+        schema, row_groups, total = colfile.read_col_metadata(args.path)
+        meta = {
+            "path": args.path,
+            "format": "col",
+            "total_rows": total,
+            "schema": [
+                {"name": c.name, "type": c.type.name, "encoding": c.encoding.name}
+                for c in schema.columns
+            ],
+            "row_groups": [
+                {
+                    "num_rows": rg.num_rows,
+                    "columns": [
+                        {
+                            "column": schema.columns[i].name,
+                            "bytes": ch.total_size,
+                            "min": ch.page_headers[0].min_value if ch.page_headers else None,
+                            "max": ch.page_headers[0].max_value if ch.page_headers else None,
+                        }
+                        for i, ch in enumerate(rg.chunks)
+                    ],
+                }
+                for rg in row_groups
+            ],
+        }
+    else:
+        meta = scan_metadata(args.path)
     json.dump(meta, sys.stdout, indent=2, default=str)
     print()
     return 0
@@ -44,7 +76,12 @@ def _cmd_scan(args: argparse.Namespace) -> int:
 
 def _cmd_query(args: argparse.Namespace) -> int:
     spark = get_spark("moteur_cli_query")
-    qe = QueryExecutor(spark, args.path)
+    source = (
+        colfile.read_col(spark, args.path)
+        if args.path.endswith(".col")
+        else args.path
+    )
+    qe = QueryExecutor(spark, source)
     if args.select:
         qe.set_projection([c.strip() for c in args.select.split(",") if c.strip()])
     for col, op, lit in args.where or []:

@@ -59,3 +59,23 @@ def test_error_paths(written, capsys):
     assert "column not found" in capsys.readouterr().err
     assert cli.main(["query", written, "--groupby", "region"]) == 2
     assert "--groupby requires --agg" in capsys.readouterr().err
+
+
+def test_col_format_end_to_end(spark, tmp_path_factory, capsys):
+    """The reference CLI workflow on a .col file: write → scan → query."""
+    out = str(tmp_path_factory.mktemp("colcli") / "t.col")
+    assert cli.main(["write", out, "500", "42"]) == 0
+    capsys.readouterr()
+    assert cli.main(["scan", out]) == 0
+    meta = json.loads(capsys.readouterr().out)
+    assert meta["format"] == "col" and meta["total_rows"] == 500
+    assert [c["name"] for c in meta["schema"]] == [
+        "id", "value", "category", "region", "status",
+    ]
+    rc = cli.main(
+        ["query", out, "--where", "value", "gt", "5000",
+         "--agg", "count", "id", "--groupby", "region"]
+    )
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 4

@@ -1,0 +1,140 @@
+"""Round-trip + corruption tests for the .col compatibility format
+(mirrors reference test_format.cpp / test_corruption.cpp fixtures F2)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from pyspark.sql import types as T
+
+from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.schema import (
+    ColumnType,
+    EncodingType,
+    Schema,
+)
+from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources import colfile
+
+
+def _write(spark, tmp_path, name, schema, rows, **kw):
+    path = str(tmp_path / name)
+    df = spark.createDataFrame(rows, schema.to_spark())
+    colfile.write_col(df, path, schema=schema, **kw)
+    return path
+
+
+def test_basic_roundtrip(spark, tmp_path):
+    # format_basic fixture (FIXTURES.md F2): id INT64 {1..5}, value INT32
+    schema = Schema().add("id", ColumnType.INT64).add("value", ColumnType.INT32)
+    rows = [(i + 1, (i + 1) * 10) for i in range(5)]
+    p = _write(spark, tmp_path, "basic.col", schema, rows)
+    back = colfile.read_col(spark, p)
+    assert sorted((r["id"], r["value"]) for r in back.collect()) == rows
+    assert [f.dataType for f in back.schema.fields] == [T.LongType(), T.IntegerType()]
+
+
+def test_all_encodings_roundtrip(spark, tmp_path):
+    # rle_col {1,1,1,2,2,3,3,3,3}, delta_col {1000..1400}, dict_col regions,
+    # plain_str_col (F2 fixtures)
+    schema = (
+        Schema()
+        .add("rle_c", ColumnType.INT32, EncodingType.RLE)
+        .add("delta_c", ColumnType.INT64, EncodingType.DELTA)
+        .add("dict_c", ColumnType.STRING, EncodingType.DICTIONARY)
+        .add("plain_s", ColumnType.STRING, EncodingType.PLAIN)
+    )
+    rle = [1, 1, 1, 2, 2, 3, 3, 3, 3]
+    delta = [1000, 1100, 1200, 1300, 1400, 1350, -5, 0, 7]
+    dicts = ["north", "south", "north", "east", "south", "north", "x", "y", "z"]
+    plain = ["hello", "world", "test", "data", "", "a", "bb", "ccc", "dddd"]
+    rows = list(zip(rle, delta, dicts, plain))
+    p = _write(spark, tmp_path, "enc.col", schema, rows)
+    got = sorted(tuple(r) for r in colfile.read_col(spark, p).collect())
+    assert got == sorted(rows)
+
+
+def test_multi_row_group_and_stats(spark, tmp_path):
+    schema = Schema().add("value", ColumnType.INT64)
+    vals = [10, 5, 30, 15, 25]
+    p = _write(
+        spark, tmp_path, "stats.col", schema, [(v,) for v in vals], rows_per_group=2
+    )
+    meta_schema, row_groups, total = colfile.read_col_metadata(p)
+    assert total == 5
+    assert len(row_groups) == 3  # 2+2+1
+    # stats_col fixture expectation: min 5 max 30 overall
+    mins = [rg.chunks[0].page_headers[0].min_value for rg in row_groups]
+    maxs = [rg.chunks[0].page_headers[0].max_value for rg in row_groups]
+    assert min(mins) == 5 and max(maxs) == 30
+    back = sorted(r["value"] for r in colfile.read_col(spark, p).collect())
+    assert back == sorted(vals)
+
+
+def test_projection_reads_subset(spark, tmp_path):
+    schema = (
+        Schema()
+        .add("a", ColumnType.INT64)
+        .add("b", ColumnType.INT32)
+        .add("c", ColumnType.STRING, EncodingType.DICTIONARY)
+    )
+    rows = [(i, i * 2, f"s{i % 3}") for i in range(100)]
+    p = _write(spark, tmp_path, "proj.col", schema, rows)
+    back = colfile.read_col(spark, p, columns=["c", "a"])
+    assert back.columns == ["c", "a"]
+    assert back.count() == 100
+
+
+def test_col_to_parquet(spark, tmp_path):
+    schema = Schema().add("id", ColumnType.INT64).add(
+        "region", ColumnType.STRING, EncodingType.DICTIONARY
+    )
+    rows = [(i, ["n", "s"][i % 2]) for i in range(50)]
+    p = _write(spark, tmp_path, "conv.col", schema, rows)
+    out = str(tmp_path / "conv.parquet")
+    colfile.col_to_parquet(spark, p, out)
+    assert spark.read.parquet(out).count() == 50
+
+
+def test_corruption_clean_errors(spark, tmp_path):
+    # mirrors cae/tests/test_corruption.cpp cases
+    small = tmp_path / "small.col"
+    small.write_bytes(b"short")
+    with pytest.raises(colfile.ColFormatError, match="too small"):
+        colfile.read_col_metadata(str(small))
+
+    bad_header = tmp_path / "badhdr.col"
+    bad_header.write_bytes(b"XXXX" + b"\0" * 30)
+    with pytest.raises(colfile.ColFormatError, match="header magic"):
+        colfile.read_col_metadata(str(bad_header))
+
+    schema = Schema().add("id", ColumnType.INT64)
+    good = _write(spark, tmp_path, "good.col", schema, [(1,), (2,)])
+    raw = open(good, "rb").read()
+
+    bad_footer = tmp_path / "badfoot.col"
+    bad_footer.write_bytes(raw[:-12] + b"XXXX" + raw[-8:])
+    with pytest.raises(colfile.ColFormatError, match="footer magic"):
+        colfile.read_col_metadata(str(bad_footer))
+
+    bad_offset = tmp_path / "badoff.col"
+    bad_offset.write_bytes(
+        raw[:-12] + struct.pack("<IQ", colfile.FOOTER_MAGIC, 10**12)
+    )
+    with pytest.raises(colfile.ColFormatError, match="offset out of range"):
+        colfile.read_col_metadata(str(bad_offset))
+
+
+def test_truncated_varint_rejected():
+    with pytest.raises(colfile.ColFormatError, match="truncated varint"):
+        colfile._decode_varint(b"\xac", 0)  # continuation bit set, no next byte
+    with pytest.raises(colfile.ColFormatError, match="continuation overflow"):
+        colfile._decode_varint(b"\xff" * 11, 0)
+
+
+def test_varint_zigzag_examples():
+    # FORMAT.md example: 300 encodes as [0xAC, 0x02]
+    assert colfile._encode_varint(300) == b"\xac\x02"
+    assert colfile._decode_varint(b"\xac\x02", 0) == (300, 2)
+    for n in (0, 1, -1, 2**31, -(2**31), 2**62, -(2**62)):
+        assert colfile._zigzag_decode(colfile._zigzag_encode(n)) == n
