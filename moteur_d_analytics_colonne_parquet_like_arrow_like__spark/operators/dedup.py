@@ -366,15 +366,49 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding near-dup: pairs with cosine ≥ threshold, brute force O(n²).
 
-    Correct baseline for verification; at scale use
-    similarity.lsh_bucketed_topk's random-hyperplane buckets to confine the
-    pairing (same code path, bucket column added).
+    Correct baseline for verification; the scale path is
+    ``embedding_near_dup_pairs_lsh`` (bucketed pairing).
     """
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
     cos = dot_product(F.col("v_a"), F.col("v_b"))  # unit vectors: dot = cosine
     return (
         a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.5,
+    bucket_dims: tuple[int, ...] | None = None,
+) -> DataFrame:
+    """Embedding near-dup at scale: candidates confined to sign-bit LSH
+    buckets (equi-join on the bucket id → shuffle on a small key; pairwise
+    work ≈ Σ bucket² instead of n²). Approximate recall: true pairs
+    straddling a hyperplane are missed — use fewer bits or multi-probe for
+    higher recall; exactness is the brute-force variant's job."""
+    from .similarity import DEFAULT_BUCKET_DIMS, bucket_id
+
+    dims = bucket_dims or DEFAULT_BUCKET_DIMS
+    tagged = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        bucket_id(vec_col, dims).alias("__bucket"),
+    )
+    a = tagged.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("v_a"), "__bucket"
+    )
+    b = tagged.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("v_b"), "__bucket"
+    )
+    cos = dot_product(F.col("v_a"), F.col("v_b"))
+    return (
+        a.join(b, "__bucket")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)

@@ -110,6 +110,30 @@ def token_counts(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def register_tokenize_udtf(spark, name: str = "tokenize_udtf"):
+    """Python UDTF (SURVEY §2.11 — the reference has no extension points):
+    expands a text into (term, pos) rows via LATERAL. The UDTF is the
+    row-expanding Python extension point; prefer ``F.explode(words(...))``
+    (pure Catalyst) when the logic is expressible — this exists for logic
+    that genuinely needs Python per row.
+
+    Usage: ``SELECT d.doc_id, t.term, t.pos FROM docs d,
+    LATERAL tokenize_udtf(d.text) t``.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="term: string, pos: int")
+    class Tokenize:
+        def eval(self, text: str):
+            norm = " ".join((text or "").lower().split())
+            for i, w in enumerate(norm.split(" ")):
+                if w:
+                    yield (w, i)
+
+    spark.udtf.register(name, Tokenize)
+    return Tokenize
+
+
 def doc_fingerprints(df: DataFrame, text_col: str, shingle_k: int = 4) -> DataFrame:
     """Content fingerprints: full-text stable hash (exact-dup key) + min/max
     shingle hash (a 2-element winnowing sketch: stable under small edits at

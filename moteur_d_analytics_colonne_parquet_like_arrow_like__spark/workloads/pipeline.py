@@ -105,6 +105,16 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path embedding dedup: sign-bucket LSH candidates only."""
+    out = dedup.embedding_near_dup_pairs_lsh(
+        _embeddings(spark, sf_dir), "vec_id", "embedding", threshold=0.4
+    )
+    return out.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine_r")
+    ).orderBy("id_a", "id_b")
+
+
 def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 10)
@@ -206,6 +216,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_topk_lsh": q_sim_topk_lsh,
     "text_lang_id": q_text_lang_id,
@@ -418,6 +429,19 @@ ORACLES = {
                round({_DOT}, 6) AS cosine_r
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE {_DOT} >= 0.45
+        ORDER BY id_a, id_b
+    """,
+    "dedup_embedding_lsh": f"""
+        WITH bucketed AS (
+            SELECT vec_id, embedding,
+                   {' + '.join(f'CASE WHEN embedding[{d + 1}] >= 0 THEN {2**i} ELSE 0 END' for i, d in enumerate(similarity.DEFAULT_BUCKET_DIMS))} AS bucket
+            FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({_DOT}, 6) AS cosine_r
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {_DOT} >= 0.4
         ORDER BY id_a, id_b
     """,
     "sim_topk_bruteforce": f"""

@@ -196,3 +196,24 @@ def test_duplicate_clusters_long_chain(spark):
     labels = dedup.duplicate_clusters(pairs).collect()
     assert all(r["label"] == 0 for r in labels)
     assert len(labels) == 13
+
+
+def test_tokenize_udtf_matches_explode(spark):
+    """UDTF output must agree with the pure-Catalyst explode path."""
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.functions import (
+        words,
+    )
+
+    text.register_tokenize_udtf(spark, "tok_test")
+    df = spark.createDataFrame(
+        [(1, "  The quick  brown fox "), (2, "a b")], "doc_id long, text string"
+    )
+    df.createOrReplaceTempView("docs_tok")
+    via_udtf = spark.sql(
+        "SELECT d.doc_id, t.term, t.pos FROM docs_tok d, LATERAL tok_test(d.text) t"
+    )
+    via_explode = df.select(
+        "doc_id", F.posexplode(words("text")).alias("pos", "term")
+    ).select("doc_id", "term", "pos")
+    assert via_udtf.exceptAll(via_explode).count() == 0
+    assert via_explode.exceptAll(via_udtf).count() == 0
