@@ -148,23 +148,40 @@ def run_to_memory(
     sdf: DataFrame,
     output_mode: str = "complete",
     query_name: str | None = None,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a streaming plan to completion (availableNow) into a memory
-    sink; returns the sink contents as a batch DataFrame."""
+    sink; returns the sink contents as a batch DataFrame.
+
+    ``shuffle_partitions`` sizes the state store for THIS query (the
+    partition count is captured at query start and fixed for the query's
+    lifetime): each state partition pays per-batch init/commit overhead, so
+    size to key cardinality — small replays want 4-8, a production
+    deployment wants enough for its keyspace. Session conf is restored
+    afterwards.
+    """
     name = query_name or f"mem_{uuid.uuid4().hex[:8]}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation",
-            os.path.join("/tmp", f"ckpt_{name}"),
+    spark = sdf.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                os.path.join("/tmp", f"ckpt_{name}"),
+            )
+            .start()
         )
-        .start()
-    )
-    q.awaitTermination()
-    return sdf.sparkSession.table(name)
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def stateful_user_running_stats(

@@ -147,7 +147,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
     )
-    return S.run_to_memory(agg, output_mode="update").orderBy("c_mktsegment")
+    return S.run_to_memory(agg, output_mode="update", shuffle_partitions=8).orderBy("c_mktsegment")
 
 
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,8 +167,47 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile / percent_rank / cume_dist over
+    part price within brand (one shared window exchange)."""
+    from pyspark.sql import Window
+
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").asc(), F.col("p_partkey").asc()
+    )
+    return part.select(
+        "p_brand",
+        "p_partkey",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.percent_rank().over(w).alias("price_pct_rank"),
+        F.cume_dist().over(w).alias("price_cume_dist"),
+    ).orderBy("p_brand", "p_partkey")
+
+
+def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time arithmetic surface: truncation, offsets, deltas, extract."""
+    orders = _t(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "order_month"
+        ),
+        F.date_format(F.date_add(od, 30), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(F.lit("1998-12-31").cast("date"), od).cast("bigint").alias(
+            "age_days"
+        ),
+        F.dayofweek(od).cast("bigint").alias("dow"),
+        F.quarter(od).cast("bigint").alias("qtr"),
+        F.last_day(od).cast("string").alias("month_end"),
+    ).orderBy("o_orderkey")
+
+
 QUERIES = {
     "agg_approx_sketches": q_approx_sketches,
+    "window_distribution": q_window_distribution,
+    "date_arithmetic": q_date_arithmetic,
     "subquery_scalar": q_subquery_scalar,
     "subquery_correlated": q_subquery_correlated,
     "pivot_event_types": q_pivot,
@@ -180,6 +219,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_distribution": """
+        SELECT p_brand, p_partkey,
+               NTILE(4) OVER w AS price_quartile,
+               PERCENT_RANK() OVER w AS price_pct_rank,
+               CUME_DIST() OVER w AS price_cume_dist
+        FROM part
+        WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice ASC, p_partkey ASC)
+        ORDER BY p_brand, p_partkey
+    """,
+    "date_arithmetic": """
+        SELECT o_orderkey,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+               strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+               CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS age_days,
+               CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS dow,
+               CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr,
+               CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end
+        FROM orders
+        ORDER BY o_orderkey
+    """,
     "subquery_scalar": """
         SELECT o_orderkey, o_totalprice FROM orders
         WHERE o_totalprice > (

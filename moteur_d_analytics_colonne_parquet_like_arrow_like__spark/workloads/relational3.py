@@ -117,7 +117,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         views.user_id.alias("user_id"),
     )
-    return S.run_to_memory(joined, output_mode="append").orderBy(
+    return S.run_to_memory(joined, output_mode="append", shuffle_partitions=8).orderBy(
         "view_id", "purchase_id"
     )
 

@@ -17,20 +17,20 @@ from .. import streaming as S
 
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = S.tumbling_window_agg(S.events_stream(spark, sf_dir))
-    return S.run_to_memory(sdf, output_mode="update").orderBy(
+    return S.run_to_memory(sdf, output_mode="update", shuffle_partitions=8).orderBy(
         "window_start", "event_type"
     )
 
 
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = S.sliding_window_agg(S.events_stream(spark, sf_dir))
-    return S.run_to_memory(sdf, output_mode="update").orderBy("window_start")
+    return S.run_to_memory(sdf, output_mode="update", shuffle_partitions=8).orderBy("window_start")
 
 
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = S.session_window_agg(S.events_stream(spark, sf_dir))
     # session-window aggregation supports append/complete, not update
-    return S.run_to_memory(sdf, output_mode="complete").orderBy(
+    return S.run_to_memory(sdf, output_mode="complete", shuffle_partitions=8).orderBy(
         "user_id", "session_start"
     )
 
@@ -39,7 +39,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = S.dedup_within_watermark(
         S.events_stream(spark, sf_dir), ["user_id", "event_type"]
     )
-    return S.run_to_memory(sdf, output_mode="append").orderBy(
+    return S.run_to_memory(sdf, output_mode="append", shuffle_partitions=8).orderBy(
         "user_id", "event_type"
     )
 
