@@ -110,6 +110,33 @@ def token_counts(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+# PII patterns kept simple + RE2-compatible so the same pattern runs in any
+# engine (no backrefs, no lookaround).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\- ]{7,}[0-9]",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str, out_col: str = "text_redacted"
+) -> DataFrame:
+    """PII scrubbing: replace emails/phones/IPv4s with typed placeholders
+    and count the redactions per category. Pure regexp_replace /
+    regexp_count columns — per-row, shuffle-free, linear at any scale."""
+    redacted = F.col(text_col)
+    counts = []
+    for kind, pat in PII_PATTERNS.items():
+        counts.append(
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint").alias(
+                f"n_{kind}"
+            )
+        )
+        redacted = F.regexp_replace(redacted, pat, f"<{kind.upper()}>")
+    return df.select("*", *counts, redacted.alias(out_col))
+
+
 def register_tokenize_udtf(spark, name: str = "tokenize_udtf"):
     """Python UDTF (SURVEY §2.11 — the reference has no extension points):
     expands a text into (term, pos) rows via LATERAL. The UDTF is the

@@ -170,6 +170,21 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass over documents: per-category counts + a stable
+    hash of the redacted text (verifies the replacement byte-for-byte)."""
+    from ..functions import stable_hash60
+
+    out = text.redact_pii(_documents(spark, sf_dir).select("doc_id", "text"), "text")
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        stable_hash60(F.col("text_redacted")).alias("redacted_fp"),
+    ).orderBy("doc_id")
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs resolved to duplicate clusters (connected components,
     iterative min-label propagation)."""
@@ -223,6 +238,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_tokens": q_text_tokens,
     "text_fingerprint": q_text_fingerprint,
+    "text_pii": q_text_pii,
     "dedup_clusters": q_dedup_clusters,
     "pipeline_curate": q_pipeline_curate,
     "multimodal_decode": q_multimodal_decode,
@@ -534,6 +550,21 @@ ORACLES = {
                list_min(list_transform(shingles, s -> {_H31.format(s='s')})) AS fp_min_shingle,
                list_max(list_transform(shingles, s -> {_H31.format(s='s')})) AS fp_max_shingle
         FROM shl ORDER BY doc_id
+    """,
+    "text_pii": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text, '\\+?[0-9][0-9()\\- ]{7,}[0-9]')) AS BIGINT) AS n_phone,
+               CAST(len(regexp_extract_all(text, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+               CAST(concat('0x', substr(md5(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                           '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g'),
+                       '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IPV4>', 'g')
+               ), 1, 15)) AS BIGINT) AS redacted_fp
+        FROM documents
+        ORDER BY doc_id
     """,
     "dedup_clusters": f"""
         WITH RECURSIVE {_jaccard_pairs_sql(3, 0.8)},

@@ -44,14 +44,46 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode tumbling windows: only windows FINALIZED by the
+    watermark are emitted (end ≤ max event time − delay). The oracle
+    replicates the finalization cutoff in batch SQL — this pins Spark's
+    append-mode watermark semantics in the correctness gate."""
+    sdf = S.tumbling_window_agg(
+        S.events_stream(spark, sf_dir), width="10 minutes", watermark="30 minutes"
+    )
+    return S.run_to_memory(sdf, output_mode="append", shuffle_partitions=8).orderBy(
+        "window_start", "event_type"
+    )
+
+
 QUERIES = {
     "stream_tumbling_window": q_stream_tumbling,
+    "stream_tumbling_append": q_stream_tumbling_append,
     "stream_sliding_window": q_stream_sliding,
     "stream_session_window": q_stream_session,
     "stream_dedup": q_stream_dedup,
 }
 
 ORACLES = {
+    "stream_tumbling_append": """
+        WITH wm AS (
+            SELECT max(ts) - INTERVAL '30 minutes' AS cutoff FROM events
+        ),
+        agg AS (
+            SELECT time_bucket(INTERVAL '10 minutes', ts) AS wstart,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, n_events, sum_value
+        FROM agg, wm
+        WHERE wstart + INTERVAL '10 minutes' <= wm.cutoff
+        ORDER BY window_start, event_type
+    """,
     "stream_tumbling_window": """
         SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                event_type,

@@ -131,3 +131,66 @@ def test_approx_sketches_accuracy(spark, sf_dir):
         a = approx[flag]
         assert abs(a["approx_parts"] - e["parts"]) / e["parts"] < 0.1
         assert abs(a["approx_p50"] - e["p50"]) <= 2
+
+
+def test_zorder_skips_on_both_dims(spark, tmp_path):
+    """Z-ordered layout keeps min/max tight on BOTH columns, so a point
+    predicate on either dimension excludes most row groups — a plain sort
+    only achieves that for its leading column."""
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.writer import (
+        write_sorted,
+        write_zordered,
+    )
+
+    df = spark.range(64_000).selectExpr(
+        "CAST(id % 256 AS LONG) AS x", "CAST(id / 256 AS LONG) AS y", "id AS payload"
+    )
+
+    def coverage(path, col, point):
+        meta = scan_metadata(path)
+        total = hit = 0
+        for f in meta["files"]:
+            for rg in f["row_groups"]:
+                for c in rg["columns"]:
+                    if c["column"] == col:
+                        total += 1
+                        if c["min"] <= point <= c["max"]:
+                            hit += 1
+        return hit / total
+
+    zp = str(tmp_path / "z.parquet")
+    write_zordered(df, zp, ["x", "y"], bits=8, num_files=16)
+    sp = str(tmp_path / "s.parquet")
+    write_sorted(df, sp, ["x"], num_files=16)
+
+    # point lookups on each dim: z-order must exclude most row groups on BOTH
+    assert coverage(zp, "x", 100) <= 0.5
+    assert coverage(zp, "y", 100) <= 0.5
+    # plain sort: perfect on x, useless on y (every group spans all of y)
+    assert coverage(sp, "x", 100) <= 0.25
+    assert coverage(sp, "y", 100) == 1.0
+    # correctness unchanged
+    assert spark.read.parquet(zp).where("x = 100 AND y = 100").count() == 1
+
+
+def test_redact_pii(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators.text import (
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or +1 (555) 123-4567 at 10.0.0.1"),
+            (2, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(df, "text").collect()}
+    r1 = rows[1]
+    assert r1["n_email"] == 1 and r1["n_phone"] == 1 and r1["n_ipv4"] == 1
+    assert "<EMAIL>" in r1["text_redacted"] and "bob@" not in r1["text_redacted"]
+    assert "<PHONE>" in r1["text_redacted"]
+    assert "<IPV4>" in r1["text_redacted"]
+    r2 = rows[2]
+    assert (r2["n_email"], r2["n_phone"], r2["n_ipv4"]) == (0, 0, 0)
+    assert r2["text_redacted"] == "no pii here"
