@@ -24,11 +24,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions import (
-    HASH31_PRIME,
     MINHASH_COEFFS,
     PERM_PRIME,
     dot_product,
-    normalize_text,
     stable_hash31,
     stable_hash60,
     word_shingles,

@@ -80,7 +80,7 @@ def zorder_key(cols: list, bits: int = 16):
     Columns must be pre-normalized to [0, 2^bits) (e.g. via ntile or
     range-scaling); at 16 bits × 4 columns the key fits a bigint.
     """
-    from pyspark.sql import Column, functions as F
+    from pyspark.sql import functions as F
 
     n = len(cols)
     if n * bits > 63:
