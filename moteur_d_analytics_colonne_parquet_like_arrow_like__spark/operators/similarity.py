@@ -76,26 +76,43 @@ def lsh_bucketed_topk(
     k: int = 5,
     dims: tuple[int, ...] = DEFAULT_BUCKET_DIMS,
     round_digits: int = 6,
+    probe_flips: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign bucket.
 
     Join is equi on bucket id → shuffle/broadcast on a small key, candidate
-    count ≈ n / 2^bits per query. Recall is approximate (neighbors straddling
-    a hyperplane are missed) — standard remedy is multi-probe (flip one bit);
-    exposed via ``probe_flips``.
+    count ≈ n / 2^bits per query. Recall is approximate (neighbors
+    straddling a hyperplane are missed); ``probe_flips=1`` additionally
+    probes every bucket at hamming distance 1 (multi-probe LSH) — candidate
+    count ×(1+bits), recall close to exhaustive for near-threshold pairs.
     """
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).alias("cvec"),
         bucket_id(vec_col, dims).alias("bucket"),
     )
-    q = queries.select(
+    qbase = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        bucket_id(vec_col, dims).alias("bucket"),
+        bucket_id(vec_col, dims).alias("__b0"),
     )
-    joined = c.join(
-        F.broadcast(q), on=["bucket"], how="inner"
-    ).where(F.col("query_id") != F.col("corpus_id"))
+    if probe_flips == 0:
+        q = qbase.select("query_id", "qvec", F.col("__b0").alias("bucket"))
+    elif probe_flips == 1:
+        probes = F.array(
+            F.col("__b0"),
+            *[F.col("__b0").bitwiseXOR(F.lit(1 << i)) for i in range(len(dims))],
+        )
+        q = qbase.select(
+            "query_id", "qvec", F.explode(probes).alias("bucket")
+        )
+    else:
+        raise ValueError("probe_flips > 1 not supported (candidate blowup)")
+    joined = (
+        c.join(F.broadcast(q), on=["bucket"], how="inner")
+        .where(F.col("query_id") != F.col("corpus_id"))
+        # a pair can surface via several probes — dedup before ranking
+        .dropDuplicates(["query_id", "corpus_id"])
+    )
     cos = F.round(dot_product(F.col("qvec"), F.col("cvec")), round_digits)
     return _ranked(joined.withColumn("cosine_r", cos), k, round_digits)

@@ -131,6 +131,15 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rnk")
 
 
+def q_sim_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k: base bucket + all hamming-1 probes."""
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.lsh_bucketed_topk(
+        emb, queries, "vec_id", "embedding", k=5, probe_flips=1
+    ).orderBy("query_id", "rnk")
+
+
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = text.lang_id(_documents(spark, sf_dir), "text")
     return out.select("doc_id", "lang", "lang_pred").orderBy("doc_id")
@@ -234,6 +243,7 @@ QUERIES = {
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_topk_lsh": q_sim_topk_lsh,
+    "sim_topk_lsh_multiprobe": q_sim_topk_lsh_multiprobe,
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
     "text_tokens": q_text_tokens,
@@ -489,6 +499,42 @@ ORACLES = {
                    round({_DOT}, 6) AS cosine_r
             FROM bucketed a JOIN bucketed b
               ON a.bucket = b.bucket AND b.vec_id < 10 AND a.vec_id <> b.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, corpus_id, cosine_r,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine_r DESC, corpus_id ASC
+                   ) AS rnk
+            FROM scored
+        )
+        SELECT query_id, corpus_id, cosine_r, rnk FROM ranked
+        WHERE rnk <= 5 ORDER BY query_id, rnk
+    """,
+    "sim_topk_lsh_multiprobe": f"""
+        WITH bucketed AS (
+            SELECT vec_id, embedding,
+                   {' + '.join(f'CASE WHEN embedding[{d + 1}] >= 0 THEN {2**i} ELSE 0 END' for i, d in enumerate(similarity.DEFAULT_BUCKET_DIMS))} AS bucket
+            FROM embeddings
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, embedding AS qemb,
+                   unnest([bucket, {', '.join(f'xor(bucket, {1 << i})' for i in range(len(similarity.DEFAULT_BUCKET_DIMS)))}]) AS bucket
+            FROM bucketed WHERE vec_id < 10
+        ),
+        cand AS (
+            SELECT DISTINCT p.query_id, c.vec_id AS corpus_id
+            FROM probes p JOIN bucketed c ON p.bucket = c.bucket
+            WHERE p.query_id <> c.vec_id
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.corpus_id,
+                   round(list_reduce(list_transform(generate_series(1, 64),
+                       i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+                       (x, y) -> x + y), 6) AS cosine_r
+            FROM cand
+            JOIN embeddings q ON q.vec_id = cand.query_id
+            JOIN embeddings c ON c.vec_id = cand.corpus_id
         ),
         ranked AS (
             SELECT query_id, corpus_id, cosine_r,

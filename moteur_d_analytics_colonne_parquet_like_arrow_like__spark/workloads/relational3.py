@@ -81,6 +81,68 @@ def q_tpch_q18_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q4_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority counts for orders with ≥1 line item
+    shipped after the order date — correlated EXISTS, executed as a
+    left-semi join with the correlation in the join condition (one shuffle
+    on orderkey, no row duplication)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o, l = orders.alias("o"), li.alias("l")
+    sem = o.join(
+        l,
+        (F.col("o.o_orderkey") == F.col("l.l_orderkey"))
+        & (F.col("l.l_shipdate") > F.col("o.o_orderdate")),
+        "left_semi",
+    )
+    return (
+        sem.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_q12_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional aggregation — high/low-priority line
+    counts per return flag (CASE inside SUM, single pass)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    )
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — broadcast dim join +
+    conditional/total aggregate ratio (decimal-routed for determinism)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,4)"))
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(promo).cast("double")
+            / F.sum(rev).cast("double")
+        ).alias("promo_revenue_pct"),
+        F.sum(rev).cast("double").alias("total_revenue"),
+    )
+
+
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: views joined to purchases of the same
     user within [0, 30 min] after the view — the attribution-window shape.
@@ -126,6 +188,9 @@ QUERIES = {
     "tpch_q6": q_tpch_q6,
     "tpch_q13": q_tpch_q13,
     "tpch_q18_having": q_tpch_q18_having,
+    "tpch_q4_exists": q_tpch_q4_exists,
+    "tpch_q12_conditional": q_tpch_q12_conditional,
+    "tpch_q14_promo": q_tpch_q14_promo,
     "stream_stream_join": q_stream_stream_join,
 }
 
@@ -160,6 +225,36 @@ ORACLES = {
         )
         JOIN orders ON l_orderkey = o_orderkey
         ORDER BY l_orderkey
+    """,
+    "tpch_q4_exists": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+        )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "tpch_q12_conditional": """
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "tpch_q14_promo": """
+        SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+               AS promo_revenue_pct,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        ORDER BY 1
     """,
     "stream_stream_join": """
         SELECT v.event_id AS view_id,

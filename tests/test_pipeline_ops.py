@@ -217,3 +217,34 @@ def test_tokenize_udtf_matches_explode(spark):
     ).select("doc_id", "term", "pos")
     assert via_udtf.exceptAll(via_explode).count() == 0
     assert via_explode.exceptAll(via_udtf).count() == 0
+
+
+def test_multiprobe_lsh_improves_recall(spark, sf_dir):
+    """Multi-probe candidates ⊇ single-probe; recall vs brute force improves."""
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.catalog import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+
+    def pairs(df):
+        return {(r["query_id"], r["corpus_id"]) for r in df.collect()}
+
+    exact = pairs(similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=5))
+    single = pairs(
+        similarity.lsh_bucketed_topk(emb, queries, "vec_id", "embedding", k=5)
+    )
+    multi = pairs(
+        similarity.lsh_bucketed_topk(
+            emb, queries, "vec_id", "embedding", k=5, probe_flips=1
+        )
+    )
+    recall_single = len(single & exact) / len(exact)
+    recall_multi = len(multi & exact) / len(exact)
+    # more probes → more candidates → recall can only improve
+    assert recall_multi >= recall_single
+    # multi-probe fills out the full k for every query (single-probe
+    # buckets often hold < k candidates)
+    assert len(multi) >= len(single)
+    assert len(multi) == len(exact)
