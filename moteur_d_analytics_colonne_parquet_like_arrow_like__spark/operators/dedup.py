@@ -184,19 +184,34 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_k: int = 3,
     threshold: float = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via inverted-index join.
 
     jaccard(A,B) = |A∩B| / (|A|+|B|−|A∩B|), computed by joining the exploded
     (doc, shingle-hash) relation with itself on the shingle hash — only docs
-    sharing ≥1 shingle ever pair up. Exact, so O(sum of bucket²) worst case:
-    at 100 TB, drop ultra-frequent shingles (stop-shingles) first; here the
-    shingle space is diverse enough to skip that.
+    sharing ≥1 shingle ever pair up. Exact, so O(sum of posting-list²)
+    worst case. ``max_doc_freq`` drops stop-shingles (posting lists longer
+    than the cap) from the JOIN side only — boilerplate shingles shared by
+    thousands of docs create quadratic buckets while contributing almost no
+    discriminative signal. Set sizes still count every shingle, so the
+    jaccard denominator stays exact; only |A∩B| becomes a (tight) lower
+    bound — candidate pairs with heavy overlap still surface through their
+    rarer shingles. At 100 TB this cap is the difference between a bounded
+    join and a runaway bucket.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     sh = _doc_shingle_hashes(df, id_col, text_col, shingle_k).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("h31")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_doc_freq)
+            .select("h31")
+        )
+        sh = sh.join(rare, "h31")
 
     a = sh.select(F.col(id_col).alias("id_a"), "h31")
     b = sh.select(F.col(id_col).alias("id_b"), "h31")

@@ -70,6 +70,45 @@ def write_sorted(
     out.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
 
 
+def upsert_partitioned(
+    updates: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    key_cols: list[str],
+) -> None:
+    """Upsert into a hive-partitioned parquet table: rows in ``updates``
+    replace existing rows with the same key; other rows are kept.
+
+    Implementation is partition-scoped read-merge-rewrite with dynamic
+    partition overwrite — only the partitions present in ``updates`` are
+    touched, so cost scales with the update footprint, not the table. This
+    is the parquet-native shape of MERGE; table formats (Delta/Iceberg) add
+    transactionality on the same plan.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    spark = updates.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        if os.path.exists(path):
+            existing = spark.read.parquet(path)
+            touched = updates.select(*partition_cols).distinct()
+            # keep only non-updated rows of touched partitions; left_anti on
+            # the full key removes rows being replaced
+            keep = existing.join(
+                F.broadcast(touched), partition_cols, "left_semi"
+            ).join(updates.select(*key_cols), key_cols, "left_anti")
+            merged = keep.unionByName(updates)
+        else:
+            merged = updates
+        merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def zorder_key(cols: list, bits: int = 16):
     """Z-order (Morton) interleaving of N non-negative int columns into one
     sort key: sorting by it clusters data in ALL dimensions at once, so

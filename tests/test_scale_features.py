@@ -196,3 +196,54 @@ def test_redact_pii(spark):
     r2 = rows[2]
     assert (r2["n_email"], r2["n_phone"], r2["n_ipv4"]) == (0, 0, 0)
     assert r2["text_redacted"] == "no pii here"
+
+
+def test_ngram_stop_shingle_cap(spark):
+    """A boilerplate shingle shared by every doc must not force all-pairs
+    candidates; pairs with genuine overlap still surface via rare shingles."""
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import (
+        dedup,
+    )
+
+    boiler = "all rights reserved contact us for details"
+    docs = [
+        (1, f"unique alpha content one two three four five {boiler}"),
+        (2, f"unique alpha content one two three four five {boiler}"),
+        (3, f"totally different beta payload six seven eight {boiler}"),
+        (4, f"another unrelated gamma body nine ten eleven {boiler}"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # threshold accounts for the capped |A∩B| being a lower bound: docs 1/2
+    # share 13 shingles but 5 boilerplate ones are dropped → 8/18 ≈ 0.44
+    capped = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", shingle_k=3, threshold=0.4, max_doc_freq=2
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (1, 2) in got  # true near-dup found via its rare shingles
+    assert (3, 4) not in got  # only boilerplate shared → no candidate
+
+
+def test_upsert_partitioned(spark, tmp_path):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.writer import (
+        upsert_partitioned,
+    )
+
+    p = str(tmp_path / "ups.parquet")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "c", 40.0)],
+        "k long, part string, v double",
+    )
+    upsert_partitioned(base, p, ["part"], ["k"])
+    # update k=2 (partition a), insert k=5 (partition a); partition b/c untouched
+    updates = spark.createDataFrame(
+        [(2, "a", 99.0), (5, "a", 50.0)], "k long, part string, v double"
+    )
+    upsert_partitioned(updates, p, ["part"], ["k"])
+    got = {r["k"]: (r["part"], r["v"]) for r in spark.read.parquet(p).collect()}
+    assert got == {
+        1: ("a", 10.0),
+        2: ("a", 99.0),
+        3: ("b", 30.0),
+        4: ("c", 40.0),
+        5: ("a", 50.0),
+    }
