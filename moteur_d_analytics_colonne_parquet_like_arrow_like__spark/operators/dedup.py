@@ -21,7 +21,45 @@ operator is verifiable against a DuckDB oracle bit-for-bit.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, functions as F
+
+logger = logging.getLogger(__name__)
+
+
+def cap_bucket_size(
+    entries: DataFrame,
+    bucket_cols: list[str],
+    cap: int | None,
+    log_dropped: bool = False,
+) -> DataFrame:
+    """Skew guard for LSH-style self-joins: drop buckets larger than ``cap``
+    before pairing. A hot bucket (boilerplate text, zero vectors, adversarial
+    data) makes the bucket self-join quadratic — AQE skew splitting does not
+    help because the pairs themselves are the blow-up. Dropping a bucket
+    trades recall for a hard cost bound; near-dup pairs inside a dropped
+    bucket can still surface through their other bands/chunks/probes.
+
+    The bucket census is one extra aggregation on the SAME key the self-join
+    shuffles on, so the exchange is reused. ``log_dropped=True`` runs a small
+    side action counting dropped buckets and logs it (off by default: it
+    adds a job).
+    """
+    if cap is None:
+        return entries
+    counts = entries.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__bsz"))
+    if log_dropped:
+        dropped = counts.where(F.col("__bsz") > cap).count()
+        if dropped:
+            logger.warning(
+                "cap_bucket_size: dropping %d buckets over cap=%d on %s",
+                dropped,
+                cap,
+                bucket_cols,
+            )
+    keep = counts.where(F.col("__bsz") <= cap).select(*bucket_cols)
+    return entries.join(keep, bucket_cols)
 
 from ..functions import (
     MINHASH_COEFFS,
@@ -107,14 +145,16 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH banding.
 
     Docs agreeing on ALL rows of any band become candidates; candidates are
     scored by estimated Jaccard (fraction of equal signature components) and
-    kept if ≥ threshold. Pairwise work is confined to LSH buckets — at scale,
-    bucket skew is the thing to watch (cap bucket size or add a second-level
-    salt for adversarial data).
+    kept if ≥ threshold. Pairwise work is confined to LSH buckets;
+    ``max_bucket_size`` caps the per-bucket self-join (see
+    ``cap_bucket_size``) so one hot bucket cannot go quadratic at scale.
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     """
@@ -145,6 +185,9 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("__id", "bk.band", "bk.key")
+    band_entries = cap_bucket_size(
+        band_entries, ["band", "key"], max_bucket_size, log_dropped
+    )
 
     a = band_entries.alias("a")
     b = band_entries.alias("b")
@@ -273,11 +316,14 @@ def simhash_near_dup_pairs(
     text_col: str,
     max_hamming: int = 3,
     shingle_k: int = 2,
+    max_bucket_size: int | None = None,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """SimHash near-dup candidates: band the 31-bit fingerprint into
     (max_hamming+1) chunks — any pair within hamming ≤ max_hamming must agree
     exactly on ≥1 chunk (pigeonhole), so candidates come from chunk-equality
-    buckets, never a full cross join."""
+    buckets, never a full cross join. ``max_bucket_size`` bounds hot chunk
+    buckets (see ``cap_bucket_size``)."""
     fps = simhash_fingerprints(df, id_col, text_col, shingle_k).cache()
     chunks = max_hamming + 1
     bits = 31
@@ -299,6 +345,7 @@ def simhash_near_dup_pairs(
             )
         ).alias("ck"),
     ).select("__id", "simhash", "ck.chunk", "ck.key")
+    entries = cap_bucket_size(entries, ["chunk", "key"], max_bucket_size, log_dropped)
     a, b = entries.alias("a"), entries.alias("b")
     return (
         a.join(
@@ -399,12 +446,15 @@ def embedding_near_dup_pairs_lsh(
     vec_col: str,
     threshold: float = 0.5,
     bucket_dims: tuple[int, ...] | None = None,
+    max_bucket_size: int | None = None,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """Embedding near-dup at scale: candidates confined to sign-bit LSH
     buckets (equi-join on the bucket id → shuffle on a small key; pairwise
     work ≈ Σ bucket² instead of n²). Approximate recall: true pairs
     straddling a hyperplane are missed — use fewer bits or multi-probe for
-    higher recall; exactness is the brute-force variant's job."""
+    higher recall; exactness is the brute-force variant's job.
+    ``max_bucket_size`` bounds hot buckets (see ``cap_bucket_size``)."""
     from .similarity import DEFAULT_BUCKET_DIMS, bucket_id
 
     dims = bucket_dims or DEFAULT_BUCKET_DIMS
@@ -413,6 +463,7 @@ def embedding_near_dup_pairs_lsh(
         F.col(vec_col).alias("__v"),
         bucket_id(vec_col, dims).alias("__bucket"),
     )
+    tagged = cap_bucket_size(tagged, ["__bucket"], max_bucket_size, log_dropped)
     a = tagged.select(
         F.col("__id").alias("id_a"), F.col("__v").alias("v_a"), "__bucket"
     )

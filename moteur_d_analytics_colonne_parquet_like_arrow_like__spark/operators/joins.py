@@ -84,6 +84,14 @@ def asof_join(
         if direction == "backward"
         else (F.col(rts) >= F.col(left_ts))
     )
+    # Without a unique left id, partitioning the dedup window by left.columns
+    # would COLLAPSE identical left rows into one output row (row_number
+    # keeps rank 1 per partition). Synthesize a surrogate id instead; it
+    # never appears in the output.
+    surrogate = left_id is None
+    if surrogate:
+        left_id = "__asof_lid"
+        left = left.withColumn(left_id, F.monotonically_increasing_id())
     # The range predicate must live IN the join condition: filtering after a
     # left join would drop left rows whose candidate matches all fail it.
     # Catalyst still uses the equi part for the hash/sort-merge join and
@@ -95,17 +103,15 @@ def asof_join(
         if direction == "backward"
         else F.col(rts).asc_nulls_last()
     )
-    # Dedup to one right match per left row; partition by a unique left id
-    # (cheap) or by every left column (correct but wider shuffle) if absent.
-    part = [left_id] if left_id else list(left.columns)
     # tie_breakers make the pick deterministic when several right rows share
     # the same event time.
-    w = Window.partitionBy(*part).orderBy(order, *(tie_breakers or []))
-    return (
+    w = Window.partitionBy(left_id).orderBy(order, *(tie_breakers or []))
+    out = (
         joined.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__rn", rkey)
     )
+    return out.drop(left_id) if surrogate else out
 
 
 def range_join(
@@ -143,6 +149,10 @@ def salted_join(
     case). Deterministic salt (hash of all columns, not rand()) keeps
     retries and speculative tasks consistent.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        # Replicating the right side makes right/full outer WRONG: each
+        # unmatched right row would surface salt_buckets times.
+        raise ValueError(f"salted_join supports left-preserving joins only, not {how!r}")
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)
     ).cast("int")

@@ -77,6 +77,8 @@ def lsh_bucketed_topk(
     dims: tuple[int, ...] = DEFAULT_BUCKET_DIMS,
     round_digits: int = 6,
     probe_flips: int = 0,
+    max_bucket_size: int | None = None,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign bucket.
 
@@ -85,12 +87,20 @@ def lsh_bucketed_topk(
     straddling a hyperplane are missed); ``probe_flips=1`` additionally
     probes every bucket at hamming distance 1 (multi-probe LSH) — candidate
     count ×(1+bits), recall close to exhaustive for near-threshold pairs.
+
+    ``max_bucket_size`` drops corpus buckets larger than the cap (skew
+    guard — e.g. many zero/near-zero vectors landing in one sign bucket);
+    see ``dedup.cap_bucket_size``.
     """
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).alias("cvec"),
         bucket_id(vec_col, dims).alias("bucket"),
     )
+    if max_bucket_size is not None:
+        from .dedup import cap_bucket_size
+
+        c = cap_bucket_size(c, ["bucket"], max_bucket_size, log_dropped)
     qbase = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),

@@ -53,12 +53,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects outright
+        # unless nanosAsLong is on. The conf must be set on WHATEVER session
+        # runs the query — callers (e.g. a verification harness) may hand us a
+        # session our own factory never configured — so set it at runtime here,
+        # not only in session.py. It is a runtime-settable SQL conf.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong (session.py)
-        # it arrives as long nanos. Convert to a microsecond timestamp with
-        # integer division — (ts / 1000) via `/` would round-trip through
-        # double and lose precision at 2^53.
+        # With nanosAsLong the ts column arrives as long nanos. Convert to a
+        # microsecond timestamp with integer division — (ts / 1000) via `/`
+        # would round-trip through double and lose precision at 2^53.
         from pyspark.sql import functions as F  # local: avoid cycle at import
 
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

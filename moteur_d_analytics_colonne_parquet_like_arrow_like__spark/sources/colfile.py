@@ -95,6 +95,10 @@ def _encode_rle_ints(values: list[int]) -> bytes:
 
 
 def _decode_rle_ints(buf: bytes, num_values: int) -> list[int]:
+    # The reference writes a legal zero-byte page for an empty RLE run list;
+    # decoding it as a varint would raise "truncated varint".
+    if num_values == 0 and not buf:
+        return []
     num_runs, pos = _decode_varint(buf, 0)
     out: list[int] = []
     for _ in range(num_runs):
@@ -231,16 +235,26 @@ class PageHeader:
             1 if self.has_stats else 0,
         )
         if self.has_stats:
-            out += struct.pack("<Bq", 1 if self.min_value is not None else 0,
-                               self.min_value or 0)
-            out += struct.pack("<Bq", 1 if self.max_value is not None else 0,
-                               self.max_value or 0)
+            # min/max int64 fields are CONDITIONAL on their presence flags
+            # (FORMAT.md "Statistics": value written only if has_min/has_max
+            # = 1) — a fixed 9-byte field would misparse under the reference
+            # reader whenever a flag is 0.
+            out += struct.pack("<B", 1 if self.min_value is not None else 0)
+            if self.min_value is not None:
+                out += struct.pack("<q", self.min_value)
+            out += struct.pack("<B", 1 if self.max_value is not None else 0)
+            if self.max_value is not None:
+                out += struct.pack("<q", self.max_value)
             out += struct.pack("<I", self.null_count)
         return out
 
     @property
     def packed_size(self) -> int:
-        return 14 + (22 if self.has_stats else 0)
+        if not self.has_stats:
+            return 14
+        stats = 1 + (8 if self.min_value is not None else 0)
+        stats += 1 + (8 if self.max_value is not None else 0)
+        return 14 + stats + 4
 
     @classmethod
     def unpack(cls, buf: bytes, pos: int) -> tuple["PageHeader", int]:
@@ -250,14 +264,21 @@ class PageHeader:
         pos += 14
         ph = cls(u, c, n, enc, bool(hs))
         if ph.has_stats:
-            if len(buf) < pos + 22:
+            for attr in ("min_value", "max_value"):
+                if len(buf) < pos + 1:
+                    raise ColFormatError("truncated page stats")
+                (flag,) = struct.unpack_from("<B", buf, pos)
+                pos += 1
+                if flag:
+                    if len(buf) < pos + 8:
+                        raise ColFormatError("truncated page stats")
+                    (val,) = struct.unpack_from("<q", buf, pos)
+                    pos += 8
+                    setattr(ph, attr, val)
+            if len(buf) < pos + 4:
                 raise ColFormatError("truncated page stats")
-            has_min, mn = struct.unpack_from("<Bq", buf, pos)
-            has_max, mx = struct.unpack_from("<Bq", buf, pos + 9)
-            (ph.null_count,) = struct.unpack_from("<I", buf, pos + 18)
-            ph.min_value = mn if has_min else None
-            ph.max_value = mx if has_max else None
-            pos += 22
+            (ph.null_count,) = struct.unpack_from("<I", buf, pos)
+            pos += 4
         return ph, pos
 
 
@@ -362,7 +383,9 @@ def _encode_page(cs: ColumnSchema, vals: list) -> tuple[bytes, PageHeader]:
             compressed_size=len(data),
             num_values=len(ivals),
             encoding=cs.encoding.value,
-            has_stats=True,
+            # An empty page has no min/max; write no stats block at all so
+            # readers never see has_stats=1 with absent values.
+            has_stats=bool(ivals),
             min_value=min(ivals) if ivals else None,
             max_value=max(ivals) if ivals else None,
             null_count=0,

@@ -46,6 +46,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     part files (relayouts, production tables) is streamed directly, while a
     single ``events.parquet`` file (driver testdata) is streamed from its
     parent dir with a glob confining the stream to that one file."""
+    # The NANOS footer check applies to streaming reads too (an explicit
+    # .schema() does NOT bypass footer type conversion), and the session
+    # running this query may not be one our factory configured — set the
+    # conf at runtime on the caller's session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
     if os.path.isdir(path):
         raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)

@@ -25,14 +25,47 @@ from . import parity, pipeline, relational, relational2, relational3, streaming_
 
 _MODULES = [parity, relational, relational2, relational3, pipeline, streaming_ops]
 
+# Queries the round-1 correctness gate did NOT record a row for (it verified
+# only the first 50 of 67 declared queries) plus the queries it failed.
+# all_queries() enumerates these first so a truncating verifier always
+# covers the least-proven surface; previously-green queries follow.
+_VERIFY_FIRST: tuple[str, ...] = (
+    # failed round 1 (nanos conf / no_oracle — both fixed):
+    "join_asof",
+    "window_lag",
+    "pivot_event_types",
+    "json_extract",
+    "agg_approx_sketches",
+    # no CORRECTNESS row round 1:
+    "stream_tumbling_window",
+    "stream_tumbling_append",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_dedup",
+    "dedup_clusters",
+    "dedup_embedding_lsh",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh",
+    "sim_topk_lsh_multiprobe",
+    "text_lang_id",
+    "text_quality",
+    "text_tokens",
+    "text_fingerprint",
+    "text_pii",
+    "pipeline_curate",
+    "multimodal_decode",
+)
+
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for m in _MODULES:
-        dup = set(out) & set(m.QUERIES)
+        dup = set(merged) & set(m.QUERIES)
         if dup:
             raise ValueError(f"duplicate query names across workloads: {dup}")
-        out.update(m.QUERIES)
+        merged.update(m.QUERIES)
+    out = {n: merged[n] for n in _VERIFY_FIRST if n in merged}
+    out.update({n: fn for n, fn in merged.items() if n not in out})
     return out
 
 

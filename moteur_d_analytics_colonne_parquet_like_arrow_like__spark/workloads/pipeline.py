@@ -226,11 +226,26 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthetic media → mapInPandas decode → metadata rollup. Not
-    SQL-expressible (Arrow-batched Python stage) → rows-only check."""
-    media = multimodal.generate_synthetic_media(spark, 200, seed=42)
+    """Real-container media (BMP/WAV bytes + fake MP4) → mapInPandas decode
+    that PARSES the actual container headers → per-kind rollup.
+
+    Oracle-checkable because generate_real_media's metadata is an analytic
+    function of the id: Spark recovers dims/durations by parsing blob bytes,
+    DuckDB computes the same numbers from the generating formulas — if the
+    parser or writer is off by a byte, the hashes diverge."""
+    media = multimodal.generate_real_media(spark, 300)
     feats = multimodal.decode_media(media)
-    return multimodal.media_summary(feats)
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("byte_len").cast("bigint").alias("total_bytes"),
+            F.sum("width").cast("bigint").alias("sum_width"),
+            F.sum("height").cast("bigint").alias("sum_height"),
+            F.sum("duration_ms").cast("bigint").alias("sum_duration_ms"),
+        )
+        .orderBy("kind")
+    )
 
 
 QUERIES = {
@@ -626,5 +641,27 @@ ORACLES = {
         WHERE k.doc_id NOT IN (SELECT doc_id FROM dropped)
         ORDER BY k.doc_id
     """,
-    # multimodal_decode: mapInPandas stage — intentionally no oracle.
+    # multimodal_decode: the decode is a mapInPandas stage over real BMP/WAV
+    # bytes, but its OUTPUT is analytic in the id (generate_real_media
+    # docstring), so the oracle recomputes the same metadata from formulas —
+    # Spark must actually parse the container headers to match.
+    "multimodal_decode": """
+        WITH m AS (
+            SELECT id,
+                CASE id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                CASE id % 3
+                    WHEN 0 THEN 54 + ((3 * ((id % 31 + 1) * 4) + 3) // 4 * 4) * ((id % 23 + 1) * 4)
+                    WHEN 1 THEN 44 + 160 * (id % 50 + 1)
+                    ELSE 12 + (id % 200) END AS byte_len,
+                CASE id % 3 WHEN 0 THEN (id % 31 + 1) * 4 WHEN 2 THEN 16 END AS width,
+                CASE id % 3 WHEN 0 THEN (id % 23 + 1) * 4 WHEN 2 THEN 16 END AS height,
+                CASE id % 3 WHEN 1 THEN (id % 50 + 1) * 10 WHEN 2 THEN 240 END AS duration_ms
+            FROM range(0, 300) t(id))
+        SELECT kind, COUNT(*) AS n,
+               CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+               CAST(SUM(width) AS BIGINT) AS sum_width,
+               CAST(SUM(height) AS BIGINT) AS sum_height,
+               CAST(SUM(duration_ms) AS BIGINT) AS sum_duration_ms
+        FROM m GROUP BY kind ORDER BY kind
+    """,
 }

@@ -265,17 +265,19 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     seg = customer.where(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
     rich = customer.where(F.col("c_acctbal") > 5000).select("c_custkey")
-    return spark.createDataFrame(
-        [
-            (
-                setops.union_distinct(seg, rich).count(),
-                setops.intersect(seg, rich).count(),
-                setops.except_(seg, rich).count(),
-                setops.union(seg, rich).count(),
-            )
-        ],
-        "n_union bigint, n_intersect bigint, n_except bigint, n_union_all bigint",
-    )
+    # One declarative plan, one action: each leg aggregates to a single row
+    # and the legs are stitched with broadcast single-row joins — no driver
+    # round-trips (4 separate .count() actions would pay the job floor 4×).
+    legs = [
+        setops.union_distinct(seg, rich).agg(F.count(F.lit(1)).alias("n_union")),
+        setops.intersect(seg, rich).agg(F.count(F.lit(1)).alias("n_intersect")),
+        setops.except_(seg, rich).agg(F.count(F.lit(1)).alias("n_except")),
+        setops.union(seg, rich).agg(F.count(F.lit(1)).alias("n_union_all")),
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.join(F.broadcast(leg))
+    return out
 
 
 def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:

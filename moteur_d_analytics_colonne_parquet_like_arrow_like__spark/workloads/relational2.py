@@ -152,19 +152,40 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — the 100 TB substitutes for exact distinct/
-    percentiles: HLL++ cardinality + t-digest quantiles in one pass.
-    Engine-private sketch internals → no SQL oracle (rows-only check);
-    accuracy vs exact is asserted in tests/test_scale_features.py."""
+    percentiles: HLL++ cardinality + quantile sketches in one pass.
+
+    Sketch values are engine-private, so the hash-checkable output is the
+    EXACT values plus booleans asserting each sketch landed within its
+    documented error bound (the oracle emits the exact values and literal
+    TRUE): HLL++ at rsd=0.02 checked against a 10% bound; percentile_approx
+    at accuracy=1000 checked against max(5% relative, 1.0 absolute)."""
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-            F.percentile_approx("l_quantity", 0.5, 1000).alias("approx_p50"),
-            F.percentile_approx("l_extendedprice", 0.9, 1000).alias("approx_p90_price"),
-        )
-        .orderBy("l_returnflag")
+    tol = lambda exact: F.greatest(F.abs(exact) * 0.05, F.lit(1.0))  # noqa: E731
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("_hll"),
+        F.expr("percentile(l_quantity, 0.5)").alias("exact_p50"),
+        F.percentile_approx("l_quantity", 0.5, 1000).alias("_p50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("exact_p90_price"),
+        F.percentile_approx("l_extendedprice", 0.9, 1000).alias("_p90"),
     )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("_hll") - F.col("exact_parts"))
+            <= F.col("exact_parts") * 0.10
+        ).alias("hll_within_bound"),
+        "exact_p50",
+        (F.abs(F.col("_p50") - F.col("exact_p50")) <= tol(F.col("exact_p50"))).alias(
+            "p50_within_bound"
+        ),
+        "exact_p90_price",
+        (
+            F.abs(F.col("_p90") - F.col("exact_p90_price"))
+            <= tol(F.col("exact_p90_price"))
+        ).alias("p90_within_bound"),
+    ).orderBy("l_returnflag")
 
 
 def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,6 +240,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_approx_sketches": """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS exact_parts,
+               TRUE AS hll_within_bound,
+               quantile_cont(l_quantity, 0.5) AS exact_p50,
+               TRUE AS p50_within_bound,
+               quantile_cont(l_extendedprice, 0.9) AS exact_p90_price,
+               TRUE AS p90_within_bound
+        FROM lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
     "window_distribution": """
         SELECT p_brand, p_partkey,
                NTILE(4) OVER w AS price_quartile,

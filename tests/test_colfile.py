@@ -138,3 +138,34 @@ def test_varint_zigzag_examples():
     assert colfile._decode_varint(b"\xac\x02", 0) == (300, 2)
     for n in (0, 1, -1, 2**31, -(2**31), 2**62, -(2**62)):
         assert colfile._zigzag_decode(colfile._zigzag_encode(n)) == n
+
+
+def test_empty_table_roundtrip(spark, tmp_path):
+    """Zero-row writes produce pages with NO stats block (FORMAT.md makes
+    min/max conditional on their flags) and zero-value RLE pages decode to
+    [] instead of raising 'truncated varint'."""
+    schema = Schema().add("id", ColumnType.INT64).add("name", ColumnType.STRING)
+    p = _write(spark, tmp_path, "empty.col", schema, [])
+    assert colfile.read_col(spark, p).count() == 0
+    _, row_groups, _ = colfile.read_col_metadata(p)
+    for rg in row_groups:
+        for chunk in rg.chunks:
+            for ph in chunk.page_headers:
+                assert not ph.has_stats
+
+    assert colfile._decode_rle_ints(b"", 0) == []
+
+
+def test_stats_block_is_conditional():
+    """A header with has_stats=1 but has_min=0 must pack without the 8-byte
+    min field (reference layout) and unpack back to min=None."""
+    ph = colfile.PageHeader(
+        uncompressed_size=8, compressed_size=8, num_values=1,
+        encoding=colfile.EncodingType.PLAIN.value, has_stats=True,
+        min_value=None, max_value=7, null_count=0,
+    )
+    buf = ph.pack()
+    assert len(buf) == ph.packed_size == 14 + 1 + (1 + 8) + 4
+    back, end = colfile.PageHeader.unpack(buf, 0)
+    assert end == len(buf)
+    assert back.min_value is None and back.max_value == 7

