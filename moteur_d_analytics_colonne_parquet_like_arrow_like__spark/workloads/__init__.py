@@ -54,6 +54,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "text_pii",
     "pipeline_curate",
     "multimodal_decode",
+    # new in round 2:
+    "tpch_q2_mincost",
+    "tpch_q20_dominant",
 )
 
 

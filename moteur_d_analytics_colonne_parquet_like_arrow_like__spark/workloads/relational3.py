@@ -184,7 +184,93 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier): for each qualifying part, the
+    EUROPE supplier(s) whose supply cost equals the minimum over all EUROPE
+    suppliers of that part — the classic correlated MIN subquery.
+
+    The testdata has no partsupp table, so supply cost is derived as
+    MIN(l_extendedprice) per (part, supplier) over lineitem. Decorrelation
+    the scalable way: the per-part minimum is a second aggregate joined back
+    on partkey (one narrow shuffle on partkey), never a per-row subquery.
+    Dimension joins (supplier⨝nation⨝region, part filter) broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    part = _t(spark, sf_dir, "part")
+
+    eu_supp = (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("supplycost")
+    )
+    eu_ps = ps.join(
+        F.broadcast(eu_supp), ps.l_suppkey == eu_supp.s_suppkey
+    )
+    min_cost = eu_ps.groupBy("l_partkey").agg(
+        F.min("supplycost").alias("min_cost")
+    )
+    best = eu_ps.join(min_cost, "l_partkey").where(
+        F.col("supplycost") == F.col("min_cost")
+    )
+    qual_parts = part.where(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_brand")
+    return (
+        best.join(
+            F.broadcast(qual_parts), best.l_partkey == qual_parts.p_partkey
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "supplycost")
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            "n_name",
+            "s_name",
+            "p_partkey",
+        )
+        .limit(100)
+    )
+
+
+def q_tpch_q20_dominant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (quantity subquery): suppliers who shipped, for some
+    part since 1996, more than a quarter of that part's total shipped quantity — an
+    IN subquery whose HAVING compares against a correlated aggregate.
+
+    Decorrelated: per-(part,supplier) sums join the per-part totals on
+    partkey; the comparison is decimal-exact (qty*4 > total avoids
+    fractional double rounding). Ends in a semi-join against supplier."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= F.lit("1996-01-01")
+    )
+    supplier = _t(spark, sf_dir, "supplier")
+    qty = F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(qty.alias("supp_qty"))
+    per_part = li.groupBy("l_partkey").agg(qty.alias("part_qty"))
+    dominant = (
+        per_ps.join(per_part, "l_partkey")
+        .where(F.col("supp_qty") * 4 > F.col("part_qty"))
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    return (
+        supplier.join(dominant, "s_suppkey", "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
+
+
 QUERIES = {
+    "tpch_q2_mincost": q_tpch_q2_mincost,
+    "tpch_q20_dominant": q_tpch_q20_dominant,
     "tpch_q6": q_tpch_q6,
     "tpch_q13": q_tpch_q13,
     "tpch_q18_having": q_tpch_q18_having,
@@ -195,6 +281,50 @@ QUERIES = {
 }
 
 ORACLES = {
+    "tpch_q2_mincost": """
+        WITH eu_supp AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ),
+        ps AS (
+            SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supplycost
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        eu_ps AS (
+            SELECT ps.*, s.s_name, s.s_acctbal, s.n_name
+            FROM ps JOIN eu_supp s ON ps.l_suppkey = s.s_suppkey
+        )
+        SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_brand, e.supplycost
+        FROM eu_ps e
+        JOIN part p ON e.l_partkey = p.p_partkey
+        WHERE p.p_size <= 10 AND p.p_type = 'STANDARD'
+          AND e.supplycost = (
+              SELECT MIN(e2.supplycost) FROM eu_ps e2
+              WHERE e2.l_partkey = e.l_partkey
+          )
+        ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+        LIMIT 100
+    """,
+    "tpch_q20_dominant": """
+        SELECT s_suppkey, s_name, s_acctbal
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l1.l_suppkey
+            FROM lineitem l1
+            WHERE l1.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            GROUP BY l1.l_partkey, l1.l_suppkey
+            HAVING SUM(CAST(l1.l_quantity AS DECIMAL(18,2))) * 4 > (
+                SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+                FROM lineitem l2
+                WHERE l2.l_partkey = l1.l_partkey
+                  AND l2.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            )
+        )
+        ORDER BY s_suppkey
+    """,
     "tpch_q6": """
         SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
                COUNT(*) AS n_items
