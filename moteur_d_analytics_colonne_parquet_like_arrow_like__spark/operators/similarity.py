@@ -16,7 +16,7 @@ JVM-side, no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..functions import as_double_array, dot_product
 
@@ -66,6 +66,57 @@ def bucket_id(vec_col: str | Column, dims: tuple[int, ...] = DEFAULT_BUCKET_DIMS
     for i, d in enumerate(dims):
         out = out + F.when(v[d] >= 0, F.lit(2**i)).otherwise(F.lit(0))
     return out
+
+
+def ivf_write(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    dims: tuple[int, ...] = DEFAULT_BUCKET_DIMS,
+) -> None:
+    """Persist the corpus partitioned by its LSH bucket id — the IVF layout:
+    each of the 2^len(dims) buckets becomes a parquet partition directory,
+    so a probe touches only its bucket's files (partition pruning), never
+    the full corpus. At 100 TB this is what turns ANN from a full-corpus
+    scan per query batch into a handful of partition reads."""
+    corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        bucket_id(vec_col, dims).alias("bucket"),
+    ).write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def ivf_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    round_digits: int = 6,
+    dims: tuple[int, ...] = DEFAULT_BUCKET_DIMS,
+) -> DataFrame:
+    """Top-k over an ``ivf_write`` layout: queries are bucketed with the
+    same hyperplanes and equi-joined to the corpus on the partition column.
+    The broadcast query side makes the join eligible for dynamic partition
+    pruning — the scan reads only probed bucket directories. Results are
+    identical to single-probe ``lsh_bucketed_topk``."""
+    corpus = spark.read.parquet(path).select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col("bucket").cast("int").alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        bucket_id(vec_col, dims).cast("int").alias("bucket"),
+    )
+    joined = corpus.join(F.broadcast(q), on=["bucket"], how="inner").where(
+        F.col("query_id") != F.col("corpus_id")
+    )
+    cos = F.round(dot_product(F.col("qvec"), F.col("cvec")), round_digits)
+    return _ranked(joined.withColumn("cosine_r", cos), k, round_digits)
 
 
 def lsh_bucketed_topk(

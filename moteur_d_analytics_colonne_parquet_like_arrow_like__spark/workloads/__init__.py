@@ -21,9 +21,25 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import parity, pipeline, relational, relational2, relational3, streaming_ops
+from . import (
+    parity,
+    pipeline,
+    relational,
+    relational2,
+    relational3,
+    relational4,
+    streaming_ops,
+)
 
-_MODULES = [parity, relational, relational2, relational3, pipeline, streaming_ops]
+_MODULES = [
+    parity,
+    relational,
+    relational2,
+    relational3,
+    relational4,
+    pipeline,
+    streaming_ops,
+]
 
 # Queries the round-1 correctness gate did NOT record a row for (it verified
 # only the first 50 of 67 declared queries) plus the queries it failed.
@@ -57,6 +73,11 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # new in round 2:
     "tpch_q2_mincost",
     "tpch_q20_dominant",
+    "dedup_minhash_capped",
+    "window_frames",
+    "batch_sessionize",
+    "scalar_functions2",
+    "sim_topk_ivf",
 )
 
 

@@ -78,6 +78,22 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH with the production skew guard ON (max_bucket_size=4 —
+    small enough that real buckets get dropped at this SF, proving the cap
+    is semantically mirrored by the oracle, not a no-op)."""
+    return dedup.minhash_lsh_pairs(
+        _documents(spark, sf_dir),
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        shingle_k=3,
+        threshold=0.5,
+        max_bucket_size=4,
+    ).orderBy("id_a", "id_b")
+
+
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(
         _documents(spark, sf_dir), "doc_id", "text", shingle_k=3, threshold=0.8
@@ -137,6 +153,27 @@ def q_sim_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 10)
     return similarity.lsh_bucketed_topk(
         emb, queries, "vec_id", "embedding", k=5, probe_flips=1
+    ).orderBy("query_id", "rnk")
+
+
+def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-layout ANN: the corpus is persisted partitioned by LSH bucket
+    (once per sf, cached on disk), then probed with partition pruning —
+    results identical to single-probe LSH top-k, which the oracle verifies."""
+    import hashlib
+    import os
+
+    emb = _embeddings(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/ivf_layout_{tag}"
+    marker = os.path.join(path, "_IVF_DONE")
+    if not os.path.exists(marker):
+        similarity.ivf_write(emb, "vec_id", "embedding", path)
+        with open(marker, "w") as f:
+            f.write("ok")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.ivf_topk(
+        spark, path, queries, "vec_id", "embedding", k=5
     ).orderBy("query_id", "rnk")
 
 
@@ -251,6 +288,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_minhash_capped": q_dedup_minhash_capped,
     "dedup_ngram_jaccard": q_dedup_ngram,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -259,6 +297,7 @@ QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_topk_lsh": q_sim_topk_lsh,
     "sim_topk_lsh_multiprobe": q_sim_topk_lsh_multiprobe,
+    "sim_topk_ivf": q_sim_topk_ivf,
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
     "text_tokens": q_text_tokens,
@@ -331,7 +370,7 @@ def _quality_kept_sql() -> str:
 # ------------------------------------------------------------------- oracles
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(max_bucket: int | None = None) -> str:
     nh, bands = 16, 4
     rpb = nh // bands
     band_selects = "\nUNION ALL\n".join(
@@ -344,13 +383,25 @@ def _minhash_oracle() -> str:
     eq_sum = " + ".join(
         f"CAST((sa.mh{i} = sb.mh{i}) AS INT)" for i in range(nh)
     )
+    # Mirror of dedup.cap_bucket_size: drop (band, key) buckets over the cap
+    # before candidate pairing.
+    cap_ctes = (
+        f"""kept AS (
+            SELECT band, key FROM bands GROUP BY band, key
+            HAVING COUNT(*) <= {max_bucket}
+        ),
+        bandsk AS (SELECT b.* FROM bands b JOIN kept USING (band, key)),"""
+        if max_bucket is not None
+        else "bandsk AS (SELECT * FROM bands),"
+    )
     return f"""
         WITH {_shingle_cte(3)},
         {_minhash_sig_sql(nh)},
         bands AS ({band_selects}),
+        {cap_ctes}
         cand AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM bands a JOIN bands b
+            FROM bandsk a JOIN bandsk b
               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
         )
         SELECT id_a, id_b, ({eq_sum}) / 16.0 AS est_jaccard
@@ -447,6 +498,7 @@ ORACLES = {
         ORDER BY keeper_id
     """,
     "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_minhash_capped": _minhash_oracle(max_bucket=4),
     "dedup_ngram_jaccard": f"""
         WITH {_shingle_cte(3)},
         sizes AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
@@ -665,3 +717,8 @@ ORACLES = {
         FROM m GROUP BY kind ORDER BY kind
     """,
 }
+
+# The IVF layout is a physical re-organization of the same LSH bucketing —
+# logically identical to single-probe bucketed top-k, so it shares that
+# oracle verbatim.
+ORACLES["sim_topk_ivf"] = ORACLES["sim_topk_lsh"]

@@ -1,0 +1,163 @@
+"""Fourth relational workload: explicit window frames, batch sessionization,
+and the extended string/array scalar surface — each with a DuckDB oracle.
+
+These round out surfaces a reference user would reach for next (SURVEY.md
+§2.6/§2.9 extensions): ROWS/RANGE frame clauses, the gap-based session
+assignment every clickstream pipeline needs in batch form (the streaming
+twin is ``stream_session_window``), and the long tail of scalar functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit frame clauses: a 3-row moving sum (ROWS BETWEEN 2 PRECEDING)
+    and a value-range frame (RANGE BETWEEN 1000 PRECEDING on the order key)
+    per customer — one shuffle on the partition key serves both windows."""
+    orders = _t(spark, sf_dir, "orders")
+    w_rows = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(-2, 0)
+    )
+    w_range = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderkey").asc())
+        .rangeBetween(-1000, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w_rows)
+        .cast("double")
+        .alias("moving_sum_3"),
+        F.count(F.lit(1)).over(w_range).alias("near_order_cnt"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+def q_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization in batch: a new session starts when a user
+    is idle > 30 minutes. lag() marks session starts, a running sum over
+    the same window assigns session ids — the two windows share one
+    shuffle/sort on (user_id, ts). Output is per-session stats.
+
+    The batch twin of ``stream_session_window``; at 100 TB this is the
+    standard backfill path while the streaming form handles live data."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap_min = (
+        (F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")) / 60
+    )
+    flagged = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap_min.isNull() | (gap_min > 30), 1).otherwise(0).alias("new_s"),
+    )
+    with_sid = flagged.withColumn(
+        "session_id", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        with_sid.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def q_scalar_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended scalar surface: string edit distance, padding/translation,
+    split + array sort/contains/indexing — all JVM-side expression trees."""
+    part = _t(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    return part.select(
+        "p_partkey",
+        F.levenshtein(F.col("p_brand"), F.col("p_type")).cast("bigint").alias(
+            "brand_type_dist"
+        ),
+        F.lpad(F.col("p_brand"), 12, "_").alias("brand_padded"),
+        F.translate(F.col("p_type"), "AEIOU", "aeiou").alias("type_translated"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.size(words).cast("bigint").alias("n_words"),
+        F.array_join(F.sort_array(words), "|").alias("words_sorted"),
+        F.element_at(words, 1).alias("first_word"),
+        F.array_contains(words, "green").alias("has_green"),
+        F.substring(F.col("p_name"), 1, 5).alias("name_head"),
+    ).orderBy("p_partkey")
+
+
+QUERIES = {
+    "window_frames": q_window_frames,
+    "batch_sessionize": q_batch_sessionize,
+    "scalar_functions2": q_scalar_functions2,
+}
+
+ORACLES = {
+    "window_frames": """
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   AS moving_sum_3,
+               COUNT(*) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderkey ASC
+                   RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+                   AS near_order_cnt
+        FROM orders
+        ORDER BY o_custkey, o_orderkey
+    """,
+    "batch_sessionize": """
+        WITH lagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR date_diff('second', lag(ts) OVER w, ts) / 60.0 > 30
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        sess AS (
+            SELECT user_id, event_id, ts,
+                   SUM(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+            FROM lagged
+        )
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+        FROM sess
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+    """,
+    "scalar_functions2": """
+        SELECT p_partkey,
+               CAST(levenshtein(p_brand, p_type) AS BIGINT) AS brand_type_dist,
+               lpad(p_brand, 12, '_') AS brand_padded,
+               translate(p_type, 'AEIOU', 'aeiou') AS type_translated,
+               reverse(p_brand) AS brand_rev,
+               CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+               array_to_string(list_sort(string_split(p_name, ' ')), '|')
+                   AS words_sorted,
+               string_split(p_name, ' ')[1] AS first_word,
+               list_contains(string_split(p_name, ' '), 'green') AS has_green,
+               substring(p_name, 1, 5) AS name_head
+        FROM part
+        ORDER BY p_partkey
+    """,
+}

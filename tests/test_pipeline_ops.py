@@ -325,3 +325,26 @@ def test_bucket_size_cap_bounds_hot_bucket(spark):
     )
     vgot = {(r["id_a"], r["id_b"]) for r in vp.collect()}
     assert (100, 101) in vgot and len(vgot) <= 10 * 9 // 2
+
+
+def test_ivf_layout_partition_pruning(spark, tmp_path, sf_dir):
+    """ivf_write partitions by bucket; a probe of one bucket reads only that
+    partition (PartitionFilters in the scan), and ivf_topk matches
+    single-probe lsh_bucketed_topk exactly."""
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.catalog import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    similarity.ivf_write(emb, "vec_id", "embedding", path)
+
+    # static probe: partition filter must reach the scan
+    one = spark.read.parquet(path).where(F.col("bucket") == 3)
+    plan = one._jdf.queryExecution().executedPlan().treeString()
+    assert "PartitionFilters: [" in plan and "bucket" in plan
+
+    queries = emb.where(F.col("vec_id") < 5)
+    ivf = similarity.ivf_topk(spark, path, queries, "vec_id", "embedding", k=5)
+    lsh = similarity.lsh_bucketed_topk(emb, queries, "vec_id", "embedding", k=5)
+    assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, lsh.collect()))
