@@ -189,6 +189,60 @@ def run_to_memory(
     return spark.table(name)
 
 
+def foreach_batch_upsert(
+    stream: DataFrame,
+    path: str,
+    keys: list[str],
+    order_cols: list[str],
+    output_cols: list[str] | None = None,
+) -> None:
+    """The production streaming sink pattern: ``foreachBatch`` merging each
+    micro-batch into a keyed table — keep the row with the highest
+    ``order_cols`` per key (last-writer-wins upsert).
+
+    Each batch: read current table, union the batch, rank per key, keep
+    rank 1, write to a staging dir, atomically swap. On a lakehouse table
+    format this is a MERGE INTO; plain parquet needs the staging swap
+    because Spark cannot overwrite a path it is reading lazily. Idempotent
+    per batch (re-running a batch yields the same table), which is what
+    makes foreachBatch exactly-once on top of at-least-once delivery.
+    """
+    import shutil
+
+    from pyspark.sql import Window
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        cols = output_cols or batch.columns
+        current = batch.select(*cols)
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            current = spark.read.parquet(path).select(*cols).union(current)
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        merged = (
+            current.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        staging = path + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(staging, path)
+
+    (
+        stream.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join("/tmp", f"ckpt_upsert_{uuid.uuid4().hex[:8]}"),
+        )
+        .start()
+        .awaitTermination()
+    )
+
+
 def stateful_user_running_stats(
     stream: DataFrame, timeout_minutes: int | None = None
 ) -> DataFrame:

@@ -78,6 +78,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "batch_sessionize",
     "scalar_functions2",
     "sim_topk_ivf",
+    "stream_upsert",
 )
 
 

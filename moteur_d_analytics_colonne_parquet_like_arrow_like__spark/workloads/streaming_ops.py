@@ -10,7 +10,7 @@ streaming operator surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import streaming as S
 
@@ -57,7 +57,39 @@ def q_stream_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch upsert sink: the stream merges into a keyed table,
+    keeping each user's latest event (last-writer-wins on ts, event_id).
+    The oracle is the same merge in batch SQL — pins the sink pattern's
+    end state, not just the transformations."""
+    import hashlib
+    import shutil
+    import os
+
+    path = f"/tmp/upsert_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    if os.path.exists(path):
+        shutil.rmtree(path)  # fresh table per run: the merge must rebuild it
+    stream = S.events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    S.foreach_batch_upsert(
+        stream, path, keys=["user_id"], order_cols=["ts", "event_id"]
+    )
+    return (
+        spark.read.parquet(path)
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            "event_type",
+            "value",
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
+    "stream_upsert": q_stream_upsert,
     "stream_tumbling_window": q_stream_tumbling,
     "stream_tumbling_append": q_stream_tumbling_append,
     "stream_sliding_window": q_stream_sliding,
@@ -66,6 +98,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_upsert": """
+        WITH ranked AS (
+            SELECT user_id, event_id, ts, event_type, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        )
+        SELECT user_id, event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+               event_type, value
+        FROM ranked WHERE rn = 1
+        ORDER BY user_id
+    """,
     "stream_tumbling_append": """
         WITH wm AS (
             SELECT max(ts) - INTERVAL '30 minutes' AS cutoff FROM events

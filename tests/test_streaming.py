@@ -132,3 +132,21 @@ def test_streaming_dedup(spark):
     rows = sorted(r["event_type"] for r in out.collect())
     assert rows == sorted(set(rows))  # no duplicates
     assert len(rows) >= 2
+
+
+def test_foreach_batch_upsert_idempotent(spark, tmp_path, sf_dir):
+    """Re-running the whole stream merge over an existing table yields the
+    identical table — the idempotence that makes foreachBatch exactly-once
+    on top of at-least-once delivery."""
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark import streaming as S
+
+    path = str(tmp_path / "upsert")
+    stream = lambda: S.events_stream(spark, sf_dir).select(  # noqa: E731
+        "user_id", "event_id", "ts", "value"
+    )
+    S.foreach_batch_upsert(stream(), path, keys=["user_id"], order_cols=["ts", "event_id"])
+    first = sorted(map(tuple, spark.read.parquet(path).collect()))
+    # second full replay merges into the existing table
+    S.foreach_batch_upsert(stream(), path, keys=["user_id"], order_cols=["ts", "event_id"])
+    second = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert first == second and len(first) > 0
