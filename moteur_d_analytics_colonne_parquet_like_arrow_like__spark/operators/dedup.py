@@ -418,6 +418,78 @@ def duplicate_clusters(
     return labels
 
 
+def duplicate_clusters_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    billion-edge path. Same fixpoint as ``duplicate_clusters`` (every node
+    labeled with its component's min id), but converges in O(log² n) rounds
+    with intermediate edge sets that stay star-shaped instead of growing
+    with graph diameter — the variant to use when dup chains are long or
+    components are huge.
+
+    large-star: each node connects its LARGER neighbors to the minimum of
+    its neighborhood; small-star: each node connects its smaller-or-equal
+    neighbors to that minimum. Both are one groupBy + one join per round.
+    """
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        if large:
+            # symmetric neighborhoods: every edge seen from both endpoints
+            nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        else:
+            # key every edge to its larger endpoint
+            nbrs = e.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+        mins = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("__mn"))
+            .select("u", F.least(F.col("__mn"), F.col("u")).alias("m"))
+        )
+        joined = nbrs.join(mins, "u")
+        if large:
+            out = joined.where(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            )
+        else:
+            out = joined.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
+                mins.select(F.col("u"), F.col("m").alias("v"))
+            )
+        return out.where(F.col("u") != F.col("v")).distinct()
+
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        edges.select("u").union(edges.select(F.col("v").alias("u"))).distinct()
+    )
+    for _ in range(max_iterations):
+        new_edges = _star(_star(edges, large=True), large=False).localCheckpoint(
+            eager=True
+        )
+        # converged when the edge set is stable (star edges point at roots)
+        if (
+            new_edges.exceptAll(edges).count() == 0
+            and edges.exceptAll(new_edges).count() == 0
+        ):
+            edges = new_edges
+            break
+        edges = new_edges
+    labels = edges.select(F.col("u").alias("node"), F.col("v").alias("label"))
+    roots = all_nodes.join(
+        edges.select(F.col("u")), "u", "left_anti"
+    ).select(F.col("u").alias("node"), F.col("u").alias("label"))
+    return labels.union(roots)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,

@@ -79,6 +79,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "scalar_functions2",
     "sim_topk_ivf",
     "stream_upsert",
+    "dedup_clusters_star",
 )
 
 

@@ -240,6 +240,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_clusters(pairs).orderBy("node")
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters via alternating large-star/small-star — the
+    O(log² n)-round billion-edge variant; fixpoint identical to min-label
+    propagation, so it shares the recursive-CTE oracle."""
+    pairs = dedup.ngram_jaccard_pairs(
+        _documents(spark, sf_dir), "doc_id", "text", shingle_k=3, threshold=0.8
+    )
+    return dedup.duplicate_clusters_star(pairs).orderBy("node")
+
+
 def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation: quality-filter documents, resolve near-dup
     clusters among survivors, keep one doc per cluster (smallest id).
@@ -304,6 +314,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "text_pii": q_text_pii,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_star": q_dedup_clusters_star,
     "pipeline_curate": q_pipeline_curate,
     "multimodal_decode": q_multimodal_decode,
 }
@@ -722,3 +733,6 @@ ORACLES = {
 # logically identical to single-probe bucketed top-k, so it shares that
 # oracle verbatim.
 ORACLES["sim_topk_ivf"] = ORACLES["sim_topk_lsh"]
+
+# Identical fixpoint (min id per component), different iteration scheme.
+ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]

@@ -348,3 +348,30 @@ def test_ivf_layout_partition_pruning(spark, tmp_path, sf_dir):
     ivf = similarity.ivf_topk(spark, path, queries, "vec_id", "embedding", k=5)
     lsh = similarity.lsh_bucketed_topk(emb, queries, "vec_id", "embedding", k=5)
     assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, lsh.collect()))
+
+
+def test_star_clusters_match_label_propagation(spark):
+    """large-star/small-star reaches the same fixpoint as min-label
+    propagation on random graphs and on a 50-node chain (the adversarial
+    diameter case the star variant exists for)."""
+    import random
+
+    rng = random.Random(7)
+    edges = set()
+    for _ in range(200):
+        a, b = rng.randrange(100), rng.randrange(100)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    pairs = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    lp = {(r["node"], r["label"]) for r in dedup.duplicate_clusters(pairs).collect()}
+    st = {(r["node"], r["label"]) for r in dedup.duplicate_clusters_star(pairs).collect()}
+    assert st == lp
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "id_a long, id_b long"
+    )
+    st2 = {
+        (r["node"], r["label"])
+        for r in dedup.duplicate_clusters_star(chain).collect()
+    }
+    assert st2 == {(i, 0) for i in range(51)}
