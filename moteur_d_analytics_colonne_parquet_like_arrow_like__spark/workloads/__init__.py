@@ -80,6 +80,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "sim_topk_ivf",
     "stream_upsert",
     "dedup_clusters_star",
+    "set_ops_all",
 )
 
 

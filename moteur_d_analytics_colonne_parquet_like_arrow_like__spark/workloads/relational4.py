@@ -100,13 +100,41 @@ def q_scalar_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_partkey")
 
 
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL) over two multiset
+    projections with heavy duplication — the §2.8 counterpart of the
+    distinct-semantics set_ops query. One plan, one action."""
+    from ..operators import setops
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_returnflag") == "A").select("l_quantity")
+    b = li.where(F.col("l_returnflag") == "R").select("l_quantity")
+    ia = setops.intersect_all(a, b).agg(F.count(F.lit(1)).alias("n_intersect_all"))
+    ea = setops.except_all(a, b).agg(F.count(F.lit(1)).alias("n_except_all"))
+    return ia.join(F.broadcast(ea))
+
+
 QUERIES = {
     "window_frames": q_window_frames,
+    "set_ops_all": q_set_ops_all,
     "batch_sessionize": q_batch_sessionize,
     "scalar_functions2": q_scalar_functions2,
 }
 
 ORACLES = {
+    "set_ops_all": """
+        SELECT
+            (SELECT COUNT(*) FROM (
+                SELECT l_quantity FROM lineitem WHERE l_returnflag = 'A'
+                INTERSECT ALL
+                SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R') t
+            ) AS n_intersect_all,
+            (SELECT COUNT(*) FROM (
+                SELECT l_quantity FROM lineitem WHERE l_returnflag = 'A'
+                EXCEPT ALL
+                SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R') t
+            ) AS n_except_all
+    """,
     "window_frames": """
         SELECT o_custkey, o_orderkey,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
