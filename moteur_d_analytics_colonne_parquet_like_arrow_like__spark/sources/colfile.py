@@ -103,6 +103,12 @@ def _decode_rle_ints(buf: bytes, num_values: int) -> list[int]:
     out: list[int] = []
     for _ in range(num_runs):
         length, pos = _decode_varint(buf, pos)
+        # Bounds-check BEFORE materializing: a corrupt varint can claim a
+        # run of 10^15 values — reject instead of allocating it.
+        if length < 0 or len(out) + length > num_values:
+            raise ColFormatError(
+                f"RLE run length {length} overflows page ({num_values} values)"
+            )
         z, pos = _decode_varint(buf, pos)
         out.extend([_zigzag_decode(z)] * length)
     if len(out) != num_values:
@@ -112,12 +118,21 @@ def _decode_rle_ints(buf: bytes, num_values: int) -> list[int]:
     return out
 
 
+def _wrap_signed(n: int, width: int) -> int:
+    """Wrap to the column's signed integer range — the two's-complement
+    arithmetic a native implementation gets for free. Without it, the
+    delta between INT64_MIN and INT64_MAX does not fit the type and the
+    round trip silently corrupts."""
+    bits = width * 8
+    return (n + (1 << (bits - 1))) % (1 << bits) - (1 << (bits - 1))
+
+
 def _encode_delta_ints(values: list[int], width: int) -> bytes:
     fmt = "<i" if width == 4 else "<q"
     out = bytearray(struct.pack(fmt, values[0] if values else 0))
     out += _encode_varint(max(0, len(values) - 1))
     for prev, cur in zip(values, values[1:]):
-        out += _encode_varint(_zigzag_encode(cur - prev))
+        out += _encode_varint(_zigzag_encode(_wrap_signed(cur - prev, width)))
     return bytes(out)
 
 
@@ -133,7 +148,7 @@ def _decode_delta_ints(buf: bytes, num_values: int, width: int) -> list[int]:
     cur = base
     for _ in range(num_deltas):
         z, pos = _decode_varint(buf, pos)
-        cur += _zigzag_decode(z)
+        cur = _wrap_signed(cur + _zigzag_decode(z), width)
         out.append(cur)
     if len(out) != num_values:
         raise ColFormatError("delta value count mismatch")

@@ -1,0 +1,128 @@
+"""Snapshot table layer: versioned, time-travelable tables over parquet.
+
+A minimal lakehouse-style commit protocol (the moral core of what table
+formats add on top of raw parquet; reference has nothing comparable —
+`cae/README.md:137` is single-file):
+
+- data files are immutable parquet parts under ``<path>/data/``,
+- each commit writes a manifest ``<path>/v<N>.manifest.json`` listing the
+  EXACT data files visible in that version,
+- the manifest file is the atomic commit point (written to a temp name,
+  then ``os.replace`` — readers either see the whole version or not),
+- reads resolve a version's manifest and load ONLY its files, so
+  concurrent appends never tear a read, and any historical version stays
+  readable (time travel) until explicitly vacuumed.
+
+Scale notes: manifests list files, not rows, so commit cost is O(files in
+the delta); reads plan from the manifest file list (no directory listing
+— the 100 TB win: object-store LIST is slow and eventually consistent).
+Schema is pinned by the first commit and checked on append.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    def __init__(self, path: str):
+        self.path = path
+        self.data_dir = os.path.join(path, "data")
+
+    # ------------------------------------------------------------- internals
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.path, f"v{version}.manifest.json")
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.path):
+            return []
+        out = []
+        for f in os.listdir(self.path):
+            if f.startswith("v") and f.endswith(".manifest.json"):
+                out.append(int(f[1:].split(".")[0]))
+        return sorted(out)
+
+    def _read_manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    def _commit(self, files: list[str], schema_json: str, parent: int | None) -> int:
+        version = (parent + 1) if parent is not None else 0
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "committed_at_unix": int(time.time()),
+            "schema": schema_json,
+            "files": sorted(files),
+        }
+        tmp = self._manifest_path(version) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        # os.replace is the atomic commit: readers list only *.manifest.json
+        os.replace(tmp, self._manifest_path(version))
+        return version
+
+    def _write_parts(self, df: DataFrame, tag: str) -> list[str]:
+        """Write df as immutable parts into data/<tag>/ and return the
+        parquet file names relative to the table root."""
+        out_dir = os.path.join(self.data_dir, tag)
+        df.write.mode("error").parquet(out_dir)
+        return [
+            os.path.join("data", tag, f)
+            for f in os.listdir(out_dir)
+            if f.endswith(".parquet")
+        ]
+
+    # ------------------------------------------------------------------- API
+
+    def latest_version(self) -> int | None:
+        vs = self._versions()
+        return vs[-1] if vs else None
+
+    def append(self, df: DataFrame) -> int:
+        """Commit a new version = parent's files + the new files."""
+        parent = self.latest_version()
+        if parent is not None:
+            m = self._read_manifest(parent)
+            if m["schema"] != df.schema.json():
+                raise ValueError(
+                    "append schema does not match table schema pinned at v0"
+                )
+            prev_files = m["files"]
+        else:
+            prev_files = []
+        tag = f"c{(parent + 1) if parent is not None else 0}_{os.getpid()}"
+        files = self._write_parts(df, tag)
+        return self._commit(prev_files + files, df.schema.json(), parent)
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Commit a new version containing ONLY the new files. Old versions
+        keep their files — time travel still works."""
+        parent = self.latest_version()
+        tag = f"c{(parent + 1) if parent is not None else 0}_{os.getpid()}"
+        files = self._write_parts(df, tag)
+        return self._commit(files, df.schema.json(), parent)
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Read a version (default: latest) from its manifest's file list —
+        no directory listing, stable against concurrent commits."""
+        from pyspark.sql import types as T
+
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        m = self._read_manifest(version)
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        paths = [os.path.join(self.path, f) for f in m["files"]]
+        if not paths:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*paths)
+
+    def history(self) -> list[dict]:
+        return [self._read_manifest(v) for v in self._versions()]

@@ -81,6 +81,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "stream_upsert",
     "dedup_clusters_star",
     "set_ops_all",
+    "table_time_travel",
+    "source_formats",
 )
 
 

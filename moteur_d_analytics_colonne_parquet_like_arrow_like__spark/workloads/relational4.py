@@ -114,14 +114,106 @@ def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ia.join(F.broadcast(ea))
 
 
+def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-table layer (sources/snapshots.py): three committed
+    versions of a lineitem-derived table — append, append, overwrite —
+    then every version read back via its manifest in one unioned plan.
+    The oracle recomputes each version's content directly from lineitem,
+    so manifest isolation AND time travel are value-checked."""
+    import hashlib
+
+    from ..sources.snapshots import SnapshotTable
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    path = f"/tmp/snaptbl_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    t = SnapshotTable(path)
+    if t.latest_version() != 2:
+        t.append(li.where(F.col("l_returnflag") == "A"))
+        t.append(li.where(F.col("l_returnflag") == "R"))
+        t.overwrite(li.where(F.col("l_returnflag") == "N"))
+    legs = [
+        t.read(spark, version=v).agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        for v in (0, 1, 2)
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.union(leg)
+    return out.orderBy("version")
+
+
+def q_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV + JSONL source round-trip on the gate: documents go out as JSON
+    lines and supplier as headered CSV (quoting/escaping exercised by real
+    text content), both read back with explicit schemas and aggregated.
+    The oracle aggregates the ORIGINAL parquet tables — any value mangled
+    by the writers/readers diverges the hash."""
+    import hashlib
+    import os
+
+    from ..sources import formats
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    supp = _t(spark, sf_dir, "supplier")
+    jpath = f"/tmp/fmt_jsonl_{tag}"
+    cpath = f"/tmp/fmt_csv_{tag}"
+    if not os.path.exists(os.path.join(jpath, "_SUCCESS")):
+        formats.write_json(docs, jpath)
+    if not os.path.exists(os.path.join(cpath, "_SUCCESS")):
+        formats.write_csv(supp, cpath)
+    docs_back = formats.read_json(spark, jpath, schema=docs.schema)
+    supp_back = formats.read_csv(spark, cpath, schema=supp.schema)
+    dj = docs_back.agg(
+        F.count(F.lit(1)).alias("jsonl_docs"),
+        F.sum(F.length("text")).alias("jsonl_chars"),
+    )
+    dc = supp_back.agg(
+        F.count(F.lit(1)).alias("csv_suppliers"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("csv_acctbal_sum"),
+    )
+    return dj.join(F.broadcast(dc))
+
+
 QUERIES = {
     "window_frames": q_window_frames,
     "set_ops_all": q_set_ops_all,
+    "table_time_travel": q_table_time_travel,
+    "source_formats": q_source_formats,
     "batch_sessionize": q_batch_sessionize,
     "scalar_functions2": q_scalar_functions2,
 }
 
 ORACLES = {
+    "source_formats": """
+        SELECT
+            (SELECT COUNT(*) FROM documents) AS jsonl_docs,
+            (SELECT SUM(length(text)) FROM documents) AS jsonl_chars,
+            (SELECT COUNT(*) FROM supplier) AS csv_suppliers,
+            (SELECT CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             FROM supplier) AS csv_acctbal_sum
+    """,
+    "table_time_travel": """
+        SELECT CAST(0 AS INT) AS version, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem WHERE l_returnflag = 'A'
+        UNION ALL
+        SELECT CAST(1 AS INT), COUNT(*),
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        FROM lineitem WHERE l_returnflag IN ('A', 'R')
+        UNION ALL
+        SELECT CAST(2 AS INT), COUNT(*),
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        FROM lineitem WHERE l_returnflag = 'N'
+        ORDER BY version
+    """,
     "set_ops_all": """
         SELECT
             (SELECT COUNT(*) FROM (

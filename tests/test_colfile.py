@@ -169,3 +169,70 @@ def test_stats_block_is_conditional():
     back, end = colfile.PageHeader.unpack(buf, 0)
     assert end == len(buf)
     assert back.min_value is None and back.max_value == 7
+
+
+# ------------------------------------------------------- property-based codecs
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HYPOTHESIS = False
+
+if _HYPOTHESIS:
+    i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    i32 = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+
+    @given(st.lists(i64, max_size=300))
+    @settings(max_examples=60, deadline=None)
+    def test_prop_rle_roundtrip(vals):
+        buf = colfile._encode_rle_ints(vals)
+        assert colfile._decode_rle_ints(buf, len(vals)) == vals
+
+    @given(st.lists(i32, max_size=300))
+    @settings(max_examples=60, deadline=None)
+    def test_prop_delta_roundtrip_i32(vals):
+        buf = colfile._encode_delta_ints(vals, 4)
+        assert colfile._decode_delta_ints(buf, len(vals), 4) == vals
+
+    @given(st.lists(i64, max_size=300))
+    @settings(max_examples=60, deadline=None)
+    def test_prop_delta_roundtrip_i64(vals):
+        buf = colfile._encode_delta_ints(vals, 8)
+        assert colfile._decode_delta_ints(buf, len(vals), 8) == vals
+
+    @given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+    @settings(max_examples=200, deadline=None)
+    def test_prop_zigzag_involution(v):
+        assert colfile._zigzag_decode(colfile._zigzag_encode(v)) == v
+        assert colfile._zigzag_encode(v) >= 0
+
+    @given(st.lists(st.text(max_size=40), max_size=120))
+    @settings(max_examples=40, deadline=None)
+    def test_prop_dictionary_roundtrip(vals):
+        buf = colfile._encode_dictionary_strings(vals)
+        assert colfile._decode_dictionary_strings(buf, len(vals)) == vals
+
+    @given(st.lists(st.text(max_size=40), max_size=120))
+    @settings(max_examples=40, deadline=None)
+    def test_prop_plain_strings_roundtrip(vals):
+        buf = colfile._encode_plain_strings(vals)
+        assert colfile._decode_plain_strings(buf, len(vals)) == vals
+
+    @given(st.binary(max_size=60))
+    @settings(max_examples=120, deadline=None)
+    def test_prop_corrupt_pages_never_crash(junk):
+        """Arbitrary bytes must produce ColFormatError (or decode), never
+        an unhandled struct/index error — the corruption contract."""
+        for fn in (
+            lambda: colfile._decode_rle_ints(junk, 10),
+            lambda: colfile._decode_delta_ints(junk, 10, 8),
+            lambda: colfile._decode_plain_ints(junk, 10, 8),
+            lambda: colfile._decode_plain_strings(junk, 10),
+            lambda: colfile._decode_dictionary_strings(junk, 10),
+        ):
+            try:
+                fn()
+            except colfile.ColFormatError:
+                pass

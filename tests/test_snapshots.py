@@ -1,0 +1,52 @@
+"""Snapshot-table layer: versioned commits, time travel, schema pinning."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.snapshots import (
+    SnapshotTable,
+)
+
+
+def test_append_overwrite_time_travel(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    assert t.latest_version() is None
+
+    v0 = t.append(spark.range(0, 10).select(F.col("id")))
+    v1 = t.append(spark.range(10, 15).select(F.col("id")))
+    assert (v0, v1) == (0, 1)
+    assert t.read(spark, version=0).count() == 10
+    assert t.read(spark).count() == 15  # latest = v1
+
+    v2 = t.overwrite(spark.range(100, 103).select(F.col("id")))
+    assert v2 == 2
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [100, 101, 102]
+    # time travel: v0/v1 still fully readable after the overwrite
+    assert t.read(spark, version=1).count() == 15
+    assert t.read(spark, version=0).count() == 10
+    assert [m["version"] for m in t.history()] == [0, 1, 2]
+    assert [m["parent"] for m in t.history()] == [None, 0, 1]
+
+
+def test_append_rejects_schema_drift(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(spark.range(5).select(F.col("id")))
+    bad = spark.range(5).select(F.col("id").cast("int").alias("id"))
+    with pytest.raises(ValueError, match="schema"):
+        t.append(bad)
+
+
+def test_read_plans_from_manifest_not_listing(spark, tmp_path):
+    """A data file not referenced by the manifest (e.g. an uncommitted
+    writer's leftovers) must be invisible to reads."""
+    import shutil, os
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(spark.range(0, 10).select(F.col("id")))
+    # simulate an orphaned (never-committed) data dir
+    src = os.path.join(t.data_dir, os.listdir(t.data_dir)[0])
+    shutil.copytree(src, os.path.join(t.data_dir, "orphan"))
+    assert t.read(spark).count() == 10
