@@ -67,3 +67,49 @@ def test_groupby_is_partial_plus_final(spark, sf_dir):
     # reference's single-process hash map (cae/src/execution.cpp:339-401).
     plan = plans.formatted_plan(parity.q_group_by(spark, sf_dir))
     assert plan.count("HashAggregate") >= 2
+
+
+def test_q2_broadcasts_dims_no_cartesian(spark, sf_dir):
+    """Q2's dim joins must broadcast; the decorrelated min-cost join keys
+    on partkey (no nested-loop / cartesian anywhere)."""
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import (
+        relational3,
+    )
+
+    df = relational3.q_tpch_q2_mincost(spark, sf_dir)
+    strategies = plans.join_strategies(df)
+    assert any("BroadcastHashJoin" in s for s in strategies)
+    assert not any("Cartesian" in s or "BroadcastNestedLoop" in s for s in strategies)
+
+
+def test_q20_plans_semi_join(spark, sf_dir):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import (
+        relational3,
+    )
+
+    plan = plans.formatted_plan(relational3.q_tpch_q20_dominant(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_window_frames_single_exchange(spark, sf_dir):
+    """Both frame windows partition on o_custkey — the plan must reuse one
+    hash exchange (plus the final presentation sort), not shuffle twice."""
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import (
+        relational4,
+    )
+
+    df = relational4.q_window_frames(spark, sf_dir)
+    tree = df._jdf.queryExecution().executedPlan().treeString()
+    assert tree.count("Exchange hashpartitioning") == 1, tree
+
+
+def test_sessionize_shares_window_shuffle(spark, sf_dir):
+    """lag + running-sum windows and the session aggregation all key on
+    user_id — at most the window exchange plus the final agg exchange."""
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import (
+        relational4,
+    )
+
+    df = relational4.q_batch_sessionize(spark, sf_dir)
+    tree = df._jdf.queryExecution().executedPlan().treeString()
+    assert tree.count("Exchange hashpartitioning") <= 2, tree
