@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import (
     parity,
     pipeline,
+    python_surface,
     relational,
     relational2,
     relational3,
@@ -37,6 +38,7 @@ _MODULES = [
     relational2,
     relational3,
     relational4,
+    python_surface,
     pipeline,
     streaming_ops,
 ]
@@ -83,6 +85,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "set_ops_all",
     "table_time_travel",
     "source_formats",
+    "py_udtf_tokens",
+    "py_grouped_map",
+    "py_vectorized_dot",
 )
 
 
