@@ -49,6 +49,13 @@ _TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Timestamps in the testdata are timezone-less instants; the engine
+    # renders them in UTC regardless of which session runs the query (a
+    # session inheriting a non-UTC JVM default would silently shift every
+    # formatted timestamp). Same runtime-conf rule as nanosAsLong below —
+    # never depend on the session factory for correctness — and set even
+    # on cache hits: rendering picks up the conf at EXECUTION time.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     key = (id(spark), sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:

@@ -49,8 +49,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The NANOS footer check applies to streaming reads too (an explicit
     # .schema() does NOT bypass footer type conversion), and the session
     # running this query may not be one our factory configured — set the
-    # conf at runtime on the caller's session.
+    # confs at runtime on the caller's session (UTC: see catalog.load_table).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, "events.parquet")
     if os.path.isdir(path):
         raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)

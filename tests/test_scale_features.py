@@ -248,3 +248,28 @@ def test_upsert_partitioned(spark, tmp_path):
         4: ("c", 40.0),
         5: ("a", 50.0),
     }
+
+
+def test_utc_rendering_survives_foreign_timezone(spark, sf_dir):
+    """A session configured with a non-UTC timezone (as a verifier's or
+    user's session might be) must still render catalog timestamps in UTC —
+    load_table pins the conf at runtime, even on cached handles."""
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.catalog import (
+        load_table,
+    )
+
+    baseline = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("t"))
+        .collect()[0]["t"]
+    )
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        shifted = (
+            load_table(spark, sf_dir, "events")
+            .agg(F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("t"))
+            .collect()[0]["t"]
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert shifted == baseline
