@@ -88,6 +88,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "py_udtf_tokens",
     "py_grouped_map",
     "py_vectorized_dot",
+    "higher_order_funcs",
+    "incremental_agg",
 )
 
 

@@ -182,8 +182,68 @@ def q_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dj.join(F.broadcast(dc))
 
 
+def q_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column: transform /
+    filter / aggregate / zip_with folds, all JVM-side lambda expressions
+    (§2.9's nested-data surface). Sums accumulate in the array's fixed
+    order, so doubles round-trip exactly after round(., 6)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    dv = F.transform(v, lambda x: x.cast("double"))
+    sum_sq = F.aggregate(
+        F.zip_with(dv, dv, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(dv, lambda x: x > 0)).cast("bigint").alias("n_positive"),
+        F.round(sum_sq, 6).alias("sum_sq_r"),
+        F.round(
+            F.aggregate(dv, F.lit(0.0), lambda acc, x: acc + F.abs(x)), 6
+        ).alias("l1_norm_r"),
+        F.round(F.array_max(F.transform(dv, F.abs)), 6).alias("max_abs_r"),
+    ).orderBy("vec_id")
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation via mergeable partials — the materialized-
+    view maintenance pattern at 100 TB: per-key (count, sum) partials are
+    computed for one slice, persisted, then MERGED with a new slice's
+    partials instead of rescanning history. The oracle aggregates the
+    union directly, so the merge algebra (count+count, sum+sum) is
+    value-checked."""
+    import hashlib
+    import os
+
+    li = _t(spark, sf_dir, "lineitem")
+
+    def partial(flag: str) -> DataFrame:
+        return (
+            li.where(F.col("l_returnflag") == flag)
+            .groupBy("l_linestatus")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
+            )
+        )
+
+    base_path = f"/tmp/incr_agg_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    if not os.path.exists(os.path.join(base_path, "_SUCCESS")):
+        partial("A").write.mode("overwrite").parquet(base_path)  # history
+    merged = (
+        spark.read.parquet(base_path)
+        .unionByName(partial("R"))  # the new increment
+        .groupBy("l_linestatus")
+        .agg(F.sum("cnt").alias("cnt"), F.sum("qty").alias("qty"))
+    )
+    return merged.select(
+        "l_linestatus", "cnt", F.col("qty").cast("double").alias("sum_qty")
+    ).orderBy("l_linestatus")
+
+
 QUERIES = {
     "window_frames": q_window_frames,
+    "higher_order_funcs": q_higher_order_funcs,
+    "incremental_agg": q_incremental_agg,
     "set_ops_all": q_set_ops_all,
     "table_time_travel": q_table_time_travel,
     "source_formats": q_source_formats,
@@ -192,6 +252,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    "higher_order_funcs": """
+        SELECT vec_id,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive,
+               round(list_reduce(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   (a, b) -> a + b), 6) AS sum_sq_r,
+               round(list_reduce(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE))), (a, b) -> a + b), 6) AS l1_norm_r,
+               round(list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))), 6) AS max_abs_r
+        FROM embeddings
+        ORDER BY vec_id
+    """,
+    "incremental_agg": """
+        SELECT l_linestatus, COUNT(*) AS cnt,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE l_returnflag IN ('A', 'R')
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
     "source_formats": """
         SELECT
             (SELECT COUNT(*) FROM documents) AS jsonl_docs,
