@@ -196,44 +196,83 @@ def foreach_batch_upsert(
     keys: list[str],
     order_cols: list[str],
     output_cols: list[str] | None = None,
+    num_buckets: int | None = None,
 ) -> None:
     """The production streaming sink pattern: ``foreachBatch`` merging each
     micro-batch into a keyed table — keep the row with the highest
     ``order_cols`` per key (last-writer-wins upsert).
 
-    Each batch: read current table, union the batch, rank per key, keep
-    rank 1, write to a staging dir, atomically swap. On a lakehouse table
-    format this is a MERGE INTO; plain parquet needs the staging swap
-    because Spark cannot overwrite a path it is reading lazily. Idempotent
-    per batch (re-running a batch yields the same table), which is what
-    makes foreachBatch exactly-once on top of at-least-once delivery.
+    Two layouts:
+
+    - ``num_buckets=None``: whole-table merge (read + union + rank + write
+      to a staging dir, atomic swap). Fine for small dimension tables;
+      O(table) I/O per batch.
+    - ``num_buckets=N`` — **the 100 TB path**: the table is partitioned by
+      a deterministic key-hash bucket; each batch merges ONLY the buckets
+      its keys touch (partition-pruned read, dynamic partition overwrite),
+      so batch cost is O(batch keys · bucket size), independent of table
+      size. On a lakehouse table format the same hook is a MERGE INTO.
+
+    Both modes are idempotent per batch (re-running a batch reproduces the
+    same table), which upgrades at-least-once delivery to exactly-once
+    table state.
     """
     import shutil
 
     from pyspark.sql import Window
 
-    def merge(batch: DataFrame, batch_id: int) -> None:
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
+
+    def rank1(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def merge_full(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         cols = output_cols or batch.columns
         current = batch.select(*cols)
         if os.path.exists(os.path.join(path, "_SUCCESS")):
             current = spark.read.parquet(path).select(*cols).union(current)
-        w = Window.partitionBy(*keys).orderBy(
-            *[F.col(c).desc() for c in order_cols]
-        )
-        merged = (
-            current.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .drop("__rn")
-        )
         staging = path + ".staging"
-        merged.write.mode("overwrite").parquet(staging)
+        rank1(current).write.mode("overwrite").parquet(staging)
         if os.path.exists(path):
             shutil.rmtree(path)
         os.rename(staging, path)
 
+    def merge_bucketed(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        cols = output_cols or [c for c in batch.columns]
+        bucket = F.pmod(F.xxhash64(*keys), F.lit(num_buckets)).cast("int")
+        fresh = batch.select(*cols).withColumn("__bucket", bucket)
+        # one tiny driver round-trip: which buckets does this batch touch?
+        touched = [r["__bucket"] for r in fresh.select("__bucket").distinct().collect()]
+        if not touched:
+            return
+        current = fresh
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            existing = (
+                spark.read.parquet(path)
+                .where(F.col("__bucket").isin(touched))  # partition-pruned
+                .select(*cols, "__bucket")
+            )
+            current = existing.union(fresh)
+        # Materialize before writing: dynamic overwrite cannot write a path
+        # its own plan is still reading. The merged set is O(batch buckets).
+        merged = rank1(current).localCheckpoint(eager=True)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
     (
-        stream.writeStream.foreachBatch(merge)
+        stream.writeStream.foreachBatch(
+            merge_bucketed if num_buckets else merge_full
+        )
         .trigger(availableNow=True)
         .option(
             "checkpointLocation",

@@ -58,10 +58,11 @@ def q_stream_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """foreachBatch upsert sink: the stream merges into a keyed table,
-    keeping each user's latest event (last-writer-wins on ts, event_id).
-    The oracle is the same merge in batch SQL — pins the sink pattern's
-    end state, not just the transformations."""
+    """foreachBatch upsert sink in its bucketed (100 TB) layout: the stream
+    merges into a key-hash-partitioned table, rewriting only the buckets
+    each batch touches, keeping each user's latest event (last-writer-wins
+    on ts, event_id). The oracle is the same merge in batch SQL — pins the
+    sink pattern's end state, not just the transformations."""
     import hashlib
     import shutil
     import os
@@ -73,10 +74,11 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts", "event_type", "value"
     )
     S.foreach_batch_upsert(
-        stream, path, keys=["user_id"], order_cols=["ts", "event_id"]
+        stream, path, keys=["user_id"], order_cols=["ts", "event_id"], num_buckets=8
     )
     return (
         spark.read.parquet(path)
+        .drop("__bucket")
         .select(
             "user_id",
             "event_id",

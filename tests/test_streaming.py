@@ -150,3 +150,61 @@ def test_foreach_batch_upsert_idempotent(spark, tmp_path, sf_dir):
     S.foreach_batch_upsert(stream(), path, keys=["user_id"], order_cols=["ts", "event_id"])
     second = sorted(map(tuple, spark.read.parquet(path).collect()))
     assert first == second and len(first) > 0
+
+    # bucketed layout: same end state, minus the partition column
+    bpath = str(tmp_path / "upsert_bucketed")
+    S.foreach_batch_upsert(
+        stream(), bpath, keys=["user_id"], order_cols=["ts", "event_id"], num_buckets=8
+    )
+    bucketed = sorted(
+        map(tuple, spark.read.parquet(bpath).drop("__bucket").collect())
+    )
+    assert bucketed == first
+
+
+def test_bucketed_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """A batch touching one key must rewrite only that key's bucket
+    partition — every other bucket's files stay byte-identical on disk."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark import streaming as S
+
+    path = str(tmp_path / "tbl")
+
+    def run(df):
+        df.write.mode("overwrite").parquet(str(tmp_path / "feed"), compression="snappy")
+        stream = spark.readStream.schema(df.schema).parquet(str(tmp_path / "feed"))
+        S.foreach_batch_upsert(
+            stream, path, keys=["k"], order_cols=["v"], num_buckets=8
+        )
+
+    run(
+        spark.range(100).select(
+            F.col("id").alias("k"), F.lit(1).cast("long").alias("v")
+        )
+    )
+
+    def snapshot():
+        out = {}
+        for root, _, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    before = snapshot()
+    run(spark.createDataFrame([(7, 2)], "k long, v long"))  # touches 1 bucket
+    after = snapshot()
+
+    b7 = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(7).cast("long")), F.lit(8)).cast("int").alias("b")
+    ).collect()[0]["b"]
+    untouched_before = {p: m for p, m in before.items() if f"__bucket={b7}/" not in p + "/"}
+    for p, m in untouched_before.items():
+        assert p in after and after[p] == m, f"untouched bucket file rewritten: {p}"
+    # and the new value won
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got[7] == 2 and got[0] == 1
