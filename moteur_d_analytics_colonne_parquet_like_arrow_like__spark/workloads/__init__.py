@@ -90,6 +90,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "py_vectorized_dot",
     "higher_order_funcs",
     "incremental_agg",
+    "join_salted",
+    "join_range",
 )
 
 

@@ -240,10 +240,56 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_linestatus")
 
 
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-buster salted join on the gate: orders⨝customer through an
+    explicit content-hash salt (the hot-key tool when one key exceeds what
+    a task holds even after AQE splits). The oracle is the PLAIN join —
+    salting must be result-invisible."""
+    from ..operators import joins
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = joins.salted_join(orders, customer, "o_custkey", salt_buckets=8)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: lineitems classified into price bands from a
+    tiny broadcast bands table — the keyless range join degenerates to a
+    broadcast nested loop, which is exactly right for a small build side."""
+    from ..operators import joins
+
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    bands = spark.createDataFrame(
+        [(0, 0.0, 20000.0), (1, 20000.0, 40000.0), (2, 40000.0, 1e9)],
+        "band int, lo double, hi double",
+    )
+    joined = joins.range_join(
+        li,
+        F.broadcast(bands),
+        key=None,
+        lower=F.col("l_extendedprice") >= F.col("lo"),
+        upper=F.col("l_extendedprice") < F.col("hi"),
+    )
+    return (
+        joined.groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .orderBy("band")
+    )
+
+
 QUERIES = {
     "window_frames": q_window_frames,
     "higher_order_funcs": q_higher_order_funcs,
     "incremental_agg": q_incremental_agg,
+    "join_salted": q_join_salted,
+    "join_range": q_join_range,
     "set_ops_all": q_set_ops_all,
     "table_time_travel": q_table_time_travel,
     "source_formats": q_source_formats,
@@ -252,6 +298,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_salted": """
+        SELECT c_mktsegment, COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "join_range": """
+        SELECT b.band, COUNT(*) AS n_items
+        FROM lineitem l
+        JOIN (VALUES (0, 0.0, 20000.0), (1, 20000.0, 40000.0),
+                     (2, 40000.0, 1000000000.0)) AS b(band, lo, hi)
+          ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+        GROUP BY b.band ORDER BY b.band
+    """,
     "higher_order_funcs": """
         SELECT vec_id,
                CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive,
