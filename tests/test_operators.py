@@ -133,3 +133,29 @@ def test_top_k_global(spark):
     df = spark.range(1000).selectExpr("id", "id % 7 as v")
     out = sorts.top_k(df, [F.col("v").desc(), F.col("id").asc()], 3).collect()
     assert [(r["v"], r["id"]) for r in out] == [(6, 6), (6, 13), (6, 20)]
+
+
+def test_asof_join_keeps_duplicate_left_rows(spark):
+    """Without a left_id, two IDENTICAL left rows must each produce an
+    output row (the surrogate-key window partition), not collapse to one."""
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import joins
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 20)], "k long, t long"
+    )
+    right = spark.createDataFrame([(1, 5, "a"), (1, 15, "b")], "k long, rt long, tag string")
+    out = joins.asof_join(left, right, key="k", left_ts="t", right_ts="rt").collect()
+    assert len(out) == 3
+    tags = sorted(r["tag"] for r in out)
+    assert tags == ["a", "a", "b"]
+
+
+def test_salted_join_rejects_right_preserving(spark):
+    import pytest
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import joins
+
+    left = spark.createDataFrame([(1, 1)], "k long, v long")
+    right = spark.createDataFrame([(1, "x")], "k long, tag string")
+    with pytest.raises(ValueError, match="left-preserving"):
+        joins.salted_join(left, right, "k", how="full")
