@@ -284,7 +284,10 @@ def foreach_batch_upsert(
 
 
 def stateful_user_running_stats(
-    stream: DataFrame, timeout_minutes: int | None = None
+    stream: DataFrame,
+    timeout_minutes: int | None = None,
+    sum_col: str = "value",
+    integer_sum: bool = False,
 ) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user running
     event count + value sum, emitting the updated state each micro-batch.
@@ -294,29 +297,37 @@ def stateful_user_running_stats(
     pattern for unbounded keyspaces at scale); leave None for bounded
     (availableNow) runs — a processing-time timeout keeps the query alive
     waiting for timer expiry, which never ends under availableNow.
+
+    ``integer_sum=True`` accumulates ``sum_col`` as exact int64 (the column
+    must already be integral, e.g. fixed-point micros computed in Catalyst
+    upstream) — the oracle-checkable mode: partial sums merge exactly no
+    matter how batches split.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    sum_type = T.LongType() if integer_sum else T.DoubleType()
     out_schema = T.StructType(
         [
             T.StructField("user_id", T.LongType(), False),
             T.StructField("n_events", T.LongType(), False),
-            T.StructField("sum_value", T.DoubleType(), False),
+            T.StructField("sum_value", sum_type, False),
         ]
     )
     state_schema = T.StructType(
         [
             T.StructField("n", T.LongType(), False),
-            T.StructField("s", T.DoubleType(), False),
+            T.StructField("s", sum_type, False),
         ]
     )
+    zero = 0 if integer_sum else 0.0
+    conv = int if integer_sum else float
 
     def update(key, pdfs, state: GroupState):
-        n, s = state.get if state.exists else (0, 0.0)
+        n, s = state.get if state.exists else (0, zero)
         for pdf in pdfs:
             n += len(pdf)
-            s += float(pdf["value"].sum())
+            s += conv(pdf[sum_col].sum())
         state.update((n, s))
         if timeout_minutes is not None:
             state.setTimeoutDuration(timeout_minutes * 60 * 1000)

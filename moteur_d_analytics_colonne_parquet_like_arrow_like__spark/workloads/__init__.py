@@ -92,6 +92,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "incremental_agg",
     "join_salted",
     "join_range",
+    "stream_stateful",
 )
 
 

@@ -90,8 +90,27 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) on the gate:
+    per-user running count + exact fixed-point sum. The value is converted
+    to integer micros in Catalyst BEFORE the Python stage (decimal
+    rounding matches the oracle's CAST), so state merges are exact and the
+    final state hash-checks against a batch GROUP BY."""
+    stream = S.events_stream(spark, sf_dir).withColumn(
+        "v_micros",
+        (F.col("value").cast("decimal(18,6)") * 1000000).cast("long"),
+    )
+    out = S.stateful_user_running_stats(
+        stream, sum_col="v_micros", integer_sum=True
+    )
+    return S.run_to_memory(out, output_mode="update", shuffle_partitions=8).orderBy(
+        "user_id"
+    )
+
+
 QUERIES = {
     "stream_upsert": q_stream_upsert,
+    "stream_stateful": q_stream_stateful,
     "stream_tumbling_window": q_stream_tumbling,
     "stream_tumbling_append": q_stream_tumbling_append,
     "stream_sliding_window": q_stream_sliding,
@@ -100,6 +119,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_stateful": """
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+                    AS BIGINT) AS sum_value
+        FROM events
+        GROUP BY user_id ORDER BY user_id
+    """,
     "stream_upsert": """
         WITH ranked AS (
             SELECT user_id, event_id, ts, event_type, value,
