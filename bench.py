@@ -70,6 +70,16 @@ BENCH_QUERIES = [
 # they are timed end-to-end (builder + materialization) per rep instead.
 EAGER_QUERIES = {"stream_tumbling_window"}
 
+# Cheap queries get more reps — their medians otherwise jitter by ±20% on a
+# shared box, which swamps round-over-round comparisons.
+QUERY_REPS = {
+    "parity_full_scan": 9,
+    "parity_filtered_scan": 9,
+    "parity_aggregate": 9,
+    "parity_group_by": 9,
+    "sort_top_k": 9,
+}
+
 QUERY_CONF: dict[str, dict[str, str]] = {
     "parity_full_scan": {"spark.sql.adaptive.enabled": "false"},
     "parity_filtered_scan": {"spark.sql.adaptive.enabled": "false"},
@@ -156,10 +166,11 @@ def main() -> int:
             spark.conf.set(k, v)
         try:
             times = []
+            reps = QUERY_REPS.get(name, REPS)
             if name in EAGER_QUERIES:
                 builds[name] = 0.0
                 fn(spark, SF_DIR)  # warmup (untimed)
-                for _ in range(REPS):
+                for _ in range(reps):
                     t0 = time.perf_counter()
                     _materialize(fn(spark, SF_DIR))
                     times.append(time.perf_counter() - t0)
@@ -175,7 +186,7 @@ def main() -> int:
                 df = fn(spark, SF_DIR)
                 builds[name] = round(time.perf_counter() - t0, 4)
                 _materialize(df)  # warmup (untimed)
-                for _ in range(REPS):
+                for _ in range(reps):
                     t0 = time.perf_counter()
                     _materialize(df)
                     times.append(time.perf_counter() - t0)
