@@ -126,3 +126,51 @@ class SnapshotTable:
 
     def history(self) -> list[dict]:
         return [self._read_manifest(v) for v in self._versions()]
+
+    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+        """Rewrite the CURRENT version's data into ``target_files`` files and
+        commit the result as a new version — the small-file remedy for
+        tables built by many tiny appends (streaming sinks, incremental
+        jobs). Logically a no-op: the new version holds identical rows;
+        older versions keep reading their original files."""
+        parent = self.latest_version()
+        if parent is None:
+            raise FileNotFoundError(f"nothing to compact at {self.path}")
+        df = self.read(spark, parent).coalesce(target_files)
+        tag = f"compact{parent + 1}_{os.getpid()}"
+        files = self._write_parts(df, tag)
+        return self._commit(files, self._read_manifest(parent)["schema"], parent)
+
+    def vacuum(self, keep_versions: int = 1) -> dict:
+        """Retention: drop all but the newest ``keep_versions`` manifests,
+        then delete data files no surviving manifest references. This is
+        the ONLY operation that destroys time travel — never automatic,
+        and safe against readers of surviving versions because their
+        manifests (and files) are untouched."""
+        if keep_versions < 1:
+            raise ValueError("keep_versions must be >= 1")
+        versions = self._versions()
+        drop, keep = versions[:-keep_versions], versions[-keep_versions:]
+        referenced: set[str] = set()
+        for v in keep:
+            referenced.update(self._read_manifest(v)["files"])
+        removed_files = 0
+        for v in drop:
+            for f in self._read_manifest(v)["files"]:
+                if f not in referenced:
+                    full = os.path.join(self.path, f)
+                    if os.path.exists(full):
+                        os.remove(full)
+                        removed_files += 1
+            os.remove(self._manifest_path(v))
+        # prune empty commit dirs left behind
+        if os.path.isdir(self.data_dir):
+            for d in os.listdir(self.data_dir):
+                full = os.path.join(self.data_dir, d)
+                if os.path.isdir(full) and not any(
+                    f.endswith(".parquet") for f in os.listdir(full)
+                ):
+                    import shutil
+
+                    shutil.rmtree(full)
+        return {"dropped_versions": drop, "removed_files": removed_files}

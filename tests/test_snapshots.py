@@ -50,3 +50,27 @@ def test_read_plans_from_manifest_not_listing(spark, tmp_path):
     src = os.path.join(t.data_dir, os.listdir(t.data_dir)[0])
     shutil.copytree(src, os.path.join(t.data_dir, "orphan"))
     assert t.read(spark).count() == 10
+
+
+def test_compact_and_vacuum(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    for lo in range(0, 50, 10):  # 5 tiny appends → many small files
+        t.append(spark.range(lo, lo + 10).select(F.col("id")))
+    assert t.latest_version() == 4
+    n_files_before = len(t._read_manifest(4)["files"])
+
+    v5 = t.compact(spark, target_files=1)
+    assert v5 == 5
+    assert len(t._read_manifest(5)["files"]) == 1
+    assert sorted(r["id"] for r in t.read(spark).collect()) == list(range(50))
+    # time travel intact after compaction
+    assert t.read(spark, version=2).count() == 30
+
+    stats = t.vacuum(keep_versions=1)
+    assert stats["dropped_versions"] == [0, 1, 2, 3, 4]
+    assert stats["removed_files"] >= n_files_before - 1
+    # latest still reads; history is gone
+    assert t.read(spark).count() == 50
+    assert t._versions() == [5]
+    with pytest.raises(FileNotFoundError):
+        t._read_manifest(0)
