@@ -76,11 +76,23 @@ def _cmd_scan(args: argparse.Namespace) -> int:
 
 def _cmd_query(args: argparse.Namespace) -> int:
     spark = get_spark("moteur_cli_query")
-    source = (
-        colfile.read_col(spark, args.path)
-        if args.path.endswith(".col")
-        else args.path
-    )
+    if args.path.endswith(".col"):
+        # Push the first integer-literal predicate into the .col reader so
+        # zone-map page stats skip row groups before decode — the parity
+        # path for the reference's canSkipPage (execution.cpp:48-71).
+        # Remaining predicates still apply exactly via QueryExecutor.
+        zmap = None
+        for col, op, lit in args.where or []:
+            if op not in ("eq", "ne", "lt", "le", "gt", "ge"):
+                continue  # bad tokens get their clean error from Predicate.parse
+            try:
+                zmap = (col, op, int(lit))
+                break
+            except ValueError:
+                continue
+        source = colfile.read_col(spark, args.path, predicate=zmap)
+    else:
+        source = args.path
     qe = QueryExecutor(spark, source)
     if args.select:
         qe.set_projection([c.strip() for c in args.select.split(",") if c.strip()])

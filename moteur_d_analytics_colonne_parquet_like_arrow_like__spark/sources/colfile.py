@@ -25,7 +25,7 @@ import os
 import struct
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, types as T
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..schema import ColumnSchema, ColumnType, EncodingType, Schema
 
@@ -535,21 +535,76 @@ def _decode_chunk(raw: bytes, cs: ColumnSchema, chunk: ChunkMeta) -> list:
     return out
 
 
+def can_skip_page(
+    min_value: int | None, max_value: int | None, op: str, value: int
+) -> bool:
+    """Zone-map page elimination — exact mirror of the reference's
+    ``Predicate::canSkipPage`` (cae/src/execution.cpp:48-71): a page whose
+    [min, max] cannot contain a matching value is never decoded. Pages
+    without stats are never skipped."""
+    if min_value is None or max_value is None:
+        return False
+    return {
+        "eq": value < min_value or value > max_value,
+        "ne": False,
+        "lt": min_value >= value,
+        "le": min_value > value,
+        "gt": max_value <= value,
+        "ge": max_value < value,
+    }.get(op, False)
+
+
+def _skippable_row_groups(
+    row_groups: list[RowGroupMeta],
+    schema: Schema,
+    predicate: tuple[str, str, int] | None,
+) -> list[bool]:
+    """Per-row-group skip decisions. Skipping happens at row-group
+    granularity (every page of the predicate column must be skippable) so
+    rows stay aligned across column chunks."""
+    if predicate is None:
+        return [False] * len(row_groups)
+    col, op, value = predicate
+    ci = schema.index_of(col)
+    out = []
+    for rg in row_groups:
+        pages = rg.chunks[ci].page_headers
+        out.append(
+            bool(pages)
+            and all(
+                can_skip_page(ph.min_value, ph.max_value, op, value)
+                for ph in pages
+            )
+        )
+    return out
+
+
 def read_col(
     spark: SparkSession,
     path: str,
     columns: list[str] | None = None,
+    predicate: tuple[str, str, int] | None = None,
 ) -> DataFrame:
     """Load a .col file into a DataFrame (with column projection — only
     requested chunks are read and decoded, mirroring the reference scanner's
-    pruning, cae/src/execution.cpp:252-261)."""
+    pruning, cae/src/execution.cpp:252-261).
+
+    ``predicate=(col, op, value)`` (op in eq/ne/lt/le/gt/ge, int columns)
+    additionally applies the reference's zone-map skipping: row groups
+    whose page stats exclude the value are never read OR decoded, and the
+    surviving rows are filtered exactly."""
     schema, row_groups, _total = read_col_metadata(path)
     proj = columns or schema.names
+    if predicate is not None and predicate[0] not in proj:
+        proj = list(proj) + [predicate[0]]
     idxs = [schema.index_of(c) for c in proj]
+    skips = _skippable_row_groups(row_groups, schema, predicate)
 
     data: dict[str, list] = {c: [] for c in proj}
     with open(path, "rb") as f:
-        for rg in row_groups:
+        for rg, skip in zip(row_groups, skips):
+            if skip:
+                continue
             for c, ci in zip(proj, idxs):
                 ch = rg.chunks[ci]
                 f.seek(ch.file_offset)
@@ -560,7 +615,23 @@ def read_col(
         [schema.columns[ci].to_spark_field(nullable=False) for ci in idxs]
     )
     rows = list(zip(*[data[c] for c in proj])) if proj else []
-    return spark.createDataFrame(rows, spark_schema)
+    df = spark.createDataFrame(rows, spark_schema)
+    if predicate is not None:
+        col, op, value = predicate
+        c = F.col(col)
+        df = df.where(
+            {
+                "eq": c == value,
+                "ne": c != value,
+                "lt": c < value,
+                "le": c <= value,
+                "gt": c > value,
+                "ge": c >= value,
+            }[op]
+        )
+        if columns is not None and col not in columns:
+            df = df.drop(col)
+    return df
 
 
 def col_to_parquet(spark: SparkSession, col_path: str, parquet_path: str) -> None:

@@ -236,3 +236,35 @@ if _HYPOTHESIS:
                 fn()
             except colfile.ColFormatError:
                 pass
+
+
+def test_zone_map_page_skipping(spark, tmp_path):
+    """Mirror of Predicate::canSkipPage (execution.cpp:48-71): row groups
+    whose stats exclude the predicate are never decoded, and results equal
+    an unskipped read + filter for every op."""
+    # decision-table parity with the reference implementation
+    can = colfile.can_skip_page
+    assert can(10, 20, "eq", 5) and can(10, 20, "eq", 25)
+    assert not can(10, 20, "eq", 15)
+    assert not can(10, 20, "ne", 15)
+    assert can(10, 20, "lt", 10) and not can(10, 20, "lt", 11)
+    assert can(10, 20, "le", 9) and not can(10, 20, "le", 10)
+    assert can(10, 20, "gt", 20) and not can(10, 20, "gt", 19)
+    assert can(10, 20, "ge", 21) and not can(10, 20, "ge", 20)
+    assert not can(None, 20, "eq", 5)
+
+    schema = Schema().add("id", ColumnType.INT64).add("value", ColumnType.INT64)
+    # sorted values, 10 rows/group → disjoint [lo, hi] per group
+    rows = [(i, i * 10) for i in range(100)]
+    p = _write(spark, tmp_path, "zmap.col", schema, rows, rows_per_group=10)
+    _, row_groups, _ = colfile.read_col_metadata(p)
+
+    skips = colfile._skippable_row_groups(row_groups, schema, ("value", "eq", 555))
+    assert sum(skips) == len(row_groups) - 1  # exactly one group survives
+
+    got = colfile.read_col(spark, p, predicate=("value", "eq", 550)).collect()
+    assert [(r["id"], r["value"]) for r in got] == [(55, 550)]
+    # range op across a group boundary
+    got2 = colfile.read_col(spark, p, columns=["id"], predicate=("value", "ge", 985)).collect()
+    assert sorted(r["id"] for r in got2) == [99]
+    assert got2[0].asDict().keys() == {"id"}  # predicate column dropped again
