@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import datetime
 
-from pyspark.sql import functions as F, types as T
+from pyspark.sql import functions as F
 
 from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import (
     joins,

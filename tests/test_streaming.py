@@ -6,8 +6,6 @@ from __future__ import annotations
 import os
 import time
 
-import pytest
-
 from pyspark.sql import functions as F
 
 from moteur_d_analytics_colonne_parquet_like_arrow_like__spark import streaming as S
