@@ -114,8 +114,22 @@ def _cmd_query(args: argparse.Namespace) -> int:
         print(f"count={res.count}\tsum={res.sum}\tmin={res.min}\tmax={res.max}")
         return 0
     df = qe.execute_query()
+    if args.explain:
+        _print_plan_diagnostics(df)
+        return 0
     df.show(args.limit, truncate=False)
     return 0
+
+
+def _print_plan_diagnostics(df) -> None:
+    """EXPLAIN with the diagnostics the reference surfaces implicitly
+    (what got pushed down, which columns are read) plus the plan itself."""
+    from . import plans
+
+    info = plans.scan_info(df)
+    print(f"pushed_filters: {info['pushed_filters']}")
+    print(f"read_schemas:   {info['read_schemas']}")
+    print(info["plan"])
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -141,6 +155,12 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--agg", nargs=2, metavar=("FUNC", "COL"))
     q.add_argument("--groupby", default=None)
     q.add_argument("--limit", type=int, default=20)
+    q.add_argument(
+        "--explain",
+        action="store_true",
+        help="print pushdown/pruning diagnostics + the physical plan "
+        "instead of executing",
+    )
     q.set_defaults(fn=_cmd_query)
     return p
 

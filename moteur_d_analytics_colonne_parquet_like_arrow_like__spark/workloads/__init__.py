@@ -93,6 +93,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "join_salted",
     "join_range",
     "stream_stateful",
+    "events_time_pruned",
 )
 
 

@@ -284,8 +284,40 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_time_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series layout: events re-written time-sorted (cached once per
+    sf), so row-group min/max on ts make a time-range scan touch only the
+    overlapping groups — the standard clustering for append-only event
+    tables. The range aggregate is oracle-checked against the unsorted
+    original, proving the relayout is content-preserving."""
+    import hashlib
+    import os
+
+    from ..sources.writer import write_sorted
+
+    events = _t(spark, sf_dir, "events")
+    path = f"/tmp/events_tsorted_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_sorted(events, path, ["ts"], num_files=8)
+    sorted_events = spark.read.parquet(path)
+    lo, hi = "2024-01-02 00:00:00", "2024-01-03 00:00:00"
+    return (
+        sorted_events.where(
+            (F.col("ts") >= F.lit(lo).cast("timestamp"))
+            & (F.col("ts") < F.lit(hi).cast("timestamp"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "window_frames": q_window_frames,
+    "events_time_pruned": q_events_time_pruned,
     "higher_order_funcs": q_higher_order_funcs,
     "incremental_agg": q_incremental_agg,
     "join_salted": q_join_salted,
@@ -298,6 +330,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_time_pruned": """
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+          AND ts < TIMESTAMP '2024-01-03 00:00:00'
+        GROUP BY event_type ORDER BY event_type
+    """,
     "join_salted": """
         SELECT c_mktsegment, COUNT(*) AS n_orders
         FROM orders JOIN customer ON o_custkey = c_custkey

@@ -79,3 +79,19 @@ def test_col_format_end_to_end(spark, tmp_path_factory, capsys):
     assert rc == 0
     lines = capsys.readouterr().out.strip().splitlines()
     assert len(lines) == 4
+
+
+def test_query_explain_shows_pushdown(tmp_path, capsys):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark import cli
+
+    out = str(tmp_path / "e.parquet")
+    assert cli.main(["write", out, "1000", "3"]) == 0
+    capsys.readouterr()
+    rc = cli.main(
+        ["query", out, "--select", "id,value", "--where", "value", "gt", "500", "--explain"]
+    )
+    captured = capsys.readouterr().out
+    assert rc == 0
+    assert "GreaterThan(value,500)" in captured
+    assert "id:bigint,value:bigint" in captured
+    assert "Physical Plan" in captured
