@@ -94,6 +94,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "join_range",
     "stream_stateful",
     "events_time_pruned",
+    "agg_variance_exact",
 )
 
 

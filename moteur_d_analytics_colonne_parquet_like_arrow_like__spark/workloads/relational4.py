@@ -315,9 +315,39 @@ def q_events_time_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVG / variance / stddev with cross-engine-exact algebra: both sums
+    route through DECIMAL (order-independent), variance is computed from
+    the exact sums as (n·Σx² − (Σx)²)/(n(n−1)), and stddev is the sqrt of
+    that identical double — so the statistics hash-match even though each
+    engine's native stddev uses a different accumulation scheme."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_s"),
+        F.sum(
+            (F.col("l_quantity") * F.col("l_quantity")).cast("decimal(28,4)")
+        ).alias("_s2"),
+    )
+    n = F.col("n")
+    var = (
+        (n.cast("double") * F.col("_s2").cast("double")
+         - F.col("_s").cast("double") * F.col("_s").cast("double"))
+        / (n.cast("double") * (n.cast("double") - 1))
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        (F.col("_s").cast("double") / n.cast("double")).alias("avg_qty"),
+        var.alias("var_qty"),
+        F.sqrt(var).alias("std_qty"),
+    ).orderBy("l_returnflag")
+
+
 QUERIES = {
     "window_frames": q_window_frames,
     "events_time_pruned": q_events_time_pruned,
+    "agg_variance_exact": q_agg_variance_exact,
     "higher_order_funcs": q_higher_order_funcs,
     "incremental_agg": q_incremental_agg,
     "join_salted": q_join_salted,
@@ -330,6 +360,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_variance_exact": """
+        WITH s AS (
+            SELECT l_returnflag, COUNT(*) AS n,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s1,
+                   SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS s2
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS avg_qty,
+               (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) AS var_qty,
+               sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) AS std_qty
+        FROM s ORDER BY l_returnflag
+    """,
     "events_time_pruned": """
         SELECT event_type, COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
