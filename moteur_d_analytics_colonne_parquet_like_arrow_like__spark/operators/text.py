@@ -161,6 +161,52 @@ def register_tokenize_udtf(spark, name: str = "tokenize_udtf"):
     return Tokenize
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    shingle_k: int = 4,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-gram IN ORDER, slide a
+    window of ``window`` hashes, keep each window's minimum; the distinct
+    minima are the fingerprint set. Guarantees: any shared substring of
+    length ≥ window+k−1 yields ≥1 shared fingerprint, and fingerprint
+    density is ~2/(window+1) — tunable storage vs sensitivity.
+
+    Pure Catalyst (sequence/slice/array_min lambda folds); fingerprints are
+    emitted sorted and comma-joined for cross-engine comparison."""
+    ws = words(text_col)
+    # ordered, duplicate-preserving shingle hashes (word_shingles dedups —
+    # winnowing needs the positional sequence)
+    shingles = F.when(
+        F.size(ws) >= shingle_k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (shingle_k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, shingle_k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hs = F.transform(shingles, lambda s: stable_hash31(s))
+    n = F.size(hs)
+    # guard: sequence(1, 0) in Spark yields [1, 0] (descending!), so the
+    # fewer-hashes-than-window case must short-circuit to an empty array.
+    wins = F.when(
+        n >= window,
+        F.transform(
+            F.sequence(F.lit(1), n - (window - 1)),
+            lambda i: F.array_min(F.slice(hs, i, window)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    fps = F.array_sort(F.array_distinct(wins))
+    return df.select(
+        "*",
+        F.size(fps).cast("bigint").alias("n_winnow_fps"),
+        F.array_join(F.transform(fps, lambda x: x.cast("string")), ",").alias(
+            "winnow_fps"
+        ),
+    )
+
+
 def doc_fingerprints(df: DataFrame, text_col: str, shingle_k: int = 4) -> DataFrame:
     """Content fingerprints: full-text stable hash (exact-dup key) + min/max
     shingle hash (a 2-element winnowing sketch: stable under small edits at

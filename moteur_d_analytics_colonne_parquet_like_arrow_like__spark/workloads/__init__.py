@@ -95,6 +95,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "stream_stateful",
     "events_time_pruned",
     "agg_variance_exact",
+    "text_winnow",
 )
 
 

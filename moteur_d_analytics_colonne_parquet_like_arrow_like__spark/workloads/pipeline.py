@@ -240,6 +240,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_clusters(pairs).orderBy("node")
 
 
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS): per-doc distinct window-minima of the
+    ordered shingle-hash sequence — identical docs share ALL fingerprints,
+    docs sharing any ≥(window+k−1)-word run share ≥1."""
+    out = text.winnow_fingerprints(
+        _documents(spark, sf_dir).select("doc_id", "text"), "text"
+    )
+    return out.select("doc_id", "n_winnow_fps", "winnow_fps").orderBy("doc_id")
+
+
 def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same clusters via alternating large-star/small-star — the
     O(log² n)-round billion-edge variant; fixpoint identical to min-label
@@ -312,6 +322,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_tokens": q_text_tokens,
     "text_fingerprint": q_text_fingerprint,
+    "text_winnow": q_text_winnow,
     "text_pii": q_text_pii,
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_star": q_dedup_clusters_star,
@@ -736,3 +747,30 @@ ORACLES["sim_topk_ivf"] = ORACLES["sim_topk_lsh"]
 
 # Identical fixpoint (min id per component), different iteration scheme.
 ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]
+
+# Winnowing: ordered (duplicate-preserving) shingle hashes, window minima,
+# distinct + sort. k=4, window=4 must match winnow_fingerprints defaults.
+ORACLES["text_winnow"] = f"""
+    WITH docs AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+    w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM docs),
+    hs AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, greatest(len(words) - 3, 0)),
+                   i -> {_H31.format(s="array_to_string(words[i:i+3], ' ')")}
+               ) AS hashes
+        FROM w
+    ),
+    fp AS (
+        SELECT doc_id,
+               list_sort(list_distinct(list_transform(
+                   generate_series(1, greatest(len(hashes) - 3, 0)),
+                   i -> list_min(hashes[i:i+3])
+               ))) AS fps
+        FROM hs
+    )
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_winnow_fps,
+           array_to_string(fps, ',') AS winnow_fps
+    FROM fp ORDER BY doc_id
+"""

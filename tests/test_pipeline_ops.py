@@ -375,3 +375,28 @@ def test_star_clusters_match_label_propagation(spark):
         for r in dedup.duplicate_clusters_star(chain).collect()
     }
     assert st2 == {(i, 0) for i in range(51)}
+
+
+def test_winnowing_guarantees(spark):
+    """Winnowing (k=4, w=4): identical docs share all fingerprints; docs
+    sharing a ≥(w+k−1)=7-word run share ≥1 fingerprint; short docs get
+    none."""
+    shared_run = "alpha beta gamma delta epsilon zeta eta"  # 7 words
+    df = spark.createDataFrame(
+        [
+            (1, f"unique prefix one two {shared_run} suffix here now"),
+            (2, f"other starting words {shared_run} different tail text"),
+            (3, f"unique prefix one two {shared_run} suffix here now"),
+            (4, "completely unrelated content with no overlap at all whatsoever"),
+            (5, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.winnow_fingerprints(df, "text").collect()}
+    fps = {i: set(rows[i]["winnow_fps"].split(",")) - {""} for i in rows}
+    assert fps[1] == fps[3]  # identical docs
+    assert fps[1] & fps[2]  # shared 7-word run → shared fingerprint
+    assert not (fps[1] & fps[4])
+    assert fps[5] == set() and rows[5]["n_winnow_fps"] == 0
+    # density sanity: fewer fingerprints than shingles
+    assert 0 < rows[1]["n_winnow_fps"] <= len(rows[1]["text"].split()) - 3
