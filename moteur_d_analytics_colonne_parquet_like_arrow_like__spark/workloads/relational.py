@@ -382,7 +382,15 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.col("o_orderpriority")).cast("bigint").alias("prio_len"),
         F.year(F.col("o_orderdate")).cast("bigint").alias("order_year"),
         F.month(F.col("o_orderdate")).cast("bigint").alias("order_month"),
-        F.round(F.col("o_totalprice") / 1000.0, 2).alias("price_k"),
+        # round(x/1000, 2) in exact integer cents: double round() diverges
+        # across engines exactly at the .xx5 boundary (Spark rounds the
+        # shortest decimal repr half-up, DuckDB rounds the binary value).
+        # (cents + 500) div 1000 is half-up by construction and both
+        # engines compute it on identical integers.
+        F.expr(
+            "CAST((CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " + 500) DIV 1000 AS DOUBLE) / 100"
+        ).alias("price_k"),
         F.sqrt(F.col("o_totalprice")).alias("price_sqrt"),
         F.when(F.col("o_totalprice") > 150000, F.lit("high"))
         .when(F.col("o_totalprice") > 50000, F.lit("mid"))
@@ -577,7 +585,8 @@ ORACLES = {
                CAST(LENGTH(o_orderpriority) AS BIGINT) AS prio_len,
                CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
                CAST(MONTH(o_orderdate) AS BIGINT) AS order_month,
-               ROUND(o_totalprice / 1000.0, 2) AS price_k,
+               CAST((CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                     + 500) // 1000 AS DOUBLE) / 100 AS price_k,
                SQRT(o_totalprice) AS price_sqrt,
                CASE WHEN o_totalprice > 150000 THEN 'high'
                     WHEN o_totalprice > 50000 THEN 'mid'
