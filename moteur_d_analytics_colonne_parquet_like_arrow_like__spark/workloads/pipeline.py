@@ -243,10 +243,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (MOSS): per-doc distinct window-minima of the
     ordered shingle-hash sequence — identical docs share ALL fingerprints,
-    docs sharing any ≥(window+k−1)-word run share ≥1."""
-    out = text.winnow_fingerprints(
-        _documents(spark, sf_dir).select("doc_id", "text"), "text"
-    )
+    docs sharing any ≥(window+k−1)-word run share ≥1.
+
+    The projection is the most compute-heavy per-row expression in the
+    repo (O(shingles·window) hash/array work), and the driver testdata is
+    one row group = one input task — repartition first so the work spreads
+    across cores on ANY session (content-invariant: output is re-sorted)."""
+    docs = _documents(spark, sf_dir).select("doc_id", "text").repartition(32)
+    out = text.winnow_fingerprints(docs, "text")
     return out.select("doc_id", "n_winnow_fps", "winnow_fps").orderBy("doc_id")
 
 
