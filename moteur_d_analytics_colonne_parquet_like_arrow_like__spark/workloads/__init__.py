@@ -96,6 +96,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "events_time_pruned",
     "agg_variance_exact",
     "text_winnow",
+    "tpch_q3_shipping",
+    "tpch_q10_returns",
+    "tpch_q19_disjunct",
 )
 
 
