@@ -99,6 +99,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "tpch_q3_shipping",
     "tpch_q10_returns",
     "tpch_q19_disjunct",
+    "tpch_q7_volume",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty",
 )
 
 

@@ -432,8 +432,104 @@ def q_tpch_q19_disjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue flowing between two
+    nations in either direction, by supplier-nation/customer-nation/year —
+    both nation lookups broadcast, facts shuffle once on their join keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    j = (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): quarterly revenue per supplier, keep
+    the supplier(s) matching the global maximum — the revenue "view" is a
+    reused aggregate; the max is a one-row broadcast back into it."""
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    revenue = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev).alias("_total"))
+    )
+    max_rev = revenue.agg(F.max("_total").alias("_max"))
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("_total") == F.col("_max"))
+        .join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("_total").cast("double").alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity revenue): lineitems below 20% of
+    their part's average quantity — the correlated AVG subquery,
+    decorrelated into a per-part aggregate joined back on partkey. The
+    threshold compare is decimal-exact (qty·5n < Σqty avoids 0.2·avg
+    double rounding)."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sum_q"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    j = li.join(per_part, "l_partkey").where(
+        F.col("l_quantity").cast("decimal(18,2)") * 5 * F.col("_n")
+        < F.col("_sum_q")
+    )
+    return j.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) / 7
+        ).cast("double").alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 QUERIES = {
     "tpch_q3_shipping": q_tpch_q3_shipping,
+    "tpch_q7_volume": q_tpch_q7_volume,
+    "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+    "tpch_q17_small_qty": q_tpch_q17_small_qty,
     "tpch_q10_returns": q_tpch_q10_returns,
     "tpch_q19_disjunct": q_tpch_q19_disjunct,
     "window_frames": q_window_frames,
@@ -451,6 +547,47 @@ QUERIES = {
 }
 
 ORACLES = {
+    "tpch_q7_volume": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """,
+    "tpch_q15_top_supplier": """
+        WITH revenue AS (
+            SELECT l_suppkey,
+                   SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, CAST(total AS DOUBLE) AS total_revenue
+        FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total = (SELECT MAX(total) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    "tpch_q17_small_qty": """
+        WITH pp AS (
+            SELECT l_partkey,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_q,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) / 7 AS DOUBLE) AS avg_yearly,
+               COUNT(*) AS n_items
+        FROM lineitem l JOIN pp ON l.l_partkey = pp.l_partkey
+        WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * pp.n < pp.sum_q
+    """,
     "tpch_q3_shipping": """
         SELECT o_orderkey,
                strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
