@@ -102,6 +102,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "tpch_q7_volume",
     "tpch_q15_top_supplier",
     "tpch_q17_small_qty",
+    "tpch_q8_market_share",
 )
 
 

@@ -525,9 +525,58 @@ def q_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the share of one supplier
+    nation in a customer region's revenue per year — conditional/total
+    aggregate ratio over a multi-dim broadcast join tree, decimal-routed
+    so the share is cross-engine exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cust_in_region = (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = supplier.join(
+        F.broadcast(
+            nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("sn_name"))
+        ),
+        supplier.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", "sn_name")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    target = F.when(F.col("sn_name") == "NATION_1", rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_in_region), orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            (F.sum(target).cast("double") / F.sum(rev).cast("double")).alias(
+                "mkt_share"
+            ),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
 QUERIES = {
     "tpch_q3_shipping": q_tpch_q3_shipping,
     "tpch_q7_volume": q_tpch_q7_volume,
+    "tpch_q8_market_share": q_tpch_q8_market_share,
     "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
     "tpch_q17_small_qty": q_tpch_q17_small_qty,
     "tpch_q10_returns": q_tpch_q10_returns,
@@ -547,6 +596,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    "tpch_q8_market_share": """
+        SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(CASE WHEN sn.n_name = 'NATION_1'
+                        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+                   AS mkt_share,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+                   AS total_revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = 'EUROPE'
+        GROUP BY 1 ORDER BY 1
+    """,
     "tpch_q7_volume": """
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
