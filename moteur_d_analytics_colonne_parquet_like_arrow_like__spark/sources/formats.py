@@ -1,4 +1,4 @@
-"""Extra source/sink formats beyond parquet: CSV, JSON (lines), and
+"""Extra source/sink formats beyond parquet: CSV, JSON (lines), ORC, and
 partitioned parquet layouts.
 
 The reference supports exactly one format (its ``.col`` container,
@@ -41,6 +41,21 @@ def read_json(
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType, **options: str
+) -> DataFrame:
+    """ORC: the other columnar container (stripes ≙ row groups, same
+    min/max-stats pushdown model)."""
+    reader = spark.read.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
 
 
 def write_partitioned(

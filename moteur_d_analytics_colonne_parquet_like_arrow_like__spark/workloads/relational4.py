@@ -149,8 +149,9 @@ def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV + JSONL source round-trip on the gate: documents go out as JSON
-    lines and supplier as headered CSV (quoting/escaping exercised by real
-    text content), both read back with explicit schemas and aggregated.
+    lines, supplier as headered CSV (quoting/escaping exercised by real
+    text content), and nation as ORC, all read back with explicit schemas
+    and aggregated.
     The oracle aggregates the ORIGINAL parquet tables — any value mangled
     by the writers/readers diverges the hash."""
     import hashlib
@@ -167,8 +168,13 @@ def q_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         formats.write_json(docs, jpath)
     if not os.path.exists(os.path.join(cpath, "_SUCCESS")):
         formats.write_csv(supp, cpath)
+    nat = _t(spark, sf_dir, "nation")
+    opath = f"/tmp/fmt_orc_{tag}"
+    if not os.path.exists(os.path.join(opath, "_SUCCESS")):
+        formats.write_orc(nat, opath)
     docs_back = formats.read_json(spark, jpath, schema=docs.schema)
     supp_back = formats.read_csv(spark, cpath, schema=supp.schema)
+    nat_back = formats.read_orc(spark, opath, schema=nat.schema)
     dj = docs_back.agg(
         F.count(F.lit(1)).alias("jsonl_docs"),
         F.sum(F.length("text")).alias("jsonl_chars"),
@@ -179,7 +185,11 @@ def q_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("csv_acctbal_sum"),
     )
-    return dj.join(F.broadcast(dc))
+    do = nat_back.agg(
+        F.count(F.lit(1)).alias("orc_nations"),
+        F.sum("n_regionkey").alias("orc_regionkey_sum"),
+    )
+    return dj.join(F.broadcast(dc)).join(F.broadcast(do))
 
 
 def q_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -757,7 +767,9 @@ ORACLES = {
             (SELECT SUM(length(text)) FROM documents) AS jsonl_chars,
             (SELECT COUNT(*) FROM supplier) AS csv_suppliers,
             (SELECT CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
-             FROM supplier) AS csv_acctbal_sum
+             FROM supplier) AS csv_acctbal_sum,
+            (SELECT COUNT(*) FROM nation) AS orc_nations,
+            (SELECT SUM(n_regionkey) FROM nation) AS orc_regionkey_sum
     """,
     "table_time_travel": """
         SELECT CAST(0 AS INT) AS version, COUNT(*) AS n_rows,

@@ -50,3 +50,12 @@ def test_partitioned_write_prunes(spark, tmp_path):
     plan = plans.formatted_plan(pruned)
     assert "PartitionFilters" in plan and "region" in plan.split("PartitionFilters")[1][:200]
     assert pruned.count() == 100
+
+def test_orc_roundtrip(spark, tmp_path):
+    df = _df(spark)
+    p = str(tmp_path / "t.orc")
+    formats.write_orc(df, p)
+    back = formats.read_orc(spark, p, schema=_schema())
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # predicate filtering works on ORC scans too
+    assert back.filter(F.col("value") > 300.0).count() == 99
