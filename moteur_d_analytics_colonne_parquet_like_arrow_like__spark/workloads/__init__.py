@@ -103,6 +103,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "tpch_q15_top_supplier",
     "tpch_q17_small_qty",
     "tpch_q8_market_share",
+    "sample_stratified",
+    "token_histogram",
 )
 
 

@@ -583,6 +583,45 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: a different hash-sample rate per
+    event_type stratum (rare classes kept at higher rates — the class-
+    rebalancing pass of a training-data pipeline). Hash-based, so the
+    sample is reproducible across engines, runs, and partitionings."""
+    from ..functions import stable_hash60
+
+    events = _t(spark, sf_dir, "events")
+    rates = {"purchase": 100, "signup": 100, "error": 50, "click": 10, "view": 10}
+    bucket = F.pmod(stable_hash60(F.col("event_id").cast("string")), F.lit(100))
+    rate = F.coalesce(
+        *[
+            F.when(F.col("event_type") == k, F.lit(v))
+            for k, v in sorted(rates.items())
+        ]
+    )
+    return (
+        events.where(bucket < rate)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("event_type")
+    )
+
+
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length histogram: documents bucketed by whitespace token
+    count (50-token bins) — the distribution snapshot every curation run
+    reports. Integer floor-division binning, shuffle only on the tiny
+    bucket key."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    return (
+        docs.select((F.floor(n_tokens / 50) * 50).cast("bigint").alias("bin_lo"))
+        .groupBy("bin_lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("bin_lo")
+    )
+
+
 QUERIES = {
     "tpch_q3_shipping": q_tpch_q3_shipping,
     "tpch_q7_volume": q_tpch_q7_volume,
@@ -592,6 +631,8 @@ QUERIES = {
     "tpch_q10_returns": q_tpch_q10_returns,
     "tpch_q19_disjunct": q_tpch_q19_disjunct,
     "window_frames": q_window_frames,
+    "sample_stratified": q_sample_stratified,
+    "token_histogram": q_token_histogram,
     "events_time_pruned": q_events_time_pruned,
     "agg_variance_exact": q_agg_variance_exact,
     "higher_order_funcs": q_higher_order_funcs,
@@ -606,6 +647,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sample_stratified": """
+        SELECT event_type, COUNT(*) AS n_sampled
+        FROM events
+        WHERE CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+              < CASE event_type WHEN 'purchase' THEN 100 WHEN 'signup' THEN 100
+                                WHEN 'error' THEN 50 WHEN 'click' THEN 10
+                                WHEN 'view' THEN 10 END
+        GROUP BY event_type ORDER BY event_type
+    """,
+    "token_histogram": """
+        SELECT CAST(FLOOR(len(string_split_regex(trim(text), '\\s+')) / 50) * 50 AS BIGINT) AS bin_lo,
+               COUNT(*) AS n_docs
+        FROM documents
+        GROUP BY 1 ORDER BY 1
+    """,
     "tpch_q8_market_share": """
         SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
                CAST(SUM(CASE WHEN sn.n_name = 'NATION_1'
