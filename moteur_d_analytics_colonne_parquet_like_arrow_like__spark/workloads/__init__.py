@@ -105,6 +105,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "tpch_q8_market_share",
     "sample_stratified",
     "token_histogram",
+    "pipeline_corpus_report",
 )
 
 

@@ -254,6 +254,30 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_winnow_fps", "winnow_fps").orderBy("doc_id")
 
 
+def q_pipeline_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation report — the one-page summary every training-data
+    run produces: per predicted language, document count, distinct-content
+    count, total token volume, and the quality-score range. Composes
+    lang-ID + quality + content hashing in one pass; every aggregate is
+    order-independent-exact (counts, integer sums, min/max of identical
+    per-row doubles), so no float-merge nondeterminism."""
+    from ..functions import stable_hash60
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    enriched = text.quality_features(text.lang_id(docs, "text"), "text")
+    return (
+        enriched.groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(stable_hash60(F.col("text"))).alias("n_unique"),
+            F.sum("q_words").alias("total_words"),
+            F.min("q_score").alias("min_q_score"),
+            F.max("q_score").alias("max_q_score"),
+        )
+        .orderBy("lang_pred")
+    )
+
+
 def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same clusters via alternating large-star/small-star — the
     O(log² n)-round billion-edge variant; fixpoint identical to min-label
@@ -331,6 +355,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_star": q_dedup_clusters_star,
     "pipeline_curate": q_pipeline_curate,
+    "pipeline_corpus_report": q_pipeline_corpus_report,
     "multimodal_decode": q_multimodal_decode,
 }
 
@@ -751,6 +776,48 @@ ORACLES["sim_topk_ivf"] = ORACLES["sim_topk_lsh"]
 
 # Identical fixpoint (min id per component), different iteration scheme.
 ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]
+
+_LANG_SCORE_CASE = None  # composed below
+
+
+def _corpus_report_oracle() -> str:
+    scores = ", ".join(f"{sql} AS s_{lang}" for lang, sql in _LANG_SCORES.items())
+    langs = sorted(text.LANG_PROFILES)
+    best = "greatest(" + ", ".join(f"s_{la}" for la in langs) + ")"
+    case = "CASE WHEN " + best + " <= 0 THEN 'und' " + " ".join(
+        f"WHEN s_{la} = {best} THEN '{la}'" for la in langs
+    ) + " END"
+    return f"""
+        WITH d AS (SELECT doc_id, text, {_NORM} AS norm FROM documents),
+        f AS (
+            SELECT doc_id, text, norm,
+                   length(norm) AS n_chars,
+                   len(string_split(norm, ' ')) AS n_words,
+                   length(regexp_replace(norm, '[a-z0-9 ]', '', 'g')) AS punct,
+                   length(regexp_replace(norm, '[^0-9]', '', 'g')) AS digits,
+                   len(list_filter(string_split(norm, ' '),
+                       w -> list_contains([{_EN_WORDS}], w))) AS stop,
+                   {scores}
+            FROM d
+        ),
+        g AS (
+            SELECT doc_id, text, n_words,
+                   {case} AS lang_pred,
+                   0.4 * (stop / n_words) + 0.3 * (1.0 - punct / n_chars)
+                   + 0.2 * (least(CAST(n_words AS DOUBLE), 100.0) / 100.0)
+                   + 0.1 * (1.0 - digits / n_chars) AS q_score
+            FROM f
+        )
+        SELECT lang_pred, COUNT(*) AS n_docs,
+               COUNT(DISTINCT {_H60.format(s='text')}) AS n_unique,
+               SUM(n_words) AS total_words,
+               MIN(q_score) AS min_q_score,
+               MAX(q_score) AS max_q_score
+        FROM g GROUP BY lang_pred ORDER BY lang_pred
+    """
+
+
+ORACLES["pipeline_corpus_report"] = _corpus_report_oracle()
 
 # Winnowing: ordered (duplicate-preserving) shingle hashes, window minima,
 # distinct + sort. k=4, window=4 must match winnow_fingerprints defaults.
