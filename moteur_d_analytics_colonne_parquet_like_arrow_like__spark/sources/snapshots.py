@@ -84,21 +84,57 @@ class SnapshotTable:
         vs = self._versions()
         return vs[-1] if vs else None
 
-    def append(self, df: DataFrame) -> int:
-        """Commit a new version = parent's files + the new files."""
+    def append(self, df: DataFrame, allow_evolution: bool = False) -> int:
+        """Commit a new version = parent's files + the new files.
+
+        Schema is pinned by default. ``allow_evolution=True`` permits
+        ADDING nullable columns: the manifest records the widened schema
+        and reads project older files through it (missing columns read as
+        NULL — the additive half of lakehouse schema evolution; renames/
+        drops/retypes stay forbidden because they silently corrupt old
+        files)."""
         parent = self.latest_version()
+        schema_json = df.schema.json()
         if parent is not None:
             m = self._read_manifest(parent)
-            if m["schema"] != df.schema.json():
-                raise ValueError(
-                    "append schema does not match table schema pinned at v0"
+            if m["schema"] != schema_json:
+                if not allow_evolution:
+                    raise ValueError(
+                        "append schema does not match table schema pinned at "
+                        "v0 (pass allow_evolution=True to add columns)"
+                    )
+                import json as _json
+
+                from pyspark.sql import types as T
+
+                old = T.StructType.fromJson(_json.loads(m["schema"]))
+                new = df.schema
+                old_fields = {f.name: f for f in old.fields}
+                for f in old.fields:
+                    nf = next((x for x in new.fields if x.name == f.name), None)
+                    if nf is None or nf.dataType != f.dataType:
+                        raise ValueError(
+                            f"evolution may only ADD columns; column "
+                            f"{f.name!r} was changed or removed"
+                        )
+                # New columns are recorded nullable regardless of the
+                # writer's nullability: older files have no values for
+                # them, so every historical read yields NULLs there.
+                widened = T.StructType(
+                    list(old.fields)
+                    + [
+                        T.StructField(f.name, f.dataType, True)
+                        for f in new.fields
+                        if f.name not in old_fields
+                    ]
                 )
+                schema_json = widened.json()
             prev_files = m["files"]
         else:
             prev_files = []
         tag = f"c{(parent + 1) if parent is not None else 0}_{os.getpid()}"
         files = self._write_parts(df, tag)
-        return self._commit(prev_files + files, df.schema.json(), parent)
+        return self._commit(prev_files + files, schema_json, parent)
 
     def overwrite(self, df: DataFrame) -> int:
         """Commit a new version containing ONLY the new files. Old versions

@@ -74,3 +74,34 @@ def test_compact_and_vacuum(spark, tmp_path):
     assert t._versions() == [5]
     with pytest.raises(FileNotFoundError):
         t._read_manifest(0)
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(spark.range(3).select(F.col("id")))
+    widened = spark.range(3, 6).select(
+        F.col("id"), (F.col("id") * 10).alias("score")
+    )
+    # refused without the flag, accepted with it
+    with pytest.raises(ValueError, match="allow_evolution"):
+        t.append(widened)
+    v1 = t.append(widened, allow_evolution=True)
+    assert v1 == 1
+
+    out = {r["id"]: r["score"] for r in t.read(spark).collect()}
+    assert out == {0: None, 1: None, 2: None, 3: 30, 4: 40, 5: 50}
+    # old version still reads with its own (narrow) schema
+    assert t.read(spark, version=0).columns == ["id"]
+
+    # the recorded table schema marks the added column nullable even though
+    # the writer's column was not (old files read as NULL there)
+    import json as _json
+
+    assert '"score"' in t._read_manifest(v1)["schema"]
+
+    # destructive changes stay forbidden
+    with pytest.raises(ValueError, match="ADD columns"):
+        t.append(
+            spark.range(2).select(F.col("id").cast("int").alias("id")),
+            allow_evolution=True,
+        )
