@@ -29,6 +29,7 @@ from . import (
     relational2,
     relational3,
     relational4,
+    relational5,
     streaming_ops,
 )
 
@@ -38,6 +39,7 @@ _MODULES = [
     relational2,
     relational3,
     relational4,
+    relational5,
     python_surface,
     pipeline,
     streaming_ops,
@@ -106,6 +108,13 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "sample_stratified",
     "token_histogram",
     "pipeline_corpus_report",
+    # new this session (complete the 22-query TPC-H dial-tone):
+    "tpch_q5_local_volume",
+    "tpch_q9_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_cnt",
+    "tpch_q21_waiting",
+    "tpch_q22_global_sales",
 )
 
 

@@ -1,0 +1,402 @@
+"""Fifth relational workload: the six TPC-H shapes that complete the full
+22-query dial-tone — Q5, Q9, Q11, Q16, Q21, Q22.
+
+The testdata has no partsupp table and no commit/receipt dates, phone or
+comment columns, so the classic forms are adapted the same way Q2/Q20 were
+(relational3.py): partsupp is derived from lineitem's (partkey, suppkey)
+pairs, "late" is shipped >90 days after the order date, "complaints" are
+negative supplier balances, and country codes are nation keys. Every shape
+keeps its signature plan feature: Q5's cross-dimension equality
+(customer nation == supplier nation), Q9's profit expression over a
+multi-dim join tree, Q11's HAVING against a scalar subquery, Q16's
+count-distinct with an anti-joined exclusion list, Q21's EXISTS /
+NOT EXISTS pair on a self-joined fact, Q22's scalar-average filter with an
+anti join. All money math routes through DECIMAL so both engines hash
+identically (see workloads/__init__ authoring rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _rev() -> F.Column:
+    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+
+
+def q_tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue per nation from orders
+    where the customer and the lineitem's supplier share a nation inside
+    one region and year. The nation/region dims and supplier broadcast;
+    the only wide shuffle is lineitem⨝orders on orderkey — the
+    customer-nation == supplier-nation equality rides the join condition,
+    never a post-join filter over a wider intermediate."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+
+    nat_in_region = (
+        nation.join(
+            F.broadcast(region.where(F.col("r_name") == "EUROPE")),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .select("n_nationkey", "n_name")
+    )
+    cust = customer.join(
+        F.broadcast(nat_in_region),
+        customer.c_nationkey == nat_in_region.n_nationkey,
+    ).select("c_custkey", "c_nationkey")
+    ord_f = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    supp = supplier.select("s_suppkey", "s_nationkey")
+    j = (
+        li.join(ord_f, li.l_orderkey == ord_f.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (F.col("c_nationkey") == supp.s_nationkey),
+        )
+        .join(
+            F.broadcast(nat_in_region),
+            F.col("s_nationkey") == nat_in_region.n_nationkey,
+        )
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+def q_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit): profit per supplier nation and
+    order year over parts whose name contains a word. Supply cost is
+    adapted to p_retailprice·quantity/10 (no partsupp table); the profit
+    expression is computed per row in doubles (deterministic — no
+    accumulation) and summed through DECIMAL. part/supplier/nation
+    broadcast; facts shuffle once on orderkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part")
+
+    bolt_parts = part.where(F.col("p_name").like("%bolt%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp_nat = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "n_name")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") / 10
+    ).cast("decimal(18,4)")
+    j = (
+        li.join(F.broadcast(bolt_parts), li.l_partkey == bolt_parts.p_partkey)
+        .join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock): per-part "inventory value" held by one
+    nation's suppliers, keeping parts whose value exceeds twice the mean
+    per-part value — HAVING against a scalar subquery. partsupp is derived
+    from lineitem (value = Σ extendedprice per part×supplier); the global
+    (total, count) pair is a one-row broadcast; the threshold compare is
+    decimal-exact (value·n > 2·total, no fractional rounding). A mean-
+    relative cutoff, unlike TPC-H's literal 0.0001 fraction, stays
+    non-degenerate at every scale factor."""
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+
+    nat_supp = supplier.join(
+        F.broadcast(nation.where(F.col("n_name") == "NATION_1")),
+        supplier.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey")
+    value = F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+    per_part = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == nat_supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(value.alias("_value"))
+    )
+    total = per_part.agg(
+        F.sum("_value").alias("_total"), F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("_value") * F.col("_n") > F.col("_total") * 2)
+        .select("l_partkey", F.col("_value").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), F.col("l_partkey").asc())
+    )
+
+
+def q_tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): distinct supplier count per
+    (brand, type, size) bucket, excluding one brand, a size list, and
+    suppliers on a complaints list (adapted: negative account balance).
+    The exclusion is a broadcast anti join BEFORE the distinct-count
+    shuffle; the supplier pair set is derived from lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+
+    qual_parts = part.where(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    complaints = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(
+            F.broadcast(complaints),
+            F.col("l_suppkey") == complaints.s_suppkey,
+            "left_anti",
+        )
+    )
+    return (
+        pairs.join(F.broadcast(qual_parts), pairs.l_partkey == qual_parts.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+    )
+
+
+def q_tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): for finalized orders,
+    lines from one nation's suppliers that shipped late (adapted: >90 days
+    after the order date) where ANOTHER supplier is on the order (EXISTS)
+    but NO other supplier was late (NOT EXISTS) — the only-guilty-party
+    query. Both correlated subqueries become self-joins of the same
+    orderkey-keyed base: a left-semi for EXISTS, a left-anti for NOT
+    EXISTS, so the whole query is one shuffle family on orderkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+
+    base = li.join(
+        orders.where(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_orderdate"
+        ),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).alias("late"),
+    )
+    nat_supp = supplier.join(
+        F.broadcast(nation.where(F.col("n_name") == "NATION_1")),
+        supplier.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey", "s_name")
+    l1 = base.where(F.col("late")).join(
+        F.broadcast(nat_supp), F.col("l_suppkey") == nat_supp.s_suppkey
+    )
+    others = base.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp"),
+        "late",
+    )
+    l1 = l1.join(
+        others,
+        (l1.l_orderkey == others.o_key) & (l1.l_suppkey != others.o_supp),
+        "left_semi",
+    )
+    l1 = l1.join(
+        others.where(F.col("late")),
+        (l1.l_orderkey == others.o_key) & (l1.l_suppkey != others.o_supp),
+        "left_anti",
+    )
+    return (
+        l1.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+def q_tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): customers from a country-code
+    list (adapted: nation keys) with above-average positive balances and NO
+    recent orders (the generator gives every customer at least one order,
+    so "no orders ever" is degenerate here — the dormancy cutoff keeps the
+    anti-join meaningful at every scale). The average is a one-row
+    broadcast (decimal sum / exact count, so both engines derive the
+    identical double); the dormancy test is a left-anti join against the
+    date-filtered orders fact — the scalable NOT EXISTS, with the filter
+    pushed below the join."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+
+    codes = [1, 3, 5, 7, 9, 11, 13]
+    pool = customer.where(F.col("c_nationkey").isin(*codes))
+    avg_bal = pool.where(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_avg")
+    )
+    rich = pool.join(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("_avg"))
+    no_orders = rich.join(
+        orders.where(F.col("o_orderdate") >= F.lit("1999-01-01")).select(
+            "o_custkey"
+        ),
+        rich.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    return (
+        no_orders.groupBy(F.col("c_nationkey").cast("bigint").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+QUERIES = {
+    "tpch_q5_local_volume": q_tpch_q5_local_volume,
+    "tpch_q9_profit": q_tpch_q9_profit,
+    "tpch_q11_important_stock": q_tpch_q11_important_stock,
+    "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
+    "tpch_q21_waiting": q_tpch_q21_waiting,
+    "tpch_q22_global_sales": q_tpch_q22_global_sales,
+}
+
+ORACLES = {
+    "tpch_q5_local_volume": """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name ASC
+    """,
+    "tpch_q9_profit": """
+        SELECT n_name AS nation,
+               CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             - p_retailprice * l_quantity / 10
+                        AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%bolt%'
+        GROUP BY 1, 2
+        ORDER BY nation ASC, o_year DESC
+    """,
+    "tpch_q11_important_stock": """
+        WITH pp AS (
+            SELECT l_partkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_1'
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey, CAST(value AS DOUBLE) AS value
+        FROM pp
+        WHERE value * (SELECT COUNT(*) FROM pp) > (SELECT SUM(value) FROM pp) * 2
+        ORDER BY value DESC, l_partkey ASC
+    """,
+    "tpch_q16_supplier_cnt": """
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+    """,
+    "tpch_q21_waiting": """
+        WITH base AS (
+            SELECT l_orderkey, l_suppkey,
+                   l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+        )
+        SELECT s_name, COUNT(*) AS numwait
+        FROM base l1
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_1' AND l1.late
+          AND EXISTS (
+              SELECT 1 FROM base l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+              SELECT 1 FROM base l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 100
+    """,
+    "tpch_q22_global_sales": """
+        WITH pool AS (
+            SELECT * FROM customer
+            WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+        ),
+        avg_bal AS (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) AS a
+            FROM pool WHERE c_acctbal > 0
+        )
+        SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+               COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM pool, avg_bal
+        WHERE c_acctbal > a
+          AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        GROUP BY 1
+        ORDER BY 1
+    """,
+}
