@@ -115,6 +115,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "tpch_q16_supplier_cnt",
     "tpch_q21_waiting",
     "tpch_q22_global_sales",
+    "sketch_heavy_hitters",
 )
 
 

@@ -310,6 +310,47 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters over document bigrams (operators/sketches):
+    frequent-n-gram mining — the boilerplate/template detector of a
+    training-data pipeline — done sketch-first. The d×w counter matrix is
+    one grouped aggregation (cardinality ≤ d·w however large the corpus),
+    heavy hitters (support > 1/1000 — the corpus is near-uniform synthetic text, so the threshold sits where real items cross it at every SF) come from the exact two-phase count, and
+    each hitter's CMS point estimate rides a broadcast probe join.
+
+    Everything — hashes, counters, estimates, the never-under and
+    within-2n/w error-bound booleans — is deterministic md5-family math,
+    so the full sketch behavior hash-checks against DuckDB, not just a
+    rows-only smoke (the agg_approx_sketches pattern applied to a real
+    sketch data structure)."""
+    from ..operators import sketches
+
+    docs = _documents(spark, sf_dir)
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    items = docs.select(F.explode(grams).alias("item")).cache()
+    hh = sketches.heavy_hitters_exact(items, "item", support_denom=1000)
+    sk = sketches.cms_build(items, "item", depth=3, width=256)
+    est = sketches.cms_estimate(hh, sk, "item", depth=3, width=256)
+    return est.select(
+        "item",
+        "exact_cnt",
+        "n_total",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("over_est"),
+        (F.col("cms_est") >= F.col("exact_cnt")).alias("never_under"),
+        (
+            (F.col("cms_est") - F.col("exact_cnt")) * 256 <= F.col("n_total") * 2
+        ).alias("within_bound"),
+    ).orderBy(F.col("exact_cnt").desc(), F.col("item").asc())
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-container media (BMP/WAV bytes + fake MP4) → mapInPandas decode
     that PARSES the actual container headers → per-kind rollup.
@@ -356,6 +397,7 @@ QUERIES = {
     "dedup_clusters_star": q_dedup_clusters_star,
     "pipeline_curate": q_pipeline_curate,
     "pipeline_corpus_report": q_pipeline_corpus_report,
+    "sketch_heavy_hitters": q_sketch_heavy_hitters,
     "multimodal_decode": q_multimodal_decode,
 }
 
@@ -844,4 +886,52 @@ ORACLES["text_winnow"] = f"""
            CAST(len(fps) AS BIGINT) AS n_winnow_fps,
            array_to_string(fps, ',') AS winnow_fps
     FROM fp ORDER BY doc_id
+"""
+
+# Count-min sketch: the full d×w counter matrix, point estimates, and error
+# bounds recomputed in SQL with the same md5 hash family (d=3, w=256,
+# support > 1/1000 must match q_sketch_heavy_hitters).
+ORACLES["sketch_heavy_hitters"] = r"""
+    WITH grams AS (
+        SELECT unnest(list_transform(
+            generate_series(1,
+                greatest(len(string_split_regex(trim(text), '\s+')) - 1, 0)),
+            i -> array_to_string(
+                (string_split_regex(trim(text), '\s+'))[i:i+1], ' ')
+        )) AS item
+        FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM grams),
+    exact AS (SELECT item, COUNT(*) AS exact_cnt FROM grams GROUP BY item),
+    hh AS (
+        SELECT item, exact_cnt, n_total
+        FROM exact, tot WHERE exact_cnt * 1000 > n_total
+    ),
+    entries AS (
+        SELECT r,
+               CAST(concat('0x', substr(md5(concat(r, ':', item)), 1, 15))
+                    AS BIGINT) % 256 AS bucket
+        FROM grams, generate_series(0, 2) AS t(r)
+    ),
+    sketch AS (
+        SELECT r, bucket, COUNT(*) AS cnt FROM entries GROUP BY r, bucket
+    ),
+    probes AS (
+        SELECT hh.item, hh.exact_cnt, hh.n_total, r,
+               CAST(concat('0x', substr(md5(concat(r, ':', hh.item)), 1, 15))
+                    AS BIGINT) % 256 AS bucket
+        FROM hh, generate_series(0, 2) AS t(r)
+    ),
+    est AS (
+        SELECT p.item, p.exact_cnt, p.n_total, MIN(s.cnt) AS cms_est
+        FROM probes p
+        JOIN sketch s ON p.r = s.r AND p.bucket = s.bucket
+        GROUP BY 1, 2, 3
+    )
+    SELECT item, exact_cnt, n_total, cms_est,
+           cms_est - exact_cnt AS over_est,
+           cms_est >= exact_cnt AS never_under,
+           (cms_est - exact_cnt) * 256 <= n_total * 2 AS within_bound
+    FROM est
+    ORDER BY exact_cnt DESC, item ASC
 """

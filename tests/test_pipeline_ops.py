@@ -400,3 +400,39 @@ def test_winnowing_guarantees(spark):
     assert fps[5] == set() and rows[5]["n_winnow_fps"] == 0
     # density sanity: fewer fingerprints than shingles
     assert 0 < rows[1]["n_winnow_fps"] <= len(rows[1]["text"].split()) - 3
+
+
+def test_cms_sketch_bounds(spark):
+    """CMS estimates never underestimate; a collision-free sketch is exact;
+    the counter matrix never exceeds depth*width rows however many items."""
+    from pyspark.sql import functions as F
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import (
+        sketches,
+    )
+
+    # 40 distinct items with known skewed counts: item_i appears i+1 times
+    rows = [(f"tok{i}",) for i in range(40) for _ in range(i + 1)]
+    items = spark.createDataFrame(rows, "item string")
+    exact = {f"tok{i}": i + 1 for i in range(40)}
+
+    sk = sketches.cms_build(items, "item", depth=3, width=1024)
+    assert sk.count() <= 3 * 1024
+    # every counter row is a partial sum of real occurrences
+    total = sum(exact.values())
+    per_row = sk.groupBy("row").agg(F.sum("cnt").alias("s")).collect()
+    assert all(r["s"] == total for r in per_row)
+
+    queries = items.distinct()
+    est = sketches.cms_estimate(queries, sk, "item", depth=3, width=1024).collect()
+    assert len(est) == 40
+    for r in est:
+        assert r["cms_est"] >= exact[r["item"]]  # never under
+    # width 1024 >> 40 items: overwhelmingly collision-free -> exact
+    n_exact = sum(1 for r in est if r["cms_est"] == exact[r["item"]])
+    assert n_exact >= 38
+
+    hh = sketches.heavy_hitters_exact(items, "item", support_denom=25).collect()
+    # threshold: cnt * 25 > 820  ->  cnt >= 33  ->  tok32..tok39
+    assert sorted(r["item"] for r in hh) == [f"tok{i}" for i in range(32, 40)]
+    assert all(r["exact_cnt"] == exact[r["item"]] for r in hh)
