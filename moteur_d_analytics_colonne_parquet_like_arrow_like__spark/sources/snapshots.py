@@ -177,6 +177,80 @@ class SnapshotTable:
         files = self._write_parts(df, tag)
         return self._commit(files, self._read_manifest(parent)["schema"], parent)
 
+    def merge(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        keys: list[str],
+        delete_col: str | None = None,
+    ) -> int:
+        """Copy-on-write MERGE (the lakehouse upsert): source rows replace
+        target rows with the same key, unmatched source rows are inserted,
+        and rows whose source row has ``delete_col`` true are removed.
+
+        Only data files that actually CONTAIN a matched key are rewritten;
+        every untouched file carries over into the new manifest by
+        reference — at 100 TB a merge touching 0.1% of keys rewrites
+        ~0.1% of files, not the table. The touched-file discovery is a
+        semi join on ``input_file_name()`` (one pass over the target,
+        filter-pushed on nothing but cheap: only key columns + the file
+        name are read); the rewrite is a left-anti + union of the touched
+        rows. Time travel is preserved: the parent version still reads its
+        original files.
+
+        Contract: ``source`` must be unique per key (the classic MERGE
+        precondition — enforced here with a cheap count check so ambiguous
+        merges fail loudly instead of nondeterministically).
+        """
+        from pyspark.sql import functions as F
+
+        parent = self.latest_version()
+        if parent is None:
+            raise FileNotFoundError(f"nothing to merge into at {self.path}")
+        m = self._read_manifest(parent)
+
+        dup = (
+            source.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError("merge source has duplicate keys")
+
+        cur = self.read(spark, parent).withColumn("__file", F.input_file_name())
+        src_keys = source.select(*keys).distinct()
+        touched_uris = {
+            r["__file"]
+            for r in cur.join(src_keys, keys, "left_semi")
+            .select("__file")
+            .distinct()
+            .collect()
+        }
+        # manifest-relative names of the touched files
+        touched_rel = [
+            f
+            for f in m["files"]
+            if any(uri.endswith(f) for uri in touched_uris)
+        ]
+        untouched = [f for f in m["files"] if f not in touched_rel]
+
+        data_cols = [c for c in cur.columns if c != "__file"]
+        if delete_col is not None:
+            upserts = source.where(~F.col(delete_col)).select(*data_cols)
+        else:
+            upserts = source.select(*data_cols)
+        touched_rows = cur.where(
+            F.col("__file").isin(*touched_uris) if touched_uris else F.lit(False)
+        ).drop("__file")
+        merged = touched_rows.join(source.select(*keys), keys, "left_anti").select(
+            *data_cols
+        ).unionByName(upserts)
+
+        tag = f"merge{parent + 1}_{os.getpid()}"
+        files = self._write_parts(merged, tag)
+        return self._commit(untouched + files, m["schema"], parent)
+
     def vacuum(self, keep_versions: int = 1) -> dict:
         """Retention: drop all but the newest ``keep_versions`` manifests,
         then delete data files no surviving manifest references. This is

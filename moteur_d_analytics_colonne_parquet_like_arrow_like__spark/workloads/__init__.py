@@ -116,6 +116,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "tpch_q21_waiting",
     "tpch_q22_global_sales",
     "sketch_heavy_hitters",
+    "table_merge",
 )
 
 

@@ -400,3 +400,68 @@ ORACLES = {
         ORDER BY 1
     """,
 }
+
+
+def q_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE on the snapshot-table layer: a base version from
+    one orders slice, then one merge that updates every even key (priority
+    -> 'MERGED', cents+1), deletes keys divisible by 12, and inserts the
+    even keys the base never had. The oracle recomputes the exact post-
+    merge state from orders algebraically — update, delete, AND insert
+    semantics (plus the cents fixed-point math) are all value-checked.
+    Only data files containing a matched key are rewritten (see
+    SnapshotTable.merge); money rides integer cents so every engine sums
+    exactly."""
+    import hashlib
+    import shutil
+
+    from ..sources.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    path = f"/tmp/mergetbl_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    t = SnapshotTable(path)
+    if t.latest_version() != 1:
+        shutil.rmtree(path, ignore_errors=True)
+        t.append(base.where(F.col("k") % 3 == 0).repartition(8))
+        source = base.where(F.col("k") % 2 == 0).select(
+            "k",
+            F.lit("MERGED").alias("pri"),
+            (F.col("cents") + 1).alias("cents"),
+            (F.col("k") % 12 == 0).alias("is_del"),
+        )
+        t.merge(spark, source, keys=["k"], delete_col="is_del")
+    return (
+        t.read(spark)
+        .groupBy("pri")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .orderBy("pri")
+    )
+
+
+QUERIES["table_merge"] = q_table_merge
+
+ORACLES["table_merge"] = """
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderpriority AS pri,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM orders
+    ),
+    final AS (
+        SELECT k, pri, cents FROM base WHERE k % 3 = 0 AND k % 2 <> 0
+        UNION ALL
+        SELECT k, 'MERGED' AS pri, cents + 1 AS cents
+        FROM base WHERE k % 2 = 0 AND k % 12 <> 0
+    )
+    SELECT pri, COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM final GROUP BY pri ORDER BY pri
+"""

@@ -105,3 +105,59 @@ def test_schema_evolution_add_column(spark, tmp_path):
             spark.range(2).select(F.col("id").cast("int").alias("id")),
             allow_evolution=True,
         )
+
+
+def test_merge_copy_on_write(spark, tmp_path):
+    """MERGE rewrites ONLY files containing matched keys; untouched files
+    carry into the new manifest by reference; deletes and inserts apply;
+    the parent version still reads its pre-merge content."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    # two appends -> two separate data files with disjoint key ranges
+    t.append(
+        spark.range(0, 10)
+        .select(F.col("id"), (F.col("id") * 10).alias("v"))
+        .coalesce(1)
+    )
+    t.append(
+        spark.range(10, 20)
+        .select(F.col("id"), (F.col("id") * 10).alias("v"))
+        .coalesce(1)
+    )
+    files_before = t._read_manifest(1)["files"]
+
+    # source touches only keys 0..4 (first file), deletes key 3,
+    # inserts new key 100
+    src = spark.createDataFrame(
+        [(0, 999, False), (3, 0, True), (4, 444, False), (100, 1000, False)],
+        "id long, v long, is_del boolean",
+    )
+    v2 = t.merge(spark, src, keys=["id"], delete_col="is_del")
+    assert v2 == 2
+    files_after = t._read_manifest(2)["files"]
+
+    # the second append's file(s) must survive by reference
+    second_commit_files = [f for f in files_before if "/c1_" in f or "c1_" in f]
+    assert second_commit_files
+    assert all(f in files_after for f in second_commit_files)
+    # the first file was rewritten: its name must NOT appear in v2
+    first_commit_files = [f for f in files_before if "c0_" in f]
+    assert all(f not in files_after for f in first_commit_files)
+
+    got = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    expect = {i: i * 10 for i in range(20)}
+    expect[0] = 999
+    expect[4] = 444
+    del expect[3]
+    expect[100] = 1000
+    assert got == expect
+    # time travel: parent still reads pre-merge rows
+    old = {r["id"]: r["v"] for r in t.read(spark, version=1).collect()}
+    assert old == {i: i * 10 for i in range(20)}
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(spark.range(0, 5).select(F.col("id"), F.col("id").alias("v")))
+    src = spark.createDataFrame([(1, 7), (1, 8)], "id long, v long")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        t.merge(spark, src, keys=["id"])
