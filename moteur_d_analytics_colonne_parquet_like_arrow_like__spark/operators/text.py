@@ -225,3 +225,69 @@ def doc_fingerprints(df: DataFrame, text_col: str, shingle_k: int = 4) -> DataFr
         F.array_min(sh_hashes).alias("fp_min_shingle"),
         F.array_max(sh_hashes).alias("fp_max_shingle"),
     )
+
+
+def repetition_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, "Scaling Language
+    Models: ... Gopher", §A1.1 repetition rules): the fraction of content
+    made of repeated words / bigrams. High values mark boilerplate,
+    keyboard-mash, and template spam — the standard cut before LLM
+    training.
+
+    Per-row array algebra only (no shuffle, no UDF): the within-document
+    mode count is max over distinct words of its occurrence count — an
+    O(distinct·len) JVM lambda over a ~10²-word array, the cheap-and-exact
+    form at document granularity. Emitted fractions are ratios of exact
+    integer counts (deterministic doubles, cross-engine stable):
+
+    - rep_dup_word_frac: 1 − distinct/total words (0 = no word repeats)
+    - rep_top_word_frac: most frequent word's share of all words
+    - rep_dup_bigram_frac: share of bigram slots whose bigram occurs >1×
+    - rep_top_bigram_frac: most frequent bigram's share of all bigrams
+    """
+    ws = words(text_col)
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def mode_count(arr: Column) -> Column:
+        return F.array_max(
+            F.transform(
+                F.array_distinct(arr),
+                lambda w: F.size(F.filter(arr, lambda x: x == w)),
+            )
+        )
+
+    def dup_occurrences(arr: Column) -> Column:
+        """Occurrence slots whose value appears more than once in arr."""
+        return F.size(
+            F.filter(arr, lambda x: F.size(F.filter(arr, lambda y: y == x)) > 1)
+        )
+
+    base = df.select(
+        "*",
+        ws.alias("__ws"),
+        bigrams.alias("__bg"),
+    )
+    w, b = F.col("__ws"), F.col("__bg")
+    nw, nb = F.size(w), F.size(b)
+    out = base.select(
+        *df.columns,
+        nw.cast("bigint").alias("rep_n_words"),
+        F.size(F.array_distinct(w)).cast("bigint").alias("rep_n_distinct_words"),
+        (
+            F.lit(1.0) - F.size(F.array_distinct(w)) / nw.cast("double")
+        ).alias("rep_dup_word_frac"),
+        (mode_count(w) / nw.cast("double")).alias("rep_top_word_frac"),
+        F.when(nb > 0, dup_occurrences(b) / nb.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("rep_dup_bigram_frac"),
+        F.when(nb > 0, mode_count(b) / nb.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("rep_top_bigram_frac"),
+    )
+    return out

@@ -117,6 +117,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "tpch_q22_global_sales",
     "sketch_heavy_hitters",
     "table_merge",
+    "text_repetition",
 )
 
 

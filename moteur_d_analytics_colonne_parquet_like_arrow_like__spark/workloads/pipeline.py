@@ -935,3 +935,63 @@ ORACLES["sketch_heavy_hitters"] = r"""
     FROM est
     ORDER BY exact_cnt DESC, item ASC
 """
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters on the gate (operators/text.
+    repetition_features): per-doc duplicate-word / top-word / bigram
+    repetition fractions — all ratios of exact integer counts, recomputed
+    in DuckDB with the same normalization, so the filter thresholds a real
+    curation run would apply are value-checked, not eyeballed."""
+    out = text.repetition_features(
+        _documents(spark, sf_dir).select("doc_id", "text"), "text"
+    )
+    return out.select(
+        "doc_id",
+        "rep_n_words",
+        "rep_n_distinct_words",
+        "rep_dup_word_frac",
+        "rep_top_word_frac",
+        "rep_dup_bigram_frac",
+        "rep_top_bigram_frac",
+    ).orderBy("doc_id")
+
+
+QUERIES["text_repetition"] = q_text_repetition
+
+# Repetition: same normalization (_NORM), same bigram construction, ratios
+# of exact integer counts. DuckDB nested list lambdas capture the outer
+# element, mirroring the Spark higher-order expressions.
+ORACLES["text_repetition"] = f"""
+    WITH w AS (
+        SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents
+    ),
+    b AS (
+        SELECT doc_id, ws,
+               list_transform(
+                   generate_series(1, greatest(len(ws) - 1, 0)),
+                   i -> array_to_string(ws[i:i+1], ' ')
+               ) AS bg
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS rep_n_words,
+           CAST(len(list_distinct(ws)) AS BIGINT) AS rep_n_distinct_words,
+           1.0 - len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE)
+               AS rep_dup_word_frac,
+           list_max(list_transform(list_distinct(ws),
+               w2 -> len(list_filter(ws, x -> x = w2))))
+               / CAST(len(ws) AS DOUBLE) AS rep_top_word_frac,
+           CASE WHEN len(bg) > 0 THEN
+               len(list_filter(bg,
+                   x -> len(list_filter(bg, y -> y = x)) > 1))
+               / CAST(len(bg) AS DOUBLE) ELSE 0.0 END
+               AS rep_dup_bigram_frac,
+           CASE WHEN len(bg) > 0 THEN
+               list_max(list_transform(list_distinct(bg),
+                   w2 -> len(list_filter(bg, x -> x = w2))))
+               / CAST(len(bg) AS DOUBLE) ELSE 0.0 END
+               AS rep_top_bigram_frac
+    FROM b
+    ORDER BY doc_id
+"""

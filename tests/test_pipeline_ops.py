@@ -436,3 +436,43 @@ def test_cms_sketch_bounds(spark):
     # threshold: cnt * 25 > 820  ->  cnt >= 33  ->  tok32..tok39
     assert sorted(r["item"] for r in hh) == [f"tok{i}" for i in range(32, 40)]
     assert all(r["exact_cnt"] == exact[r["item"]] for r in hh)
+
+
+def test_repetition_features_gopher(spark):
+    """Known-answer repetition fractions: pure repetition, no repetition,
+    and a mixed case, including the bigram rules."""
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import (
+        text as text_ops,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # total repetition
+            (2, "one two three four"),           # none
+            (3, "a b a b x"),                    # mixed; bigram 'a b' twice
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in text_ops.repetition_features(df, "text").collect()
+    }
+    r1 = got[1]
+    assert r1["rep_n_words"] == 4 and r1["rep_n_distinct_words"] == 1
+    assert r1["rep_dup_word_frac"] == 0.75
+    assert r1["rep_top_word_frac"] == 1.0
+    assert r1["rep_dup_bigram_frac"] == 1.0  # all 3 bigrams are 'spam spam'
+    assert r1["rep_top_bigram_frac"] == 1.0
+
+    r2 = got[2]
+    assert r2["rep_dup_word_frac"] == 0.0
+    assert r2["rep_top_word_frac"] == 0.25
+    assert r2["rep_dup_bigram_frac"] == 0.0
+
+    r3 = got[3]  # words: a b a b x -> 5 words, 3 distinct
+    assert r3["rep_n_words"] == 5 and r3["rep_n_distinct_words"] == 3
+    assert r3["rep_dup_word_frac"] == 1.0 - 3 / 5
+    assert r3["rep_top_word_frac"] == 2 / 5
+    # bigrams: 'a b','b a','a b','b x' -> 'a b' twice of 4 slots
+    assert r3["rep_dup_bigram_frac"] == 0.5
+    assert r3["rep_top_bigram_frac"] == 0.5
