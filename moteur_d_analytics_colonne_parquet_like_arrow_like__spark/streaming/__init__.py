@@ -346,3 +346,82 @@ def stateful_user_running_stats(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def stateful_per_type_counts_tws(stream: DataFrame) -> DataFrame:
+    """Per-user, per-event-type running counts via Spark 4's
+    ``transformWithStateInPandas`` — the successor API to
+    ``applyInPandasWithState`` (SPARK-49564): typed state primitives
+    (value/list/map state), timers, TTL, and initial-state bootstrap,
+    instead of one opaque state tuple. Here the per-type counters live in
+    a MapState keyed by event_type; each micro-batch emits the updated
+    (user, type) pairs.
+
+    ENVIRONMENT GATE: the transformWithState Python worker speaks the
+    state-server protocol over protobuf, so this operator needs
+    ``google.protobuf`` at runtime (not installable in this container —
+    verified: the JVM reports "TransformWithStateInPySpark driver worker
+    exited unexpectedly" when the import fails) plus the RocksDB state
+    store provider, which ships with Spark. On a real cluster both are
+    present; tests skip without protobuf. The applyInPandasWithState twin
+    (``stateful_user_running_stats``) carries the oracle-checked gate
+    coverage meanwhile.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas requires google.protobuf for the "
+            "state-server protocol; install protobuf or use "
+            "stateful_user_running_stats (applyInPandasWithState) instead"
+        ) from e
+
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("event_type", T.StringType(), False),
+            T.StructField("n_events", T.LongType(), False),
+        ]
+    )
+
+    class PerTypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.counts = handle.getMapState(
+                "counts", "event_type string", "n bigint"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            uid = key[0]
+            touched: dict[str, int] = {}
+            for pdf in rows:
+                for et, c in pdf.groupby("event_type").size().items():
+                    cur = self.counts.getValue((et,))
+                    n = (cur[0] if cur else 0) + int(c)
+                    self.counts.updateValue((et,), (n,))
+                    touched[et] = n
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid] * len(touched),
+                    "event_type": list(touched.keys()),
+                    "n_events": list(touched.values()),
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    spark = stream.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=PerTypeCounts(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -206,3 +206,35 @@ def test_bucketed_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     # and the new value won
     got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
     assert got[7] == 2 and got[0] == 1
+
+
+def test_transform_with_state_gate(spark, sf_dir):
+    """transformWithStateInPandas surface: runs end-to-end where protobuf
+    exists (matching the batch GROUP BY), raises the documented ImportError
+    where it does not (this container)."""
+    import pytest
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark import (
+        streaming as S,
+    )
+
+    stream = S.events_stream(spark, sf_dir)
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="protobuf"):
+            S.stateful_per_type_counts_tws(stream)
+        return
+
+    out = S.stateful_per_type_counts_tws(stream)
+    res = S.run_to_memory(out, output_mode="update", shuffle_partitions=8)
+    from pyspark.sql import functions as F
+
+    expect = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    got = {(r["user_id"], r["event_type"]): r["n_events"] for r in res.collect()}
+    for r in expect.collect():
+        assert got[(r["user_id"], r["event_type"])] == r["n_events"]
