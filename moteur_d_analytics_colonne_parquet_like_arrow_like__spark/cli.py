@@ -121,6 +121,37 @@ def _cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_sql(args: argparse.Namespace) -> int:
+    """Run an arbitrary SQL statement with the catalog tables of a data
+    directory registered as temp views (plus any ``--table name=path``
+    extras) — the full declarative surface next to the flag-based
+    ``query`` verb. Catalyst gets the whole statement, so pushdown /
+    pruning / join planning apply exactly as in the library API."""
+    from .sources.catalog import TABLES, load_table, table_path
+
+    spark = get_spark("moteur_cli_sql")
+    import os
+
+    if args.data_dir:
+        for t in TABLES:
+            if os.path.exists(table_path(args.data_dir, t)):
+                load_table(spark, args.data_dir, t).createOrReplaceTempView(t)
+    for spec in args.table or []:
+        name, _, path = spec.partition("=")
+        if not path:
+            raise ValueError(f"--table expects name=path, got {spec!r}")
+        if path.endswith(".col"):
+            colfile.read_col(spark, path).createOrReplaceTempView(name)
+        else:
+            spark.read.parquet(path).createOrReplaceTempView(name)
+    df = spark.sql(args.statement)
+    if args.explain:
+        _print_plan_diagnostics(df)
+        return 0
+    df.show(args.limit, truncate=False)
+    return 0
+
+
 def _print_plan_diagnostics(df) -> None:
     """EXPLAIN with the diagnostics the reference surfaces implicitly
     (what got pushed down, which columns are read) plus the plan itself."""
@@ -162,13 +193,39 @@ def build_parser() -> argparse.ArgumentParser:
         "instead of executing",
     )
     q.set_defaults(fn=_cmd_query)
+
+    sq = sub.add_parser(
+        "sql", help="run a SQL statement over registered table views"
+    )
+    sq.add_argument("statement")
+    sq.add_argument(
+        "--data-dir",
+        default=None,
+        help="register every known catalog table found here as a view",
+    )
+    sq.add_argument(
+        "--table",
+        action="append",
+        metavar="NAME=PATH",
+        help="register an extra parquet/.col file as a view (repeatable)",
+    )
+    sq.add_argument("--limit", type=int, default=20)
+    sq.add_argument("--explain", action="store_true")
+    sq.set_defaults(fn=_cmd_sql)
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
+    from pyspark.errors import AnalysisException, ParseException
+
     args = build_parser().parse_args(argv)
     try:
         return args.fn(args)
+    except (ParseException, AnalysisException) as e:
+        # SQL errors (syntax, unknown view/column) print the engine's
+        # one-line message, not a JVM traceback.
+        print(f"error: {e.getMessage().strip().splitlines()[0]}", file=sys.stderr)
+        return 1
     except (ValueError, KeyError, TypeError, FileNotFoundError) as e:
         # User-facing errors (bad op token, unknown column, illegal encoding)
         # print cleanly, matching the reference CLI's stderr+exit-1 behavior

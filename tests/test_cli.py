@@ -95,3 +95,40 @@ def test_query_explain_shows_pushdown(tmp_path, capsys):
     assert "GreaterThan(value,500)" in captured
     assert "id:bigint,value:bigint" in captured
     assert "Physical Plan" in captured
+
+
+def test_sql_verb(written, capsys):
+    rc = cli.main(
+        [
+            "sql",
+            "SELECT region, count(*) AS n FROM t GROUP BY region ORDER BY region",
+            "--table",
+            f"t={written}",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    for region in ("east", "north", "south", "west"):
+        assert region in out
+
+
+def test_sql_verb_data_dir(capsys):
+    rc = cli.main(
+        [
+            "sql",
+            "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
+            "--data-dir",
+            "/root/testdata/sf0.001",
+        ]
+    )
+    assert rc == 0
+    assert "6000" in capsys.readouterr().out
+
+
+def test_sql_verb_errors(written, capsys):
+    assert cli.main(["sql", "SELECT * FROM missing_view"]) == 1
+    assert "error:" in capsys.readouterr().err
+    assert cli.main(["sql", "SELEC nope"]) == 1
+    assert "error:" in capsys.readouterr().err
+    assert cli.main(["sql", "SELECT 1", "--table", "bad-spec"]) == 1
+    assert "name=path" in capsys.readouterr().err
