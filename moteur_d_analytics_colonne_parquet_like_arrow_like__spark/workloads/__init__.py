@@ -118,6 +118,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "sketch_heavy_hitters",
     "table_merge",
     "text_repetition",
+    "incremental_hll",
 )
 
 

@@ -465,3 +465,72 @@ ORACLES["table_merge"] = """
     SELECT pri, COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS total_cents
     FROM final GROUP BY pri ORDER BY pri
 """
+
+
+def q_incremental_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch materialized view: per-group DataSketches HLL
+    sketches of one lineitem slice are persisted as BINARY columns, then
+    UNIONED (hll_union_agg) with a fresh slice's sketches instead of
+    rescanning history — the incremental-distinct-count pattern that keeps
+    100 TB backfills out of nightly jobs (the sketch twin of
+    incremental_agg's count/sum partials).
+
+    HLL estimates are engine-specific, so the gate emits the EXACT
+    distinct count (computed exactly over the union) plus a within-5%%
+    boolean on the merged-sketch estimate (standard error at default
+    lgK=12 is ~1.6%%, so the boolean is stably true) — the
+    agg_approx_sketches pattern applied to a persisted, mergeable sketch.
+    """
+    import hashlib
+    import os
+
+    li = _t(spark, sf_dir, "lineitem")
+
+    def sketch(flag: str) -> DataFrame:
+        return (
+            li.where(F.col("l_returnflag") == flag)
+            .groupBy("l_linestatus")
+            .agg(F.hll_sketch_agg("l_partkey").alias("hll"))
+        )
+
+    base_path = f"/tmp/incr_hll_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    if not os.path.exists(os.path.join(base_path, "_SUCCESS")):
+        sketch("A").write.mode("overwrite").parquet(base_path)  # history
+    merged = (
+        spark.read.parquet(base_path)
+        .unionByName(sketch("R"))  # the new increment
+        .groupBy("l_linestatus")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("_est")
+        )
+    )
+    exact = (
+        li.where(F.col("l_returnflag").isin("A", "R"))
+        .groupBy("l_linestatus")
+        .agg(F.countDistinct("l_partkey").alias("exact_distinct"))
+    )
+    return (
+        exact.join(merged, "l_linestatus")
+        .select(
+            "l_linestatus",
+            "exact_distinct",
+            (
+                F.abs(F.col("_est") - F.col("exact_distinct"))
+                <= 0.05 * F.col("exact_distinct")
+            ).alias("hll_within_5pct"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+QUERIES["incremental_hll"] = q_incremental_hll
+
+ORACLES["incremental_hll"] = """
+    SELECT l_linestatus,
+           COUNT(DISTINCT l_partkey) AS exact_distinct,
+           TRUE AS hll_within_5pct
+    FROM lineitem
+    WHERE l_returnflag IN ('A', 'R')
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+"""
