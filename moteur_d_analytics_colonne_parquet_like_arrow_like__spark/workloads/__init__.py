@@ -119,6 +119,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "table_merge",
     "text_repetition",
     "incremental_hll",
+    "unpivot_measures",
+    "constraint_report",
 )
 
 

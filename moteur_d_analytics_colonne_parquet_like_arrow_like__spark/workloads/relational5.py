@@ -534,3 +534,111 @@ ORACLES["incremental_hll"] = """
     GROUP BY l_linestatus
     ORDER BY l_linestatus
 """
+
+
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide per-returnflag measure table goes long —
+    one (flag, measure, value) row per cell, the inverse of
+    pivot_event_types. Spark's unpivot is a zero-shuffle projection
+    (each input row expands locally), so the only exchange is the
+    upstream aggregation's."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.sum(F.col("l_discount").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).orderBy("l_returnflag", "measure")
+
+
+QUERIES["unpivot_measures"] = q_unpivot_measures
+
+ORACLES["unpivot_measures"] = """
+    WITH wide AS (
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
+    ORDER BY l_returnflag, measure
+"""
+
+
+def q_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (operators/constraints): the nightly expectation
+    report over orders — null / range / accepted-values / regex rules in
+    ONE conditional-aggregate scan, plus a key-uniqueness pass and an
+    FK-integrity anti join against customer. The oracle recomputes every
+    violation count independently in SQL, so both zero and non-zero
+    counts are value-checked (the range and custkey-uniqueness rules are
+    chosen to have real violations)."""
+    from ..operators import constraints as C
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    rules = [
+        C.not_null("o_orderpriority"),
+        C.in_range("o_totalprice", 0, 100000),
+        C.accepted_values("o_orderstatus", ["O", "F"]),
+        C.matches("o_orderpriority", r"^[1-5]-"),
+        C.unique("o_orderkey"),
+        C.unique("o_custkey"),
+        C.references("o_custkey", customer, "c_custkey"),
+    ]
+    return C.check_constraints(orders, rules)
+
+
+QUERIES["constraint_report"] = q_constraint_report
+
+ORACLES["constraint_report"] = """
+    SELECT 'accepted_values(o_orderstatus)' AS rule,
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderstatus IS NOT NULL
+              AND o_orderstatus NOT IN ('O', 'F')) AS violations
+    UNION ALL
+    SELECT 'in_range(o_totalprice,0,100000)',
+           (SELECT COUNT(*) FROM orders
+            WHERE o_totalprice IS NOT NULL
+              AND o_totalprice NOT BETWEEN 0 AND 100000)
+    UNION ALL
+    SELECT 'matches(o_orderpriority)',
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderpriority IS NOT NULL
+              AND NOT regexp_matches(o_orderpriority, '^[1-5]-'))
+    UNION ALL
+    SELECT 'not_null(o_orderpriority)',
+           (SELECT COUNT(*) FROM orders WHERE o_orderpriority IS NULL)
+    UNION ALL
+    SELECT 'references(o_custkey)',
+           (SELECT COUNT(*) FROM orders
+            WHERE o_custkey IS NOT NULL
+              AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+    UNION ALL
+    SELECT 'unique(o_custkey)',
+           (SELECT COALESCE(SUM(n), 0) FROM (
+                SELECT COUNT(*) AS n FROM orders GROUP BY o_custkey
+            ) t WHERE n > 1)
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           (SELECT COALESCE(SUM(n), 0) FROM (
+                SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey
+            ) t WHERE n > 1)
+    ORDER BY rule
+"""

@@ -159,3 +159,43 @@ def test_salted_join_rejects_right_preserving(spark):
     right = spark.createDataFrame([(1, "x")], "k long, tag string")
     with pytest.raises(ValueError, match="left-preserving"):
         joins.salted_join(left, right, "k", how="full")
+
+
+def test_constraint_checks(spark):
+    """Known-answer violation counts for every rule kind, incl. NULL
+    handling (NULLs never count against range/values/regex rules)."""
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import (
+        constraints as C,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "ok", "A"),
+            (2, -5, "ok", "B"),      # range violation
+            (2, 500, None, "C"),     # dup key; null status
+            (3, 50, "bad!", "Z"),    # regex + accepted_values violation
+            (4, None, "ok", "A"),    # null v: not a range violation
+        ],
+        "id long, v long, status string, code string",
+    )
+    dim = spark.createDataFrame([("A",), ("B",), ("C",)], "code string")
+    rules = [
+        C.not_null("status"),
+        C.in_range("v", 0, 100),
+        C.accepted_values("code", ["A", "B", "C"]),
+        C.matches("status", r"^[a-z]+$"),
+        C.unique("id"),
+        C.references("code", dim, "code"),
+    ]
+    got = {
+        r["rule"]: r["violations"]
+        for r in C.check_constraints(df, rules).collect()
+    }
+    assert got == {
+        "not_null(status)": 1,
+        "in_range(v,0,100)": 2,      # -5 and 500
+        "accepted_values(code)": 1,  # Z
+        "matches(status)": 1,        # 'bad!'
+        "unique(id)": 2,             # both id=2 rows
+        "references(code)": 1,       # Z missing from dim
+    }
