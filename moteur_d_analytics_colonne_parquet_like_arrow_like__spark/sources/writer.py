@@ -140,12 +140,54 @@ def write_zordered(
     bits: int = 16,
     num_files: int | None = None,
     mode: str = "overwrite",
+    normalize: bool = False,
 ) -> None:
     """Write clustered by the Morton key of ``zorder_cols`` (each must be a
     non-negative int column that fits ``bits`` bits). The multi-dim sibling
-    of write_sorted: predicates on ANY z-ordered column skip row groups."""
-    key = zorder_key(zorder_cols, bits).alias("__zkey")
-    tagged = df.withColumn("__zkey", key)
+    of write_sorted: predicates on ANY z-ordered column skip row groups.
+
+    ``normalize=True`` accepts arbitrary numeric/timestamp columns: each is
+    min/max-scaled into [0, 2^bits) buckets first (one tiny broadcast-joined
+    aggregate — Delta's OPTIMIZE ZORDER BY does the same with range ids).
+    Rank-free scaling means value skew degrades clustering gracefully
+    instead of requiring a global window pass at write time."""
+    from pyspark.sql import types as T
+
+    if normalize:
+        top = (1 << bits) - 1
+
+        def as_num(c: str) -> F.Column:
+            if isinstance(df.schema[c].dataType, T.TimestampType):
+                return F.col(c).cast("long").cast("double")
+            return F.col(c).cast("double")
+
+        stats = df.agg(
+            *[
+                e
+                for c in zorder_cols
+                for e in (
+                    F.min(as_num(c)).alias(f"__min_{c}"),
+                    F.max(as_num(c)).alias(f"__max_{c}"),
+                )
+            ]
+        )
+        tagged = df.join(F.broadcast(stats))
+        buckets = [
+            F.least(
+                F.lit(top),
+                F.floor(
+                    (as_num(c) - F.col(f"__min_{c}"))
+                    / (F.col(f"__max_{c}") - F.col(f"__min_{c}") + F.lit(1e-9))
+                    * (top + 1)
+                ),
+            ).cast("long")
+            for c in zorder_cols
+        ]
+        tagged = tagged.select(
+            *df.columns, zorder_key(buckets, bits).alias("__zkey")
+        )
+    else:
+        tagged = df.withColumn("__zkey", zorder_key(zorder_cols, bits))
     out = (
         tagged.repartitionByRange("__zkey")
         if num_files is None

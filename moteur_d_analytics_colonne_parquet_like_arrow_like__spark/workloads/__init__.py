@@ -121,6 +121,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "incremental_hll",
     "unpivot_measures",
     "constraint_report",
+    "events_zorder_pruned",
 )
 
 

@@ -642,3 +642,54 @@ ORACLES["constraint_report"] = """
             ) t WHERE n > 1)
     ORDER BY rule
 """
+
+
+def q_events_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional data skipping: events re-written Z-ORDERED on
+    (user_id, ts) via the normalized Morton key (written once per sf), so
+    row-group min/max stats stay tight on BOTH dimensions — a user-range
+    AND time-range scan prunes on each, where the single-sorted layout of
+    events_time_pruned only serves its leading column. The aggregate is
+    oracle-checked against the ORIGINAL unsorted events, proving the
+    relayout is content-preserving."""
+    import hashlib
+    import os
+
+    from ..sources.writer import write_zordered
+
+    events = _t(spark, sf_dir, "events")
+    path = f"/tmp/events_zorder_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_zordered(
+            events, path, ["user_id", "ts"], bits=12, num_files=8, normalize=True
+        )
+    z = spark.read.parquet(path)
+    lo, hi = "2024-01-02 00:00:00", "2024-01-04 00:00:00"
+    return (
+        z.where(
+            (F.col("user_id") % 4 == 1)
+            & (F.col("ts") >= F.lit(lo).cast("timestamp"))
+            & (F.col("ts") < F.lit(hi).cast("timestamp"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["events_zorder_pruned"] = q_events_zorder_pruned
+
+ORACLES["events_zorder_pruned"] = """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE user_id % 4 = 1
+      AND ts >= TIMESTAMP '2024-01-02 00:00:00'
+      AND ts < TIMESTAMP '2024-01-04 00:00:00'
+    GROUP BY user_id ORDER BY user_id
+"""

@@ -273,3 +273,45 @@ def test_utc_rendering_survives_foreign_timezone(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     assert shifted == baseline
+
+
+def test_zorder_normalize_raw_columns(spark, sf_dir, tmp_path):
+    """normalize=True z-orders raw numeric + timestamp columns (events
+    user_id × ts) with no pre-bucketing: both dimensions' row-group
+    coverage beats the ts-sorted layout's non-leading dimension, and
+    content is unchanged."""
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.catalog import (
+        load_table,
+    )
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.writer import (
+        write_sorted,
+        write_zordered,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    zp = str(tmp_path / "zev.parquet")
+    sp = str(tmp_path / "sev.parquet")
+    write_zordered(ev, zp, ["user_id", "ts"], bits=12, num_files=8, normalize=True)
+    write_sorted(ev, sp, ["ts"], num_files=8)
+
+    def coverage(path, col, point):
+        meta = scan_metadata(path)
+        total = hit = 0
+        for f in meta["files"]:
+            for rg in f["row_groups"]:
+                for c in rg["columns"]:
+                    if c["column"] == col:
+                        total += 1
+                        if c["min"] <= point <= c["max"]:
+                            hit += 1
+        return hit / total
+
+    lo_user = ev.agg({"user_id": "min"}).first()[0]
+    # a user-dimension point lookup: ts-sorted layout cannot prune at all
+    assert coverage(sp, "user_id", lo_user) == 1.0
+    assert coverage(zp, "user_id", lo_user) < 1.0
+    # content preserved
+    assert (
+        spark.read.parquet(zp).orderBy("event_id").collect()
+        == ev.orderBy("event_id").collect()
+    )
