@@ -122,6 +122,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "unpivot_measures",
     "constraint_report",
     "events_zorder_pruned",
+    "stream_stateful_multibatch",
 )
 
 

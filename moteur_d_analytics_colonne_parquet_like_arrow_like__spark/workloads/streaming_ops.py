@@ -206,3 +206,57 @@ ORACLES = {
         ORDER BY user_id, event_type
     """,
 }
+
+
+def q_stream_stateful_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State ACROSS micro-batches: events re-written as 8 files (once per
+    sf), streamed with maxFilesPerTrigger=1 so availableNow executes 8
+    REAL micro-batches — the per-user (count, exact fixed-point sum)
+    state must persist and accumulate through every batch boundary, a
+    strictly stronger signal than the single-batch stream_stateful. The
+    update-mode sink holds one row per (user, touched batch); the final
+    state per user is the max-count row (the counter is monotone), and it
+    must equal the batch GROUP BY over all events."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = f"/tmp/events_8files_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from ..sources.catalog import load_table
+
+        load_table(spark, sf_dir, "events").repartition(8).write.mode(
+            "overwrite"
+        ).parquet(path)
+    batch_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .withColumn(
+            "v_micros",
+            (F.col("value").cast("decimal(18,6)") * 1000000).cast("long"),
+        )
+    )
+    out = S.stateful_user_running_stats(stream, sum_col="v_micros", integer_sum=True)
+    sink = S.run_to_memory(out, output_mode="update", shuffle_partitions=8)
+    return (
+        sink.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_value", "n_events").alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["stream_stateful_multibatch"] = q_stream_stateful_multibatch
+
+ORACLES["stream_stateful_multibatch"] = """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+                AS BIGINT) AS sum_value
+    FROM events
+    GROUP BY user_id ORDER BY user_id
+"""
