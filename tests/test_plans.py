@@ -113,3 +113,50 @@ def test_sessionize_shares_window_shuffle(spark, sf_dir):
     df = relational4.q_batch_sessionize(spark, sf_dir)
     tree = df._jdf.queryExecution().executedPlan().treeString()
     assert tree.count("Exchange hashpartitioning") <= 2, tree
+
+
+def test_q21_semi_anti_no_cartesian(spark, sf_dir):
+    # Q21's EXISTS / NOT EXISTS pair must plan as semi + anti joins on the
+    # orderkey-keyed base — never a cartesian or a per-row subquery.
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import (
+        relational5,
+    )
+
+    plan = plans.formatted_plan(relational5.q_tpch_q21_waiting(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q5_broadcasts_dims_once_shuffled(spark, sf_dir):
+    # Q5: every dimension (customer-in-region, supplier, nation) rides a
+    # broadcast; only the lineitem⨝orders fact join may shuffle.
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import (
+        relational5,
+    )
+
+    df = relational5.q_tpch_q5_local_volume(spark, sf_dir)
+    strategies = plans.join_strategies(df)
+    assert strategies.count("BroadcastHashJoin") >= 3
+    non_broadcast = [s for s in strategies if s != "BroadcastHashJoin"]
+    assert len(non_broadcast) <= 1
+
+
+def test_cms_build_single_shuffle(spark):
+    # The count-min counter matrix must be ONE grouped aggregation: a
+    # single exchange whatever the corpus size (map-side combine holds
+    # the <= d*w partials per partition).
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import (
+        sketches,
+    )
+
+    items = spark.range(10_000).select(
+        (F.col("id") % 97).cast("string").alias("item")
+    )
+    import re
+
+    plan = plans.formatted_plan(sketches.cms_build(items, "item"))
+    # formatted explain lists each node twice (tree + detail): count ids
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2  # partial + final
