@@ -177,3 +177,64 @@ def bucketed_write(
         .sortBy(*bucket_cols)
         .saveAsTable(table)
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    chunk_seconds: int = 3600,
+) -> DataFrame:
+    """Interval overlap join (temporal [start,end] × [start,end] overlap —
+    the Flink interval join / KDB wj sibling Spark lacks natively) as a
+    chunked equi-join:
+
+    1. time is cut into fixed ``chunk_seconds`` buckets; every interval
+       replicates to each bucket it touches (an in-row ``sequence`` +
+       explode — replication factor = interval length / chunk),
+    2. the join runs on (keys…, bucket) EQUALITY — a plain shuffled hash
+       join Catalyst and AQE fully optimize — with the exact overlap
+       predicate (a.start ≤ b.end ∧ b.start ≤ a.end) applied post-match,
+    3. a pair overlapping several buckets would match once per shared
+       bucket, so the match is kept ONLY in the bucket containing
+       max(a.start, b.start) — the dedup is a filter, not a second
+       distinct shuffle.
+
+    Pick ``chunk_seconds`` near the typical interval length: much smaller
+    multiplies replicas, much larger multiplies per-bucket pair work.
+    Point intervals (start == end) cost one replica. All columns of both
+    sides survive with ``l_``/``r_`` prefixes on the interval bounds if
+    names collide (caller should pre-alias for clarity)."""
+    ck = F.lit(chunk_seconds)
+
+    def buckets(start: str, end: str) -> Column:
+        return F.sequence(
+            F.floor(F.col(start).cast("long") / ck),
+            F.floor(F.col(end).cast("long") / ck),
+        )
+
+    l = left.withColumn("__bucket", F.explode(buckets(left_start, left_end)))
+    r = right.withColumn("__bucket", F.explode(buckets(right_start, right_end)))
+    cond = None
+    for k in keys:
+        c = l[k] == r[k]
+        cond = c if cond is None else (cond & c)
+    bucket_eq = l["__bucket"] == r["__bucket"]
+    cond = bucket_eq if cond is None else (cond & bucket_eq)
+    overlap = (l[left_start] <= r[right_end]) & (r[right_start] <= l[left_end])
+    anchor = F.floor(
+        F.greatest(
+            l[left_start].cast("long"), r[right_start].cast("long")
+        )
+        / ck
+    )
+    first_bucket_only = l["__bucket"] == anchor
+    joined = l.join(r, cond & overlap & first_bucket_only)
+    out = joined.drop(l["__bucket"]).drop(r["__bucket"])
+    for k in keys:  # equality-joined: the left copy carries the value
+        out = out.drop(r[k])
+    return out

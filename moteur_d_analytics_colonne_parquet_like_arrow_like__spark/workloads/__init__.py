@@ -123,6 +123,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "constraint_report",
     "events_zorder_pruned",
     "stream_stateful_multibatch",
+    "join_interval_overlap",
 )
 
 

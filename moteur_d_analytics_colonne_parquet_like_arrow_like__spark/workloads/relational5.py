@@ -693,3 +693,63 @@ ORACLES["events_zorder_pruned"] = """
       AND ts < TIMESTAMP '2024-01-04 00:00:00'
     GROUP BY user_id ORDER BY user_id
 """
+
+
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap self-join (operators/joins.interval_overlap_join):
+    each event becomes an activity interval [ts, ts + (1 + event_id mod
+    30) min]; overlapping same-user intervals pair up through the chunked
+    equi-join (1-hour buckets, first-bucket dedup filter — never a
+    non-equi shuffle or a distinct pass). The oracle is DuckDB's direct
+    non-equi join, so the chunking + dedup rewrite is proven
+    result-identical to the naive O(n²) form."""
+    from ..operators.joins import interval_overlap_join
+
+    events = _t(spark, sf_dir, "events")
+    iv = events.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("s"),
+        (
+            F.col("ts").cast("long") + (1 + F.col("event_id") % 30) * 60
+        ).alias("e"),
+    )
+    a = iv.select(
+        "user_id",
+        F.col("event_id").alias("id_a"),
+        F.col("s").alias("sa"),
+        F.col("e").alias("ea"),
+    )
+    b = iv.select(
+        "user_id",
+        F.col("event_id").alias("id_b"),
+        F.col("s").alias("sb"),
+        F.col("e").alias("eb"),
+    )
+    pairs = interval_overlap_join(
+        a, b, ["user_id"], "sa", "ea", "sb", "eb", chunk_seconds=3600
+    ).where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_overlaps"))
+        .orderBy("user_id")
+    )
+
+
+QUERIES["join_interval_overlap"] = q_join_interval_overlap
+
+ORACLES["join_interval_overlap"] = """
+    WITH iv AS (
+        SELECT user_id, event_id,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) + (1 + event_id % 30) * 60 AS e
+        FROM events
+    )
+    SELECT a.user_id, COUNT(*) AS n_overlaps
+    FROM iv a JOIN iv b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND a.s <= b.e AND b.s <= a.e
+    GROUP BY a.user_id
+    ORDER BY a.user_id
+"""

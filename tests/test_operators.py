@@ -199,3 +199,33 @@ def test_constraint_checks(spark):
         "unique(id)": 2,             # both id=2 rows
         "references(code)": 1,       # Z missing from dim
     }
+
+
+def test_interval_overlap_join_known_pairs(spark):
+    """Chunked interval join equals the naive O(n^2) overlap join,
+    including a long interval spanning many buckets (matched exactly
+    once thanks to the first-bucket dedup filter) and a point interval."""
+    from pyspark.sql import functions as F
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    rows = [
+        (1, "a", 0, 100),
+        (1, "b", 50, 150),       # overlaps a
+        (1, "c", 200, 300),      # overlaps nothing
+        (1, "p", 100, 100),      # point: touches a's end, inside b
+        (2, "d", 0, 10_000),     # long: spans 167 one-minute buckets
+        (2, "e", 9_000, 9_500),  # overlaps d only
+    ]
+    df = spark.createDataFrame(rows, "k int, id string, s long, e long")
+    a = df.select("k", F.col("id").alias("id_a"), F.col("s").alias("sa"),
+                  F.col("e").alias("ea"))
+    b = df.select("k", F.col("id").alias("id_b"), F.col("s").alias("sb"),
+                  F.col("e").alias("eb"))
+    out = interval_overlap_join(
+        a, b, ["k"], "sa", "ea", "sb", "eb", chunk_seconds=60
+    ).where(F.col("id_a") < F.col("id_b"))
+    got = sorted((r["id_a"], r["id_b"]) for r in out.collect())
+    assert got == [("a", "b"), ("a", "p"), ("b", "p"), ("d", "e")]
