@@ -124,6 +124,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "events_zorder_pruned",
     "stream_stateful_multibatch",
     "join_interval_overlap",
+    "source_col_native",
 )
 
 

@@ -753,3 +753,53 @@ ORACLES["join_interval_overlap"] = """
     GROUP BY a.user_id
     ORDER BY a.user_id
 """
+
+
+def q_source_col_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `.col` container as a FIRST-CLASS Spark source (Spark 4 Python
+    DataSource API, sources/col_datasource.py): supplier goes out through
+    the reference-compatible .col writer, comes back via
+    ``spark.read.format("col")`` — one input partition PER ROW GROUP, so
+    the read is executor-parallel instead of the driver-side interchange
+    path — and is aggregated. The oracle aggregates the ORIGINAL parquet
+    table: any byte mangled by the encoders, the footer parser, or the
+    partition-parallel decode diverges the hash."""
+    import hashlib
+    import os
+
+    from ..sources import colfile
+    from ..sources.col_datasource import register_col_datasource
+
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        F.col("s_nationkey").cast("int").alias("s_nationkey"),
+        # .col carries INT32/INT64/STRING (the reference's type system):
+        # money rides as exact integer cents
+        (F.col("s_acctbal").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("s_acctbal_cents"),
+    )
+    path = f"/tmp/col_native_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}.col"
+    if not os.path.exists(path):
+        colfile.write_col(supp, path, rows_per_group=100)
+    register_col_datasource(spark)
+    back = spark.read.format("col").load(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("s_suppkey").alias("key_sum"),
+        F.sum("s_acctbal_cents").alias("acctbal_cents_sum"),
+        F.sum(F.length("s_name")).alias("name_chars"),
+    )
+
+
+QUERIES["source_col_native"] = q_source_col_native
+
+ORACLES["source_col_native"] = """
+    SELECT COUNT(*) AS n_suppliers,
+           CAST(SUM(s_suppkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+               AS acctbal_cents_sum,
+           CAST(SUM(length(s_name)) AS BIGINT) AS name_chars
+    FROM supplier
+"""

@@ -268,3 +268,70 @@ def test_zone_map_page_skipping(spark, tmp_path):
     got2 = colfile.read_col(spark, p, columns=["id"], predicate=("value", "ge", 985)).collect()
     assert sorted(r["id"] for r in got2) == [99]
     assert got2[0].asDict().keys() == {"id"}  # predicate column dropped again
+
+
+def test_col_datasource_partition_per_row_group(spark, tmp_path):
+    """format('col') reads executor-parallel: one input partition per row
+    group, values identical to the written frame."""
+    from pyspark.sql import functions as F
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources import (
+        colfile,
+    )
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.col_datasource import (
+        register_col_datasource,
+    )
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.writer import (
+        generate_synthetic,
+    )
+
+    df = generate_synthetic(spark, 20_000, seed=11)
+    path = str(tmp_path / "ds.col")
+    colfile.write_col(df, path, rows_per_group=5_000)
+    register_col_datasource(spark)
+    back = spark.read.format("col").load(path)
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == 20_000
+    assert (
+        back.agg(F.sum("value"), F.sum("id")).first()
+        == df.agg(F.sum("value"), F.sum("id")).first()
+    )
+
+
+def test_col_datasource_zone_map_partition_pruning(spark, tmp_path):
+    """With data sorted on the predicate column, the predicate option
+    prunes row groups BEFORE planning: fewer input partitions, exact
+    residual rows."""
+    from pyspark.sql import functions as F
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources import (
+        colfile,
+    )
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.col_datasource import (
+        register_col_datasource,
+    )
+
+    df = spark.range(20_000).select(
+        F.col("id").cast("long").alias("id"),
+        (F.col("id") * 2).cast("long").alias("v"),
+    )
+    path = str(tmp_path / "sorted.col")
+    colfile.write_col(df.orderBy("id"), path, rows_per_group=5_000)
+    register_col_datasource(spark)
+    pruned = (
+        spark.read.format("col")
+        .option("predicate", "id ge 15000")
+        .load(path)
+    )
+    assert pruned.rdd.getNumPartitions() == 1  # 3 of 4 groups skipped
+    assert pruned.count() == 5_000
+    assert pruned.agg(F.min("id")).first()[0] == 15_000
+    # projection option prunes decoded chunks and the output schema
+    proj = (
+        spark.read.format("col")
+        .option("columns", "v")
+        .option("predicate", "id ge 15000")
+        .load(path)
+    )
+    assert proj.columns == ["v"]
+    assert proj.agg(F.min("v")).first()[0] == 30_000
