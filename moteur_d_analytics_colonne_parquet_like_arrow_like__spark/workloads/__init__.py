@@ -125,6 +125,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "stream_stateful_multibatch",
     "join_interval_overlap",
     "source_col_native",
+    "stream_stream_left_join",
 )
 
 

@@ -260,3 +260,78 @@ ORACLES["stream_stateful_multibatch"] = """
     FROM events
     GROUP BY user_id ORDER BY user_id
 """
+
+
+def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: views with their attributed
+    purchase, or NULL once the watermark PROVES no purchase can arrive.
+    Matched rows emit immediately; an unmatched view emits only after the
+    global watermark — min over BOTH streams of (max event time − delay),
+    Spark's documented multi-stream rule — passes view_ts + 30 min. The
+    oracle replicates exactly that cutoff in batch SQL, so this pins the
+    outer-join state-eviction semantics, not just the match results."""
+    from pyspark.sql import functions as F
+
+    events = S.events_stream(spark, sf_dir)
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "60 minutes")
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "60 minutes")
+    )
+    joined = views.join(
+        purchases,
+        (views.user_id == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "left_outer",
+    ).select("view_id", "purchase_id", "user_id")
+    return S.run_to_memory(
+        joined, output_mode="append", shuffle_partitions=8
+    ).orderBy("view_id", "purchase_id")
+
+
+QUERIES["stream_stream_left_join"] = q_stream_stream_left_join
+
+ORACLES["stream_stream_left_join"] = """
+    WITH v AS (
+        SELECT event_id AS view_id, user_id, ts AS view_ts
+        FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, user_id AS pu, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+        SELECT least((SELECT max(view_ts) FROM v),
+                     (SELECT max(purchase_ts) FROM p))
+               - INTERVAL 60 MINUTE AS w
+    ),
+    lj AS (
+        SELECT view_id, v.user_id, view_ts, purchase_id
+        FROM v LEFT JOIN p
+          ON v.user_id = pu
+         AND purchase_ts >= view_ts
+         AND purchase_ts <= view_ts + INTERVAL 30 MINUTE
+    )
+    SELECT view_id, purchase_id, user_id
+    FROM lj, wm
+    WHERE purchase_id IS NOT NULL
+       OR view_ts + INTERVAL 30 MINUTE < w
+    ORDER BY view_id, purchase_id
+"""
