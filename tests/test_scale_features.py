@@ -315,3 +315,48 @@ def test_zorder_normalize_raw_columns(spark, sf_dir, tmp_path):
         spark.read.parquet(zp).orderBy("event_id").collect()
         == ev.orderBy("event_id").collect()
     )
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join handling must engage on a pathological hot key: the
+    executed plan shows skew=true on the sort-merge join, proving the
+    runtime re-plan path our docs lean on for 100 TB skew (alongside the
+    explicit salted_join tool for the cases AQE cannot fix)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # hot key: 95% of 200k left rows share key 0; right is uniform
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(F.lit("payload_"), F.col("id")).alias("pay"),
+        )
+        right = spark.range(0, 200_000, 1).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        joined = left.join(right, "k")
+        # act on THIS DataFrame's QueryExecution (count() would build a
+        # separate one and the final adaptive plan would not be captured)
+        assert len(joined.collect()) == 200_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
