@@ -139,3 +139,25 @@ def check_constraints(df: DataFrame, rules: list[Rule]) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out.orderBy("rule")
+
+
+def observed_quality(df: DataFrame, cols: list[str], name: str = "quality"):
+    """Attach zero-cost quality metrics to a plan: row count plus per-column
+    null counts ride the NEXT action on the returned DataFrame via
+    ``df.observe`` (Spark's Observation API) — collected DURING the real
+    job, no second scan. Returns ``(df, observation)``; read
+    ``observation.get`` after any action.
+
+    The observability half of check_constraints: run the report nightly,
+    but observe every production write for free."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        metrics.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"nulls_{c}")
+        )
+    return df.observe(obs, *metrics), obs

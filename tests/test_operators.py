@@ -229,3 +229,80 @@ def test_interval_overlap_join_known_pairs(spark):
     ).where(F.col("id_a") < F.col("id_b"))
     got = sorted((r["id_a"], r["id_b"]) for r in out.collect())
     assert got == [("a", "b"), ("a", "p"), ("b", "p"), ("d", "e")]
+
+
+def test_observed_quality_rides_the_action(spark):
+    """observe() metrics are collected during the single real action —
+    values match, no extra scan is scheduled by the helper itself."""
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators.constraints import (
+        observed_quality,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "d")], "id long, s string"
+    )
+    observed, obs = observed_quality(df, ["s", "id"])
+    assert observed.where("id > 1").count() == 3  # the one real action
+    got = obs.get
+    assert got["n_rows"] == 4  # observed at scan, pre-filter
+    assert got["nulls_s"] == 2
+    assert got["nulls_id"] == 0
+
+
+def test_interval_overlap_join_chunk_invariance(spark):
+    """Seeded random intervals: the chunked join equals the naive O(n^2)
+    overlap set for EVERY chunk size — the rewrite is parameter-invariant
+    (pairs found once, never duplicated or dropped at bucket borders)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    rng = random.Random(1337)
+    rows = []
+    for i in range(300):
+        k = rng.randint(0, 4)
+        s = rng.randint(0, 5_000)
+        e = s + rng.randint(0, 400)  # point through multi-bucket lengths
+        rows.append((k, i, s, e))
+    naive = {
+        (a[1], b[1])
+        for a in rows
+        for b in rows
+        if a[0] == b[0] and a[1] < b[1] and a[2] <= b[3] and b[2] <= a[3]
+    }
+    df = spark.createDataFrame(rows, "k int, id long, s long, e long")
+    a = df.select("k", F.col("id").alias("id_a"), F.col("s").alias("sa"),
+                  F.col("e").alias("ea"))
+    b = df.select("k", F.col("id").alias("id_b"), F.col("s").alias("sb"),
+                  F.col("e").alias("eb"))
+    for chunk in (10, 100, 1000):
+        out = interval_overlap_join(
+            a, b, ["k"], "sa", "ea", "sb", "eb", chunk_seconds=chunk
+        ).where(F.col("id_a") < F.col("id_b"))
+        got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+        assert got == naive, f"chunk={chunk}"
+
+
+def test_cms_never_underestimates_random(spark):
+    """Seeded random item stream with heavy skew: every CMS estimate >=
+    its exact count (the sketch's one-sided guarantee), at a width with
+    guaranteed collisions."""
+    import random
+    from collections import Counter
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import (
+        sketches,
+    )
+
+    rng = random.Random(99)
+    stream = [f"item{int(rng.paretovariate(0.7))}" for _ in range(5_000)]
+    exact = Counter(stream)
+    items = spark.createDataFrame([(s,) for s in stream], "item string")
+    sk = sketches.cms_build(items, "item", depth=3, width=64)  # forced collisions
+    est = sketches.cms_estimate(items.distinct(), sk, "item", depth=3, width=64)
+    for r in est.collect():
+        assert r["cms_est"] >= exact[r["item"]], r["item"]
