@@ -152,6 +152,42 @@ def _cmd_sql(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_snapshot(args: argparse.Namespace) -> int:
+    """Operate on a snapshot table: inspect history, read a version's
+    stats, compact the current version, or vacuum old ones."""
+    from .sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(args.path)
+    if args.action == "history":
+        for m in t.history():
+            print(
+                json.dumps(
+                    {
+                        "version": m["version"],
+                        "parent": m["parent"],
+                        "files": len(m["files"]),
+                        "committed_at_unix": m["committed_at_unix"],
+                    }
+                )
+            )
+        return 0
+    if args.action == "read":
+        spark = get_spark("moteur_cli_snapshot")
+        df = t.read(spark, version=args.version)
+        print(f"version={args.version if args.version is not None else t.latest_version()} rows={df.count()}")
+        df.show(args.limit, truncate=False)
+        return 0
+    if args.action == "compact":
+        v = t.compact(get_spark("moteur_cli_snapshot"), target_files=args.target_files)
+        print(f"compacted into version {v}")
+        return 0
+    if args.action == "vacuum":
+        res = t.vacuum(keep_versions=args.keep_versions)
+        print(json.dumps(res))
+        return 0
+    raise ValueError(f"unknown snapshot action {args.action!r}")
+
+
 def _print_plan_diagnostics(df) -> None:
     """EXPLAIN with the diagnostics the reference surfaces implicitly
     (what got pushed down, which columns are read) plus the plan itself."""
@@ -212,6 +248,15 @@ def build_parser() -> argparse.ArgumentParser:
     sq.add_argument("--limit", type=int, default=20)
     sq.add_argument("--explain", action="store_true")
     sq.set_defaults(fn=_cmd_sql)
+
+    sn = sub.add_parser("snapshot", help="snapshot-table history/read/compact/vacuum")
+    sn.add_argument("action", choices=["history", "read", "compact", "vacuum"])
+    sn.add_argument("path")
+    sn.add_argument("--version", type=int, default=None)
+    sn.add_argument("--target-files", type=int, default=1)
+    sn.add_argument("--keep-versions", type=int, default=1)
+    sn.add_argument("--limit", type=int, default=20)
+    sn.set_defaults(fn=_cmd_snapshot)
     return p
 
 

@@ -126,6 +126,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "join_interval_overlap",
     "source_col_native",
     "stream_stream_left_join",
+    "table_profile",
 )
 
 

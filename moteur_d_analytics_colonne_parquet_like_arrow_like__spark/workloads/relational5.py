@@ -803,3 +803,76 @@ ORACLES["source_col_native"] = """
            CAST(SUM(length(s_name)) AS BIGINT) AS name_chars
     FROM supplier
 """
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiling (the dataset card every curation run
+    emits): per column — non-null count, null count, distinct count,
+    min/max as strings — computed in a SINGLE aggregation over lineitem
+    and unpivoted to long format. Exact distincts (not approx) so the
+    oracle hash-checks; at 100 TB swap count_distinct for
+    approx_count_distinct and keep the same shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"n_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"nulls_{c}"),
+            F.countDistinct(F.col(c)).alias(f"dist_{c}"),
+            # min/max on the NATIVE value, cast after — a string-side
+            # min/max would order lexicographically ("9" > "14999")
+            F.min(F.col(c)).cast("string").alias(f"min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"max_{c}"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = []
+    for c in cols:
+        stack_args += [
+            F.lit(c),
+            F.col(f"n_{c}"),
+            F.col(f"nulls_{c}"),
+            F.col(f"dist_{c}"),
+            F.col(f"min_{c}"),
+            F.col(f"max_{c}"),
+        ]
+    return wide.select(
+        F.stack(
+            F.lit(len(cols)),
+            *stack_args,
+        ).alias("col_name", "n_nonnull", "n_nulls", "n_distinct", "min_s", "max_s")
+    ).orderBy("col_name")
+
+
+QUERIES["table_profile"] = q_table_profile
+
+ORACLES["table_profile"] = """
+    SELECT 'l_orderkey' AS col_name, COUNT(l_orderkey) AS n_nonnull,
+           SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           COUNT(DISTINCT l_orderkey) AS n_distinct,
+           CAST(MIN(l_orderkey) AS VARCHAR) AS min_s,
+           CAST(MAX(l_orderkey) AS VARCHAR) AS max_s
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', COUNT(l_quantity),
+           SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT l_quantity),
+           CAST(MIN(l_quantity) AS VARCHAR), CAST(MAX(l_quantity) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', COUNT(l_returnflag),
+           SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT l_returnflag),
+           MIN(l_returnflag), MAX(l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', COUNT(l_shipdate),
+           SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT l_shipdate),
+           strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S')
+    FROM lineitem
+    ORDER BY col_name
+"""

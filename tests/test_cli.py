@@ -132,3 +132,34 @@ def test_sql_verb_errors(written, capsys):
     assert "error:" in capsys.readouterr().err
     assert cli.main(["sql", "SELECT 1", "--table", "bad-spec"]) == 1
     assert "name=path" in capsys.readouterr().err
+
+
+def test_snapshot_verb(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.snapshots import (
+        SnapshotTable,
+    )
+
+    path = str(tmp_path / "snap")
+    t = SnapshotTable(path)
+    t.append(spark.range(5).select(F.col("id")))
+    t.append(spark.range(5, 9).select(F.col("id")))
+
+    assert cli.main(["snapshot", "history", path]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 2
+    assert json.loads(lines[1])["version"] == 1
+
+    assert cli.main(["snapshot", "read", path, "--version", "0"]) == 0
+    assert "rows=5" in capsys.readouterr().out
+
+    assert cli.main(["snapshot", "compact", path]) == 0
+    assert "version 2" in capsys.readouterr().out
+
+    assert cli.main(["snapshot", "vacuum", path, "--keep-versions", "1"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["dropped_versions"] == [0, 1]
+
+    assert cli.main(["snapshot", "read", path]) == 0
+    assert "rows=9" in capsys.readouterr().out
