@@ -335,3 +335,29 @@ def test_col_datasource_zone_map_partition_pruning(spark, tmp_path):
     )
     assert proj.columns == ["v"]
     assert proj.agg(F.min("v")).first()[0] == 30_000
+
+
+def test_col_datasource_error_contract(spark, tmp_path):
+    """Clean failures: missing load path and malformed predicate specs."""
+    import pytest
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources import (
+        colfile,
+    )
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.col_datasource import (
+        register_col_datasource,
+    )
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.writer import (
+        generate_synthetic,
+    )
+
+    register_col_datasource(spark)
+    path = str(tmp_path / "e.col")
+    colfile.write_col(generate_synthetic(spark, 100, seed=3), path)
+
+    with pytest.raises(Exception):  # load() never called -> no path option
+        spark.read.format("col").schema("id long").load().collect()
+    with pytest.raises(Exception):  # malformed predicate spec
+        spark.read.format("col").option("predicate", "value gt").load(path).collect()
+    with pytest.raises(Exception):  # unknown column in predicate
+        spark.read.format("col").option("predicate", "nope gt 1").load(path).collect()
