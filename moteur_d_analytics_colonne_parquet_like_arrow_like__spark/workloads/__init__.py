@@ -127,6 +127,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "source_col_native",
     "stream_stream_left_join",
     "table_profile",
+    "sort_paginate",
+    "window_first_last",
+    "array_set_ops",
 )
 
 

@@ -17,7 +17,7 @@ identically (see workloads/__init__ authoring rules).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..sources.catalog import load_table
 
@@ -875,4 +875,119 @@ ORACLES["table_profile"] = """
            strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S')
     FROM lineitem
     ORDER BY col_name
+"""
+
+
+def q_sort_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-stable pagination: page 3 of the supplier ledger (ORDER BY
+    acctbal DESC, key — unique tie-breaker) via offset+limit. Spark plans
+    a single global sort with the offset folded into the limit; at scale
+    prefer keyset pagination (WHERE (bal, key) < last_seen) — this query
+    pins the offset form's exact semantics."""
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.select(
+            "s_suppkey",
+            "s_name",
+            F.col("s_acctbal").cast("decimal(18,2)").cast("double").alias("bal"),
+        )
+        .orderBy(F.col("bal").desc(), F.col("s_suppkey").asc())
+        .offset(20)
+        .limit(10)
+    )
+
+
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE / LAST_VALUE / NTH_VALUE with explicit full-partition
+    frames per brand (ordered by retail price, keyed tie-break) — the
+    navigation-function corner of §2.6. Full ROWS frame so last/nth are
+    well-defined, identical in both engines."""
+    part = _t(spark, sf_dir, "part")
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.col("p_retailprice").asc(), F.col("p_partkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return part.select(
+        "p_brand",
+        "p_partkey",
+        F.first("p_partkey").over(w).alias("cheapest_key"),
+        F.last("p_partkey").over(w).alias("priciest_key"),
+        F.nth_value("p_partkey", 2).over(w).alias("second_cheapest_key"),
+    ).orderBy("p_brand", "p_partkey")
+
+
+def q_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-level set algebra (§2.9 nested data): per returnflag, the
+    sorted distinct quantity arrays of two linestatus slices are
+    intersected / unioned / differenced — array_intersect/union/except
+    over collect_set results, all JVM-side, with sorted array output so
+    the hash is order-stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("int")
+    sets = li.groupBy("l_returnflag").agg(
+        F.sort_array(
+            F.collect_set(F.when(F.col("l_linestatus") == "O", q))
+        ).alias("qty_open"),
+        F.sort_array(
+            F.collect_set(F.when(F.col("l_linestatus") == "F", q))
+        ).alias("qty_filled"),
+    )
+    def joined(col: F.Column) -> F.Column:
+        # pipe-joined string output: the comparator sees identical scalar
+        # strings instead of engine-specific array renderings
+        return F.array_join(F.sort_array(col).cast("array<string>"), "|")
+
+    return sets.select(
+        "l_returnflag",
+        joined(F.array_intersect("qty_open", "qty_filled")).alias("both"),
+        joined(F.array_union("qty_open", "qty_filled")).alias("either"),
+        joined(F.array_except("qty_open", "qty_filled")).alias("open_only"),
+    ).orderBy("l_returnflag")
+
+
+QUERIES["sort_paginate"] = q_sort_paginate
+QUERIES["window_first_last"] = q_window_first_last
+QUERIES["array_set_ops"] = q_array_set_ops
+
+ORACLES["sort_paginate"] = """
+    SELECT s_suppkey, s_name,
+           CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+    FROM supplier
+    ORDER BY bal DESC, s_suppkey ASC
+    LIMIT 10 OFFSET 20
+"""
+
+ORACLES["window_first_last"] = """
+    SELECT p_brand, p_partkey,
+           FIRST_VALUE(p_partkey) OVER w AS cheapest_key,
+           LAST_VALUE(p_partkey) OVER w AS priciest_key,
+           NTH_VALUE(p_partkey, 2) OVER w AS second_cheapest_key
+    FROM part
+    WINDOW w AS (
+        PARTITION BY p_brand
+        ORDER BY p_retailprice ASC, p_partkey ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY p_brand, p_partkey
+"""
+
+ORACLES["array_set_ops"] = """
+    WITH sets AS (
+        SELECT l_returnflag,
+               list_sort(list_distinct(list_filter(
+                   list(CASE WHEN l_linestatus = 'O'
+                        THEN CAST(l_quantity AS INT) END),
+                   x -> x IS NOT NULL))) AS qty_open,
+               list_sort(list_distinct(list_filter(
+                   list(CASE WHEN l_linestatus = 'F'
+                        THEN CAST(l_quantity AS INT) END),
+                   x -> x IS NOT NULL))) AS qty_filled
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           array_to_string(list_sort(list_intersect(qty_open, qty_filled)), '|') AS both,
+           array_to_string(list_sort(list_distinct(qty_open || qty_filled)), '|') AS either,
+           array_to_string(list_sort(list_filter(qty_open,
+               x -> NOT list_contains(qty_filled, x))), '|') AS open_only
+    FROM sets ORDER BY l_returnflag
 """
