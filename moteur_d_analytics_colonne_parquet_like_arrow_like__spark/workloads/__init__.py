@@ -130,6 +130,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "sort_paginate",
     "window_first_last",
     "array_set_ops",
+    "graph_triangles",
 )
 
 

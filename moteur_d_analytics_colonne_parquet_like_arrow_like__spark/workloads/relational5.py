@@ -991,3 +991,69 @@ ORACLES["array_set_ops"] = """
                x -> NOT list_contains(qty_filled, x))), '|') AS open_only
     FROM sets ORDER BY l_returnflag
 """
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics over a data-derived network: suppliers are linked
+    when they supply the same part (the co-supply similarity graph);
+    count its nodes, edges, and triangles via the node-iterator join
+    chain — edges(a,b) ⨝ edges(b,c) ⨝ edges(a,c) over canonically
+    ordered edges (a<b<c), so every triangle is found exactly once.
+    Two shuffle joins on edge endpoints; at 100 TB the standard
+    refinement is degree-ordering the edges first so high-degree hubs
+    sit on the probe side."""
+    li = _t(spark, sf_dir, "lineitem")
+    # sampled parts + a >=3-shared-parts edge threshold keep the network
+    # SPARSE at every scale factor (the raw co-supply graph saturates
+    # into a near-complete graph as SF grows, which makes triangle
+    # counting degenerate)
+    ps = (
+        li.where(F.col("l_partkey") % 50 == 0)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    a = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sa"))
+    b = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sb"))
+    edges = (
+        a.join(b, "pk")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .where(F.col("_shared") >= 3)
+        .select("sa", "sb")
+    )
+    e1 = edges.select(F.col("sa").alias("x"), F.col("sb").alias("y"))
+    e2 = edges.select(F.col("sa").alias("y"), F.col("sb").alias("z"))
+    e3 = edges.select(F.col("sa").alias("x"), F.col("sb").alias("z"))
+    tris = e1.join(e2, "y").join(e3, ["x", "z"])
+    nodes = edges.select(F.col("sa").alias("s")).union(
+        edges.select(F.col("sb").alias("s"))
+    )
+    counts = tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+    ecnt = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    ncnt = nodes.distinct().agg(F.count(F.lit(1)).alias("n_nodes"))
+    return ncnt.join(F.broadcast(ecnt)).join(F.broadcast(counts))
+
+
+QUERIES["graph_triangles"] = q_graph_triangles
+
+ORACLES["graph_triangles"] = """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+                WHERE l_partkey % 50 = 0),
+    edges AS (
+        SELECT a.l_suppkey AS sa, b.l_suppkey AS sb
+        FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+        WHERE a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    )
+    SELECT
+        (SELECT COUNT(*) FROM (
+            SELECT sa AS s FROM edges UNION SELECT sb FROM edges) t
+        ) AS n_nodes,
+        (SELECT COUNT(*) FROM edges) AS n_edges,
+        (SELECT COUNT(*)
+         FROM edges e1
+         JOIN edges e2 ON e1.sb = e2.sa
+         JOIN edges e3 ON e3.sa = e1.sa AND e3.sb = e2.sb
+        ) AS n_triangles
+"""
