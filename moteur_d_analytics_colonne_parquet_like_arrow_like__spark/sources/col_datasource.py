@@ -27,7 +27,12 @@ Register once per session::
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 def _parse_predicate(spec: str | None):
@@ -113,9 +118,17 @@ class ColDataSource(DataSource):
 
         from .colfile import read_col_metadata
 
+        import os
+
         cols = self.options.get("columns")
         proj = [c.strip() for c in cols.split(",")] if cols else None
-        schema, _, _ = read_col_metadata(self.options["path"])
+        path = self.options["path"]
+        if os.path.isdir(path):  # streaming: schema from the first file
+            first = sorted(
+                f for f in os.listdir(path) if f.endswith(".col")
+            )[0]
+            path = os.path.join(path, first)
+        schema, _, _ = read_col_metadata(path)
         names = proj or schema.names
         return T.StructType(
             [
@@ -126,6 +139,74 @@ class ColDataSource(DataSource):
 
     def reader(self, schema) -> ColDataSourceReader:
         return ColDataSourceReader(dict(self.options))
+
+    def simpleStreamReader(self, schema) -> "ColStreamReader":
+        return ColStreamReader(dict(self.options))
+
+
+class ColStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the source: a DIRECTORY of ``.col`` files is the
+    stream; the offset is the count of files consumed in lexicographic
+    order (files must be appended with monotonically sorting names —
+    the same contract as Spark's own file stream source). Each
+    micro-batch reads every newly arrived file; ``readBetweenOffsets``
+    replays any committed range deterministically from the same sorted
+    listing, which is what makes recovery exactly-once."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("stream format('col') needs .load(<dir>)")
+
+    def _files(self):
+        import os
+
+        return sorted(
+            f for f in os.listdir(self.path) if f.endswith(".col")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"files_consumed": 0}
+
+    def _read_files(self, names):
+        import os
+
+        from .colfile import _decode_chunk, read_col_metadata
+
+        for name in names:
+            fpath = os.path.join(self.path, name)
+            schema, row_groups, _ = read_col_metadata(fpath)
+            with open(fpath, "rb") as f:
+                for rg in row_groups:
+                    cols = []
+                    for ci in range(len(schema.columns)):
+                        ch = rg.chunks[ci]
+                        f.seek(ch.file_offset)
+                        raw = f.read(ch.total_size)
+                        cols.append(
+                            _decode_chunk(raw, schema.columns[ci], ch)
+                        )
+                    yield from zip(*cols)
+
+    def read(self, start: dict):
+        # the simple stream API prefetches on the driver and requires a
+        # COPYABLE iterator (a generator cannot be pickled into the
+        # prefetch cache) — materialize the batch
+        files = self._files()
+        done = start["files_consumed"]
+        new = files[done:]
+        return list(self._read_files(new)), {"files_consumed": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = self._files()
+        return list(
+            self._read_files(
+                files[start["files_consumed"] : end["files_consumed"]]
+            )
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 def register_col_datasource(spark) -> None:

@@ -131,6 +131,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "window_first_last",
     "array_set_ops",
     "graph_triangles",
+    "stream_col_source",
 )
 
 

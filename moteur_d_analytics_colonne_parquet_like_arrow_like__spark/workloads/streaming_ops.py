@@ -335,3 +335,62 @@ ORACLES["stream_stream_left_join"] = """
        OR view_ts + INTERVAL 30 MINUTE < w
     ORDER BY view_id, purchase_id
 """
+
+
+def q_stream_col_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `.col` container as a STREAMING source: events go out as four
+    reference-format .col files (ints/strings only, value as exact
+    micros), then `readStream.format("col")` consumes the directory
+    through the Python data source's simple stream reader (offset =
+    files consumed in sorted order, replayable between offsets) into a
+    streaming aggregation. The oracle aggregates the original events
+    table — encoder, stream reader, and micro-batch engine must all
+    preserve every value for the hash to survive."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..sources import colfile
+    from ..sources.catalog import load_table
+    from ..sources.col_datasource import register_col_datasource
+
+    d = f"/tmp/col_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    if not os.path.exists(os.path.join(d, "_DONE")):
+        os.makedirs(d, exist_ok=True)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            (F.col("value").cast("decimal(18,6)") * 1000000)
+            .cast("bigint")
+            .alias("v_micros"),
+        )
+        for i in range(4):
+            colfile.write_col(
+                ev.where(F.col("event_id") % 4 == i),
+                os.path.join(d, f"part_{i:03d}.col"),
+                rows_per_group=5_000,
+            )
+        with open(os.path.join(d, "_DONE"), "w") as f:
+            f.write("ok")
+    register_col_datasource(spark)
+    sdf = spark.readStream.format("col").load(d)
+    agg = sdf.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v_micros").alias("sum_micros"),
+    )
+    return S.run_to_memory(agg, output_mode="complete", shuffle_partitions=8).orderBy(
+        "event_type"
+    )
+
+
+QUERIES["stream_col_source"] = q_stream_col_source
+
+ORACLES["stream_col_source"] = """
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+                AS BIGINT) AS sum_micros
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+"""

@@ -361,3 +361,47 @@ def test_col_datasource_error_contract(spark, tmp_path):
         spark.read.format("col").option("predicate", "value gt").load(path).collect()
     with pytest.raises(Exception):  # unknown column in predicate
         spark.read.format("col").option("predicate", "nope gt 1").load(path).collect()
+
+
+def test_col_stream_source_matches_batch(spark, tmp_path):
+    """readStream.format('col') over a directory of .col files equals the
+    batch union of those files (counts and exact sums)."""
+    from pyspark.sql import functions as F
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark import (
+        streaming as S,
+    )
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources import (
+        colfile,
+    )
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.col_datasource import (
+        register_col_datasource,
+    )
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.writer import (
+        generate_synthetic,
+    )
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    df = generate_synthetic(spark, 6_000, seed=21)
+    for i in range(3):
+        part = df.where((F.col("id") >= i * 2_000) & (F.col("id") < (i + 1) * 2_000))
+        colfile.write_col(part, str(d / f"b_{i:03d}.col"), rows_per_group=500)
+    register_col_datasource(spark)
+    sdf = spark.readStream.format("col").load(str(d))
+    agg = sdf.groupBy("region").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")
+    )
+    got = {
+        r["region"]: (r["n"], r["sv"])
+        for r in S.run_to_memory(
+            agg, output_mode="complete", shuffle_partitions=4
+        ).collect()
+    }
+    exp = {
+        r["region"]: (r["n"], r["sv"])
+        for r in df.groupBy("region")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        .collect()
+    }
+    assert got == exp
