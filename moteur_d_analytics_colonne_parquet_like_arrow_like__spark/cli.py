@@ -178,7 +178,14 @@ def _cmd_snapshot(args: argparse.Namespace) -> int:
         df.show(args.limit, truncate=False)
         return 0
     if args.action == "compact":
-        v = t.compact(get_spark("moteur_cli_snapshot"), target_files=args.target_files)
+        zcols = (
+            [c.strip() for c in args.zorder.split(",")] if args.zorder else None
+        )
+        v = t.compact(
+            get_spark("moteur_cli_snapshot"),
+            target_files=args.target_files,
+            zorder_cols=zcols,
+        )
         print(f"compacted into version {v}")
         return 0
     if args.action == "vacuum":
@@ -254,6 +261,11 @@ def build_parser() -> argparse.ArgumentParser:
     sn.add_argument("path")
     sn.add_argument("--version", type=int, default=None)
     sn.add_argument("--target-files", type=int, default=1)
+    sn.add_argument(
+        "--zorder",
+        default=None,
+        help="comma-separated columns: compact clustered on their Morton key",
+    )
     sn.add_argument("--keep-versions", type=int, default=1)
     sn.add_argument("--limit", type=int, default=20)
     sn.set_defaults(fn=_cmd_snapshot)

@@ -163,18 +163,49 @@ class SnapshotTable:
     def history(self) -> list[dict]:
         return [self._read_manifest(v) for v in self._versions()]
 
-    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+    def compact(
+        self,
+        spark: SparkSession,
+        target_files: int = 1,
+        zorder_cols: list[str] | None = None,
+    ) -> int:
         """Rewrite the CURRENT version's data into ``target_files`` files and
         commit the result as a new version — the small-file remedy for
         tables built by many tiny appends (streaming sinks, incremental
         jobs). Logically a no-op: the new version holds identical rows;
-        older versions keep reading their original files."""
+        older versions keep reading their original files.
+
+        ``zorder_cols`` makes this OPTIMIZE ZORDER BY: the rewrite is
+        clustered on the Morton key of the given (numeric/timestamp)
+        columns via ``writer.write_zordered(normalize=True)``, so row-group
+        stats stay tight on every listed dimension — compaction and
+        multi-dimensional clustering in one pass, the Delta/Iceberg
+        maintenance pattern."""
         parent = self.latest_version()
         if parent is None:
             raise FileNotFoundError(f"nothing to compact at {self.path}")
-        df = self.read(spark, parent).coalesce(target_files)
+        df = self.read(spark, parent)
         tag = f"compact{parent + 1}_{os.getpid()}"
-        files = self._write_parts(df, tag)
+        out_dir = os.path.join(self.data_dir, tag)
+        if zorder_cols:
+            from .writer import write_zordered
+
+            write_zordered(
+                df,
+                out_dir,
+                zorder_cols,
+                bits=12,
+                num_files=target_files,
+                mode="error",
+                normalize=True,
+            )
+            files = [
+                os.path.join("data", tag, f)
+                for f in os.listdir(out_dir)
+                if f.endswith(".parquet")
+            ]
+        else:
+            files = self._write_parts(df.coalesce(target_files), tag)
         return self._commit(files, self._read_manifest(parent)["schema"], parent)
 
     def merge(
