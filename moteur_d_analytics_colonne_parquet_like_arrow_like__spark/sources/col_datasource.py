@@ -16,6 +16,15 @@ a 10k-row-group file fans out across the cluster. Requirements:
   applies the reference's zone-map skipping per row group BEFORE any
   decode, and the exact residual filter is applied to surviving rows.
 
+The source is complete across all four surfaces:
+
+- batch read of a single ``.col`` file OR a directory of them
+  (file × row-group input partitions),
+- streaming read of a growing directory (``ColStreamReader``),
+- streaming write (``ColStreamWriter``: executor-parallel task files,
+  driver rename-as-commit),
+- plus the driver-side batch writer in ``colfile.write_col``.
+
 Register once per session::
 
     from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.col_datasource import (
@@ -30,8 +39,10 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -43,8 +54,9 @@ def _parse_predicate(spec: str | None):
 
 
 class _RowGroupPartition(InputPartition):
-    def __init__(self, index: int):
+    def __init__(self, index: int, file: str | None = None):
         self.index = index
+        self.file = file
 
 
 class ColDataSourceReader(DataSourceReader):
@@ -56,30 +68,45 @@ class ColDataSourceReader(DataSourceReader):
         self.columns = [c.strip() for c in cols.split(",")] if cols else None
         self.predicate = _parse_predicate(options.get("predicate"))
 
+    def _paths(self) -> list[str]:
+        import os
+
+        if os.path.isdir(self.path):
+            return [
+                os.path.join(self.path, f)
+                for f in sorted(os.listdir(self.path))
+                if f.endswith(".col")
+            ]
+        return [self.path]
+
     def partitions(self):
         from .colfile import _skippable_row_groups, read_col_metadata
 
-        schema, row_groups, _ = read_col_metadata(self.path)
-        skips = _skippable_row_groups(row_groups, schema, self.predicate)
-        return [
-            _RowGroupPartition(i)
-            for i, skip in enumerate(skips)
-            if not skip
-        ]
+        parts = []
+        for fpath in self._paths():
+            schema, row_groups, _ = read_col_metadata(fpath)
+            skips = _skippable_row_groups(row_groups, schema, self.predicate)
+            parts += [
+                _RowGroupPartition(i, fpath)
+                for i, skip in enumerate(skips)
+                if not skip
+            ]
+        return parts
 
     def read(self, partition: _RowGroupPartition):
         # Runs on the executor: open the file, seek to THIS row group's
         # chunks, decode only the projected columns.
         from .colfile import _decode_chunk, read_col_metadata
 
-        schema, row_groups, _ = read_col_metadata(self.path)
+        fpath = partition.file or self.path
+        schema, row_groups, _ = read_col_metadata(fpath)
         rg = row_groups[partition.index]
         proj = self.columns or schema.names
         if self.predicate is not None and self.predicate[0] not in proj:
             proj = list(proj) + [self.predicate[0]]
         idxs = [schema.index_of(c) for c in proj]
         data = []
-        with open(self.path, "rb") as f:
+        with open(fpath, "rb") as f:
             for ci in idxs:
                 ch = rg.chunks[ci]
                 f.seek(ch.file_offset)
@@ -142,6 +169,9 @@ class ColDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> "ColStreamReader":
         return ColStreamReader(dict(self.options))
+
+    def streamWriter(self, schema, overwrite: bool) -> "ColStreamWriter":
+        return ColStreamWriter(dict(self.options), schema)
 
 
 class ColStreamReader(SimpleDataSourceStreamReader):
@@ -212,3 +242,63 @@ class ColStreamReader(SimpleDataSourceStreamReader):
 def register_col_datasource(spark) -> None:
     """Idempotent per-session registration of the ``col`` format."""
     spark.dataSource.register(ColDataSource)
+
+
+class _ColCommitMessage(WriterCommitMessage):
+    def __init__(self, tmp_name: str | None):
+        self.tmp_name = tmp_name
+
+
+class ColStreamWriter(DataSourceStreamWriter):
+    """Streaming SINK half: each task writes its partition of the
+    micro-batch as its own ``.col`` file under a dotted temp name
+    (invisible to the stream reader's ``*.col`` listing), and the
+    driver-side ``commit`` renames the batch's temp files into final
+    ``b<batch>_<i>.col`` names — rename-as-commit, so readers observe a
+    batch atomically (all files or none) and a failed batch leaves only
+    temp files for ``abort`` to sweep. Executor-parallel writes, unlike
+    the driver-side interchange writer."""
+
+    def __init__(self, options: dict, schema):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("stream write format('col') needs .start(<dir>)")
+        self.spark_schema = schema
+
+    def write(self, iterator) -> _ColCommitMessage:
+        import os
+        import uuid
+
+        from .colfile import schema_from_spark, write_col_rows
+
+        rows = [tuple(r) for r in iterator]
+        if not rows:
+            return _ColCommitMessage(None)
+        os.makedirs(self.path, exist_ok=True)
+        tmp = f".tmp-{uuid.uuid4().hex}"
+        write_col_rows(
+            rows, schema_from_spark(self.spark_schema), os.path.join(self.path, tmp)
+        )
+        return _ColCommitMessage(tmp)
+
+    def commit(self, messages, batchId: int) -> None:
+        import os
+
+        i = 0
+        for m in messages:
+            if m is None or m.tmp_name is None:
+                continue
+            os.replace(
+                os.path.join(self.path, m.tmp_name),
+                os.path.join(self.path, f"b{batchId:06d}_{i:03d}.col"),
+            )
+            i += 1
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and m.tmp_name is not None:
+                tmp = os.path.join(self.path, m.tmp_name)
+                if os.path.exists(tmp):
+                    os.remove(tmp)

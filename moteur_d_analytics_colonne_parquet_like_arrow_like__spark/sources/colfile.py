@@ -334,24 +334,41 @@ def write_col(
     DICTIONARY strings.
     """
     if schema is None:
-        cols = []
-        for f in df.schema.fields:
-            tn = f.dataType.typeName()
-            if tn not in _SPARK_TO_COL:
-                raise ValueError(
-                    f"column {f.name!r}: type {tn} not representable in .col "
-                    "(INT32/INT64/STRING only)"
-                )
-            ct = _SPARK_TO_COL[tn]
-            enc = (
-                EncodingType.DICTIONARY
-                if ct is ColumnType.STRING
-                else EncodingType.PLAIN
-            )
-            cols.append(ColumnSchema(f.name, ct, enc))
-        schema = Schema(cols)
+        schema = schema_from_spark(df.schema)
 
-    rows = df.select(*[c.name for c in schema.columns]).collect()
+    rows = [
+        tuple(r)
+        for r in df.select(*[c.name for c in schema.columns]).collect()
+    ]
+    write_col_rows(rows, schema, path, rows_per_group)
+
+
+def schema_from_spark(struct) -> Schema:
+    """.col schema for a Spark StructType (INT32/INT64/STRING only;
+    strings default to DICTIONARY, ints to PLAIN)."""
+    cols = []
+    for f in struct.fields:
+        tn = f.dataType.typeName()
+        if tn not in _SPARK_TO_COL:
+            raise ValueError(
+                f"column {f.name!r}: type {tn} not representable in .col "
+                "(INT32/INT64/STRING only)"
+            )
+        ct = _SPARK_TO_COL[tn]
+        enc = (
+            EncodingType.DICTIONARY
+            if ct is ColumnType.STRING
+            else EncodingType.PLAIN
+        )
+        cols.append(ColumnSchema(f.name, ct, enc))
+    return Schema(cols)
+
+
+def write_col_rows(
+    rows: list[tuple], schema: Schema, path: str, rows_per_group: int = 10_000
+) -> None:
+    """Row-level writer core (shared by write_col and the streaming sink's
+    per-partition writers — each task writes its own .col file)."""
     columns: list[list] = [[r[i] for r in rows] for i in range(len(schema.columns))]
 
     row_groups: list[RowGroupMeta] = []

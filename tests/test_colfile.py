@@ -405,3 +405,47 @@ def test_col_stream_source_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+def test_col_stream_sink_roundtrip(spark, tmp_path):
+    """Stream .col -> .col: read a directory stream, write through the
+    streaming sink (rename-as-commit), batch-read the sink directory
+    back — values identical, no temp files left behind."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources import (
+        colfile,
+    )
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.col_datasource import (
+        register_col_datasource,
+    )
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.writer import (
+        generate_synthetic,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    df = generate_synthetic(spark, 4_000, seed=31).select("id", "value", "region")
+    for i in range(2):
+        part = df.where((F.col("id") >= i * 2_000) & (F.col("id") < (i + 1) * 2_000))
+        colfile.write_col(part, str(src / f"in_{i:03d}.col"), rows_per_group=500)
+    register_col_datasource(spark)
+    out = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("col")
+        .load(str(src))
+        .writeStream.format("col")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert not [f for f in os.listdir(out) if f.startswith(".tmp-")]
+    back = spark.read.format("col").load(out)
+    assert (
+        back.agg(F.count(F.lit(1)), F.sum("value"), F.sum("id")).first()
+        == df.agg(F.count(F.lit(1)), F.sum("value"), F.sum("id")).first()
+    )
