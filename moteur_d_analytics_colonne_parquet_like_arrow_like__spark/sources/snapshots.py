@@ -28,6 +28,11 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed the same version first (optimistic
+    concurrency): re-read and retry the operation."""
+
+
 class SnapshotTable:
     def __init__(self, path: str):
         self.path = path
@@ -63,8 +68,20 @@ class SnapshotTable:
         tmp = self._manifest_path(version) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
-        # os.replace is the atomic commit: readers list only *.manifest.json
-        os.replace(tmp, self._manifest_path(version))
+        # Exclusive link is the atomic commit: readers list only
+        # *.manifest.json, and two writers racing for the same version
+        # cannot both win — the loser gets FileExistsError (optimistic
+        # concurrency, the Delta/Iceberg commit rule) instead of silently
+        # overwriting the other's manifest.
+        try:
+            os.link(tmp, self._manifest_path(version))
+        except FileExistsError:
+            os.remove(tmp)
+            raise ConcurrentCommitError(
+                f"version {version} was committed by another writer; "
+                "re-read the table and retry"
+            ) from None
+        os.remove(tmp)
         return version
 
     def _write_parts(self, df: DataFrame, tag: str) -> list[str]:

@@ -205,3 +205,24 @@ def test_compact_zorder_clusters_both_dims(spark, tmp_path):
     assert t.read(spark, 1).orderBy("payload").collect() == t.read(
         spark, 0
     ).orderBy("payload").collect()
+
+
+def test_concurrent_commit_conflict_detected(spark, tmp_path):
+    """Optimistic concurrency: a second writer racing for the same
+    version gets ConcurrentCommitError, never a silent overwrite."""
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.snapshots import (
+        ConcurrentCommitError,
+    )
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(spark.range(3).select(F.col("id")))
+    # simulate the other writer winning the race for v1
+    other = SnapshotTable(str(tmp_path / "tbl"))
+    other.append(spark.range(3, 6).select(F.col("id")))
+    # this writer still believes the parent is v0 -> its commit of v1
+    # must fail loudly
+    files = t._read_manifest(0)["files"]
+    with pytest.raises(ConcurrentCommitError, match="version 1"):
+        t._commit(files, t._read_manifest(0)["schema"], parent=0)
+    # the winner's manifest is intact
+    assert other.read(spark, 1).count() == 6
