@@ -140,8 +140,13 @@ def _cmd_sql(args: argparse.Namespace) -> int:
         name, _, path = spec.partition("=")
         if not path:
             raise ValueError(f"--table expects name=path, got {spec!r}")
-        if path.endswith(".col"):
-            colfile.read_col(spark, path).createOrReplaceTempView(name)
+        if path.endswith(".col") or _is_col_dir(path):
+            # the Python data source reads row-group-parallel and also
+            # accepts directories of .col files (e.g. a stream sink)
+            from .sources.col_datasource import register_col_datasource
+
+            register_col_datasource(spark)
+            spark.read.format("col").load(path).createOrReplaceTempView(name)
         else:
             spark.read.parquet(path).createOrReplaceTempView(name)
     df = spark.sql(args.statement)
@@ -150,6 +155,14 @@ def _cmd_sql(args: argparse.Namespace) -> int:
         return 0
     df.show(args.limit, truncate=False)
     return 0
+
+
+def _is_col_dir(path: str) -> bool:
+    import os
+
+    return os.path.isdir(path) and any(
+        f.endswith(".col") for f in os.listdir(path)
+    )
 
 
 def _cmd_snapshot(args: argparse.Namespace) -> int:

@@ -163,3 +163,34 @@ def test_snapshot_verb(spark, tmp_path, capsys):
 
     assert cli.main(["snapshot", "read", path]) == 0
     assert "rows=9" in capsys.readouterr().out
+
+
+def test_sql_verb_col_views(spark, tmp_path, capsys):
+    """--table accepts single .col files AND directories of them (stream
+    sink output), read through the row-group-parallel data source."""
+    from pyspark.sql import functions as F
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources import (
+        colfile,
+    )
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.writer import (
+        generate_synthetic,
+    )
+
+    df = generate_synthetic(spark, 3_000, seed=13)
+    one = str(tmp_path / "one.col")
+    colfile.write_col(df, one, rows_per_group=1_000)
+    d = tmp_path / "many"
+    d.mkdir()
+    for i in range(2):
+        part = df.where((F.col("id") >= i * 1_500) & (F.col("id") < (i + 1) * 1_500))
+        colfile.write_col(part, str(d / f"p_{i}.col"), rows_per_group=500)
+
+    rc = cli.main(
+        ["sql", "SELECT count(*) AS n FROM t", "--table", f"t={one}"]
+    )
+    assert rc == 0 and "3000" in capsys.readouterr().out
+    rc = cli.main(
+        ["sql", "SELECT count(*) AS n FROM t", "--table", f"t={d}"]
+    )
+    assert rc == 0 and "3000" in capsys.readouterr().out
