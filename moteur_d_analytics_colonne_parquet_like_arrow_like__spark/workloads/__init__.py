@@ -132,6 +132,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "array_set_ops",
     "graph_triangles",
     "stream_col_source",
+    "rollup_time_hierarchy",
 )
 
 

@@ -1057,3 +1057,50 @@ ORACLES["graph_triangles"] = """
          JOIN edges e3 ON e3.sa = e1.sa AND e3.sb = e2.sb
         ) AS n_triangles
 """
+
+
+def q_rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the derived time hierarchy (year → month → day): one
+    pass emits daily, monthly, yearly, and grand-total rows — the
+    calendar materialization every metrics pipeline ships. Hierarchy
+    levels are projected as strings (with '@total'/'@all' sentinels distinguishing
+    the rolled-up level from a real value) so the hash is stable."""
+    events = _t(spark, sf_dir, "events")
+    lv = events.select(
+        F.date_format("ts", "yyyy").alias("y"),
+        F.date_format("ts", "yyyy-MM").alias("ym"),
+        F.date_format("ts", "yyyy-MM-dd").alias("ymd"),
+        F.col("value"),
+    )
+    return (
+        lv.rollup("y", "ym", "ymd")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.coalesce("y", F.lit("@total")).alias("y"),
+            F.coalesce("ym", F.lit("@all")).alias("ym"),
+            F.coalesce("ymd", F.lit("@all")).alias("ymd"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("y", "ym", "ymd")
+    )
+
+
+QUERIES["rollup_time_hierarchy"] = q_rollup_time_hierarchy
+
+ORACLES["rollup_time_hierarchy"] = """
+    SELECT COALESCE(strftime(ts, '%Y'), '@total') AS y,
+           COALESCE(strftime(ts, '%Y-%m'), '@all') AS ym,
+           COALESCE(strftime(ts, '%Y-%m-%d'), '@all') AS ymd,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY ROLLUP (strftime(ts, '%Y'), strftime(ts, '%Y-%m'),
+                     strftime(ts, '%Y-%m-%d'))
+    ORDER BY y, ym, ymd
+"""
