@@ -45,70 +45,18 @@ _MODULES = [
     streaming_ops,
 ]
 
-# Queries the round-1 correctness gate did NOT record a row for (it verified
-# only the first 50 of 67 declared queries) plus the queries it failed.
-# all_queries() enumerates these first so a truncating verifier always
-# covers the least-proven surface; previously-green queries follow.
+# Round-3 verification priority, rebuilt from the union of CORRECTNESS_r01/r02:
+# the driver truncates its per-round check to the first ~50 entries of
+# all_queries(), so order = (a) the 29 queries NO driver round has ever
+# sampled, then (b) the four round-2 hash failures (HUGEINT oracles, now
+# CAST to BIGINT — need driver re-verification), then (c) queries last
+# checked in round 1 (stalest green), then round-2 greens (freshest).
 _VERIFY_FIRST: tuple[str, ...] = (
-    # failed round 1 (nanos conf / no_oracle — both fixed):
-    "join_asof",
-    "window_lag",
-    "pivot_event_types",
-    "json_extract",
-    "agg_approx_sketches",
-    # no CORRECTNESS row round 1:
-    "stream_tumbling_window",
-    "stream_tumbling_append",
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_dedup",
-    "dedup_clusters",
-    "dedup_embedding_lsh",
-    "sim_topk_bruteforce",
-    "sim_topk_lsh",
-    "sim_topk_lsh_multiprobe",
-    "text_lang_id",
-    "text_quality",
-    "text_tokens",
-    "text_fingerprint",
-    "text_pii",
-    "pipeline_curate",
-    "multimodal_decode",
-    # new in round 2:
-    "tpch_q2_mincost",
-    "tpch_q20_dominant",
-    "dedup_minhash_capped",
-    "window_frames",
-    "batch_sessionize",
-    "scalar_functions2",
-    "sim_topk_ivf",
-    "stream_upsert",
-    "dedup_clusters_star",
-    "set_ops_all",
-    "table_time_travel",
-    "source_formats",
-    "py_udtf_tokens",
-    "py_grouped_map",
-    "py_vectorized_dot",
-    "higher_order_funcs",
-    "incremental_agg",
-    "join_salted",
-    "join_range",
-    "stream_stateful",
-    "events_time_pruned",
-    "agg_variance_exact",
-    "text_winnow",
-    "tpch_q3_shipping",
-    "tpch_q10_returns",
-    "tpch_q19_disjunct",
-    "tpch_q7_volume",
-    "tpch_q15_top_supplier",
     "tpch_q17_small_qty",
     "tpch_q8_market_share",
     "sample_stratified",
     "token_histogram",
     "pipeline_corpus_report",
-    # new this session (complete the 22-query TPC-H dial-tone):
     "tpch_q5_local_volume",
     "tpch_q9_profit",
     "tpch_q11_important_stock",
@@ -133,6 +81,101 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "graph_triangles",
     "stream_col_source",
     "rollup_time_hierarchy",
+    "json_extract",
+    "batch_sessionize",
+    "source_formats",
+    "py_grouped_map",
+    "parity_full_scan",
+    "parity_projection",
+    "parity_filtered_scan",
+    "parity_aggregate",
+    "parity_filtered_aggregate",
+    "parity_group_by",
+    "parity_group_by_money",
+    "join_broadcast",
+    "join_left",
+    "join_semi",
+    "join_anti",
+    "join_multiway",
+    "window_topk_per_group",
+    "window_running_sum",
+    "window_rank_dense",
+    "sort_top_k",
+    "sort_order_by",
+    "set_ops",
+    "distinct_pairs",
+    "tpch_q1",
+    "agg_count_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "scalar_functions",
+    "window_distribution",
+    "date_arithmetic",
+    "subquery_scalar",
+    "subquery_correlated",
+    "agg_percentiles",
+    "sample_hash",
+    "agg_grouping_sets",
+    "stream_static_join",
+    "tpch_q6",
+    "tpch_q13",
+    "tpch_q18_having",
+    "tpch_q4_exists",
+    "tpch_q12_conditional",
+    "tpch_q14_promo",
+    "stream_stream_join",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_embedding",
+    "join_asof",
+    "window_lag",
+    "pivot_event_types",
+    "agg_approx_sketches",
+    "stream_tumbling_window",
+    "stream_tumbling_append",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_dedup",
+    "dedup_clusters",
+    "dedup_embedding_lsh",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh",
+    "sim_topk_lsh_multiprobe",
+    "text_lang_id",
+    "text_quality",
+    "text_tokens",
+    "text_fingerprint",
+    "text_pii",
+    "pipeline_curate",
+    "multimodal_decode",
+    "tpch_q2_mincost",
+    "tpch_q20_dominant",
+    "dedup_minhash_capped",
+    "window_frames",
+    "scalar_functions2",
+    "sim_topk_ivf",
+    "stream_upsert",
+    "dedup_clusters_star",
+    "set_ops_all",
+    "table_time_travel",
+    "py_udtf_tokens",
+    "py_vectorized_dot",
+    "higher_order_funcs",
+    "incremental_agg",
+    "join_salted",
+    "join_range",
+    "stream_stateful",
+    "events_time_pruned",
+    "agg_variance_exact",
+    "text_winnow",
+    "tpch_q3_shipping",
+    "tpch_q10_returns",
+    "tpch_q19_disjunct",
+    "tpch_q7_volume",
+    "tpch_q15_top_supplier",
 )
 
 

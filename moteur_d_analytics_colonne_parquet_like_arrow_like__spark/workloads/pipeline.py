@@ -852,7 +852,7 @@ def _corpus_report_oracle() -> str:
         )
         SELECT lang_pred, COUNT(*) AS n_docs,
                COUNT(DISTINCT {_H60.format(s='text')}) AS n_unique,
-               SUM(n_words) AS total_words,
+               CAST(SUM(n_words) AS BIGINT) AS total_words,
                MIN(q_score) AS min_q_score,
                MAX(q_score) AS max_q_score
         FROM g GROUP BY lang_pred ORDER BY lang_pred

@@ -135,7 +135,7 @@ ORACLES = {
             FROM supplier
         )
         SELECT s_suppkey, s_nationkey,
-               COUNT(*) OVER w * cents - SUM(cents) OVER w AS dev_cents
+               CAST(COUNT(*) OVER w * cents - SUM(cents) OVER w AS BIGINT) AS dev_cents
         FROM c
         WINDOW w AS (PARTITION BY s_nationkey)
         ORDER BY s_suppkey

@@ -303,7 +303,7 @@ ORACLES = {
     "json_extract": """
         SELECT event_type,
                COUNT(*) AS cnt,
-               SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
                MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
         FROM events

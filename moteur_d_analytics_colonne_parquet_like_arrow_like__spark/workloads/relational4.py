@@ -820,12 +820,12 @@ ORACLES = {
     "source_formats": """
         SELECT
             (SELECT COUNT(*) FROM documents) AS jsonl_docs,
-            (SELECT SUM(length(text)) FROM documents) AS jsonl_chars,
+            (SELECT CAST(SUM(length(text)) AS BIGINT) FROM documents) AS jsonl_chars,
             (SELECT COUNT(*) FROM supplier) AS csv_suppliers,
             (SELECT CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
              FROM supplier) AS csv_acctbal_sum,
             (SELECT COUNT(*) FROM nation) AS orc_nations,
-            (SELECT SUM(n_regionkey) FROM nation) AS orc_regionkey_sum
+            (SELECT CAST(SUM(n_regionkey) AS BIGINT) FROM nation) AS orc_regionkey_sum
     """,
     "table_time_travel": """
         SELECT CAST(0 AS INT) AS version, COUNT(*) AS n_rows,
@@ -879,9 +879,9 @@ ORACLES = {
         ),
         sess AS (
             SELECT user_id, event_id, ts,
-                   SUM(new_s) OVER (
+                   CAST(SUM(new_s) OVER (
                        PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                        AS session_id
             FROM lagged
         )

@@ -632,12 +632,12 @@ ORACLES["constraint_report"] = """
               AND o_custkey NOT IN (SELECT c_custkey FROM customer))
     UNION ALL
     SELECT 'unique(o_custkey)',
-           (SELECT COALESCE(SUM(n), 0) FROM (
+           (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM (
                 SELECT COUNT(*) AS n FROM orders GROUP BY o_custkey
             ) t WHERE n > 1)
     UNION ALL
     SELECT 'unique(o_orderkey)',
-           (SELECT COALESCE(SUM(n), 0) FROM (
+           (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM (
                 SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey
             ) t WHERE n > 1)
     ORDER BY rule
@@ -850,26 +850,26 @@ QUERIES["table_profile"] = q_table_profile
 
 ORACLES["table_profile"] = """
     SELECT 'l_orderkey' AS col_name, COUNT(l_orderkey) AS n_nonnull,
-           SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            COUNT(DISTINCT l_orderkey) AS n_distinct,
            CAST(MIN(l_orderkey) AS VARCHAR) AS min_s,
            CAST(MAX(l_orderkey) AS VARCHAR) AS max_s
     FROM lineitem
     UNION ALL
     SELECT 'l_quantity', COUNT(l_quantity),
-           SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT l_quantity),
            CAST(MIN(l_quantity) AS VARCHAR), CAST(MAX(l_quantity) AS VARCHAR)
     FROM lineitem
     UNION ALL
     SELECT 'l_returnflag', COUNT(l_returnflag),
-           SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT l_returnflag),
            MIN(l_returnflag), MAX(l_returnflag)
     FROM lineitem
     UNION ALL
     SELECT 'l_shipdate', COUNT(l_shipdate),
-           SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT l_shipdate),
            strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S'),
            strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S')
