@@ -490,7 +490,7 @@ def duplicate_clusters_star(
     return labels.union(roots)
 
 
-def embedding_near_dup_pairs(
+def embedding_near_dup_pairs_exact_baseline(
     df: DataFrame,
     id_col: str,
     vec_col: str,
@@ -498,8 +498,10 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding near-dup: pairs with cosine ≥ threshold, brute force O(n²).
 
-    Correct baseline for verification; the scale path is
-    ``embedding_near_dup_pairs_lsh`` (bucketed pairing).
+    EXACT BASELINE ONLY — all-pairs crossJoin, a deliberate scale-killer
+    kept solely as the verification oracle for the bucketed twin. Composite
+    pipelines must call ``embedding_near_dup_pairs_lsh`` (the scale path);
+    nothing in this repo routes production flows through this function.
     """
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
@@ -510,6 +512,10 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+#: Back-compat alias — prefer the explicit *_exact_baseline name.
+embedding_near_dup_pairs = embedding_near_dup_pairs_exact_baseline
 
 
 def embedding_near_dup_pairs_lsh(

@@ -38,7 +38,7 @@ def _ranked(joined: DataFrame, k: int, round_digits: int) -> DataFrame:
     )
 
 
-def cosine_topk(
+def cosine_topk_exact_baseline(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str,
@@ -47,7 +47,11 @@ def cosine_topk(
     round_digits: int = 6,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector (unit-norm assumed:
-    dot = cosine). Queries are broadcast — the corpus never shuffles."""
+    dot = cosine). Queries are broadcast — the corpus never shuffles.
+
+    EXACT BASELINE ONLY — O(corpus × queries) nested loop, kept as the
+    verification oracle for the LSH/IVF twins. Composite pipelines must use
+    ``cosine_topk_lsh`` / ``ivf_probe_topk`` (sub-linear candidates)."""
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec")
     )
@@ -57,6 +61,10 @@ def cosine_topk(
     joined = c.join(F.broadcast(q), F.col("query_id") != F.col("corpus_id"))
     cos = F.round(dot_product(F.col("qvec"), F.col("cvec")), round_digits)
     return _ranked(joined.withColumn("cosine_r", cos), k, round_digits)
+
+
+#: Back-compat alias — prefer the explicit *_exact_baseline name.
+cosine_topk = cosine_topk_exact_baseline
 
 
 def bucket_id(vec_col: str | Column, dims: tuple[int, ...] = DEFAULT_BUCKET_DIMS) -> Column:

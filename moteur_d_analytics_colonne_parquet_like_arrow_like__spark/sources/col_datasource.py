@@ -151,10 +151,13 @@ class ColDataSource(DataSource):
         proj = [c.strip() for c in cols.split(",")] if cols else None
         path = self.options["path"]
         if os.path.isdir(path):  # streaming: schema from the first file
-            first = sorted(
-                f for f in os.listdir(path) if f.endswith(".col")
-            )[0]
-            path = os.path.join(path, first)
+            listing = sorted(f for f in os.listdir(path) if f.endswith(".col"))
+            if not listing:
+                raise FileNotFoundError(
+                    f"no .col files yet in {path}; schema cannot be inferred "
+                    "— write one file first or pass an explicit schema"
+                )
+            path = os.path.join(path, listing[0])
         schema, _, _ = read_col_metadata(path)
         names = proj or schema.names
         return T.StructType(

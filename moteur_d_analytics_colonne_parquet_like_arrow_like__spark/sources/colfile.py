@@ -320,11 +320,19 @@ _SPARK_TO_COL = {
 }
 
 
+#: Driver-side safety cap for write_col. A single .col file is a
+#: single-node interchange artifact; anything larger must go through the
+#: executor-parallel sink (col_datasource streaming sink — one file per
+#: task) instead of funneling the whole DataFrame through driver memory.
+WRITE_COL_MAX_ROWS = 5_000_000
+
+
 def write_col(
     df: DataFrame,
     path: str,
     schema: Schema | None = None,
     rows_per_group: int = 10_000,
+    max_rows: int = WRITE_COL_MAX_ROWS,
 ) -> None:
     """Write a (small) DataFrame as a reference-compatible .col file.
 
@@ -332,14 +340,24 @@ def write_col(
     format. Columns must be INT32/INT64/STRING (the reference type system);
     encodings come from the schema hint or default to PLAIN ints /
     DICTIONARY strings.
+
+    Driver memory is bounded: the collect is LIMIT-capped at ``max_rows``
+    (+1 sentinel row to detect overflow) and raises instead of OOMing the
+    driver on an unexpectedly large input — the executor-parallel path for
+    big tables is the `.col` streaming sink (one file per task).
     """
     if schema is None:
         schema = schema_from_spark(df.schema)
 
-    rows = [
-        tuple(r)
-        for r in df.select(*[c.name for c in schema.columns]).collect()
-    ]
+    capped = df.select(*[c.name for c in schema.columns]).limit(max_rows + 1)
+    rows = [tuple(r) for r in capped.collect()]
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"write_col input exceeds {max_rows} rows; a single .col file is "
+            "a driver-collected interchange artifact — write through the "
+            "executor-parallel .col sink (format('col') writeStream) or "
+            "raise max_rows explicitly"
+        )
     write_col_rows(rows, schema, path, rows_per_group)
 
 

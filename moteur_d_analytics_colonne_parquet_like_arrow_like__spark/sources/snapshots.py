@@ -266,31 +266,32 @@ class SnapshotTable:
         if dup:
             raise ValueError("merge source has duplicate keys")
 
-        cur = self.read(spark, parent).withColumn("__file", F.input_file_name())
+        # Manifest-relative file name, derived executor-side from
+        # input_file_name(): the URI's suffix after the table root. Keeping
+        # everything in relative-name space means (a) the only driver
+        # round-trip is a distinct list of short names bounded by the
+        # manifest size the driver already holds — never full URIs of
+        # millions of files — and (b) the touched-row rewrite is a
+        # distributed semi join, not a giant IN-list expression.
+        marker = self.path.rstrip("/") + "/"
+        cur = self.read(spark, parent).withColumn(
+            "__rel", F.substring_index(F.input_file_name(), marker, -1)
+        )
         src_keys = source.select(*keys).distinct()
-        touched_uris = {
-            r["__file"]
-            for r in cur.join(src_keys, keys, "left_semi")
-            .select("__file")
-            .distinct()
-            .collect()
-        }
-        # manifest-relative names of the touched files
-        touched_rel = [
-            f
-            for f in m["files"]
-            if any(uri.endswith(f) for uri in touched_uris)
-        ]
-        untouched = [f for f in m["files"] if f not in touched_rel]
+        touched_files = (
+            cur.join(src_keys, keys, "left_semi").select("__rel").distinct()
+        )
+        touched_rel_set = {r["__rel"] for r in touched_files.collect()}
+        untouched = [f for f in m["files"] if f not in touched_rel_set]
 
-        data_cols = [c for c in cur.columns if c != "__file"]
+        data_cols = [c for c in cur.columns if c != "__rel"]
         if delete_col is not None:
             upserts = source.where(~F.col(delete_col)).select(*data_cols)
         else:
             upserts = source.select(*data_cols)
-        touched_rows = cur.where(
-            F.col("__file").isin(*touched_uris) if touched_uris else F.lit(False)
-        ).drop("__file")
+        touched_rows = cur.join(
+            F.broadcast(touched_files), "__rel", "left_semi"
+        ).drop("__rel")
         merged = touched_rows.join(source.select(*keys), keys, "left_anti").select(
             *data_cols
         ).unionByName(upserts)

@@ -221,21 +221,32 @@ def foreach_batch_upsert(
 
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
+    # Final tie-breaker: batch provenance (__src 1=incoming, 0=existing),
+    # ordered so the incoming row wins when order_cols tie exactly —
+    # without it row_number picks a nondeterministic survivor on ties and
+    # "idempotent per batch" does not strictly hold.
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() for c in order_cols], F.col("__src").desc()
+    )
 
     def rank1(df: DataFrame) -> DataFrame:
         return (
             df.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
-            .drop("__rn")
+            .drop("__rn", "__src")
         )
 
     def merge_full(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         cols = output_cols or batch.columns
-        current = batch.select(*cols)
+        current = batch.select(*cols).withColumn("__src", F.lit(1))
         if os.path.exists(os.path.join(path, "_SUCCESS")):
-            current = spark.read.parquet(path).select(*cols).union(current)
+            current = (
+                spark.read.parquet(path)
+                .select(*cols)
+                .withColumn("__src", F.lit(0))
+                .union(current)
+            )
         staging = path + ".staging"
         rank1(current).write.mode("overwrite").parquet(staging)
         if os.path.exists(path):
@@ -246,7 +257,11 @@ def foreach_batch_upsert(
         spark = batch.sparkSession
         cols = output_cols or [c for c in batch.columns]
         bucket = F.pmod(F.xxhash64(*keys), F.lit(num_buckets)).cast("int")
-        fresh = batch.select(*cols).withColumn("__bucket", bucket)
+        fresh = (
+            batch.select(*cols)
+            .withColumn("__bucket", bucket)
+            .withColumn("__src", F.lit(1))
+        )
         # one tiny driver round-trip: which buckets does this batch touch?
         touched = [r["__bucket"] for r in fresh.select("__bucket").distinct().collect()]
         if not touched:
@@ -257,6 +272,7 @@ def foreach_batch_upsert(
                 spark.read.parquet(path)
                 .where(F.col("__bucket").isin(touched))  # partition-pruned
                 .select(*cols, "__bucket")
+                .withColumn("__src", F.lit(0))
             )
             current = existing.union(fresh)
         # Materialize before writing: dynamic overwrite cannot write a path

@@ -113,7 +113,7 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = dedup.embedding_near_dup_pairs(
+    out = dedup.embedding_near_dup_pairs_exact_baseline(
         _embeddings(spark, sf_dir), "vec_id", "embedding", threshold=0.45
     )
     return out.select(
@@ -134,7 +134,7 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 10)
-    return similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=5).orderBy(
+    return similarity.cosine_topk_exact_baseline(emb, queries, "vec_id", "embedding", k=5).orderBy(
         "query_id", "rnk"
     )
 

@@ -449,3 +449,38 @@ def test_col_stream_sink_roundtrip(spark, tmp_path):
         back.agg(F.count(F.lit(1)), F.sum("value"), F.sum("id")).first()
         == df.agg(F.count(F.lit(1)), F.sum("value"), F.sum("id")).first()
     )
+
+
+def test_col_datasource_empty_dir_clear_error(spark, tmp_path):
+    """Reading an existing-but-empty directory fails with a clear message,
+    not an opaque IndexError from indexing an empty listing."""
+    import pytest
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.col_datasource import (
+        register_col_datasource,
+    )
+
+    empty = tmp_path / "empty_dir"
+    empty.mkdir()
+    register_col_datasource(spark)
+    with pytest.raises(Exception, match="no .col files yet"):
+        spark.read.format("col").load(str(empty)).collect()
+
+
+def test_write_col_rejects_oversized_input(spark, tmp_path):
+    """write_col bounds driver memory: inputs past max_rows raise instead
+    of collecting the whole frame onto the driver."""
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources import (
+        colfile,
+    )
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.col_datasource import (
+        register_col_datasource,
+    )
+
+    register_col_datasource(spark)
+    df = spark.range(0, 100)
+    with pytest.raises(ValueError, match="exceeds 50 rows"):
+        colfile.write_col(df, str(tmp_path / "cap.col"), max_rows=50)
+    # at the cap it still writes fine
+    colfile.write_col(df.limit(50), str(tmp_path / "ok.col"), max_rows=50)
+    assert spark.read.format("col").load(str(tmp_path / "ok.col")).count() == 50

@@ -81,10 +81,10 @@ def test_embedding_near_dup_and_topk(spark):
         (4, [-1.0, 0.0, 0.0, 0.0]),      # opposite
     ]
     df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
-    pairs = dedup.embedding_near_dup_pairs(df, "vec_id", "embedding", 0.9).collect()
+    pairs = dedup.embedding_near_dup_pairs_exact_baseline(df, "vec_id", "embedding", 0.9).collect()
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
 
-    topk = similarity.cosine_topk(df, df.where("vec_id = 1"), "vec_id", "embedding", k=3)
+    topk = similarity.cosine_topk_exact_baseline(df, df.where("vec_id = 1"), "vec_id", "embedding", k=3)
     rows = topk.orderBy("rnk").collect()
     assert [r["corpus_id"] for r in rows] == [2, 3, 4]  # by descending cosine
 
@@ -266,7 +266,7 @@ def test_multiprobe_lsh_improves_recall(spark, sf_dir):
     def pairs(df):
         return {(r["query_id"], r["corpus_id"]) for r in df.collect()}
 
-    exact = pairs(similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=5))
+    exact = pairs(similarity.cosine_topk_exact_baseline(emb, queries, "vec_id", "embedding", k=5))
     single = pairs(
         similarity.lsh_bucketed_topk(emb, queries, "vec_id", "embedding", k=5)
     )
