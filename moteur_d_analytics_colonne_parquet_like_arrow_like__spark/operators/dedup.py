@@ -221,6 +221,62 @@ def minhash_lsh_pairs(
     )
 
 
+def contamination_check(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 4,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Benchmark contamination (decontamination pass): for every eval-set
+    document, its k-gram CONTAINMENT in each training document —
+    |eval ∩ train| / |eval| — flagging (eval_id, train_id) pairs at or
+    above ``threshold``. Containment, not Jaccard: a short benchmark item
+    embedded verbatim in a long web page is 100% contained but has tiny
+    Jaccard, and it is exactly the case a decontamination pass must catch.
+
+    Scale shape: both sides reduce to (id, shingle-hash) postings and meet
+    in an inverted-index equi-join on the hash — only (train, eval) pairs
+    sharing ≥1 shingle are ever materialized, the same bounded pattern as
+    ``ngram_jaccard_pairs``. The eval side is a benchmark suite (KB-MB
+    even when the train side is 100 TB), so its postings broadcast and the
+    train side never shuffles. ``max_doc_freq`` drops stop-shingles from
+    the TRAIN side of the join only (denominator |eval| stays exact);
+    containment becomes a tight lower bound, capping hot posting lists.
+    """
+    ev = _doc_shingle_hashes(eval_df, id_col, text_col, shingle_k)
+    tr = _doc_shingle_hashes(train, id_col, text_col, shingle_k)
+    sizes = ev.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_eval"))
+    if max_doc_freq is not None:
+        rare = (
+            tr.groupBy("h31")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_doc_freq)
+            .select("h31")
+        )
+        tr = tr.join(rare, "h31")
+    common = (
+        tr.select(F.col(id_col).alias("train_id"), "h31")
+        .join(
+            F.broadcast(ev.select(F.col(id_col).alias("eval_id"), "h31")),
+            "h31",
+        )
+        .groupBy("eval_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    containment = F.col("n_common") / F.col("n_eval")
+    return (
+        common.join(
+            F.broadcast(sizes.select(F.col(id_col).alias("eval_id"), "n_eval")),
+            "eval_id",
+        )
+        .select("eval_id", "train_id", containment.alias("containment"))
+        .where(F.col("containment") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -227,6 +227,56 @@ def doc_fingerprints(df: DataFrame, text_col: str, shingle_k: int = 4) -> DataFr
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_n: int = 2,
+) -> DataFrame:
+    """Most characteristic terms per document: rank by (term frequency
+    desc, document frequency asc, term asc) and report the tf·idf score
+    (tf · ln(N/df), natural log) for each kept term.
+
+    The RANKING is integer-exact — tf and df are counts, the term string
+    breaks remaining ties — so it is reproducible bit-for-bit across
+    engines; the float tfidf value is payload only and never decides
+    order (libm log can differ in the last ulp between engines, which a
+    float-ordered rank would amplify into different rows).
+
+    Scale shape: one explode + two aggregations. tf shuffles on (doc,
+    term); df is a term-keyed agg of the (already small) tf relation; the
+    corpus size N is a 1-row broadcast. No quadratic anything — this is
+    the vocabulary/keyword-extraction pass of a curation pipeline.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(words(text_col)).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(
+        F.countDistinct(id_col).cast("double").alias("n_docs")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= top_n)
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            "rnk",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tfidf"),
+        )
+    )
+
+
 def repetition_features(df: DataFrame, text_col: str) -> DataFrame:
     """Gopher-style repetition filters (Rae et al. 2021, "Scaling Language
     Models: ... Gopher", §A1.1 repetition rules): the fraction of content

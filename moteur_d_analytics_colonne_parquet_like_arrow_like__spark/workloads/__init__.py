@@ -85,6 +85,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "batch_sessionize",
     "source_formats",
     "py_grouped_map",
+    # new in round 3 (never sampled):
+    "pipeline_contamination",
+    "text_tfidf_terms",
     "parity_full_scan",
     "parity_projection",
     "parity_filtered_scan",

@@ -995,3 +995,90 @@ ORACLES["text_repetition"] = f"""
     FROM b
     ORDER BY doc_id
 """
+
+
+def q_pipeline_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 29 == 0 play the held-
+    out eval suite, the rest the training corpus; flag (eval, train) pairs
+    whose 4-gram containment |eval ∩ train| / |eval| ≥ 0.5. Containment
+    (not Jaccard) catches short benchmark items embedded in long pages.
+    The eval side broadcasts; the train side meets it in an inverted-index
+    equi-join on the shingle hash — the train corpus never shuffles."""
+    docs = _documents(spark, sf_dir)
+    eval_df = docs.where(F.col("doc_id") % 29 == 0)
+    train = docs.where(F.col("doc_id") % 29 != 0)
+    out = dedup.contamination_check(
+        train, eval_df, "doc_id", "text", shingle_k=4, threshold=0.5
+    )
+    return out.select(
+        "eval_id", "train_id", F.round("containment", 6).alias("containment_r")
+    ).orderBy("eval_id", "train_id")
+
+
+QUERIES["pipeline_contamination"] = q_pipeline_contamination
+
+# Same shingle CTEs as the jaccard oracles (k=4), split into eval/train,
+# asymmetric containment against the EVAL shingle count.
+ORACLES["pipeline_contamination"] = f"""
+    WITH {_shingle_cte(4)},
+    ev AS (SELECT * FROM h WHERE doc_id % 29 = 0),
+    tr AS (SELECT * FROM h WHERE doc_id % 29 <> 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_eval FROM ev GROUP BY doc_id),
+    common AS (
+        SELECT ev.doc_id AS eval_id, tr.doc_id AS train_id,
+               COUNT(*) AS n_common
+        FROM tr JOIN ev USING (h31)
+        GROUP BY 1, 2
+    )
+    SELECT eval_id, train_id,
+           round(n_common / n_eval, 6) AS containment_r
+    FROM common JOIN sizes ON common.eval_id = sizes.doc_id
+    WHERE n_common / n_eval >= 0.5
+    ORDER BY eval_id, train_id
+"""
+
+
+def q_text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 characteristic terms per document by (tf desc, df asc, term
+    asc) — an integer-exact ranking, reproducible across engines — with
+    the tf·ln(N/df) score as payload. The keyword-extraction pass of a
+    curation pipeline: one explode, two aggregations, a 1-row broadcast
+    for the corpus size."""
+    out = text.tfidf_top_terms(
+        _documents(spark, sf_dir).select("doc_id", "text"), "doc_id", "text",
+        top_n=2,
+    )
+    return out.select(
+        "doc_id", "term", "tf", "df", "rnk",
+        F.round("tfidf", 6).alias("tfidf_r"),
+    ).orderBy("doc_id", "rnk")
+
+
+QUERIES["text_tfidf_terms"] = q_text_tfidf_terms
+
+# tf/df are exact counts; ln is natural log on both engines; the float
+# score never decides ordering (ranking is count- and string-keyed).
+ORACLES["text_tfidf_terms"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
+    ranked AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC
+               ) AS rnk,
+               round(tf.tf * ln(n.n_docs / dfreq.df), 6) AS tfidf_r
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, rnk, tfidf_r
+    FROM ranked WHERE rnk <= 2
+    ORDER BY doc_id, rnk
+"""

@@ -476,3 +476,52 @@ def test_repetition_features_gopher(spark):
     # bigrams: 'a b','b a','a b','b x' -> 'a b' twice of 4 slots
     assert r3["rep_dup_bigram_frac"] == 0.5
     assert r3["rep_top_bigram_frac"] == 0.5
+
+
+def test_contamination_check_containment(spark):
+    """Eval doc fully embedded in a longer train doc → containment 1.0;
+    unrelated train doc never pairs. Asymmetric: Jaccard would be low for
+    the embedded case, containment must be 1."""
+    train = spark.createDataFrame(
+        [
+            (10, "padding words before the quick brown fox jumps over the "
+                 "lazy dog padding words after the end"),
+            (11, "completely unrelated training text about columnar engines "
+                 "and vectorized execution at scale"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    out = dedup.contamination_check(
+        train, eval_df, "doc_id", "text", shingle_k=4, threshold=0.5
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["eval_id"], r["train_id"]) == (1, 10)
+    assert abs(r["containment"] - 1.0) < 1e-9
+
+
+def test_tfidf_top_terms_ranking(spark):
+    """Ranking is (tf desc, df asc, term asc); corpus-wide words rank below
+    doc-specific repeated words."""
+    df = spark.createDataFrame(
+        [
+            (1, "shared shared alpha alpha alpha"),
+            (2, "shared beta beta"),
+            (3, "shared gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text.tfidf_top_terms(df, "doc_id", "text", top_n=1).collect()
+    top = {r["doc_id"]: (r["term"], r["tf"], r["df"]) for r in out}
+    assert top[1] == ("alpha", 3, 1)
+    assert top[2] == ("beta", 2, 1)
+    assert top[3] == ("gamma", 1, 1)
+    # tfidf payload: tf * ln(N/df) = 1 * ln(3) for gamma
+    import math
+
+    gamma = [r for r in out if r["doc_id"] == 3][0]
+    assert abs(gamma["tfidf"] - math.log(3.0)) < 1e-9
