@@ -227,6 +227,78 @@ def doc_fingerprints(df: DataFrame, text_col: str, shingle_k: int = 4) -> DataFr
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int = 512,
+    chunk: int = 8192,
+) -> DataFrame:
+    """Sequence packing: lay all documents (in ``id_col`` order) end-to-end
+    into fixed-``budget``-token training sequences and report, per doc,
+    which sequence span holds it — (start_seq, start_off, end_seq). This is
+    the concatenate-and-chunk packing of LLM pretraining (documents may
+    straddle sequence boundaries; the trainer masks attention across them),
+    so the answer is pure prefix-sum arithmetic over token counts.
+
+    Scale shape: a global ordered cumulative sum — the one windowed shape
+    that must NOT be written as ``Window.orderBy`` with no partition key
+    (that collapses 100 TB into one task). Two-phase distributed scan
+    instead: (1) docs fall into deterministic id-range chunks and cumsum
+    WITHIN each chunk in parallel; (2) per-chunk totals — one row per
+    chunk, ~rows/``chunk`` of them — aggregate into chunk base offsets on
+    a broadcastable relation; the global position is base + local. Result
+    is bit-identical to the naive single-partition window at any
+    partitioning.
+    """
+    from pyspark.sql import Window
+
+    n_tok = F.size(words(text_col)).cast("bigint")
+    toks = (
+        df.select(
+            F.col(id_col),
+            n_tok.alias("n_tokens"),
+            # integer div, not double division: token offsets at corpus
+            # scale must never round through a double
+            F.expr(f"{id_col} div {chunk}").alias("__chunk"),
+        )
+        .where(F.col("n_tokens") > 0)
+    )
+    # phase 1: parallel per-chunk local prefix sums
+    w_local = (
+        Window.partitionBy("__chunk")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = toks.withColumn("__local_cum", F.sum("n_tokens").over(w_local))
+    # phase 2: chunk totals -> exclusive base offset per chunk (tiny)
+    w_chunks = (
+        Window.orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bases = (
+        toks.groupBy("__chunk")
+        .agg(F.sum("n_tokens").alias("__chunk_total"))
+        .withColumn(
+            "__base",
+            F.sum("__chunk_total").over(w_chunks) - F.col("__chunk_total"),
+        )
+        .select("__chunk", "__base")
+    )
+    return (
+        local.join(F.broadcast(bases), "__chunk")
+        .withColumn("__end", F.col("__base") + F.col("__local_cum"))
+        .withColumn("__start", F.col("__end") - F.col("n_tokens"))
+        .select(
+            id_col,
+            "n_tokens",
+            F.expr(f"__start div {budget}").alias("start_seq"),
+            F.expr(f"__start % {budget}").alias("start_off"),
+            F.expr(f"(__end - 1) div {budget}").alias("end_seq"),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str,

@@ -88,6 +88,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # new in round 3 (never sampled):
     "pipeline_contamination",
     "text_tfidf_terms",
+    "pipeline_pack_sequences",
+    "events_funnel",
     "parity_full_scan",
     "parity_projection",
     "parity_filtered_scan",

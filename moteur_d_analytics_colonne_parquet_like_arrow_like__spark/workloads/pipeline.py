@@ -1082,3 +1082,43 @@ ORACLES["text_tfidf_terms"] = f"""
     FROM ranked WHERE rnk <= 2
     ORDER BY doc_id, rnk
 """
+
+
+def q_pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: every document's span in the concatenated 512-
+    token training-sequence stream, via the two-phase distributed prefix
+    sum in operators/text.py (bit-identical to a global cumsum, without
+    the single-task global window)."""
+    out = text.pack_sequences(
+        _documents(spark, sf_dir).select("doc_id", "text"),
+        "doc_id",
+        "text",
+        budget=512,
+        chunk=64,
+    )
+    return out.orderBy("doc_id")
+
+
+QUERIES["pipeline_pack_sequences"] = q_pipeline_pack_sequences
+
+# The oracle IS the naive global cumsum the distributed scan must equal.
+ORACLES["pipeline_pack_sequences"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum
+        FROM toks WHERE n_tokens > 0
+    )
+    SELECT doc_id, n_tokens,
+           (cum - n_tokens) // 512 AS start_seq,
+           (cum - n_tokens) % 512 AS start_off,
+           (cum - 1) // 512 AS end_seq
+    FROM c ORDER BY doc_id
+"""

@@ -1104,3 +1104,77 @@ ORACLES["rollup_time_hierarchy"] = """
                      strftime(ts, '%Y-%m-%d'))
     ORDER BY y, ym, ymd
 """
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel over the events stream: users who viewed, then
+    clicked AFTER their first view, then purchased AFTER that first
+    click — strict event-order semantics, not mere co-occurrence — plus
+    the total view-to-click latency in exact integer milliseconds.
+
+    Scale shape: three aggregations all keyed on user_id, chained by
+    joins on the SAME key — one co-partitioned shuffle family, no
+    re-keying anywhere. Latency sums stay in exact integer ms (unix_millis
+    on both engines truncates identically), never double accumulation.
+    """
+    ev = _t(spark, sf_dir, "events")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"), F.first("t_view").alias("t_view2"))
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(clicks.select("user_id", "t_click"), "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    n_view = views.agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("n").alias("n_view_users")
+    )
+    click_stats = clicks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_click_after_view"),
+        F.sum(F.unix_millis("t_click") - F.unix_millis("t_view2"))
+        .cast("bigint")
+        .alias("sum_view_to_click_ms"),
+    )
+    n_purch = purchases.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchase_after_click")
+    )
+    return n_view.crossJoin(click_stats).crossJoin(n_purch)
+
+
+QUERIES["events_funnel"] = q_events_funnel
+
+ORACLES["events_funnel"] = """
+    WITH views AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    clicks AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click, MIN(v.t_view) AS t_view
+        FROM events e JOIN views v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    purchases AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN clicks c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT
+        (SELECT COUNT(*) FROM views) AS n_view_users,
+        (SELECT COUNT(*) FROM clicks) AS n_click_after_view,
+        (SELECT CAST(COALESCE(SUM(epoch_ms(t_click) - epoch_ms(t_view)), 0)
+                AS BIGINT) FROM clicks) AS sum_view_to_click_ms,
+        (SELECT COUNT(*) FROM purchases) AS n_purchase_after_click
+"""

@@ -525,3 +525,44 @@ def test_tfidf_top_terms_ranking(spark):
 
     gamma = [r for r in out if r["doc_id"] == 3][0]
     assert abs(gamma["tfidf"] - math.log(3.0)) < 1e-9
+
+
+def test_pack_sequences_straddles_boundaries(spark):
+    """Docs concatenate in id order; a doc crossing a sequence boundary
+    reports the straddled span; offsets are exact prefix sums."""
+    df = spark.createDataFrame(
+        [(1, " ".join(["w"] * 6)), (2, " ".join(["x"] * 3)),
+         (3, " ".join(["y"] * 10)), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["start_seq"], r["start_off"], r["end_seq"])
+        for r in text.pack_sequences(df, "doc_id", "text", budget=8, chunk=2).collect()
+    }
+    # stream: doc1 tokens [0,6), doc2 [6,9) straddles seq 0->1,
+    # doc3 [9,19) spans seqs 1..2; doc4 normalizes to one '' token [19,20)
+    assert out[1] == (0, 0, 0)
+    assert out[2] == (0, 6, 1)
+    assert out[3] == (1, 1, 2)
+    assert out[4] == (2, 3, 2)
+
+
+def test_pack_sequences_matches_global_cumsum_any_chunk(spark):
+    """The two-phase distributed scan is bit-identical to the naive global
+    cumsum whatever the chunk size."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, " ".join(["t"] * rng.randint(1, 40))) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expected = None
+    for chunk in (1, 7, 64, 1000):
+        got = sorted(
+            tuple(r)
+            for r in text.pack_sequences(
+                df, "doc_id", "text", budget=16, chunk=chunk
+            ).collect()
+        )
+        if expected is None:
+            expected = got
+        assert got == expected
