@@ -90,6 +90,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "text_tfidf_terms",
     "pipeline_pack_sequences",
     "events_funnel",
+    "join_full_outer",
     "parity_full_scan",
     "parity_projection",
     "parity_filtered_scan",

@@ -1178,3 +1178,53 @@ ORACLES["events_funnel"] = """
                 AS BIGINT) FROM clicks) AS sum_view_to_click_ms,
         (SELECT COUNT(*) FROM purchases) AS n_purchase_after_click
 """
+
+
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the one join verb the gate didn't cover: per
+    (user, day) signup counts vs error counts, keeping days where a user
+    has only one of the two (both null sides exercised; probed non-
+    degenerate at sf0.01 and sf0.1). Same-key aggregations feed a single
+    co-partitioned full-outer shuffle join; USING-style key coalescing on
+    both engines."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("d")
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id", day)
+        .agg(F.count(F.lit(1)).alias("n_signups"))
+    )
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id", day)
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    return (
+        signups.join(errors, ["user_id", "d"], "full_outer")
+        .select(
+            "user_id",
+            "d",
+            F.coalesce("n_signups", F.lit(0)).alias("n_signups"),
+            F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
+        )
+        .orderBy("user_id", "d")
+    )
+
+
+QUERIES["join_full_outer"] = q_join_full_outer
+
+ORACLES["join_full_outer"] = """
+    WITH s AS (
+        SELECT user_id, strftime(ts, '%Y-%m-%d') AS d, COUNT(*) AS n_signups
+        FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+    ),
+    e AS (
+        SELECT user_id, strftime(ts, '%Y-%m-%d') AS d, COUNT(*) AS n_errors
+        FROM events WHERE event_type = 'error' GROUP BY 1, 2
+    )
+    SELECT user_id, d,
+           COALESCE(n_signups, 0) AS n_signups,
+           COALESCE(n_errors, 0) AS n_errors
+    FROM s FULL OUTER JOIN e USING (user_id, d)
+    ORDER BY user_id, d
+"""
