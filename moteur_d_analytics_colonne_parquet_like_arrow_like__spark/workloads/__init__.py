@@ -91,6 +91,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "pipeline_pack_sequences",
     "events_funnel",
     "join_full_outer",
+    "events_retention_cohorts",
+    "sample_per_group",
     "parity_full_scan",
     "parity_projection",
     "parity_filtered_scan",

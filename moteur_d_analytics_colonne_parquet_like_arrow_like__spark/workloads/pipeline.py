@@ -1122,3 +1122,44 @@ ORACLES["pipeline_pack_sequences"] = f"""
            (cum - 1) // 512 AS end_seq
     FROM c ORDER BY doc_id
 """
+
+
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-class sampling (the reservoir-per-group of a
+    class-balancing pass): keep exactly 3 docs per language, chosen by
+    stable-hash order so the "reservoir" is reproducible across engines,
+    runs, and partitionings. One shuffle on the group key; the per-group
+    window never sees more than the group's rows."""
+    from pyspark.sql import Window
+
+    from ..functions import stable_hash60
+
+    docs = _documents(spark, sf_dir)
+    hkey = stable_hash60(F.concat(F.lit("smp:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(hkey.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("lang", F.col("rn").cast("bigint").alias("rn"), "doc_id")
+        .orderBy("lang", "rn")
+    )
+
+
+QUERIES["sample_per_group"] = q_sample_per_group
+
+ORACLES["sample_per_group"] = f"""
+    WITH hashed AS (
+        SELECT lang, doc_id,
+               {_H60.format(s="concat('smp:', CAST(doc_id AS VARCHAR))")} AS hk
+        FROM documents
+    ),
+    ranked AS (
+        SELECT lang, doc_id,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY hk ASC, doc_id ASC
+               ) AS rn
+        FROM hashed
+    )
+    SELECT lang, rn, doc_id FROM ranked WHERE rn <= 3
+    ORDER BY lang, rn
+"""

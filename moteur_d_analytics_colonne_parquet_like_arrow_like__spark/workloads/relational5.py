@@ -1228,3 +1228,46 @@ ORACLES["join_full_outer"] = """
     FROM s FULL OUTER JOIN e USING (user_id, d)
     ORDER BY user_id, d
 """
+
+
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active day, counted
+    as retained on each later day they appear — the (cohort, day-offset,
+    n_active) triangle behind every retention curve. Output cardinality is
+    cohorts × days however large the fact table is; the distinct-user
+    reduction happens before anything joins."""
+    ev = _t(spark, sf_dir, "events")
+    ev_day = ev.select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("d")
+    ).distinct()
+    cohort = ev_day.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    return (
+        ev_day.join(cohort, "user_id")
+        .groupBy(
+            "cohort_d",
+            F.datediff(F.to_date("d"), F.to_date("cohort_d"))
+            .cast("bigint")
+            .alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_d", "day_offset")
+    )
+
+
+QUERIES["events_retention_cohorts"] = q_events_retention_cohorts
+
+ORACLES["events_retention_cohorts"] = """
+    WITH ev_day AS (
+        SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS d FROM events
+    ),
+    cohort AS (
+        SELECT user_id, MIN(d) AS cohort_d FROM ev_day GROUP BY user_id
+    )
+    SELECT cohort_d,
+           CAST(CAST(d AS DATE) - CAST(cohort_d AS DATE) AS BIGINT)
+               AS day_offset,
+           COUNT(DISTINCT ev_day.user_id) AS n_active
+    FROM ev_day JOIN cohort ON ev_day.user_id = cohort.user_id
+    GROUP BY 1, 2
+    ORDER BY cohort_d, day_offset
+"""
