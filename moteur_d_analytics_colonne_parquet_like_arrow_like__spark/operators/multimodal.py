@@ -307,6 +307,135 @@ def frame_sample(
     return media.mapInPandas(_sample, schema=schema)
 
 
+def audio_features(media: DataFrame) -> DataFrame:
+    """Real signal-feature extraction from audio rows: walk the RIFF chunk
+    list to the ``data`` chunk, decode the actual PCM16 samples
+    (vectorized numpy over the Arrow batch), and emit exact-integer
+    features — sample count, energy (Σs², fits int64 at 16-bit depth),
+    peak amplitude, zero crossings — plus RMS as a floor-scaled integer
+    (floor of identical doubles is engine-stable; decimal rounding of
+    doubles is not, see workloads/__init__ authoring rules).
+
+    The batch contract a production extractor needs: mapInPandas over
+    binary columns, one output row per audio row, non-audio rows dropped
+    in the UDF (no pre-shuffle)."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("n_samples", T.LongType(), False),
+            T.StructField("sum_sq", T.LongType(), False),
+            T.StructField("peak", T.LongType(), False),
+            T.StructField("n_zero_cross", T.LongType(), False),
+            T.StructField("rms_milli", T.LongType(), False),
+        ]
+    )
+
+    def _pcm(blob: bytes) -> bytes | None:
+        if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+            return None
+        off = 12
+        while off + 8 <= len(blob):
+            tag = blob[off : off + 4]
+            (size,) = struct.unpack("<I", blob[off + 4 : off + 8])
+            if tag == b"data":
+                return blob[off + 8 : off + 8 + size]
+            off += 8 + size + (size & 1)  # chunks are word-aligned
+        return None
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["kind"] != "audio":
+                    continue
+                data = _pcm(bytes(r["content"]))
+                if not data:
+                    continue
+                s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                if len(s) == 0:
+                    continue
+                sum_sq = int((s * s).sum())
+                rows.append(
+                    (
+                        int(r["media_id"]),
+                        len(s),
+                        sum_sq,
+                        int(np.abs(s).max()),
+                        int(((s[:-1] < 0) != (s[1:] < 0)).sum()),
+                        math.floor(math.sqrt(sum_sq / len(s)) * 1000),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_samples",
+                    "sum_sq",
+                    "peak",
+                    "n_zero_cross",
+                    "rms_milli",
+                ],
+            )
+
+    return media.mapInPandas(_feats, schema=schema)
+
+
+def image_resize(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Real image resize plumbing: decode each BMP's actual pixel array
+    (numpy over the raw BGR rows, stride-aware), nearest-neighbor
+    downsample by ``factor``, and emit the resized dimensions plus an
+    exact integer checksum of the resized pixels — so the oracle catches
+    a parser that is off by one byte of row padding. Row 0 is the file's
+    first stored row (BMPs store bottom-up; resize semantics are
+    orientation-agnostic).
+
+    The UDF returns dims + checksum rather than resized blobs so the gate
+    query stays hash-comparable; the resized array is materialized in the
+    UDF exactly as a thumbnail writer would consume it."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("out_w", T.LongType(), False),
+            T.StructField("out_h", T.LongType(), False),
+            T.StructField("pix_sum", T.LongType(), False),
+        ]
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["kind"] != "image":
+                    continue
+                blob = bytes(r["content"])
+                if len(blob) < 54 or blob[:2] != b"BM":
+                    continue
+                w, h = struct.unpack("<ii", blob[18:26])
+                stride = (3 * w + 3) // 4 * 4
+                data = np.frombuffer(
+                    blob[54 : 54 + stride * h], dtype=np.uint8
+                ).reshape(h, stride)
+                pixels = data[:, : 3 * w].reshape(h, w, 3)
+                resized = pixels[::factor, ::factor, :]
+                rows.append(
+                    (
+                        int(r["media_id"]),
+                        resized.shape[1],
+                        resized.shape[0],
+                        int(resized.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "out_w", "out_h", "pix_sum"])
+
+    return media.mapInPandas(_resize, schema=schema)
+
+
 def media_summary(features: DataFrame) -> DataFrame:
     """Metadata-only rollup (never touches blob bytes): per-kind counts,
     byte totals, mean feature norm."""

@@ -1163,3 +1163,69 @@ ORACLES["sample_per_group"] = f"""
     SELECT lang, rn, doc_id FROM ranked WHERE rn <= 3
     ORDER BY lang, rn
 """
+
+
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction from REAL PCM bytes: the Spark side walks
+    each WAV's RIFF chunks and computes energy/peak/zero-crossings from
+    the decoded samples; the oracle recomputes the same integers from the
+    generator's closed form (samples s_i = (i·257) mod 65536 − 32768) —
+    one wrong byte offset in the parser and every hash diverges."""
+    media = multimodal.generate_real_media(spark, 300)
+    return multimodal.audio_features(media).orderBy("media_id")
+
+
+QUERIES["multimodal_audio_features"] = q_multimodal_audio_features
+
+ORACLES["multimodal_audio_features"] = """
+    WITH ids AS (SELECT unnest(range(0, 300)) AS id),
+    a AS (SELECT id, (id % 50 + 1) * 80 AS n FROM ids WHERE id % 3 = 1),
+    s AS (
+        SELECT id, n,
+               list_transform(generate_series(0, n - 1),
+                              i -> (i * 257) % 65536 - 32768) AS smp
+        FROM a
+    )
+    SELECT id AS media_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(smp, x -> x * x)) AS BIGINT) AS sum_sq,
+           CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT) AS peak,
+           CAST(len(list_filter(generate_series(1, n - 1),
+                    i -> (smp[i] < 0) != (smp[i + 1] < 0))) AS BIGINT)
+               AS n_zero_cross,
+           CAST(floor(sqrt(CAST(list_sum(list_transform(smp, x -> x * x))
+                    AS BIGINT) / n) * 1000) AS BIGINT) AS rms_milli
+    FROM s ORDER BY media_id
+"""
+
+
+def q_multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor 2x downsample of REAL BMP pixel arrays: Spark
+    decodes stride-padded BGR rows with numpy and checksums the resized
+    pixels; the oracle recomputes the identical integer from the
+    generator's closed form (byte b at flat offset o is (o*7+13) mod 256,
+    resized offsets o = y*stride + 3x + c over even x, y)."""
+    media = multimodal.generate_real_media(spark, 300)
+    return multimodal.image_resize(media, factor=2).orderBy("media_id")
+
+
+QUERIES["multimodal_image_resize"] = q_multimodal_image_resize
+
+ORACLES["multimodal_image_resize"] = """
+    WITH ids AS (SELECT unnest(range(0, 300)) AS id),
+    dims AS (
+        SELECT id, (id % 31 + 1) * 4 AS w, (id % 23 + 1) * 4 AS h,
+               ((3 * ((id % 31 + 1) * 4) + 3) // 4) * 4 AS stride
+        FROM ids WHERE id % 3 = 0
+    )
+    SELECT id AS media_id,
+           CAST((w + 1) // 2 AS BIGINT) AS out_w,
+           CAST((h + 1) // 2 AS BIGINT) AS out_h,
+           CAST(list_sum(list_transform(generate_series(0, h - 1, 2), y ->
+               list_sum(list_transform(generate_series(0, w - 1, 2), x ->
+                   ((y * stride + 3 * x) * 7 + 13) % 256
+                   + ((y * stride + 3 * x + 1) * 7 + 13) % 256
+                   + ((y * stride + 3 * x + 2) * 7 + 13) % 256))))
+               AS BIGINT) AS pix_sum
+    FROM dims ORDER BY media_id
+"""
