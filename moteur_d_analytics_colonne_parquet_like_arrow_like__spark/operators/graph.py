@@ -1,0 +1,76 @@
+"""Graph analytics operators over data-derived networks.
+
+The reference engine has no graph surface (single-table queries only,
+cae/README.md:137); this extends the repo's graph family (triangle counting
+in workloads/relational5.py) with iterative algorithms expressed as
+DataFrame join/agg loops — the Pregel-on-DataFrames pattern: each
+iteration is one shuffle join (ranks ⨝ edges on src) + one aggregation
+(group by dst). At 100 TB the edge table is hash-partitioned by src once
+and every iteration reuses that partitioning; ranks (one row per node) is
+the small side and is broadcast when it fits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    Nodes are the distinct endpoints of `edges`; every node therefore has
+    out-degree >= 1 when the edge list is symmetric (undirected graphs),
+    which is the supported contract here — no dangling-mass redistribution
+    term. Initial rank 1/N; update
+    r'(v) = (1-d)/N + d * sum_{u->v} r(u)/outdeg(u).
+
+    The iteration count is a compile-time constant, so the whole
+    computation unrolls into one Catalyst plan (no driver-side collect per
+    step). Each step shuffles on the join key only; `outdeg` is computed
+    once and carried with the edges.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # Edge table annotated with the source's out-degree, computed once and
+    # reused by every iteration (at scale: one shuffle, then cached).
+    ed = e.join(outdeg, "src")
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n")).select("n")
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(iterations):
+        contrib = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                # Per-edge contribution routed through DECIMAL(28,15) so the
+                # shuffle-order of the partial sums cannot change the result
+                # (the repo-wide oracle-stability rule for double sums).
+                (F.col("rank") / F.col("outdeg")).cast("decimal(28,15)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("double").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / F.col("n")
+                    + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks

@@ -185,3 +185,49 @@ def lsh_bucketed_topk(
     )
     cos = F.round(dot_product(F.col("qvec"), F.col("cvec")), round_digits)
     return _ranked(joined.withColumn("cosine_r", cos), k, round_digits)
+
+
+def squared_l2(a: str | Column, b: str | Column) -> Column:
+    """Sequential left-fold squared-L2 distance in double precision (same
+    determinism contract as ``functions.dot_product``)."""
+    diffs = F.zip_with(
+        as_double_array(a), as_double_array(b), lambda x, y: (x - y) * (x - y)
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def kmeans_assign_step(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """One Lloyd's-algorithm assignment step, distributed: each vector joins
+    the (broadcast) centroid set, computes exact squared-L2 distances as a
+    Catalyst fold, and keeps its nearest centroid — ties broken by the
+    smaller centroid id via (distance, id) ranking, so the assignment is
+    fully deterministic.
+
+    This is the building block of clustering-based data selection at scale:
+    k centroids are tiny (k × dim doubles) and broadcast; the corpus scan
+    never shuffles for the assignment itself — the only shuffle is whatever
+    aggregation consumes the assignment (e.g. the centroid-update mean).
+    The k-means++ seeding / iteration driver is intentionally out of scope;
+    fixed deterministic seeds keep the step oracle-checkable.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    c = centroids.select(
+        F.col(centroid_id_col).alias("cluster_id"), F.col(vec_col).alias("cv")
+    )
+    d = v.join(F.broadcast(c)).withColumn("dist2", squared_l2("v", "cv"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dist2").asc(), F.col("cluster_id").asc()
+    )
+    return (
+        d.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select("vec_id", "cluster_id", "dist2", "v")
+    )

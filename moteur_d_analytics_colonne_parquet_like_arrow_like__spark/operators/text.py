@@ -413,3 +413,156 @@ def repetition_features(df: DataFrame, text_col: str) -> DataFrame:
         .alias("rep_top_bigram_frac"),
     )
     return out
+
+
+# Gopher-style quality-rule thresholds (published heuristics from the
+# Gopher/MassiveText filtering recipe; the exact constants are the operator
+# contract here, shared with the oracle SQL).
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_quality(df: DataFrame, text_col: str) -> DataFrame:
+    """Gopher/MassiveText-style document quality rules as one expression
+    tree: word-count bounds, mean word length band, alphabetic-word ratio,
+    required stopword hits, and bullet/ellipsis line ratios, plus the
+    composite pass flag.
+
+    All metrics are exact integer counts or IEEE double ratios of them, so
+    every engine computes bit-identical values — shuffle-free, linear scans
+    at any scale (the reference has no scalar/text surface at all,
+    cae/README.md:131-138; this extends the §2.9 extension family).
+    """
+    raw = F.col(text_col) if isinstance(text_col, str) else text_col
+    ws = words(text_col)
+    lines = F.split(raw, "\n")
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    base = df.select(
+        "*",
+        F.size(ws).alias("__nw"),
+        F.length(F.regexp_replace(normalize_text(text_col), " ", "")).alias(
+            "__nc_nospace"
+        ),
+        F.size(F.filter(ws, lambda w: w.rlike("[a-z]"))).alias("__alpha_w"),
+        F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w))).alias(
+            "__stop_hits"
+        ),
+        F.size(lines).alias("__nl"),
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: F.trim(ln).rlike("^[-*•]"),
+            )
+        ).alias("__bullet_l"),
+        F.size(
+            F.filter(lines, lambda ln: F.rtrim(ln).rlike("[.]{3}$"))
+        ).alias("__ellipsis_l"),
+    )
+    nw = F.col("__nw")
+    mean_wl = F.col("__nc_nospace") / nw
+    alpha_ratio = F.col("__alpha_w") / nw
+    bullet_ratio = F.col("__bullet_l") / F.col("__nl")
+    ellipsis_ratio = F.col("__ellipsis_l") / F.col("__nl")
+    gopher_pass = (
+        (nw >= 50)
+        & (nw <= 100_000)
+        & (mean_wl >= 3.0)
+        & (mean_wl <= 10.0)
+        & (alpha_ratio > 0.8)
+        & (F.col("__stop_hits") >= 2)
+        & (bullet_ratio <= 0.9)
+        & (ellipsis_ratio <= 0.3)
+    )
+    return base.select(
+        *df.columns,
+        nw.cast("bigint").alias("g_words"),
+        mean_wl.alias("g_mean_word_len"),
+        alpha_ratio.alias("g_alpha_ratio"),
+        F.col("__stop_hits").cast("bigint").alias("g_stop_hits"),
+        bullet_ratio.alias("g_bullet_ratio"),
+        ellipsis_ratio.alias("g_ellipsis_ratio"),
+        gopher_pass.alias("g_pass"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_cols: list[str],
+    chunk_size: int = 600,
+    overlap: int = 150,
+) -> DataFrame:
+    """RAG-style document chunking: fixed-size character windows with
+    overlap (stride = chunk_size - overlap); a document shorter than one
+    chunk yields exactly one chunk. Implemented as explode(sequence(...))
+    over a per-row integer chunk count — pure Catalyst, no shuffle, and
+    output rows scale with corpus size / stride (safe at 100 TB: chunking
+    is embarrassingly parallel per document).
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    stride = chunk_size - overlap
+    raw = F.col(text_col)
+    n = F.length(raw)
+    # ceil((n - overlap) / stride) in exact int arithmetic, min 1 chunk.
+    n_chunks = F.greatest(
+        F.lit(1), F.floor((n - F.lit(overlap) + F.lit(stride - 1)) / F.lit(stride))
+    )
+    start = (F.col("chunk_id") * stride).cast("bigint")
+    return (
+        df.select(
+            *id_cols,
+            raw.alias("__text"),
+            F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias(
+                "chunk_id"
+            ),
+        )
+        .select(
+            *id_cols,
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            start.alias("chunk_start"),
+            F.substring(F.col("__text"), F.col("chunk_id") * stride + 1, chunk_size)
+            .alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text").cast("bigint"))
+    )
+
+
+def top_ngrams(
+    df: DataFrame, text_col: str, doc_id_col: str, n_top: int = 50
+) -> DataFrame:
+    """Corpus-level bigram statistics: lowercase, strip non-alpha characters
+    from each whitespace token, drop empty tokens, form adjacent-word
+    bigrams per document as an expression (no positional self-join), then
+    aggregate global occurrence count + document frequency and keep the
+    top `n_top` by (count desc, bigram asc).
+
+    One explode + one groupBy shuffle; the per-document bigram construction
+    is transform(sequence(...)) — the same shape that scales MinHash
+    shingling. Document frequency is exact count(distinct doc_id).
+    """
+    toks = F.filter(
+        F.transform(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda w: F.regexp_replace(w, "[^a-z]", ""),
+        ),
+        lambda w: w != "",
+    )
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(doc_id_col).alias("__doc"), F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("__doc").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("bigram"))
+        .limit(n_top)
+    )
