@@ -41,6 +41,103 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _first_parquet_file(path: str) -> str:
+    """``path`` may be a single parquet file or a directory of part files."""
+    if os.path.isdir(path):
+        for entry in sorted(os.listdir(path)):
+            if entry.endswith(".parquet") and not entry.startswith("_"):
+                return os.path.join(path, entry)
+        raise FileNotFoundError(f"no parquet part files under {path}")
+    return path
+
+
+# Footer-probe cache: the testdata's ts encoding has already changed once
+# between rounds (TIMESTAMP(NANOS) → TIMESTAMP(MICROS)), so the loaders
+# detect the type they actually got instead of hard-coding one vintage.
+# Keyed by resolved file path; a footer read is driver-side metadata only.
+_TS_PROBE_CACHE: dict[str, str] = {}
+
+
+def probe_events_ts_type(path: str) -> str:
+    """Arrow type string of events.ts from the parquet footer, e.g.
+    ``timestamp[ns]``, ``timestamp[us]``, ``timestamp[us, tz=UTC]``, ``int64``.
+    Also sanity-checks the footer min/max stats: a silent re-encoding that
+    lands timestamps outside 2000-2100 fails loudly here rather than
+    corrupting every downstream window/join (the round-3 failure mode)."""
+    f = _first_parquet_file(path)
+    cached = _TS_PROBE_CACHE.get(f)
+    if cached is not None:
+        return cached
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f)
+    kind = str(pf.schema_arrow.field("ts").type)
+    _assert_events_ts_bounds(pf, kind, f)
+    _TS_PROBE_CACHE[f] = kind
+    return kind
+
+
+def _assert_events_ts_bounds(pf, kind: str, fname: str) -> None:
+    import datetime
+
+    md = pf.metadata
+    ci = next(
+        (i for i in range(md.num_columns) if md.schema.column(i).path == "ts"),
+        None,
+    )
+    if ci is None:
+        return  # no ts column in this file; nothing to check
+    vals = []
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(ci).statistics
+        if st is None or not st.has_min_max:
+            return  # stats absent — cannot check, don't block the load
+        vals.extend((st.min, st.max))
+    unit_div = {"ns": 10**9, "us": 10**6, "ms": 10**3, "s": 1}
+    years = []
+    for v in vals:
+        if isinstance(v, int):
+            unit = kind.split("[", 1)[1].split(",")[0].rstrip("]") if "[" in kind else "us"
+            v = datetime.datetime.fromtimestamp(
+                v // unit_div.get(unit, 10**6), tz=datetime.timezone.utc
+            )
+        years.append(v.year)
+    if years and not all(2000 <= y <= 2100 for y in years):
+        raise ValueError(
+            f"events.ts sanity check failed for {fname}: footer type {kind!r} "
+            f"with min/max years {sorted(set(years))} outside [2000, 2100]. "
+            "The testdata encoding likely changed again — fix "
+            "sources/catalog.py::_normalize_events_ts before trusting any "
+            "events-derived result."
+        )
+
+
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Branch on the dtype Spark ACTUALLY loaded, not an assumed vintage.
+
+    - ``bigint``: legacy TIMESTAMP(NANOS) parquet read under nanosAsLong —
+      long nanos → micros timestamp via integer div (``/ 1000`` would
+      round-trip through double and lose precision past 2^53).
+    - ``timestamp_ntz`` / ``timestamp``: native parquet timestamp (the
+      current testdata ships TIMESTAMP(MICROS), isAdjustedToUTC=false).
+      Cast to session-tz TIMESTAMP — the session tz is pinned UTC above, so
+      naive values are interpreted as the same UTC instants the legacy path
+      produced and every downstream window/format is unchanged.
+    """
+    from pyspark.sql import functions as F  # local: avoid cycle at import
+
+    dt = dict(df.dtypes)["ts"]
+    if dt == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if dt in ("timestamp", "timestamp_ntz"):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    raise TypeError(
+        f"events.ts loaded as unsupported dtype {dt!r}; expected bigint "
+        "(legacy nanos), timestamp or timestamp_ntz. Testdata encoding "
+        "drifted — extend _normalize_events_ts."
+    )
+
+
 # Session-level table-handle cache: re-resolving a path (file listing +
 # footer schema read + analysis) costs ~100 ms per call, which a real
 # deployment amortizes through its metastore. Keyed by session so a stopped
@@ -61,20 +158,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects outright
-        # unless nanosAsLong is on. The conf must be set on WHATEVER session
-        # runs the query — callers (e.g. a verification harness) may hand us a
-        # session our own factory never configured — so set it at runtime here,
-        # not only in session.py. It is a runtime-settable SQL conf.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Probe the footer for the encoding the testdata ACTUALLY ships —
+        # it has changed between rounds (NANOS → MICROS) and hard-coding a
+        # vintage either errors (batch) or silently corrupts (stream).
+        kind = probe_events_ts_type(table_path(sf_dir, name))
+        if kind == "timestamp[ns]":
+            # Spark rejects TIMESTAMP(NANOS) parquet outright unless
+            # nanosAsLong is on. The conf must be set on WHATEVER session
+            # runs the query — callers (e.g. a verification harness) may hand
+            # us a session our own factory never configured — so set it at
+            # runtime here. It is a runtime-settable SQL conf.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # With nanosAsLong the ts column arrives as long nanos. Convert to a
-        # microsecond timestamp with integer division — (ts / 1000) via `/`
-        # would round-trip through double and lose precision at 2^53.
-        from pyspark.sql import functions as F  # local: avoid cycle at import
-
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        df = _normalize_events_ts(df)
     _TABLE_CACHE[key] = df
     return df
 

@@ -27,17 +27,30 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        # TIMESTAMP(NANOS) parquet → long nanos under nanosAsLong (session.py)
-        T.StructField("ts", T.LongType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+def _events_raw_schema(ts_kind: str) -> T.StructType:
+    """Stream-read schema derived from the footer type the testdata ACTUALLY
+    ships (probed via :func:`catalog.probe_events_ts_type`). Round 3 proved
+    hard-coding a vintage is the silent-corruption path: an explicit LongType
+    schema read the MICROS physical int64 without error, then ``div 1000``
+    compressed a month of events into 43 minutes of 1970."""
+    if ts_kind == "timestamp[ns]":
+        ts_type: T.DataType = T.LongType()  # long nanos under nanosAsLong
+    elif "tz=" in ts_kind:
+        ts_type = T.TimestampType()
+    elif ts_kind.startswith("timestamp["):
+        ts_type = T.TimestampNTZType()
+    else:
+        raise TypeError(f"unsupported events.ts parquet type {ts_kind!r}")
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", ts_type, True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -46,22 +59,33 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     part files (relayouts, production tables) is streamed directly, while a
     single ``events.parquet`` file (driver testdata) is streamed from its
     parent dir with a glob confining the stream to that one file."""
-    # The NANOS footer check applies to streaming reads too (an explicit
-    # .schema() does NOT bypass footer type conversion), and the session
-    # running this query may not be one our factory configured — set the
-    # confs at runtime on the caller's session (UTC: see catalog.load_table).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from ..sources.catalog import probe_events_ts_type
+
     path = os.path.join(sf_dir, "events.parquet")
+    # Probe the parquet footer (driver-side metadata + min/max sanity check)
+    # and build the stream schema to match — see _events_raw_schema.
+    ts_kind = probe_events_ts_type(path)
+    # The session running this query may not be one our factory configured —
+    # set the confs at runtime on the caller's session (UTC: see
+    # catalog.load_table; nanosAsLong only when the data is actually NANOS).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if ts_kind == "timestamp[ns]":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = _events_raw_schema(ts_kind)
     if os.path.isdir(path):
-        raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)
+        raw = spark.readStream.schema(schema).parquet(path)
     else:
         raw = (
-            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            spark.readStream.schema(schema)
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
         )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_kind == "timestamp[ns]":
+        # Long nanos → micros timestamp; integer div keeps precision past 2^53.
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Native timestamp: NTZ naive values cast to session-tz (UTC) TIMESTAMP —
+    # same instants the legacy path produced, no-op if already TIMESTAMP.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_window_agg(
