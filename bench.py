@@ -70,6 +70,29 @@ BENCH_QUERIES = [
 # they are timed end-to-end (builder + materialization) per rep instead.
 EAGER_QUERIES = {"stream_tumbling_window"}
 
+# Pinned expected row counts at sf0.1 — the correctness canary the round-3
+# silent-timestamp-corruption sailed through (stream_tumbling_window emitted
+# 25 rows instead of 21,388 and the bench just got "faster"). A drift here
+# means the INPUT data or query semantics changed; the bench must go red,
+# not quietly report a nonsense speedup. Values = round-2 driver run (last
+# fully-green round) re-verified locally after the micros-loader fix.
+EXPECTED_ROWS_BY_SF = {
+    "0.1": {
+        "parity_full_scan": 600000,
+        "parity_filtered_scan": 165309,
+        "parity_aggregate": 1,
+        "parity_group_by": 3,
+        "tpch_q1": 6,
+        "join_multiway": 5,
+        "window_topk_per_group": 44953,
+        "sort_top_k": 100,
+        "dedup_minhash_lsh": 6303,
+        "sim_topk_bruteforce": 50,
+        "text_quality": 5000,
+        "stream_tumbling_window": 21388,
+    },
+}
+
 # Cheap queries get more reps — their medians otherwise jitter by ±20% on a
 # shared box, which swamps round-over-round comparisons.
 QUERY_REPS = {
@@ -90,6 +113,17 @@ QUERY_CONF: dict[str, dict[str, str]] = {
         "spark.sql.shuffle.partitions": "1",
     },
 }
+
+
+def check_row_drift(rows: dict[str, int], sf: str) -> dict[str, dict[str, int]]:
+    """Queries whose observed row count differs from the pinned expectation
+    for this scale factor. Non-empty => the bench must exit red."""
+    expected = EXPECTED_ROWS_BY_SF.get(sf, {})
+    return {
+        n: {"expected": expected[n], "actual": rows[n]}
+        for n in rows
+        if n in expected and rows[n] != expected[n]
+    }
 
 
 def _materialize(df) -> None:
@@ -197,6 +231,8 @@ def main() -> int:
         results[name] = round(times[len(times) // 2], 4)  # median
         rows[name] = _row_count(fn, spark)
 
+    row_drift = check_row_drift(rows, sf)
+
     total = round(sum(results.values()), 4)
     out = {
         "metric": "bench_total_median_sec",
@@ -204,6 +240,7 @@ def main() -> int:
         "unit": "sec",
         "queries": results,
         "rows": rows,
+        "row_drift": row_drift,
         "sf": sf,
         "reps": REPS,
         "job_floor_sec": floor,
@@ -221,6 +258,16 @@ def main() -> int:
     }
     print(json.dumps(out))
     spark.stop()
+    if row_drift:
+        # Timings over drifted row counts are NOT comparable round-over-round
+        # (less data through the operator = faster for the wrong reason).
+        print(
+            f"BENCH RED: row-count drift vs pinned sf{sf} expectations: "
+            f"{row_drift} — input data or query semantics changed; "
+            "re-validate correctness before trusting these timings.",
+            file=sys.stderr,
+        )
+        return 1
     return 0
 
 
