@@ -42,9 +42,16 @@ def pagerank(
         .distinct()
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # Edge table annotated with the source's out-degree, computed once and
-    # reused by every iteration (at scale: one shuffle, then cached).
-    ed = e.join(outdeg, "src")
+    # Edge table annotated with the source's out-degree. Materialize it and
+    # the node set eagerly (localCheckpoint truncates lineage AND persists):
+    # every iteration reuses both, and without the cut the unrolled plan
+    # re-derives the full upstream lineage (e.g. an expensive co-occurrence
+    # self-join) once per iteration — the standard iterative-on-DataFrames
+    # checkpoint pattern (GraphFrames does the same). At cluster scale this
+    # is executor-local storage; swap for checkpoint() if fault tolerance
+    # across iteration boundaries matters.
+    ed = e.join(outdeg, "src").localCheckpoint(eager=True)
+    nodes = nodes.localCheckpoint(eager=True)
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("n")).select("n")
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")

@@ -176,6 +176,108 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Pinned post-load schema contract for every driver table (column name,
+# Spark dtype) — the input-side twin of the oracle gate's output checks.
+# Round 3 proved the testdata contract can drift between rounds (events.ts
+# NANOS → MICROS); this manifest turns the next drift into a seconds-fast
+# local failure instead of a lost round. events.ts is pinned to the
+# NORMALIZED type ("timestamp"): _normalize_events_ts maps every supported
+# source encoding there, so only an unsupported new encoding (already a
+# loud TypeError) or a column-level change trips this.
+EXPECTED_TABLE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
+    "region": [("r_regionkey", "int"), ("r_name", "string")],
+    "nation": [
+        ("n_nationkey", "int"),
+        ("n_name", "string"),
+        ("n_regionkey", "int"),
+    ],
+    "customer": [
+        ("c_custkey", "bigint"),
+        ("c_name", "string"),
+        ("c_nationkey", "int"),
+        ("c_acctbal", "double"),
+        ("c_mktsegment", "string"),
+    ],
+    "supplier": [
+        ("s_suppkey", "bigint"),
+        ("s_name", "string"),
+        ("s_nationkey", "int"),
+        ("s_acctbal", "double"),
+    ],
+    "part": [
+        ("p_partkey", "bigint"),
+        ("p_name", "string"),
+        ("p_brand", "string"),
+        ("p_type", "string"),
+        ("p_size", "int"),
+        ("p_retailprice", "double"),
+    ],
+    "orders": [
+        ("o_orderkey", "bigint"),
+        ("o_custkey", "bigint"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+        ("o_orderdate", "timestamp_ntz"),
+        ("o_orderpriority", "string"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "bigint"),
+        ("l_partkey", "bigint"),
+        ("l_suppkey", "bigint"),
+        ("l_linenumber", "int"),
+        ("l_quantity", "double"),
+        ("l_extendedprice", "double"),
+        ("l_discount", "double"),
+        ("l_tax", "double"),
+        ("l_returnflag", "string"),
+        ("l_linestatus", "string"),
+        ("l_shipdate", "timestamp_ntz"),
+    ],
+    "events": [
+        ("event_id", "bigint"),
+        ("ts", "timestamp"),
+        ("user_id", "bigint"),
+        ("event_type", "string"),
+        ("value", "double"),
+        ("props", "string"),
+    ],
+    "documents": [
+        ("doc_id", "bigint"),
+        ("text", "string"),
+        ("lang", "string"),
+        ("source", "string"),
+        ("n_chars", "bigint"),
+    ],
+    "embeddings": [
+        ("vec_id", "bigint"),
+        ("embedding", "array<float>"),
+        ("label", "int"),
+    ],
+}
+
+
+def verify_table_schemas(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] | list[str] = TABLES
+) -> None:
+    """Assert every table loads with its pinned schema; raise one combined
+    error naming each drifted table. Metadata-only (no data jobs)."""
+    drifted = []
+    for n in names:
+        got = load_table(spark, sf_dir, n).dtypes
+        want = EXPECTED_TABLE_SCHEMAS[n]
+        if got != want:
+            drifted.append(f"{n}: expected {want}, loaded {got}")
+    if drifted:
+        raise ValueError(
+            "testdata schema drift detected in "
+            + sf_dir
+            + ":\n  "
+            + "\n  ".join(drifted)
+            + "\nUpdate the loaders (and then this manifest) deliberately — "
+            "do not let queries run against a drifted contract."
+        )
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] | list[str] = TABLES
 ) -> dict[str, DataFrame]:

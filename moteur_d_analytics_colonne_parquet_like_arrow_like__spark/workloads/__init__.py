@@ -45,16 +45,72 @@ _MODULES = [
     streaming_ops,
 ]
 
-# Round-3 verification priority, rebuilt from the union of CORRECTNESS_r01/r02:
-# the driver truncates its per-round check to the first ~50 entries of
-# all_queries(), so order = (a) the 29 queries NO driver round has ever
-# sampled, then (b) the four round-2 hash failures (HUGEINT oracles, now
-# CAST to BIGINT — need driver re-verification), then (c) queries last
-# checked in round 1 (stalest green), then round-2 greens (freshest).
+# Round-4 verification priority (the driver samples the first ~50 entries of
+# all_queries()): (a) the 12 round-3 failures — all traced to the events
+# loaders, now dtype-branching; (b) the events/streaming queries whose
+# r1/r2 greens the loader bug invalidated ("stale-broken" in VERDICT r3);
+# (c) the only two queries never driver-sampled (multimodal); (d) the five
+# operators newly registered this round; (e) the stalest remaining greens
+# (last checked round 1), then everything else freshest-last.
 _VERIFY_FIRST: tuple[str, ...] = (
+    # (a) round-3 failures — re-verify the loader fix driver-side
+    "sample_stratified",
+    "events_zorder_pruned",
+    "stream_stateful_multibatch",
+    "join_interval_overlap",
+    "stream_stream_left_join",
+    "stream_col_source",
+    "rollup_time_hierarchy",
+    "json_extract",
+    "batch_sessionize",
+    "events_funnel",
+    "join_full_outer",
+    "events_retention_cohorts",
+    # (b) events/streaming queries with invalidated r1/r2 greens
+    "stream_tumbling_window",
+    "stream_tumbling_append",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_dedup",
+    "stream_stateful",
+    "stream_stream_join",
+    "stream_static_join",
+    "stream_upsert",
+    "join_asof",
+    "join_range",
+    "window_lag",
+    "pivot_event_types",
+    "events_time_pruned",
+    "date_arithmetic",
+    "incremental_agg",
+    # (c) never driver-sampled
+    "multimodal_audio_features",
+    "multimodal_image_resize",
+    # (d) registered this round
+    "pagerank",
+    "kmeans_assign",
+    "gopher_quality",
+    "chunk_documents",
+    "top_ngrams",
+    # (e) stalest greens (round-1-only checks)
+    "window_running_sum",
+    "window_rank_dense",
+    "sort_order_by",
+    "set_ops",
+    "distinct_pairs",
+    "agg_count_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "scalar_functions",
+    "window_distribution",
+    "subquery_scalar",
+    "subquery_correlated",
+    "agg_percentiles",
+    "sample_hash",
+    "agg_grouping_sets",
+    # remainder, previous order (freshest r3 greens last among peers)
     "tpch_q17_small_qty",
     "tpch_q8_market_share",
-    "sample_stratified",
     "token_histogram",
     "pipeline_corpus_report",
     "tpch_q5_local_volume",
@@ -69,29 +125,17 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "incremental_hll",
     "unpivot_measures",
     "constraint_report",
-    "events_zorder_pruned",
-    "stream_stateful_multibatch",
-    "join_interval_overlap",
     "source_col_native",
-    "stream_stream_left_join",
     "table_profile",
     "sort_paginate",
     "window_first_last",
     "array_set_ops",
     "graph_triangles",
-    "stream_col_source",
-    "rollup_time_hierarchy",
-    "json_extract",
-    "batch_sessionize",
     "source_formats",
     "py_grouped_map",
-    # new in round 3 (never sampled):
     "pipeline_contamination",
     "text_tfidf_terms",
     "pipeline_pack_sequences",
-    "events_funnel",
-    "join_full_outer",
-    "events_retention_cohorts",
     "sample_per_group",
     "parity_full_scan",
     "parity_projection",
@@ -106,47 +150,21 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "join_anti",
     "join_multiway",
     "window_topk_per_group",
-    "window_running_sum",
-    "window_rank_dense",
     "sort_top_k",
-    "sort_order_by",
-    "set_ops",
-    "distinct_pairs",
     "tpch_q1",
-    "agg_count_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "scalar_functions",
-    "window_distribution",
-    "date_arithmetic",
-    "subquery_scalar",
-    "subquery_correlated",
-    "agg_percentiles",
-    "sample_hash",
-    "agg_grouping_sets",
-    "stream_static_join",
     "tpch_q6",
     "tpch_q13",
     "tpch_q18_having",
     "tpch_q4_exists",
     "tpch_q12_conditional",
     "tpch_q14_promo",
-    "stream_stream_join",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_embedding",
-    "join_asof",
-    "window_lag",
-    "pivot_event_types",
     "agg_approx_sketches",
-    "stream_tumbling_window",
-    "stream_tumbling_append",
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_dedup",
     "dedup_clusters",
     "dedup_embedding_lsh",
     "sim_topk_bruteforce",
@@ -165,18 +183,13 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "window_frames",
     "scalar_functions2",
     "sim_topk_ivf",
-    "stream_upsert",
     "dedup_clusters_star",
     "set_ops_all",
     "table_time_travel",
     "py_udtf_tokens",
     "py_vectorized_dot",
     "higher_order_funcs",
-    "incremental_agg",
     "join_salted",
-    "join_range",
-    "stream_stateful",
-    "events_time_pruned",
     "agg_variance_exact",
     "text_winnow",
     "tpch_q3_shipping",

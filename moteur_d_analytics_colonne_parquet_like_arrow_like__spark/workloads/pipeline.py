@@ -1229,3 +1229,193 @@ ORACLES["multimodal_image_resize"] = """
                AS BIGINT) AS pix_sum
     FROM dims ORDER BY media_id
 """
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed Lloyd's assignment step: the first 8 embeddings act
+    as fixed deterministic centroids (broadcast — k × dim doubles), every
+    vector computes exact squared-L2 to each as a Catalyst fold and keeps
+    the nearest, ties to the smaller centroid id. The corpus scan never
+    shuffles for the assignment itself (clustering-based data selection
+    at 100 TB)."""
+    emb = _embeddings(spark, sf_dir)
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    out = similarity.kmeans_assign_step(emb, cents, "vec_id", "embedding")
+    return out.select(
+        "vec_id", "cluster_id", F.round("dist2", 6).alias("dist2_r")
+    ).orderBy("vec_id")
+
+
+QUERIES["kmeans_assign"] = q_kmeans_assign
+
+# Same left-fold accumulation order as Spark's F.aggregate (0.0 + d1 + d2
+# ... == d1 + d2 ... exactly in IEEE), same (dist2, cluster_id) tie-break.
+ORACLES["kmeans_assign"] = """
+    WITH c AS (SELECT vec_id AS cluster_id, embedding FROM embeddings
+               WHERE vec_id < 8),
+    d AS (
+        SELECT v.vec_id, c.cluster_id,
+               list_reduce(list_transform(generate_series(1, 64),
+                   i -> (CAST(v.embedding[i] AS DOUBLE)
+                         - CAST(c.embedding[i] AS DOUBLE))
+                        * (CAST(v.embedding[i] AS DOUBLE)
+                           - CAST(c.embedding[i] AS DOUBLE))),
+                   (x, y) -> x + y) AS dist2
+        FROM embeddings v CROSS JOIN c
+    ),
+    ranked AS (
+        SELECT vec_id, cluster_id, dist2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist2 ASC, cluster_id ASC) AS rk
+        FROM d
+    )
+    SELECT vec_id, cluster_id, round(dist2, 6) AS dist2_r
+    FROM ranked WHERE rk = 1 ORDER BY vec_id
+"""
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText quality rules per document: word-count bounds,
+    mean-word-length band, alphabetic ratio, stopword hits, bullet and
+    ellipsis line ratios + composite pass flag — all exact integer counts
+    or IEEE ratios of them, shuffle-free linear scan."""
+    out = text.gopher_quality(
+        _documents(spark, sf_dir).select("doc_id", "text"), "text"
+    )
+    return out.select(
+        "doc_id",
+        "g_words",
+        "g_mean_word_len",
+        "g_alpha_ratio",
+        "g_stop_hits",
+        "g_bullet_ratio",
+        "g_ellipsis_ratio",
+        "g_pass",
+    ).orderBy("doc_id")
+
+
+QUERIES["gopher_quality"] = q_gopher_quality
+
+# Ratios are divisions of exact integer counts — bit-identical doubles on
+# both engines, no rounding needed. Stopword list = text.GOPHER_STOPWORDS.
+ORACLES["gopher_quality"] = f"""
+    WITH base AS (
+        SELECT doc_id,
+               string_split({_NORM}, ' ') AS ws,
+               length(replace({_NORM}, ' ', '')) AS nc_nospace,
+               string_split(text, chr(10)) AS lines
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(ws) AS nw,
+               nc_nospace,
+               len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+                   AS alpha_w,
+               len(list_filter(ws, w -> list_contains(
+                   ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+                   w))) AS stop_hits,
+               len(lines) AS nl,
+               len(list_filter(lines,
+                   ln -> regexp_matches(trim(ln), '^[-*•]'))) AS bullet_l,
+               len(list_filter(lines,
+                   ln -> regexp_matches(rtrim(ln), '[.]{{3}}$')))
+                   AS ellipsis_l
+        FROM base
+    )
+    SELECT doc_id,
+           CAST(nw AS BIGINT) AS g_words,
+           nc_nospace / CAST(nw AS DOUBLE) AS g_mean_word_len,
+           alpha_w / CAST(nw AS DOUBLE) AS g_alpha_ratio,
+           CAST(stop_hits AS BIGINT) AS g_stop_hits,
+           bullet_l / CAST(nl AS DOUBLE) AS g_bullet_ratio,
+           ellipsis_l / CAST(nl AS DOUBLE) AS g_ellipsis_ratio,
+           (nw >= 50 AND nw <= 100000
+            AND nc_nospace / CAST(nw AS DOUBLE) >= 3.0
+            AND nc_nospace / CAST(nw AS DOUBLE) <= 10.0
+            AND alpha_w / CAST(nw AS DOUBLE) > 0.8
+            AND stop_hits >= 2
+            AND bullet_l / CAST(nl AS DOUBLE) <= 0.9
+            AND ellipsis_l / CAST(nl AS DOUBLE) <= 0.3) AS g_pass
+    FROM m ORDER BY doc_id
+"""
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style chunking: 600-char windows, 150-char overlap (stride 450),
+    min one chunk per document — explode(sequence(...)) over a per-row
+    chunk count, pure Catalyst, embarrassingly parallel per document."""
+    out = text.chunk_documents(
+        _documents(spark, sf_dir), "text", ["doc_id"],
+        chunk_size=600, overlap=150,
+    )
+    return out.orderBy("doc_id", "chunk_id")
+
+
+QUERIES["chunk_documents"] = q_chunk_documents
+
+# n_chunks = max(1, floor((len - overlap + stride-1) / stride)) — the same
+# double division + floor as the Spark expression; substr is 1-based on
+# both engines.
+ORACLES["chunk_documents"] = """
+    WITH n AS (
+        SELECT doc_id, text,
+               greatest(1, CAST(floor((length(text) - 150 + 449) / 450.0)
+                                AS BIGINT)) AS n_chunks
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, text,
+               unnest(generate_series(0, CAST(n_chunks - 1 AS INT)))
+                   AS chunk_id
+        FROM n
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * 450 AS BIGINT) AS chunk_start,
+           substr(text, CAST(chunk_id * 450 + 1 AS INT), 600) AS chunk_text,
+           CAST(length(substr(text, CAST(chunk_id * 450 + 1 AS INT), 600))
+                AS BIGINT) AS chunk_len
+    FROM idx ORDER BY doc_id, chunk_id
+"""
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-50 bigrams by (occurrences desc, bigram asc) with
+    exact document frequency — one explode + one groupBy shuffle; the
+    per-document bigram construction is a transform(sequence(...))
+    expression, the same shape that scales MinHash shingling."""
+    return text.top_ngrams(
+        _documents(spark, sf_dir), "text", "doc_id", n_top=50
+    )
+
+
+QUERIES["top_ngrams"] = q_top_ngrams
+
+# Tokenization contract: lowercase, strip non-[a-z] per whitespace token,
+# drop empties; adjacent-pair bigrams; (count desc, bigram asc) is a total
+# order so the LIMIT boundary is deterministic.
+ORACLES["top_ngrams"] = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(list_transform(
+                   regexp_split_to_array(lower(trim(text)), '\s+'),
+                   w -> regexp_replace(w, '[^a-z]', '', 'g')),
+                   w -> w <> '') AS tk
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(tk) >= 2 THEN list_transform(
+                   generate_series(1, len(tk) - 1),
+                   i -> tk[i] || ' ' || tk[i + 1])
+                   ELSE CAST([] AS VARCHAR[]) END) AS bigram
+        FROM toks
+    )
+    SELECT bigram, COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM bg GROUP BY bigram
+    ORDER BY n_occurrences DESC, bigram LIMIT 50
+"""

@@ -1271,3 +1271,95 @@ ORACLES["events_retention_cohorts"] = """
     GROUP BY 1, 2
     ORDER BY cohort_d, day_offset
 """
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier co-supply graph (same sparse network as
+    ``graph_triangles``), symmetrized so every node has out-degree >= 1 —
+    the contract of :func:`operators.graph.pagerank`. Three fixed
+    iterations unroll into one Catalyst plan: per iteration one shuffle
+    join (edges ⨝ ranks on src) + one keyed aggregation; out-degrees are
+    computed once. Contribution sums route through DECIMAL(28,15) so
+    shuffle order cannot change the double result (repo oracle rule)."""
+    from ..operators import graph
+
+    li = _t(spark, sf_dir, "lineitem")
+    ps = (
+        li.where(F.col("l_partkey") % 50 == 0)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    a = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sa"))
+    b = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sb"))
+    und = (
+        a.join(b, "pk")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .where(F.col("_shared") >= 3)
+        .select("sa", "sb")
+    )
+    edges = und.select(F.col("sa").alias("src"), F.col("sb").alias("dst")).union(
+        und.select(F.col("sb").alias("src"), F.col("sa").alias("dst"))
+    )
+    ranks = graph.pagerank(edges, iterations=3, damping=0.85)
+    return ranks.select(
+        "node", F.round("rank", 6).alias("rank_r")
+    ).orderBy("node")
+
+
+QUERIES["pagerank"] = q_pagerank
+
+# Three unrolled iterations mirroring the Spark plan exactly: same double
+# literals (IEEE 1.0 - 0.85 on both engines), same DECIMAL(28,15) routing of
+# the per-edge contributions, same left-join + coalesce for rankless nodes.
+ORACLES["pagerank"] = """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+                WHERE l_partkey % 50 = 0),
+    und AS (
+        SELECT a.l_suppkey AS sa, b.l_suppkey AS sb
+        FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+        WHERE a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    e AS (SELECT sa AS src, sb AS dst FROM und
+          UNION ALL SELECT sb, sa FROM und),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+    ed AS (SELECT e.src, e.dst, outdeg.outdeg
+           FROM e JOIN outdeg ON e.src = outdeg.src),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+           FROM nodes CROSS JOIN nn),
+    m1 AS (SELECT ed.dst AS node,
+                  CAST(SUM(CAST(r.rank / ed.outdeg AS DECIMAL(28,15)))
+                       AS DOUBLE) AS in_mass
+           FROM ed JOIN r0 r ON ed.src = r.node GROUP BY ed.dst),
+    r1 AS (SELECT nodes.node,
+                  (CAST(1.0 AS DOUBLE) - 0.85) / nn.n
+                  + CAST(0.85 AS DOUBLE)
+                    * COALESCE(m1.in_mass, CAST(0.0 AS DOUBLE)) AS rank
+           FROM nodes CROSS JOIN nn
+           LEFT JOIN m1 ON nodes.node = m1.node),
+    m2 AS (SELECT ed.dst AS node,
+                  CAST(SUM(CAST(r.rank / ed.outdeg AS DECIMAL(28,15)))
+                       AS DOUBLE) AS in_mass
+           FROM ed JOIN r1 r ON ed.src = r.node GROUP BY ed.dst),
+    r2 AS (SELECT nodes.node,
+                  (CAST(1.0 AS DOUBLE) - 0.85) / nn.n
+                  + CAST(0.85 AS DOUBLE)
+                    * COALESCE(m2.in_mass, CAST(0.0 AS DOUBLE)) AS rank
+           FROM nodes CROSS JOIN nn
+           LEFT JOIN m2 ON nodes.node = m2.node),
+    m3 AS (SELECT ed.dst AS node,
+                  CAST(SUM(CAST(r.rank / ed.outdeg AS DECIMAL(28,15)))
+                       AS DOUBLE) AS in_mass
+           FROM ed JOIN r2 r ON ed.src = r.node GROUP BY ed.dst),
+    r3 AS (SELECT nodes.node,
+                  (CAST(1.0 AS DOUBLE) - 0.85) / nn.n
+                  + CAST(0.85 AS DOUBLE)
+                    * COALESCE(m3.in_mass, CAST(0.0 AS DOUBLE)) AS rank
+           FROM nodes CROSS JOIN nn
+           LEFT JOIN m3 ON nodes.node = m3.node)
+    SELECT node, round(rank, 6) AS rank_r FROM r3 ORDER BY node
+"""

@@ -1,0 +1,247 @@
+"""Unit tests for the round-4-registered operators: pagerank,
+kmeans_assign_step, gopher_quality, chunk_documents, top_ngrams.
+
+Each test exercises hand-computable semantics on tiny in-memory data —
+independent of the testdata tables — plus a plan-shape assertion where the
+scale contract matters (broadcast centroids, no shuffle in chunking)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import (
+    graph,
+    similarity,
+    text,
+)
+from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources import catalog
+
+
+# ----------------------------------------------------- input schema contract
+
+
+def test_testdata_schemas_match_pinned_manifest(spark, sf_dir):
+    # The round-3 events NANOS→MICROS drift cost 25 gate queries; this
+    # turns the next input-contract change into a local test failure.
+    catalog.verify_table_schemas(spark, sf_dir)
+
+
+def test_schema_drift_fails_loudly(spark, sf_dir, monkeypatch):
+    bad = dict(catalog.EXPECTED_TABLE_SCHEMAS)
+    bad["events"] = [("event_id", "bigint"), ("ts", "bigint")]
+    monkeypatch.setattr(catalog, "EXPECTED_TABLE_SCHEMAS", bad)
+    with pytest.raises(ValueError, match="(?s)schema drift.*events"):
+        catalog.verify_table_schemas(spark, sf_dir, names=["events"])
+
+
+# ------------------------------------------------------------------ pagerank
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    # Undirected triangle (symmetric edge list): perfectly regular, so the
+    # stationary distribution is uniform 1/3 and every iteration is a
+    # fixed point — rank stays exactly 1/3 per node.
+    und = [(1, 2), (2, 3), (1, 3)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(edges, iterations=3).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    for v in got.values():
+        assert v == pytest.approx(1 / 3, abs=1e-12)
+
+
+def test_pagerank_star_center_ranks_highest(spark):
+    # Star: center 0 linked to 1..4 (symmetric). The center accumulates
+    # mass from every leaf; leaves are symmetric with each other.
+    und = [(0, i) for i in range(1, 5)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    rows = graph.pagerank(edges, iterations=3).collect()
+    got = {r["node"]: r["rank"] for r in rows}
+    leaf_ranks = {round(got[i], 12) for i in range(1, 5)}
+    assert len(leaf_ranks) == 1  # symmetric leaves agree exactly
+    assert got[0] > got[1]
+    # total mass stays ~1 (no dangling nodes in a symmetric graph)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+# ------------------------------------------------------- kmeans_assign_step
+
+
+def test_kmeans_assign_nearest_and_ties(spark):
+    vecs = spark.createDataFrame(
+        [
+            Row(vec_id=10, embedding=[0.0, 0.0]),
+            Row(vec_id=11, embedding=[9.0, 9.0]),
+            Row(vec_id=12, embedding=[5.0, 5.0]),  # equidistant to both
+        ]
+    )
+    cents = spark.createDataFrame(
+        [
+            Row(centroid_id=1, embedding=[10.0, 10.0]),
+            Row(centroid_id=0, embedding=[0.0, 0.0]),
+        ]
+    )
+    out = {
+        r["vec_id"]: (r["cluster_id"], r["dist2"])
+        for r in similarity.kmeans_assign_step(
+            vecs, cents, "vec_id", "embedding"
+        ).collect()
+    }
+    assert out[10][0] == 0 and out[10][1] == 0.0
+    assert out[11][0] == 1 and out[11][1] == pytest.approx(2.0)
+    # exact tie (50.0 both ways) -> smaller centroid id wins
+    assert out[12][0] == 0 and out[12][1] == pytest.approx(50.0)
+
+
+def test_kmeans_assign_broadcasts_centroids(spark):
+    vecs = spark.createDataFrame([Row(vec_id=1, embedding=[1.0, 2.0])])
+    cents = spark.createDataFrame([Row(centroid_id=0, embedding=[0.0, 0.0])])
+    plan = (
+        similarity.kmeans_assign_step(vecs, cents, "vec_id", "embedding")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Broadcast" in plan  # corpus side must not shuffle for the join
+
+
+# ------------------------------------------------------------ gopher_quality
+
+
+def test_gopher_quality_metrics(spark):
+    good = " ".join(["the", "be", "to", "of"] * 15)  # 60 words, all stopwords
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=good), Row(doc_id=2, text="tiny doc")]
+    )
+    out = {r["doc_id"]: r for r in text.gopher_quality(df, "text").collect()}
+    r1 = out[1]
+    assert r1["g_words"] == 60
+    assert r1["g_stop_hits"] == 60
+    assert r1["g_alpha_ratio"] == 1.0
+    # mean word len = (3+2+2+2)*15 chars / 60 words = 2.25 -> fails the band
+    assert r1["g_mean_word_len"] == pytest.approx(2.25)
+    assert r1["g_pass"] is False
+    r2 = out[2]
+    assert r2["g_words"] == 2 and r2["g_pass"] is False
+
+
+def test_gopher_quality_passing_doc(spark):
+    # 60 distinct-ish words, mean length ~5, >2 stopword hits, no bullets.
+    body = " ".join(
+        f"alpha{i % 7}xx" for i in range(56)
+    ) + " the and that have"
+    df = spark.createDataFrame([Row(doc_id=1, text=body)])
+    r = text.gopher_quality(df, "text").collect()[0]
+    assert r["g_words"] == 60
+    assert r["g_stop_hits"] == 4
+    assert 3.0 <= r["g_mean_word_len"] <= 10.0
+    assert r["g_pass"] is True
+
+
+def test_gopher_bullet_and_ellipsis_lines(spark):
+    txt = "- bullet one\n- bullet two\nplain line ends...\n* third bullet"
+    r = text.gopher_quality(
+        spark.createDataFrame([Row(doc_id=1, text=txt)]), "text"
+    ).collect()[0]
+    assert r["g_bullet_ratio"] == pytest.approx(3 / 4)
+    assert r["g_ellipsis_ratio"] == pytest.approx(1 / 4)
+
+
+# ---------------------------------------------------------- chunk_documents
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    # len 1000, chunk 600, overlap 150 -> stride 450,
+    # n_chunks = ceil((1000-150)/450) = 2: [0,600), [450,1000)
+    txt = "a" * 449 + "B" + "c" * 550
+    df = spark.createDataFrame([Row(doc_id=7, text=txt)])
+    rows = (
+        text.chunk_documents(df, "text", ["doc_id"], 600, 150)
+        .orderBy("chunk_id")
+        .collect()
+    )
+    assert [r["chunk_id"] for r in rows] == [0, 1]
+    assert [r["chunk_start"] for r in rows] == [0, 450]
+    assert rows[0]["chunk_text"] == txt[0:600]
+    assert rows[1]["chunk_text"] == txt[450:1000]
+    # the 150-char overlap is shared verbatim
+    assert rows[0]["chunk_text"][450:] == rows[1]["chunk_text"][:150]
+    assert rows[1]["chunk_len"] == 550
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="short")])
+    rows = text.chunk_documents(df, "text", ["doc_id"], 600, 150).collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk_text"] == "short" and rows[0]["chunk_len"] == 5
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="x")])
+    with pytest.raises(ValueError):
+        text.chunk_documents(df, "text", ["doc_id"], 100, 100)
+
+
+def test_chunk_documents_no_shuffle(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="y" * 2000)])
+    plan = (
+        text.chunk_documents(df, "text", ["doc_id"], 600, 150)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # chunking is per-row, shuffle-free
+
+
+# --------------------------------------------------------------- top_ngrams
+
+
+def test_top_ngrams_counts_and_df(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="big data big data pipelines"),
+            Row(doc_id=2, text="Big Data!! rules"),
+            Row(doc_id=3, text="one"),  # single token -> no bigrams
+        ]
+    )
+    rows = text.top_ngrams(df, "text", "doc_id", n_top=10).collect()
+    got = {r["bigram"]: (r["n_occurrences"], r["n_docs"]) for r in rows}
+    # doc1: "big data","data big","big data","data pipelines"
+    # doc2 (punct stripped): "big data","data rules"
+    assert got["big data"] == (3, 2)
+    assert got["data big"] == (1, 1)
+    assert got["data pipelines"] == (1, 1)
+    assert got["data rules"] == (1, 1)
+    assert len(got) == 4
+    # ordering: count desc, then bigram asc
+    assert rows[0]["bigram"] == "big data"
+    assert [r["bigram"] for r in rows[1:]] == sorted(
+        b for b in got if b != "big data"
+    )
+
+
+def test_top_ngrams_limit_is_deterministic(spark):
+    # 20 distinct bigrams, all count 1 — the limit boundary is decided
+    # purely by the bigram-ascending tie-break. (Letters only: the [^a-z]
+    # rule strips digits from tokens.)
+    letters = "abcdefghijklmnopqrstu"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=f"{letters[i]}x {letters[i + 1]}y")
+            for i in range(20)
+        ]
+    )
+    rows = text.top_ngrams(df, "text", "doc_id", n_top=5).collect()
+    assert len(rows) == 5
+    assert [r["bigram"] for r in rows] == sorted(
+        f"{letters[i]}x {letters[i + 1]}y" for i in range(20)
+    )[:5]

@@ -34,6 +34,7 @@ from moteur_d_analytics_colonne_parquet_like_arrow_like__spark import get_spark
 from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.catalog import (
     TABLES,
     table_path,
+    verify_table_schemas,
 )
 import __spark_entry__ as entrymod
 
@@ -177,6 +178,10 @@ def main() -> int:
         )
     else:
         spark = get_spark("check_oracle")
+    # Input-side contract first: the round-3 events drift would have failed
+    # HERE in seconds instead of costing the round (VERDICT r3 item 7).
+    verify_table_schemas(spark, sf_dir)
+    print(f"input schemas OK ({len(TABLES)} tables match pinned manifest)")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
