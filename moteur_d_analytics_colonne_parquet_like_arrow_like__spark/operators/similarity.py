@@ -231,3 +231,37 @@ def kmeans_assign_step(
         .where(F.col("__rk") == 1)
         .select("vec_id", "cluster_id", "dist2", "v")
     )
+
+
+def kmeans_update_step(
+    assigned: DataFrame,
+    vec_col: str = "v",
+    cluster_col: str = "cluster_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Centroid update — the shuffle half of one Lloyd iteration: the
+    element-wise mean of each cluster's vectors, as ``dim`` independent
+    per-cluster aggregates (``sum(vec[i])``, one decimal-routed column per
+    dimension) plus the member count.
+
+    Scale shape: the alternative posexplode layout multiplies shuffle rows
+    by ``dim`` (n x 64 rows through the exchange); this form keeps the
+    shuffle at k x dim partial-aggregate cells per map task (map-side
+    combine), so a 100 TB corpus moves only kilobytes per partition. Sums
+    route through DECIMAL(28,15) — exact, order-independent — then divide
+    by the count in double, so the mean is bit-identical on any engine.
+    Empty clusters emit no row (no assignments to aggregate); the
+    iteration driver decides re-seeding policy.
+    """
+    vec = as_double_array(vec_col)
+    sums = [
+        F.sum(F.element_at(vec, i + 1).cast("decimal(28,15)"))
+        .cast("double")
+        .alias(f"__s{i}")
+        for i in range(dim)
+    ]
+    g = assigned.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("n"), *sums
+    )
+    centroid = F.array(*[F.col(f"__s{i}") / F.col("n") for i in range(dim)])
+    return g.select(cluster_col, "n", centroid.alias("centroid"))

@@ -89,6 +89,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # (d) registered this round
     "pagerank",
     "kmeans_assign",
+    "kmeans_update",
     "gopher_quality",
     "chunk_documents",
     "top_ngrams",

@@ -1419,3 +1419,73 @@ ORACLES["top_ngrams"] = r"""
     FROM bg GROUP BY bigram
     ORDER BY n_occurrences DESC, bigram LIMIT 50
 """
+
+
+def q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One FULL Lloyd iteration: assign every embedding to its nearest of
+    8 fixed centroids (broadcast, fold squared-L2), then recompute each
+    centroid as the exact element-wise cluster mean. Output in long
+    (cluster_id, dim, mu) format — the array never has to hash-compare.
+    The mean is a decimal-routed sum / count, so it is order-independent;
+    the only shuffle is k x dim partial-aggregate cells per map task."""
+    emb = _embeddings(spark, sf_dir)
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = similarity.kmeans_assign_step(emb, cents, "vec_id", "embedding")
+    upd = similarity.kmeans_update_step(
+        assigned, vec_col="v", cluster_col="cluster_id", dim=64
+    )
+    return (
+        upd.select("cluster_id", "n", F.posexplode("centroid").alias("dim", "mu"))
+        .select(
+            "cluster_id",
+            "n",
+            F.col("dim").cast("bigint").alias("dim"),
+            F.round("mu", 6).alias("mu_r"),
+        )
+        .orderBy("cluster_id", "dim")
+    )
+
+
+QUERIES["kmeans_update"] = q_kmeans_update
+
+# Same assignment CTEs as kmeans_assign; the mean routes each element
+# through DECIMAL(28,15) (exact, order-independent) before the double
+# division, mirroring the Spark operator bit-for-bit.
+ORACLES["kmeans_update"] = """
+    WITH c AS (SELECT vec_id AS cluster_id, embedding FROM embeddings
+               WHERE vec_id < 8),
+    d AS (
+        SELECT v.vec_id, c.cluster_id, v.embedding,
+               list_reduce(list_transform(generate_series(1, 64),
+                   i -> (CAST(v.embedding[i] AS DOUBLE)
+                         - CAST(c.embedding[i] AS DOUBLE))
+                        * (CAST(v.embedding[i] AS DOUBLE)
+                           - CAST(c.embedding[i] AS DOUBLE))),
+                   (x, y) -> x + y) AS dist2
+        FROM embeddings v CROSS JOIN c
+    ),
+    w AS (
+        SELECT vec_id, cluster_id, embedding FROM (
+            SELECT vec_id, cluster_id, embedding,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist2 ASC, cluster_id ASC)
+                       AS rk
+            FROM d
+        ) WHERE rk = 1
+    ),
+    ex AS (
+        SELECT cluster_id, unnest(generate_series(1, 64)) AS i, embedding
+        FROM w
+    ),
+    sums AS (
+        SELECT cluster_id, i, COUNT(*) AS n,
+               CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+                             AS DECIMAL(28,15))) AS DOUBLE) AS s
+        FROM ex GROUP BY cluster_id, i
+    )
+    SELECT cluster_id, n, CAST(i - 1 AS BIGINT) AS dim,
+           round(s / n, 6) AS mu_r
+    FROM sums ORDER BY cluster_id, dim
+"""

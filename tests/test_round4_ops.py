@@ -102,6 +102,46 @@ def test_kmeans_assign_nearest_and_ties(spark):
     assert out[12][0] == 0 and out[12][1] == pytest.approx(50.0)
 
 
+def test_kmeans_update_exact_cluster_means(spark):
+    vecs = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[0.0, 0.0]),
+            Row(vec_id=2, embedding=[2.0, 4.0]),
+            Row(vec_id=3, embedding=[100.0, 50.0]),
+        ]
+    )
+    cents = spark.createDataFrame(
+        [
+            Row(centroid_id=0, embedding=[0.0, 0.0]),
+            Row(centroid_id=1, embedding=[100.0, 50.0]),
+        ]
+    )
+    assigned = similarity.kmeans_assign_step(vecs, cents, "vec_id", "embedding")
+    rows = {
+        r["cluster_id"]: r
+        for r in similarity.kmeans_update_step(
+            assigned, vec_col="v", cluster_col="cluster_id", dim=2
+        ).collect()
+    }
+    assert rows[0]["n"] == 2 and rows[0]["centroid"] == [1.0, 2.0]
+    assert rows[1]["n"] == 1 and rows[1]["centroid"] == [100.0, 50.0]
+
+
+def test_kmeans_update_drops_empty_clusters(spark):
+    vecs = spark.createDataFrame([Row(vec_id=1, embedding=[0.0, 0.0])])
+    cents = spark.createDataFrame(
+        [
+            Row(centroid_id=0, embedding=[0.0, 0.0]),
+            Row(centroid_id=1, embedding=[9.0, 9.0]),  # attracts nothing
+        ]
+    )
+    assigned = similarity.kmeans_assign_step(vecs, cents, "vec_id", "embedding")
+    rows = similarity.kmeans_update_step(
+        assigned, vec_col="v", cluster_col="cluster_id", dim=2
+    ).collect()
+    assert [r["cluster_id"] for r in rows] == [0]
+
+
 def test_kmeans_assign_broadcasts_centroids(spark):
     vecs = spark.createDataFrame([Row(vec_id=1, embedding=[1.0, 2.0])])
     cents = spark.createDataFrame([Row(centroid_id=0, embedding=[0.0, 0.0])])
