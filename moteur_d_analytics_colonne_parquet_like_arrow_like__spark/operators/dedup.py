@@ -611,3 +611,79 @@ def embedding_near_dup_pairs_lsh(
         .select("id_a", "id_b", cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def dedup_lines_global(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_doc_freq: int = 1,
+) -> DataFrame:
+    """C4-style global line deduplication: a (trimmed, lowercased) line
+    that occurs in more than ``max_doc_freq`` documents is removed from
+    every document EXCEPT its single global winner occurrence — the
+    lexicographically smallest (doc, position). Whitespace-only lines are
+    exempt (kept everywhere); the boilerplate being targeted is repeated
+    content, not formatting.
+
+    Scale shape: explode to (doc, pos, line), one groupBy on the line key
+    producing (n_docs, winner) — the winner is min over an integer
+    encoding doc*2^20+pos, a plain MIN that a hyper-common line (every
+    page's footer) aggregates without any pairwise blowup — then an
+    equi-join back and one groupBy per document to reassemble in line
+    order. Two shuffle families (line key, doc key), both combiner-
+    friendly. The C4 recipe (Raffel et al. 2020, §2.2 "we discarded ...
+    keeping one occurrence") at corpus scale.
+
+    Returns (id, n_lines_kept, n_lines_removed, text_clean).
+    """
+    doc = F.col(id_col)
+    lines = F.split(F.col(text_col), "\n")
+    ex = df.select(
+        doc.alias("__doc"),
+        F.posexplode(lines).alias("__pos", "__line"),
+    ).withColumn("__key", F.lower(F.trim(F.col("__line"))))
+    # position fits 2^20 lines/doc; encoded winner is a single BIGINT MIN.
+    enc = (F.col("__doc") * (1 << 20) + F.col("__pos")).alias("__enc")
+    ex = ex.withColumn("__enc", enc)
+    stats = (
+        ex.where(F.col("__key") != "")
+        .groupBy("__key")
+        .agg(
+            F.countDistinct("__doc").alias("__n_docs"),
+            F.min("__enc").alias("__winner"),
+        )
+        .where(F.col("__n_docs") > max_doc_freq)
+    )
+    kept = (
+        ex.join(stats, "__key", "left")
+        .withColumn(
+            "__keep",
+            F.col("__n_docs").isNull() | (F.col("__enc") == F.col("__winner")),
+        )
+    )
+    return (
+        kept.groupBy(F.col("__doc").alias(id_col))
+        .agg(
+            F.sum(F.when(F.col("__keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_lines_kept"),
+            F.sum(F.when(F.col("__keep"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_lines_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep"),
+                                F.struct(F.col("__pos"), F.col("__line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["__line"],
+                ),
+                "\n",
+            ).alias("text_clean"),
+        )
+    )

@@ -93,6 +93,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "gopher_quality",
     "chunk_documents",
     "top_ngrams",
+    "dedup_lines_global",
     # (e) stalest greens (round-1-only checks)
     "window_running_sum",
     "window_rank_dense",

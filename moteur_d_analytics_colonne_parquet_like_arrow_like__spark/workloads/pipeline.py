@@ -1489,3 +1489,52 @@ ORACLES["kmeans_update"] = """
            round(s / n, 6) AS mu_r
     FROM sums ORDER BY cluster_id, dim
 """
+
+
+def q_dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-global line dedup on the documents table: any
+    trimmed+lowercased line occurring in >1 document survives only at
+    its lexicographically-first (doc, position); whitespace-only lines
+    are exempt. Exact-duplicate single-line documents therefore collapse
+    to one surviving copy — the strongest boilerplate cut before LLM
+    training (Raffel et al. 2020 §2.2)."""
+    out = dedup.dedup_lines_global(
+        _documents(spark, sf_dir), "doc_id", "text", max_doc_freq=1
+    )
+    return out.orderBy("doc_id")
+
+
+QUERIES["dedup_lines_global"] = q_dedup_lines_global
+
+# Same integer winner encoding (doc*2^20+pos); string_agg skips the
+# removed (NULL) lines exactly as collect_list skips nulls; COALESCE
+# covers the all-lines-removed document (Spark's array_join gives '').
+ORACLES["dedup_lines_global"] = """
+    WITH ex AS (
+        SELECT doc_id AS d, string_split(text, chr(10)) AS ls FROM documents
+    ),
+    lines AS (
+        SELECT d, i - 1 AS pos, ls[i] AS line,
+               lower(trim(ls[i])) AS key,
+               d * 1048576 + (i - 1) AS enc
+        FROM (SELECT d, ls, unnest(generate_series(1, len(ls))) AS i FROM ex)
+    ),
+    stats AS (
+        SELECT key, MIN(enc) AS winner
+        FROM lines WHERE key <> '' GROUP BY key
+        HAVING COUNT(DISTINCT d) > 1
+    ),
+    kept AS (
+        SELECT l.d, l.pos, l.line,
+               (s.key IS NULL OR l.enc = s.winner) AS keep
+        FROM lines l LEFT JOIN stats s ON l.key = s.key
+    )
+    SELECT d AS doc_id,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lines_kept,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_lines_removed,
+           COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
+                               ORDER BY pos), '') AS text_clean
+    FROM kept GROUP BY d ORDER BY doc_id
+"""

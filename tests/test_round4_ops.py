@@ -242,6 +242,51 @@ def test_chunk_documents_no_shuffle(spark):
     assert "Exchange" not in plan  # chunking is per-row, shuffle-free
 
 
+# ------------------------------------------------------- dedup_lines_global
+
+
+def test_dedup_lines_global_keeps_winner_occurrence(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="unique one\nCOMMON footer\nunique two"),
+            Row(doc_id=2, text="common FOOTER\nother line"),
+            Row(doc_id=3, text="Common Footer"),
+        ]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.dedup_lines_global(df, "doc_id", "text").collect()
+    }
+    # winner = (doc 1, pos 1): doc 1 keeps its copy (original casing)
+    assert out[1]["text_clean"] == "unique one\nCOMMON footer\nunique two"
+    assert out[1]["n_lines_removed"] == 0
+    # losers lose only the repeated line
+    assert out[2]["text_clean"] == "other line"
+    assert out[2]["n_lines_removed"] == 1
+    # a doc that was nothing but the repeated line collapses to empty
+    assert out[3]["text_clean"] == "" and out[3]["n_lines_kept"] == 0
+
+
+def test_dedup_lines_global_exempts_blank_and_unrepeated(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a\n\nb"),
+            Row(doc_id=2, text="c\n\nd"),  # blank line repeats but is exempt
+        ]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.dedup_lines_global(df, "doc_id", "text").collect()
+    }
+    assert out[1]["text_clean"] == "a\n\nb"
+    assert out[2]["text_clean"] == "c\n\nd"
+    assert out[1]["n_lines_removed"] == 0 and out[2]["n_lines_removed"] == 0
+
+
 # --------------------------------------------------------------- top_ngrams
 
 
