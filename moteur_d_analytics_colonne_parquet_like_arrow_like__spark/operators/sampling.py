@@ -1,0 +1,59 @@
+"""Weighted sampling operators for corpus curation.
+
+The reference has no sampling surface (single-table scans only,
+``cae/README.md:131-138``); the repo's deterministic hash/stratified/
+per-group samplers live in the workload modules. This adds the missing
+weighted variant: Efraimidis-Spirakis reservoir sampling (A-Res, "Weighted
+random sampling with a reservoir", IPL 2006) with the randomness replaced
+by the repo's stable md5 hash family, so the sample is a pure function of
+the data — reproducible on any engine, any partitioning, any rerun.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions import stable_hash60
+
+#: Modulus for mapping a 60-bit hash onto (0, 1]; prime, so low bits mix.
+_U_MOD = 999983
+
+
+def weighted_sample_key(
+    id_col: str | Column, weight_col: str | Column, salt: str = "ws"
+) -> Column:
+    """The A-Res priority key ``-ln(u) / w`` with deterministic
+    ``u = (h60(salt:id) mod P + 1) / (P + 1)`` in (0, 1]. Taking the k
+    SMALLEST keys yields a sample where inclusion probability scales with
+    the weight (an exponential race: rate w wins early). Rounded to 9
+    digits so the double is cross-engine rank-stable; ties (and the k-th
+    boundary) are broken by id downstream."""
+    idc = id_col if isinstance(id_col, Column) else F.col(id_col)
+    w = weight_col if isinstance(weight_col, Column) else F.col(weight_col)
+    h = stable_hash60(F.concat(F.lit(salt), F.lit(":"), idc.cast("string")))
+    u = (F.pmod(h, F.lit(_U_MOD)) + 1) / F.lit(float(_U_MOD + 1))
+    return F.round(-F.ln(u) / w.cast("double"), 9)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted reservoir sample of ``k`` rows.
+
+    Scale shape: the key is a per-row expression (no shuffle), and the
+    selection is a top-k (``TakeOrderedAndProject`` — per-partition heaps
+    merged on the driver, never a full sort). At 100 TB this is one scan;
+    the same key column also supports a weighted SPLIT (train/eval) by
+    thresholding instead of limiting. Weights must be > 0.
+    """
+    return (
+        df.withColumn(
+            "samp_key_r", weighted_sample_key(id_col, weight_col, salt)
+        )
+        .orderBy(F.col("samp_key_r").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

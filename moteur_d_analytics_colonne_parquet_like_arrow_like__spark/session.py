@@ -72,9 +72,12 @@ def get_spark(
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # Deterministic timestamp semantics for oracle comparison.
         "spark.sql.session.timeZone": "UTC",
-        # The driver's events table carries TIMESTAMP(NANOS) parquet columns,
-        # which Spark cannot represent natively; read them as long nanos and
-        # let the catalog convert to microsecond timestamps (catalog.py).
+        # Back-compat for TIMESTAMP(NANOS) parquet (which Spark cannot
+        # represent natively): read as long nanos. The testdata moved to
+        # TIMESTAMP(MICROS) — unaffected by this conf — and the catalog now
+        # probes each file's footer and branches on the ACTUAL encoding
+        # (catalog.py::probe_events_ts_type / _normalize_events_ts); this
+        # stays so legacy nanos files remain loadable on factory sessions.
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         # Broadcast threshold: dims like region/nation/supplier must broadcast.
         "spark.sql.autoBroadcastJoinThreshold": "64m",

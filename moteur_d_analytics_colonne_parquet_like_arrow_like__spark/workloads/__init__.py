@@ -94,6 +94,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "chunk_documents",
     "top_ngrams",
     "dedup_lines_global",
+    "sample_weighted",
     # (e) stalest greens (round-1-only checks)
     "window_running_sum",
     "window_rank_dense",

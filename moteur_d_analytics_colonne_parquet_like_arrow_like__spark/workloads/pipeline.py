@@ -1538,3 +1538,40 @@ ORACLES["dedup_lines_global"] = """
                                ORDER BY pos), '') AS text_clean
     FROM kept GROUP BY d ORDER BY doc_id
 """
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Efraimidis-Spirakis weighted reservoir sample: 25
+    documents with inclusion probability scaling with n_chars (longer
+    docs more likely), selection = top-k smallest -ln(u)/w keys with the
+    stable md5 hash as u. One scan, no shuffle, per-partition top-k
+    heaps (TakeOrderedAndProject) — the weighted corpus subsample every
+    data-mixing recipe needs."""
+    from ..operators import sampling
+
+    out = sampling.weighted_sample(
+        _documents(spark, sf_dir), "doc_id", "n_chars", k=25
+    )
+    return out.select("doc_id", "n_chars", "samp_key_r").orderBy("doc_id")
+
+
+QUERIES["sample_weighted"] = q_sample_weighted
+
+# Identical hash -> u -> -ln(u)/w pipeline; all arithmetic in explicit
+# DOUBLE (DuckDB decimal literals would otherwise change the division).
+ORACLES["sample_weighted"] = """
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               round(
+                   -ln((CAST(concat('0x', substr(md5('ws:' ||
+                            CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                        % 999983 + 1) / CAST(999984.0 AS DOUBLE))
+                   / CAST(n_chars AS DOUBLE), 9) AS samp_key_r
+        FROM documents
+    ),
+    topk AS (
+        SELECT doc_id, n_chars, samp_key_r FROM keyed
+        ORDER BY samp_key_r ASC, doc_id ASC LIMIT 25
+    )
+    SELECT doc_id, n_chars, samp_key_r FROM topk ORDER BY doc_id
+"""

@@ -242,6 +242,39 @@ def test_chunk_documents_no_shuffle(spark):
     assert "Exchange" not in plan  # chunking is per-row, shuffle-free
 
 
+# ---------------------------------------------------------- weighted sample
+
+
+def test_weighted_sample_is_deterministic_and_sized(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, w=(i % 5) + 1) for i in range(100)]
+    )
+    a = sampling.weighted_sample(df, "doc_id", "w", k=10).collect()
+    b = sampling.weighted_sample(df, "doc_id", "w", k=10).collect()
+    assert len(a) == 10
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]  # rerun-stable
+    # a different salt draws a different sample
+    c = sampling.weighted_sample(df, "doc_id", "w", k=10, salt="other").collect()
+    assert [r["doc_id"] for r in a] != [r["doc_id"] for r in c]
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import sampling
+
+    # 50 heavy rows (w=1000) vs 50 light rows (w=1): with an exponential
+    # race the 10 winners should be overwhelmingly heavy.
+    df = spark.createDataFrame(
+        [Row(doc_id=i, w=1000 if i < 50 else 1) for i in range(100)]
+    )
+    picked = [
+        r["doc_id"]
+        for r in sampling.weighted_sample(df, "doc_id", "w", k=10).collect()
+    ]
+    assert sum(1 for d in picked if d < 50) >= 9
+
+
 # ------------------------------------------------------- dedup_lines_global
 
 
