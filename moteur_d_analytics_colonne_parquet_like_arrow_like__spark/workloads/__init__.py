@@ -74,6 +74,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "stream_dedup",
     "stream_stateful",
     "stream_stream_join",
+    "stream_stream_full_join",
     "stream_static_join",
     "stream_upsert",
     "join_asof",

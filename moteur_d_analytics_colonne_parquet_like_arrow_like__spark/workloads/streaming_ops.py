@@ -394,3 +394,87 @@ ORACLES["stream_col_source"] = """
     FROM events
     GROUP BY event_type ORDER BY event_type
 """
+
+
+def q_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join — completes the family
+    (inner, left, full): matched view/purchase pairs emit immediately;
+    an unmatched VIEW emits NULL-purchase once the global watermark — min
+    over both streams of (max event time − delay) — passes
+    view_ts + 30 min (the end of its match window), and an unmatched
+    PURCHASE emits NULL-view once the watermark passes purchase_ts (the
+    latest view_ts that could still match it). The oracle replicates both
+    eviction cutoffs in batch SQL, pinning the two-sided state-eviction
+    semantics. State per side is bounded by its watermark delay; a
+    stalled side stalls the global watermark and grows BOTH states — the
+    production monitoring point (docs/SCALE.md)."""
+    from pyspark.sql import functions as F
+
+    events = S.events_stream(spark, sf_dir)
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "60 minutes")
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "60 minutes")
+    )
+    joined = views.join(
+        purchases,
+        (views.user_id == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "full_outer",
+    ).select(
+        "view_id",
+        "purchase_id",
+        F.coalesce(F.col("user_id"), F.col("p_user")).alias("user_id"),
+    )
+    return S.run_to_memory(
+        joined, output_mode="append", shuffle_partitions=8
+    ).orderBy("view_id", "purchase_id", "user_id")
+
+
+QUERIES["stream_stream_full_join"] = q_stream_stream_full_join
+
+ORACLES["stream_stream_full_join"] = """
+    WITH v AS (
+        SELECT event_id AS view_id, user_id, ts AS view_ts
+        FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, user_id AS pu, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+        SELECT least((SELECT max(view_ts) FROM v),
+                     (SELECT max(purchase_ts) FROM p))
+               - INTERVAL 60 MINUTE AS w
+    ),
+    fj AS (
+        SELECT view_id, v.user_id, view_ts, purchase_id, pu, purchase_ts
+        FROM v FULL JOIN p
+          ON v.user_id = pu
+         AND purchase_ts >= view_ts
+         AND purchase_ts <= view_ts + INTERVAL 30 MINUTE
+    )
+    SELECT view_id, purchase_id, COALESCE(fj.user_id, pu) AS user_id
+    FROM fj, wm
+    WHERE (view_id IS NOT NULL AND purchase_id IS NOT NULL)
+       OR (purchase_id IS NULL AND view_ts + INTERVAL 30 MINUTE < w)
+       OR (view_id IS NULL AND purchase_ts < w)
+    ORDER BY view_id, purchase_id, user_id
+"""

@@ -238,3 +238,26 @@ def test_transform_with_state_gate(spark, sf_dir):
     got = {(r["user_id"], r["event_type"]): r["n_events"] for r in res.collect()}
     for r in expect.collect():
         assert got[(r["user_id"], r["event_type"])] == r["n_events"]
+
+
+def test_stream_stream_full_join_emits_both_null_sides(spark, sf_dir):
+    """The full-outer stream-stream join must emit matched pairs, NULL-
+    purchase views (watermark-released) AND NULL-view purchases — the
+    two-sided eviction the left join only half-exercises."""
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import (
+        streaming_ops,
+    )
+
+    rows = streaming_ops.q_stream_stream_full_join(spark, sf_dir).collect()
+    assert len(rows) > 0
+    matched = [r for r in rows if r["view_id"] is not None and r["purchase_id"] is not None]
+    null_purchase = [r for r in rows if r["purchase_id"] is None]
+    null_view = [r for r in rows if r["view_id"] is None]
+    assert matched and null_purchase and null_view
+    # every row carries the coalesced user id
+    assert all(r["user_id"] is not None for r in rows)
+    # the left join is a subset: same matches, same NULL-purchase views
+    left = streaming_ops.q_stream_stream_left_join(spark, sf_dir).collect()
+    left_pairs = {(r["view_id"], r["purchase_id"]) for r in left}
+    full_pairs = {(r["view_id"], r["purchase_id"]) for r in rows}
+    assert left_pairs <= full_pairs
