@@ -96,6 +96,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "top_ngrams",
     "dedup_lines_global",
     "sample_weighted",
+    "incremental_quantiles",
     # (e) stalest greens (round-1-only checks)
     "window_running_sum",
     "window_rank_dense",

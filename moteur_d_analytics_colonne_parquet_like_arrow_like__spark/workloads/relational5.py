@@ -1363,3 +1363,97 @@ ORACLES["pagerank"] = """
            LEFT JOIN m3 ON nodes.node = m3.node)
     SELECT node, round(rank, 6) AS rank_r FROM r3 ORDER BY node
 """
+
+
+def q_incremental_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch as a materialized view — the quantile twin
+    of ``incremental_hll``: a fixed-grid histogram (bucket = floor(price /
+    1000), (bucket, cnt) rows) of one lineitem slice is persisted, then
+    MERGED with a fresh slice's histogram by summing counts instead of
+    rescanning history. P50/P90/P99 read off the merged CDF as the first
+    bucket whose running count reaches q·total; the reported value is the
+    bucket's upper edge (error ≤ one grid step, by construction).
+
+    Unlike HLL, the sketch is fully deterministic, so the gate checks the
+    QUANTILE VALUES exactly, not a tolerance boolean. Scale shape: upkeep
+    is O(increment) + a merge over the bounded bucket set; the CDF window
+    runs over ~max_price/width buckets (hundreds), never over rows — a
+    single tiny task regardless of corpus size. Trade-off vs t-digest:
+    fixed resolution, no adaptivity to density; pick the grid from the
+    domain (money here) where that is acceptable.
+    """
+    import hashlib
+    import os
+
+    li = _t(spark, sf_dir, "lineitem")
+
+    def hist(flag: str) -> DataFrame:
+        return (
+            li.where(F.col("l_returnflag") == flag)
+            .groupBy(
+                F.floor(F.col("l_extendedprice") / F.lit(1000.0))
+                .cast("bigint")
+                .alias("bucket")
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    base_path = (
+        f"/tmp/incr_qtl_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    )
+    if not os.path.exists(os.path.join(base_path, "_SUCCESS")):
+        hist("A").write.mode("overwrite").parquet(base_path)  # history
+    merged = (
+        spark.read.parquet(base_path)
+        .unionByName(hist("R"))  # the new increment
+        .groupBy("bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    total = merged.agg(F.sum("cnt").cast("bigint").alias("total"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = merged.withColumn("cum", F.sum("cnt").over(w)).crossJoin(
+        F.broadcast(total)
+    )
+    qs = spark.createDataFrame(
+        [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)], ["label", "f"]
+    )
+    return (
+        cdf.join(F.broadcast(qs), F.col("cum") >= F.col("f") * F.col("total"))
+        .groupBy("label")
+        .agg(
+            F.min("bucket").alias("bucket"),
+            F.max("total").alias("total_rows"),
+        )
+        .select(
+            "label",
+            "bucket",
+            ((F.col("bucket") + 1) * 1000).cast("double").alias("upper_edge"),
+            "total_rows",
+        )
+        .orderBy("label")
+    )
+
+
+QUERIES["incremental_quantiles"] = q_incremental_quantiles
+
+# The oracle recomputes the same histogram over the union of both slices
+# (merging partial histograms == histogramming the union, the mergeability
+# property itself). Explicit BIGINT/DOUBLE casts: DuckDB SUM(BIGINT)
+# promotes to HUGEINT and VALUES decimals would change the comparison.
+ORACLES["incremental_quantiles"] = """
+    WITH h AS (
+        SELECT CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS bucket,
+               COUNT(*) AS cnt
+        FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM h),
+    c AS (SELECT bucket, SUM(cnt) OVER (ORDER BY bucket) AS cum FROM h),
+    qs AS (SELECT * FROM (VALUES ('p50', 0.5), ('p90', 0.9), ('p99', 0.99))
+           AS q(label, f))
+    SELECT label, MIN(bucket) AS bucket,
+           CAST((MIN(bucket) + 1) * 1000 AS DOUBLE) AS upper_edge,
+           MAX(total) AS total_rows
+    FROM c, t, qs
+    WHERE cum >= CAST(f AS DOUBLE) * total
+    GROUP BY label ORDER BY label
+"""

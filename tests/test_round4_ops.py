@@ -363,3 +363,59 @@ def test_top_ngrams_limit_is_deterministic(spark):
     assert [r["bigram"] for r in rows] == sorted(
         f"{letters[i]}x {letters[i + 1]}y" for i in range(20)
     )[:5]
+
+
+# ---------------------------------------------------- incremental quantiles
+
+
+def test_histogram_merge_equals_union_histogram(spark):
+    # Mergeability: hist(A) + hist(B) == hist(A ∪ B), bucket by bucket.
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 100).select((F.col("id") * 10.0).alias("v"))
+    b = spark.range(100, 150).select((F.col("id") * 10.0).alias("v"))
+
+    def hist(df):
+        return (
+            df.groupBy(
+                F.floor(F.col("v") / F.lit(100.0)).cast("bigint").alias("bucket")
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    merged = (
+        hist(a)
+        .unionByName(hist(b))
+        .groupBy("bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    direct = hist(a.unionByName(b))
+    got = {r["bucket"]: r["cnt"] for r in merged.collect()}
+    want = {r["bucket"]: r["cnt"] for r in direct.collect()}
+    assert got == want
+
+
+def test_quantile_from_cdf_picks_first_covering_bucket(spark):
+    # 100 values 0..990 step 10, width 100 -> 10 buckets of 10 each.
+    # p50: cum reaches 50 at bucket 4 (cum 50) -> upper edge 500.
+    # p90: cum reaches 90 at bucket 8 -> upper edge 900.
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads.relational5 import (  # noqa: E501
+        QUERIES,
+    )
+    from pyspark.sql import Window, functions as F
+
+    df = spark.range(0, 100).select((F.col("id") * 10.0).alias("v"))
+    h = (
+        df.groupBy(
+            F.floor(F.col("v") / F.lit(100.0)).cast("bigint").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = h.withColumn("cum", F.sum("cnt").over(w))
+    total = 100
+    rows = {
+        q: cdf.where(F.col("cum") >= q * total).agg(F.min("bucket")).collect()[0][0]
+        for q in (0.5, 0.9)
+    }
+    assert rows[0.5] == 4 and rows[0.9] == 8
