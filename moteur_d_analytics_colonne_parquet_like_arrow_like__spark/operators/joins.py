@@ -238,3 +238,36 @@ def interval_overlap_join(
     for k in keys:  # equality-joined: the left copy carries the value
         out = out.drop(r[k])
     return out
+
+
+def key_skew_report(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
+    """Join-key skew diagnostic — the numbers that decide broadcast vs
+    plain shuffle vs salting (``salted_join``) before a big join: the
+    ``top_n`` heaviest keys with their row count, share of all rows, and
+    load relative to the mean key (``x_mean_r`` ≈ how many times hotter
+    than average; >10x on a join key means the salting conversation).
+
+    Scale shape: one combiner-friendly groupBy over the raw rows, then
+    every further stat aggregates the (already reduced) per-key counts —
+    the stats row is a broadcast single-row crossJoin and the top-k is
+    TakeOrderedAndProject. Nothing after the first exchange touches raw
+    rows, so profiling a 100 TB fact table costs one aggregation pass.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = counts.agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(top_n)
+    return top.crossJoin(F.broadcast(tot)).select(
+        F.col("key").cast("string").alias("key"),
+        "cnt",
+        F.round(F.col("cnt") / F.col("total"), 6).alias("frac_r"),
+        # (cnt/total)*n_keys, kept in double throughout — cnt*n_keys as
+        # integers could overflow on a trillion-row, billion-key table.
+        F.round(F.col("cnt") / F.col("total") * F.col("n_keys"), 3).alias(
+            "x_mean_r"
+        ),
+    )

@@ -97,6 +97,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "dedup_lines_global",
     "sample_weighted",
     "incremental_quantiles",
+    "events_key_skew",
     # (e) stalest greens (round-1-only checks)
     "window_running_sum",
     "window_rank_dense",

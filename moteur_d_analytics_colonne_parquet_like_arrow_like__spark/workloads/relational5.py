@@ -1457,3 +1457,33 @@ ORACLES["incremental_quantiles"] = """
     WHERE cum >= CAST(f AS DOUBLE) * total
     GROUP BY label ORDER BY label
 """
+
+
+def q_events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profile of events.user_id — the pre-join diagnostic that
+    decides broadcast vs shuffle vs salting for the user-keyed join
+    family. Top-10 heaviest users with share-of-rows and times-hotter-
+    than-mean; after the single groupBy every stat runs over the reduced
+    per-key counts (see operators/joins.py::key_skew_report)."""
+    from ..operators import joins
+
+    ev = _t(spark, sf_dir, "events")
+    return joins.key_skew_report(ev, "user_id", top_n=10).orderBy(
+        F.col("cnt").desc(), F.col("key").asc()
+    )
+
+
+QUERIES["events_key_skew"] = q_events_key_skew
+
+ORACLES["events_key_skew"] = """
+    WITH c AS (
+        SELECT user_id AS key, COUNT(*) AS cnt FROM events GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                 COUNT(*) AS n_keys FROM c),
+    top AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key LIMIT 10)
+    SELECT CAST(key AS VARCHAR) AS key, cnt,
+           round(cnt / total, 6) AS frac_r,
+           round(cnt / total * n_keys, 3) AS x_mean_r
+    FROM top, t ORDER BY cnt DESC, key
+"""

@@ -419,3 +419,22 @@ def test_quantile_from_cdf_picks_first_covering_bucket(spark):
         for q in (0.5, 0.9)
     }
     assert rows[0.5] == 4 and rows[0.9] == 8
+
+
+# ------------------------------------------------------------ key skew report
+
+
+def test_key_skew_report_identifies_hot_key(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import joins
+
+    # key 7 carries 60 of 100 rows; 5 keys total -> mean 20 rows/key.
+    rows = [Row(k=7)] * 60 + [Row(k=i) for i in range(4) for _ in range(10)]
+    df = spark.createDataFrame(rows)
+    out = joins.key_skew_report(df, "k", top_n=3).collect()
+    assert len(out) == 3
+    hot = out[0]
+    assert hot["key"] == "7" and hot["cnt"] == 60
+    assert hot["frac_r"] == pytest.approx(0.6)
+    assert hot["x_mean_r"] == pytest.approx(3.0)  # 60 / (100/5 keys)
+    # remaining top keys tie at 10 and break by key ascending
+    assert [r["key"] for r in out[1:]] == ["0", "1"]
