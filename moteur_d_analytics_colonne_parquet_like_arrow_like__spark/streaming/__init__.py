@@ -27,6 +27,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+
 def _events_raw_schema(ts_kind: str) -> T.StructType:
     """Stream-read schema derived from the footer type the testdata ACTUALLY
     ships (probed via :func:`catalog.probe_events_ts_type`). Round 3 proved

@@ -7,8 +7,6 @@ scale contract matters (broadcast centroids, no shuffle in chunking)."""
 
 from __future__ import annotations
 
-import math
-
 import pytest
 from pyspark.sql import Row, functions as F
 
