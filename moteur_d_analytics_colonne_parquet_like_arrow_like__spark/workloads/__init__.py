@@ -98,6 +98,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "sample_weighted",
     "incremental_quantiles",
     "events_key_skew",
+    "scd2_segment_history",
     # (e) stalest greens (round-1-only checks)
     "window_running_sum",
     "window_rank_dense",

@@ -1487,3 +1487,65 @@ ORACLES["events_key_skew"] = """
            round(cnt / total * n_keys, 3) AS x_mean_r
     FROM top, t ORDER BY cnt DESC, key
 """
+
+
+def q_scd2_segment_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 on the customer dimension: a deterministic update batch
+    (every 7th customer gets a derived segment; every 14th "changes" to
+    its EXISTING segment, exercising the identical-update no-op path) is
+    applied to an all-open baseline. Changed keys produce a closed row +
+    a new open row; unchanged and identically-updated keys pass through.
+    The read-side twin is join_asof against the validity intervals."""
+    from ..operators import scd
+
+    c = _t(spark, sf_dir, "customer")
+    current = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2024-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    updates = c.where(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 14 == 0, F.col("c_mktsegment"))
+        .otherwise(F.concat(F.lit("SEG_"), (F.col("c_custkey") % 3).cast("string")))
+        .alias("segment"),
+        F.lit("2024-06-01").alias("eff"),
+    )
+    out = scd.scd2_apply(
+        current, updates, ["c_custkey"], ["segment"], "eff"
+    )
+    return out.orderBy("c_custkey", "valid_from")
+
+
+QUERIES["scd2_segment_history"] = q_scd2_segment_history
+
+ORACLES["scd2_segment_history"] = """
+    WITH cur AS (
+        SELECT c_custkey, c_mktsegment AS segment,
+               '2024-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+        FROM customer
+    ),
+    upd AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 14 = 0 THEN c_mktsegment
+                    ELSE 'SEG_' || CAST(c_custkey % 3 AS VARCHAR) END
+                   AS u_seg,
+               '2024-06-01' AS eff
+        FROM customer WHERE c_custkey % 7 = 0
+    ),
+    j AS (
+        SELECT cur.c_custkey, cur.segment, cur.valid_from, cur.valid_to,
+               upd.u_seg, upd.eff
+        FROM cur LEFT JOIN upd USING (c_custkey)
+    )
+    SELECT c_custkey, segment, valid_from, eff AS valid_to
+    FROM j WHERE eff IS NOT NULL AND u_seg IS DISTINCT FROM segment
+    UNION ALL
+    SELECT c_custkey, segment, valid_from, valid_to
+    FROM j WHERE eff IS NULL OR u_seg IS NOT DISTINCT FROM segment
+    UNION ALL
+    SELECT c_custkey, u_seg, eff, NULL
+    FROM j WHERE eff IS NOT NULL AND u_seg IS DISTINCT FROM segment
+    ORDER BY c_custkey, valid_from
+"""

@@ -436,3 +436,46 @@ def test_key_skew_report_identifies_hot_key(spark):
     assert hot["x_mean_r"] == pytest.approx(3.0)  # 60 / (100/5 keys)
     # remaining top keys tie at 10 and break by key ascending
     assert [r["key"] for r in out[1:]] == ["0", "1"]
+
+
+# -------------------------------------------------------------------- SCD2
+
+
+def test_scd2_change_close_noop_and_insert(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import scd
+
+    current = spark.createDataFrame(
+        [
+            # key 1: open row that will change
+            Row(k=1, seg="A", valid_from="d1", valid_to=None),
+            # key 1 also has closed history that must pass through
+            Row(k=1, seg="Z", valid_from="d0", valid_to="d1"),
+            # key 2: open row, update carries the identical value (no-op)
+            Row(k=2, seg="B", valid_from="d1", valid_to=None),
+            # key 3: open row, no update at all
+            Row(k=3, seg="C", valid_from="d1", valid_to=None),
+        ]
+    )
+    updates = spark.createDataFrame(
+        [
+            Row(k=1, seg="A2", eff="d2"),
+            Row(k=2, seg="B", eff="d2"),
+            Row(k=9, seg="NEW", eff="d2"),  # brand-new member
+        ]
+    )
+    out = scd.scd2_apply(current, updates, ["k"], ["seg"], "eff")
+    rows = {(r["k"], r["seg"], r["valid_from"]): r["valid_to"] for r in out.collect()}
+    assert rows == {
+        (1, "Z", "d0"): "d1",   # closed history untouched
+        (1, "A", "d1"): "d2",   # changed row closed at eff
+        (1, "A2", "d2"): None,  # new open row
+        (2, "B", "d1"): None,   # identical update -> no-op
+        (3, "C", "d1"): None,   # untouched
+        (9, "NEW", "d2"): None, # brand-new member
+    }
+    # exactly one open row per live key
+    open_per_key = {}
+    for (k, _, _), vt in rows.items():
+        if vt is None:
+            open_per_key[k] = open_per_key.get(k, 0) + 1
+    assert open_per_key == {1: 1, 2: 1, 3: 1, 9: 1}
