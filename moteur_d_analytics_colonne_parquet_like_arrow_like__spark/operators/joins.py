@@ -56,9 +56,17 @@ def asof_join(
     direction: str = "backward",
     suffix: str = "_r",
     tie_breakers: list[Column] | None = None,
+    tolerance: Column | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the single right row with the same key
-    and the closest ``right_ts`` ≤ ``left_ts`` (backward) or ≥ (forward).
+    and the closest ``right_ts`` ≤ ``left_ts`` (backward), ≥ (forward), or
+    minimal absolute distance on either side (nearest) — pandas
+    ``merge_asof`` parity. ``tolerance`` (a duration Column, e.g.
+    ``F.expr("INTERVAL 7 DAYS")``) bounds the match window on any
+    direction; it is REQUIRED for nearest, where an unbounded candidate
+    set would be the full per-key cross product at scale. Nearest ties
+    (equal distance before and after) deterministically prefer the
+    earlier right row, then ``tie_breakers``.
 
     Composition: equi-join on key + range predicate, then keep rank-1 by
     event time per left row (window dedup). Catalyst executes the equi part
@@ -69,8 +77,13 @@ def asof_join(
     key, range-bucketed on time; this composition preserves that option
     because the only shuffle is on ``key``.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
+    if direction == "nearest" and tolerance is None:
+        raise ValueError(
+            "direction='nearest' requires a tolerance: without one every "
+            "right row of the key is a candidate (per-key cross product)"
+        )
     # Rename every right column that collides with the left (including the
     # key) so the join condition and output are unambiguous.
     r = right
@@ -79,11 +92,21 @@ def asof_join(
         r = r.withColumnRenamed(old, new)
     rkey = rcols.get(key, key)
     rts = rcols.get(right_ts, right_ts)
-    range_cond = (
-        (F.col(rts) <= F.col(left_ts))
-        if direction == "backward"
-        else (F.col(rts) >= F.col(left_ts))
-    )
+    if direction == "backward":
+        range_cond = F.col(rts) <= F.col(left_ts)
+    elif direction == "forward":
+        range_cond = F.col(rts) >= F.col(left_ts)
+    else:  # nearest: tolerance (asserted non-null above) bounds both sides
+        range_cond = F.lit(True)
+    if tolerance is not None:
+        if direction in ("backward", "nearest"):
+            range_cond = range_cond & (
+                F.col(rts) >= F.col(left_ts) - tolerance
+            )
+        if direction in ("forward", "nearest"):
+            range_cond = range_cond & (
+                F.col(rts) <= F.col(left_ts) + tolerance
+            )
     # Without a unique left id, partitioning the dedup window by left.columns
     # would COLLAPSE identical left rows into one output row (row_number
     # keeps rank 1 per partition). Synthesize a surrogate id instead; it
@@ -98,14 +121,22 @@ def asof_join(
     # evaluates the range part as a residual.
     joined = left.join(r, on=(left[key] == r[rkey]) & range_cond, how="left")
     # Nulls (no match) sort last either way, so a real match always wins.
-    order = (
-        F.col(rts).desc_nulls_last()
-        if direction == "backward"
-        else F.col(rts).asc_nulls_last()
-    )
+    if direction == "backward":
+        order = [F.col(rts).desc_nulls_last()]
+    elif direction == "forward":
+        order = [F.col(rts).asc_nulls_last()]
+    else:
+        # Exact integer micros distance (unix_micros, not a double epoch —
+        # double would stay exact here but integer needs no argument);
+        # equal-distance ties prefer the earlier right row.
+        dist = F.abs(
+            F.unix_micros(F.col(left_ts).cast("timestamp"))
+            - F.unix_micros(F.col(rts).cast("timestamp"))
+        )
+        order = [dist.asc_nulls_last(), F.col(rts).asc_nulls_last()]
     # tie_breakers make the pick deterministic when several right rows share
     # the same event time.
-    w = Window.partitionBy(left_id).orderBy(order, *(tie_breakers or []))
+    w = Window.partitionBy(left_id).orderBy(*order, *(tie_breakers or []))
     out = (
         joined.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)

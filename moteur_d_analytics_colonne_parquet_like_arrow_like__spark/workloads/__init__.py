@@ -78,6 +78,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "stream_static_join",
     "stream_upsert",
     "join_asof",
+    "join_asof_nearest",
     "join_range",
     "window_lag",
     "pivot_event_types",

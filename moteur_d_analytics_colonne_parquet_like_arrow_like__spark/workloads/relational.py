@@ -595,3 +595,57 @@ ORACLES = {
         ORDER BY o_orderkey
     """,
 }
+
+
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join with a 7-day tolerance (pandas
+    merge_asof parity): each event matched to the user's temporally
+    CLOSEST order on either side of the event time, exact integer-micros
+    distance, equal-distance ties to the earlier order then higher
+    orderkey; events with no order within the window keep NULLs. The
+    tolerance bounds the candidate set — required at scale, where
+    unbounded nearest is a per-key cross product."""
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderkey"),
+        F.col("o_orderdate"),
+    )
+    out = joins.asof_join(
+        events,
+        orders,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        left_id="event_id",
+        direction="nearest",
+        tolerance=F.expr("INTERVAL 7 DAYS"),
+        tie_breakers=[F.col("o_orderkey").desc()],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("near_orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("near_orderdate"),
+    ).orderBy("event_id")
+
+
+QUERIES["join_asof_nearest"] = q_join_asof_nearest
+
+ORACLES["join_asof_nearest"] = """
+    SELECT e.event_id, e.user_id,
+           o.o_orderkey AS near_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS near_orderdate
+    FROM events e
+    LEFT JOIN LATERAL (
+        SELECT o_orderkey, o_orderdate
+        FROM orders
+        WHERE o_custkey = e.user_id
+          AND o_orderdate >= e.ts - INTERVAL 7 DAY
+          AND o_orderdate <= e.ts + INTERVAL 7 DAY
+        ORDER BY abs(epoch_us(e.ts) - epoch_us(o_orderdate)) ASC,
+                 o_orderdate ASC, o_orderkey DESC
+        LIMIT 1
+    ) o ON TRUE
+    ORDER BY e.event_id
+"""

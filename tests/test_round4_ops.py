@@ -479,3 +479,67 @@ def test_scd2_change_close_noop_and_insert(spark):
         if vt is None:
             open_per_key[k] = open_per_key.get(k, 0) + 1
     assert open_per_key == {1: 1, 2: 1, 3: 1, 9: 1}
+
+
+# ------------------------------------------------------------- asof nearest
+
+
+def test_asof_nearest_picks_closest_side_and_ties_earlier(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import joins
+
+    left = spark.createDataFrame(
+        [
+            Row(lid=1, k=1, ts="2024-01-10 00:00:00"),
+            Row(lid=2, k=1, ts="2024-01-20 00:00:00"),
+            Row(lid=3, k=2, ts="2024-01-10 00:00:00"),  # no right rows in window
+        ]
+    ).select("lid", "k", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rid=100, rts="2024-01-08 00:00:00"),  # 2d before lid 1
+            Row(k=1, rid=101, rts="2024-01-11 00:00:00"),  # 1d after lid 1
+            Row(k=1, rid=102, rts="2024-01-19 00:00:00"),  # 1d before lid 2
+            Row(k=1, rid=103, rts="2024-01-21 00:00:00"),  # 1d after lid 2: TIE
+        ]
+    ).select("k", "rid", F.col("rts").cast("timestamp").alias("rts"))
+    out = {
+        r["lid"]: r["rid"]
+        for r in joins.asof_join(
+            left, right, key="k", left_ts="ts", right_ts="rts",
+            left_id="lid", direction="nearest",
+            tolerance=F.expr("INTERVAL 7 DAYS"),
+        ).collect()
+    }
+    assert out[1] == 101  # 1 day after beats 2 days before
+    assert out[2] == 102  # exact tie -> earlier right row wins
+    assert out[3] is None  # nothing within tolerance -> NULL kept
+
+
+def test_asof_nearest_requires_tolerance(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import joins
+
+    df = spark.createDataFrame([Row(k=1, ts="2024-01-01")]).select(
+        "k", F.col("ts").cast("timestamp").alias("ts")
+    )
+    with pytest.raises(ValueError, match="nearest"):
+        joins.asof_join(df, df, key="k", left_ts="ts", right_ts="ts",
+                        direction="nearest")
+
+
+def test_asof_backward_tolerance_bounds_window(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import joins
+
+    left = spark.createDataFrame([Row(lid=1, k=1, ts="2024-01-10 00:00:00")]).select(
+        "lid", "k", F.col("ts").cast("timestamp").alias("ts")
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, rid=100, rts="2024-01-01 00:00:00")]  # 9 days before
+    ).select("k", "rid", F.col("rts").cast("timestamp").alias("rts"))
+    # unbounded backward matches; a 7-day tolerance excludes it
+    unbounded = joins.asof_join(left, right, "k", "ts", "rts", left_id="lid")
+    bounded = joins.asof_join(
+        left, right, "k", "ts", "rts", left_id="lid",
+        tolerance=F.expr("INTERVAL 7 DAYS"),
+    )
+    assert unbounded.collect()[0]["rid"] == 100
+    assert bounded.collect()[0]["rid"] is None
