@@ -57,3 +57,69 @@ def weighted_sample(
         .orderBy(F.col("samp_key_r").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    token_count: Column,
+    weights: dict[str, float],
+    budget_frac: float,
+    salt: str = "mix",
+) -> DataFrame:
+    """Training-data mixture sampling: draw a deterministic subsample whose
+    per-source TOKEN share approximates ``weights`` within a total budget
+    of ``budget_frac`` × corpus tokens.
+
+    Per source s: desired tokens = weight_s × budget; keep fraction
+    f_s = min(1, desired / tokens_s); a document survives iff its stable
+    hash-uniform u < f_s — document-level Bernoulli, which matches the
+    token share in expectation (the standard mixture recipe; exact
+    token-level packing is ``text.pack_sequences``' job downstream).
+    A source whose weight demands more tokens than it has saturates at
+    f_s = 1 (take everything) rather than upweighting — detectable in the
+    output where ``kept_frac_r`` ≈ 1.
+
+    Scale shape: one groupBy for per-source token totals (a handful of
+    rows, broadcast back), then a stateless per-row hash filter — the
+    corpus is scanned once and never shuffled. Returns the kept rows with
+    ``keep_frac_r`` attached; aggregate downstream for the mixture report.
+    """
+    idc = F.col(id_col)
+    h = stable_hash60(F.concat(F.lit(salt), F.lit(":"), idc.cast("string")))
+    u = (F.pmod(h, F.lit(_U_MOD)) + 1) / F.lit(float(_U_MOD + 1))
+    per_source = (
+        df.select(F.col(source_col).alias("__src"), token_count.alias("__tok"))
+        .groupBy("__src")
+        .agg(F.sum("__tok").cast("bigint").alias("__src_tokens"))
+    )
+    total = per_source.agg(
+        F.sum("__src_tokens").cast("bigint").alias("__total_tokens")
+    )
+    fracs = per_source.crossJoin(F.broadcast(total))
+    wmap = F.create_map(
+        *[x for k, v in sorted(weights.items()) for x in (F.lit(k), F.lit(float(v)))]
+    )
+    # Sources absent from `weights` get weight 0 (dropped), made explicit
+    # with coalesce: least() SKIPS nulls on both Spark and DuckDB, so a
+    # NULL map lookup would silently become keep-everything.
+    fracs = fracs.select(
+        "__src",
+        F.least(
+            F.lit(1.0),
+            F.coalesce(wmap[F.col("__src")], F.lit(0.0))
+            * F.lit(float(budget_frac))
+            * F.col("__total_tokens")
+            / F.col("__src_tokens"),
+        ).alias("__keep_frac"),
+    )
+    return (
+        df.join(
+            F.broadcast(fracs), df[source_col] == fracs["__src"], "inner"
+        )
+        .where(u < F.col("__keep_frac"))
+        .drop("__src")
+        .withColumn("keep_frac_r", F.round(F.col("__keep_frac"), 9))
+        .drop("__keep_frac")
+    )

@@ -100,6 +100,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "incremental_quantiles",
     "events_key_skew",
     "scd2_segment_history",
+    "pipeline_mixture_sample",
     # (e) stalest greens (round-1-only checks)
     "window_running_sum",
     "window_rank_dense",

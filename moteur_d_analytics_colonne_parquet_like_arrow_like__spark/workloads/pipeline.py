@@ -1575,3 +1575,79 @@ ORACLES["sample_weighted"] = """
     )
     SELECT doc_id, n_chars, samp_key_r FROM topk ORDER BY doc_id
 """
+
+
+def q_pipeline_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture subsample report: weights 0.4/0.3/0.2/0.1 over
+    sources src0-src3 (all other sources weight 0 → excluded) within a
+    token budget of 20% of the corpus. Each source keeps documents via a
+    deterministic hash-Bernoulli at fraction min(1, desired/available) —
+    heavy weights saturate at keep-everything (keep_frac_r = 1) instead
+    of upweighting. Output is the per-source mixture report: docs kept,
+    tokens kept, and the keep fraction that produced them."""
+    from ..functions import words
+    from ..operators import sampling
+
+    docs = _documents(spark, sf_dir)
+    kept = sampling.mixture_sample(
+        docs,
+        "doc_id",
+        "source",
+        token_count=F.size(words(F.col("text"))),
+        weights={"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        budget_frac=0.2,
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum(F.size(words(F.col("text")))).cast("bigint").alias(
+                "tokens_kept"
+            ),
+            F.max("keep_frac_r").alias("keep_frac_r"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["pipeline_mixture_sample"] = q_pipeline_mixture_sample
+
+# Same normalization (_NORM) for token counts, same md5 hash -> u, same
+# min(1, weight * budget * total / source_tokens) fraction, all double
+# arithmetic made explicit so DuckDB decimal literals can't change it.
+ORACLES["pipeline_mixture_sample"] = f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               len(string_split({_NORM}, ' ')) AS n_tok,
+               (CAST(concat('0x', substr(md5('mix:' ||
+                    CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                % 999983 + 1) / CAST(999984.0 AS DOUBLE) AS u
+        FROM documents
+    ),
+    per_src AS (
+        SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens
+        FROM toks GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS total FROM per_src),
+    fr AS (
+        SELECT source,
+               least(CAST(1.0 AS DOUBLE),
+                     CASE source
+                         WHEN 'src0' THEN CAST(0.4 AS DOUBLE)
+                         WHEN 'src1' THEN CAST(0.3 AS DOUBLE)
+                         WHEN 'src2' THEN CAST(0.2 AS DOUBLE)
+                         WHEN 'src3' THEN CAST(0.1 AS DOUBLE)
+                     END
+                     * CAST(0.2 AS DOUBLE) * total / src_tokens)
+                   AS keep_frac
+        FROM per_src, tot
+        WHERE source IN ('src0', 'src1', 'src2', 'src3')
+    )
+    SELECT t.source,
+           COUNT(*) AS n_docs_kept,
+           CAST(SUM(t.n_tok) AS BIGINT) AS tokens_kept,
+           round(MAX(fr.keep_frac), 9) AS keep_frac_r
+    FROM toks t JOIN fr ON t.source = fr.source
+    WHERE t.u < fr.keep_frac
+    GROUP BY t.source ORDER BY t.source
+"""

@@ -543,3 +543,46 @@ def test_asof_backward_tolerance_bounds_window(spark):
     )
     assert unbounded.collect()[0]["rid"] == 100
     assert bounded.collect()[0]["rid"] is None
+
+
+# ---------------------------------------------------------- mixture sampling
+
+
+def test_mixture_sample_saturation_and_zero_weight(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import sampling
+
+    # Three sources, 10 docs x 10 tokens each (300 tokens total).
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=s * 100 + i, source=f"s{s}", tok=10)
+            for s in range(3)
+            for i in range(10)
+        ]
+    )
+    # budget = 0.9 * 300 = 270 tokens; s0 wants 270 > 100 -> saturates
+    # (keeps all 10 docs, frac 1.0); s1/s2 unmapped -> weight 0 -> dropped.
+    kept = sampling.mixture_sample(
+        df, "doc_id", "source", F.col("tok"), {"s0": 1.0}, budget_frac=0.9
+    )
+    rows = kept.collect()
+    assert {r["source"] for r in rows} == {"s0"}
+    assert len(rows) == 10
+    assert all(r["keep_frac_r"] == 1.0 for r in rows)
+
+
+def test_mixture_sample_fraction_and_determinism(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source="s0", tok=10) for i in range(200)]
+    )
+    # budget 30% on the single source -> keep_frac 0.3
+    kept = sampling.mixture_sample(
+        df, "doc_id", "source", F.col("tok"), {"s0": 1.0}, budget_frac=0.3
+    )
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(r["doc_id"] for r in kept.collect())
+    assert a == b  # rerun-stable
+    # Bernoulli(0.3) over 200 docs: expect ~60, allow generous slack
+    assert 30 <= len(a) <= 90
+    assert kept.collect()[0]["keep_frac_r"] == pytest.approx(0.3)
