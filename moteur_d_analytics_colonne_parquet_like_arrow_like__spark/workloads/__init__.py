@@ -101,6 +101,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "events_key_skew",
     "scd2_segment_history",
     "pipeline_mixture_sample",
+    "events_attribution",
     # (e) stalest greens (round-1-only checks)
     "window_running_sum",
     "window_rank_dense",

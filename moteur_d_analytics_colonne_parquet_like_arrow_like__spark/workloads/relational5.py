@@ -1549,3 +1549,86 @@ ORACLES["scd2_segment_history"] = """
     FROM j WHERE eff IS NOT NULL AND u_seg IS DISTINCT FROM segment
     ORDER BY c_custkey, valid_from
 """
+
+
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase distributes its value
+    equally across the user's views in the 7 days leading up to it (the
+    marketing-analytics twin of the funnel/asof family — asof is
+    last-touch, this is every-touch). Per purchase: touch count, the
+    first/last touching view, and the per-touch credit.
+
+    Scale shape: one equi-join on user_id with a residual time-range
+    predicate (same co-partitioned family as the other user-keyed
+    queries) followed by one groupBy on purchase — no window functions,
+    no per-user collect. Purchases with no touches keep a zero row
+    (LEFT join), so attribution coverage is auditable."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value"),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    touched = purchases.join(
+        views,
+        (purchases.user_id == views.v_user)
+        & (views.v_ts <= purchases.p_ts)
+        & (views.v_ts >= purchases.p_ts - F.expr("INTERVAL 7 DAYS")),
+        "left",
+    )
+    return (
+        touched.groupBy("purchase_id", "user_id", "value")
+        .agg(
+            F.count("view_id").alias("n_touches"),
+            F.min("view_id").alias("first_view_id"),
+            F.max("view_id").alias("last_view_id"),
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            "n_touches",
+            "first_view_id",
+            "last_view_id",
+            F.when(
+                F.col("n_touches") > 0,
+                F.round(F.col("value") / F.col("n_touches"), 6),
+            ).alias("credit_per_touch_r"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+QUERIES["events_attribution"] = q_events_attribution
+
+ORACLES["events_attribution"] = """
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS p_ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+        SELECT event_id AS view_id, user_id AS v_user, ts AS v_ts
+        FROM events WHERE event_type = 'view'
+    ),
+    t AS (
+        SELECT p.purchase_id, p.user_id, p.value, v.view_id
+        FROM p LEFT JOIN v
+          ON p.user_id = v.v_user
+         AND v.v_ts <= p.p_ts
+         AND v.v_ts >= p.p_ts - INTERVAL 7 DAY
+    )
+    SELECT purchase_id, user_id,
+           COUNT(view_id) AS n_touches,
+           MIN(view_id) AS first_view_id,
+           MAX(view_id) AS last_view_id,
+           CASE WHEN COUNT(view_id) > 0
+                THEN round(value / COUNT(view_id), 6) END
+               AS credit_per_touch_r
+    FROM t GROUP BY purchase_id, user_id, value
+    ORDER BY purchase_id
+"""
