@@ -102,6 +102,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "scd2_segment_history",
     "pipeline_mixture_sample",
     "events_attribution",
+    "outlier_orders",
+    "events_gap_report",
     # (e) stalest greens (round-1-only checks)
     "window_running_sum",
     "window_rank_dense",

@@ -1632,3 +1632,134 @@ ORACLES["events_attribution"] = """
     FROM t GROUP BY purchase_id, user_id, value
     ORDER BY purchase_id
 """
+
+
+def q_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise z-score outlier report over orders: per market segment,
+    how many orders sit more than 2 population-sigma from the segment
+    mean price, plus the extreme z. Two-pass shape — per-segment moment
+    aggregates (decimal-routed, order-independent), broadcast back onto
+    the fact scan, flag and re-aggregate — so the fact table shuffles
+    only its partial aggregates, never raw rows. IEEE sqrt is exactly
+    rounded, so z-scores are bit-identical on any engine."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    seg = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == c.c_custkey,
+    ).select(F.col("c_mktsegment").alias("segment"), F.col("o_totalprice"))
+    stats = seg.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,8)"))
+        .cast("double")
+        .alias("__sum"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(28,8)"))
+            * (F.col("o_totalprice").cast("decimal(28,8)"))
+        )
+        .cast("double")
+        .alias("__sumsq"),
+    )
+    stats = stats.select(
+        "segment",
+        "n_orders",
+        (F.col("__sum") / F.col("n_orders")).alias("__mean"),
+        F.sqrt(
+            F.col("__sumsq") / F.col("n_orders")
+            - (F.col("__sum") / F.col("n_orders"))
+            * (F.col("__sum") / F.col("n_orders"))
+        ).alias("__sd"),
+    )
+    flagged = seg.join(F.broadcast(stats), "segment").select(
+        "segment",
+        "n_orders",
+        ((F.col("o_totalprice") - F.col("__mean")) / F.col("__sd")).alias("__z"),
+    )
+    return (
+        flagged.groupBy("segment", "n_orders")
+        .agg(
+            F.sum(F.when(F.abs(F.col("__z")) > 2.0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.round(F.max(F.abs(F.col("__z"))), 6).alias("max_abs_z_r"),
+        )
+        .orderBy("segment")
+    )
+
+
+QUERIES["outlier_orders"] = q_outlier_orders
+
+# Population moments routed through DECIMAL(28,8) exactly as Spark; the
+# z threshold and sqrt are IEEE double on both engines.
+ORACLES["outlier_orders"] = """
+    WITH seg AS (
+        SELECT c.c_mktsegment AS segment, o.o_totalprice
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    st AS (
+        SELECT segment, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE)
+                   AS s,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))
+                        * CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE)
+                   AS sq
+        FROM seg GROUP BY segment
+    ),
+    m AS (
+        SELECT segment, n_orders, s / n_orders AS mean,
+               sqrt(sq / n_orders - (s / n_orders) * (s / n_orders)) AS sd
+        FROM st
+    )
+    SELECT seg.segment, m.n_orders,
+           CAST(SUM(CASE WHEN abs((o_totalprice - mean) / sd) > 2.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(MAX(abs((o_totalprice - mean) / sd)), 6) AS max_abs_z_r
+    FROM seg JOIN m ON seg.segment = m.segment
+    GROUP BY seg.segment, m.n_orders
+    ORDER BY seg.segment
+"""
+
+
+def q_events_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-stream gap detection: per user, count the silences longer
+    than 24 hours between consecutive events and the longest one — the
+    liveness/telemetry-loss report every event pipeline runs. One
+    per-user window (lag) in exact integer micros; hours emerge as a
+    double division of exact ints at the end. Only users WITH gaps are
+    reported (auditable against the user count)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.lag(F.col("ts")).over(w).cast("timestamp"))
+        ).alias("__gap_us"),
+    ).where(F.col("__gap_us") > 24 * 3600 * 1000 * 1000)
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(
+                F.max(F.col("__gap_us")) / F.lit(3600.0 * 1000 * 1000), 6
+            ).alias("max_gap_hours_r"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["events_gap_report"] = q_events_gap_report
+
+ORACLES["events_gap_report"] = """
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        FROM events
+    )
+    SELECT user_id, COUNT(*) AS n_gaps,
+           round(MAX(gap_us) / (3600.0 * 1000 * 1000), 6)
+               AS max_gap_hours_r
+    FROM g WHERE gap_us > CAST(86400000000 AS BIGINT)
+    GROUP BY user_id ORDER BY user_id
+"""
