@@ -104,6 +104,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "events_attribution",
     "outlier_orders",
     "events_gap_report",
+    "join_bucketed",
     # (e) stalest greens (round-1-only checks)
     "window_running_sum",
     "window_rank_dense",

@@ -1763,3 +1763,52 @@ ORACLES["events_gap_report"] = """
     FROM g WHERE gap_us > CAST(86400000000 AS BIGINT)
     GROUP BY user_id ORDER BY user_id
 """
+
+
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketing — the 100 TB answer to 'this join
+    shuffles every night': both sides are persisted bucketed on the join
+    key (the write-side shuffle a production pipeline pays ONCE), then
+    the join reads bucket-aligned files and shuffles zero bytes
+    (plan-asserted in tests/test_scale_features.py). The merge hint
+    forces the sort-merge path because at gate scale the planner would
+    broadcast these tiny tables and bypass the buckets being tested."""
+    import hashlib
+
+    from ..operators import joins
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/bucketed_{tag}"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joins.bucketed_write(o, f"bk_orders_{tag}", f"{base}/o", ["o_custkey"], 8)
+    joins.bucketed_write(c, f"bk_cust_{tag}", f"{base}/c", ["c_custkey"], 8)
+    a = spark.table(f"bk_orders_{tag}").hint("merge")
+    b = spark.table(f"bk_cust_{tag}")
+    return (
+        a.join(b, a.o_custkey == b.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("segment")
+    )
+
+
+QUERIES["join_bucketed"] = q_join_bucketed
+
+# The oracle joins the ORIGINAL tables — bucketing must be a pure
+# physical-layout change with zero semantic effect.
+ORACLES["join_bucketed"] = """
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY segment
+"""
