@@ -105,6 +105,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "outlier_orders",
     "events_gap_report",
     "join_bucketed",
+    "pipeline_split_leakage",
     # (e) stalest greens (round-1-only checks)
     "window_running_sum",
     "window_rank_dense",

@@ -1651,3 +1651,111 @@ ORACLES["pipeline_mixture_sample"] = f"""
     WHERE t.u < fr.keep_frac
     GROUP BY t.source ORDER BY t.source
 """
+
+
+def q_pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval split with a near-dup leakage audit — the check every
+    training pipeline should run and most don't: a deterministic 90/10
+    hash split of the corpus, then every MinHash-LSH near-dup pair (the
+    same bands/threshold as `dedup_minhash_lsh`) is checked for spanning
+    the split. A pair with one side in train and one in eval means the
+    eval set leaks training content. One-row report: split sizes, dup
+    pairs, leaking pairs. Scale: the split is a per-row hash expression;
+    the audit reuses the bucketed (never all-pairs) LSH pair set with two
+    broadcast-sized joins onto the tiny split table."""
+    from ..functions import stable_hash60
+
+    docs = _documents(spark, sf_dir)
+    u = (
+        F.pmod(
+            stable_hash60(
+                F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+            ),
+            F.lit(999983),
+        )
+        + 1
+    ) / F.lit(999984.0)
+    split = docs.select(
+        "doc_id",
+        F.when(u < F.lit(0.9), F.lit("train")).otherwise(F.lit("eval")).alias(
+            "sp"
+        ),
+    )
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        num_hashes=16, bands=4, shingle_k=3, threshold=0.5,
+    )
+    pa = split.select(F.col("doc_id").alias("id_a"), F.col("sp").alias("sp_a"))
+    pb = split.select(F.col("doc_id").alias("id_b"), F.col("sp").alias("sp_b"))
+    j = pairs.join(pa, "id_a").join(pb, "id_b")
+    totals = split.agg(
+        F.sum(F.when(F.col("sp") == "train", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_train"),
+        F.sum(F.when(F.col("sp") == "eval", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_eval"),
+    )
+    leak = j.agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.sum(F.when(F.col("sp_a") != F.col("sp_b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_leaking_pairs"),
+    )
+    return totals.crossJoin(F.broadcast(leak))
+
+
+QUERIES["pipeline_split_leakage"] = q_pipeline_split_leakage
+
+
+def _split_leakage_oracle() -> str:
+    nh, bands = 16, 4
+    rpb = nh // bands
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, concat_ws('-', {cols}) AS key FROM sig".format(
+            b=b,
+            cols=", ".join(f"mh{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    eq_sum = " + ".join(
+        f"CAST((sa.mh{i} = sb.mh{i}) AS INT)" for i in range(nh)
+    )
+    return f"""
+        WITH {_shingle_cte(3)},
+        {_minhash_sig_sql(nh)},
+        bands AS ({band_selects}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        pairs AS (
+            SELECT id_a, id_b FROM cand
+            JOIN sig sa ON sa.doc_id = id_a
+            JOIN sig sb ON sb.doc_id = id_b
+            WHERE ({eq_sum}) / 16.0 >= 0.5
+        ),
+        split AS (
+            SELECT doc_id,
+                   CASE WHEN (CAST(concat('0x', substr(md5('split:' ||
+                            CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                            % 999983 + 1) / CAST(999984.0 AS DOUBLE)
+                            < CAST(0.9 AS DOUBLE)
+                        THEN 'train' ELSE 'eval' END AS sp
+            FROM documents
+        )
+        SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM split
+             WHERE sp = 'train') AS n_train,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM split
+             WHERE sp = 'eval') AS n_eval,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_dup_pairs,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs
+             JOIN split a ON pairs.id_a = a.doc_id
+             JOIN split b ON pairs.id_b = b.doc_id
+             WHERE a.sp <> b.sp) AS n_leaking_pairs
+    """
+
+
+ORACLES["pipeline_split_leakage"] = _split_leakage_oracle()
