@@ -106,6 +106,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "events_gap_report",
     "join_bucketed",
     "pipeline_split_leakage",
+    "sim_rrf_fusion",
     # (e) stalest greens (round-1-only checks)
     "window_running_sum",
     "window_rank_dense",

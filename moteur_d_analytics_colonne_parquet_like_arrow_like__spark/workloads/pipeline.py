@@ -10,7 +10,7 @@ approximately similar.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions import HASH31_PRIME, MINHASH_COEFFS, PERM_PRIME
 from ..operators import dedup, multimodal, similarity, text
@@ -1759,3 +1759,94 @@ def _split_leakage_oracle() -> str:
 
 
 ORACLES["pipeline_split_leakage"] = _split_leakage_oracle()
+
+
+def q_sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the exact cosine
+    ranking and the sign-LSH bucketed ranking each contribute
+    1/(60+rank) per (query, candidate); candidates surfaced by both
+    lists outrank either alone (RRF, Cormack et al. 2009 — the standard
+    fusion for lexical+vector hybrid search). Top-5 fused per query,
+    ties by candidate id. Scale: both input rankings are the existing
+    gate-proven operators (broadcast queries / bucketed candidates); the
+    fusion itself is one groupBy over ≤ 2×k×|queries| tiny rows."""
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk_exact_baseline(
+        emb, queries, "vec_id", "embedding", k=20
+    ).select("query_id", "corpus_id", "rnk")
+    lsh = similarity.lsh_bucketed_topk(
+        emb, queries, "vec_id", "embedding", k=20
+    ).select("query_id", "corpus_id", "rnk")
+    fused = (
+        exact.unionByName(lsh)
+        .groupBy("query_id", "corpus_id")
+        .agg(
+            F.round(
+                F.sum(F.lit(1.0) / (F.lit(60) + F.col("rnk"))), 9
+            ).alias("rrf_r"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_r").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("query_id", "corpus_id", "rrf_r", "n_lists", "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
+QUERIES["sim_rrf_fusion"] = q_sim_rrf_fusion
+
+ORACLES["sim_rrf_fusion"] = f"""
+    WITH scored_ex AS (
+        SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
+               round({_DOT}, 6) AS cosine_r
+        FROM embeddings a JOIN embeddings b
+          ON b.vec_id < 10 AND a.vec_id <> b.vec_id
+    ),
+    top_ex AS (
+        SELECT query_id, corpus_id, rnk FROM (
+            SELECT query_id, corpus_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine_r DESC, corpus_id ASC) AS rnk
+            FROM scored_ex
+        ) WHERE rnk <= 20
+    ),
+    bucketed AS (
+        SELECT vec_id, embedding,
+               {' + '.join(f'CASE WHEN embedding[{d + 1}] >= 0 THEN {2**i} ELSE 0 END' for i, d in enumerate(similarity.DEFAULT_BUCKET_DIMS))} AS bucket
+        FROM embeddings
+    ),
+    scored_lsh AS (
+        SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
+               round({_DOT}, 6) AS cosine_r
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND b.vec_id < 10 AND a.vec_id <> b.vec_id
+    ),
+    top_lsh AS (
+        SELECT query_id, corpus_id, rnk FROM (
+            SELECT query_id, corpus_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine_r DESC, corpus_id ASC) AS rnk
+            FROM scored_lsh
+        ) WHERE rnk <= 20
+    ),
+    unioned AS (
+        SELECT * FROM top_ex UNION ALL SELECT * FROM top_lsh
+    ),
+    fused AS (
+        SELECT query_id, corpus_id,
+               round(SUM(CAST(1.0 AS DOUBLE) / (60 + rnk)), 9) AS rrf_r,
+               CAST(COUNT(*) AS BIGINT) AS n_lists
+        FROM unioned GROUP BY query_id, corpus_id
+    )
+    SELECT query_id, corpus_id, rrf_r, n_lists, rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY rrf_r DESC, corpus_id ASC) AS rnk
+        FROM fused
+    ) WHERE rnk <= 5 ORDER BY query_id, rnk
+"""
