@@ -566,3 +566,78 @@ def top_ngrams(
         .orderBy(F.col("n_occurrences").desc(), F.col("bigram"))
         .limit(n_top)
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval for one query (Robertson-Sparck Jones idf,
+    the +1 'plus' variant so idf stays positive): score(d) = Σ_t idf_t ·
+    tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)). Exact integer tf/df/dl make
+    every per-(doc,term) score a deterministic double; the per-doc sum
+    routes through DECIMAL(28,15) so partial-aggregation order cannot
+    change the ranking (repo oracle rule).
+
+    Scale shape: the explode is FILTERED to the query's terms before any
+    shuffle (candidate postings only — an inverted-index probe, not a
+    corpus-wide term table); corpus stats (N, avgdl) and per-term df are
+    single-row/tiny broadcasts. Top-k is TakeOrderedAndProject.
+    """
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    ws = words(text_col)
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(ws).alias("dl"),
+        F.explode(F.filter(ws, lambda w: F.array_contains(terms, w))).alias(
+            "term"
+        ),
+    )
+    tf = base.groupBy("doc", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    n_stats = df.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.size(words(text_col)).cast("long"))
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    df_t = tf.groupBy("term").agg(F.countDistinct("doc").alias("df_t"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df_t") + 0.5)
+                / (F.col("df_t") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "s",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy(F.col("doc").alias(id_col))
+        .agg(
+            F.round(
+                F.sum(F.col("s").cast("decimal(28,15)")).cast("double"), 6
+            ).alias("bm25_r"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+        )
+        .orderBy(F.col("bm25_r").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -107,6 +107,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "join_bucketed",
     "pipeline_split_leakage",
     "sim_rrf_fusion",
+    "text_bm25",
     # (e) stalest greens (round-1-only checks)
     "window_running_sum",
     "window_rank_dense",

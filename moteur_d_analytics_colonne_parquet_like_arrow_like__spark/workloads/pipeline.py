@@ -1850,3 +1850,61 @@ ORACLES["sim_rrf_fusion"] = f"""
         FROM fused
     ) WHERE rnk <= 5 ORDER BY query_id, rnk
 """
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for the query {data, spark, query} over the documents
+    corpus — the lexical half of hybrid search (sim_rrf_fusion is the
+    fusion; tfidf the per-doc keyword view). Deterministic: exact
+    tf/df/dl, IEEE log/division, decimal-routed per-doc sum."""
+    out = text.bm25_topk(
+        _documents(spark, sf_dir).select("doc_id", "text"),
+        "doc_id",
+        "text",
+        query_terms=["data", "spark", "query"],
+        k=10,
+    )
+    return out.orderBy(F.col("bm25_r").desc(), F.col("doc_id").asc())
+
+
+QUERIES["text_bm25"] = q_text_bm25
+
+# Same normalization, same +1-variant idf, same decimal-routed sum; the
+# 0.5/1.0/k1/b constants are double literals on both engines.
+ORACLES["text_bm25"] = f"""
+    WITH w AS (
+        SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(ws)) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)
+                   AS avgdl
+        FROM w
+    ),
+    tf AS (
+        SELECT doc_id, len(ws) AS dl, term, COUNT(*) AS tf
+        FROM (
+            SELECT doc_id, ws, unnest(list_filter(ws,
+                x -> list_contains(['data', 'spark', 'query'], x))) AS term
+            FROM w
+        )
+        GROUP BY doc_id, len(ws), term
+    ),
+    dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id,
+               ln((n_docs - df_t + CAST(0.5 AS DOUBLE))
+                  / (df_t + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+               * (tf * CAST(2.2 AS DOUBLE))
+               / (tf + CAST(1.2 AS DOUBLE)
+                  * (CAST(0.25 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE) * dl / avgdl)) AS s
+        FROM tf JOIN dft USING (term) CROSS JOIN stats
+    )
+    SELECT doc_id,
+           round(CAST(SUM(CAST(s AS DECIMAL(28,15))) AS DOUBLE), 6)
+               AS bm25_r,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25_r DESC, doc_id ASC LIMIT 10
+"""

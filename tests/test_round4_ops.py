@@ -586,3 +586,29 @@ def test_mixture_sample_fraction_and_determinism(spark):
     # Bernoulli(0.3) over 200 docs: expect ~60, allow generous slack
     assert 30 <= len(a) <= 90
     assert kept.collect()[0]["keep_frac_r"] == pytest.approx(0.3)
+
+
+# ---------------------------------------------------------------------- BM25
+
+
+def test_bm25_ranks_matching_docs(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import text
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spark spark spark is fast"),
+            Row(doc_id=2, text="spark data"),
+            Row(doc_id=3, text="nothing relevant here at all"),
+            Row(doc_id=4, text="data data data data data data data data"),
+        ]
+    )
+    rows = text.bm25_topk(df, "doc_id", "text", ["spark", "data"], k=10).collect()
+    got = {r["doc_id"]: r for r in rows}
+    # doc 3 has no query terms -> absent
+    assert 3 not in got
+    # doc 2 hits both terms; docs 1 and 4 hit one each
+    assert got[2]["n_terms_hit"] == 2
+    assert got[1]["n_terms_hit"] == 1 and got[4]["n_terms_hit"] == 1
+    # two-term doc should outrank the single-term repeats (tf saturates)
+    assert rows[0]["doc_id"] == 2
+    assert all(r["bm25_r"] > 0 for r in rows)
