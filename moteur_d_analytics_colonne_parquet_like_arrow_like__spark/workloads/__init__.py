@@ -108,6 +108,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "pipeline_split_leakage",
     "sim_rrf_fusion",
     "text_bm25",
+    "regression_price_trend",
     # (e) stalest greens (round-1-only checks)
     "window_running_sum",
     "window_rank_dense",

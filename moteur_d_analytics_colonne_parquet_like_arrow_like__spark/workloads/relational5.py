@@ -1812,3 +1812,77 @@ ORACLES["join_bucketed"] = """
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment ORDER BY segment
 """
+
+
+def q_regression_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment OLS price trend (closed-form linear regression as ONE
+    aggregation): slope/intercept of order price over order date. The
+    moments are exact — x (epoch days) is an integer so Σx and Σx² sum
+    exactly in BIGINT, y routes through DECIMAL(18,2) and Σxy through
+    DECIMAL(28,6) — so the closed-form slope is a deterministic double no
+    matter how partial aggregates merge. The distributed-ML primitive:
+    a regression over 100 TB is one combiner-friendly groupBy, no
+    iteration, no driver math."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    seg = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == c.c_custkey,
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        (
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            / F.lit(86400000000)
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+    )
+    m = seg.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "segment",
+        "n",
+        F.round(slope, 9).alias("slope_r"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept_r"
+        ),
+    ).orderBy("segment")
+
+
+QUERIES["regression_price_trend"] = q_regression_price_trend
+
+# Same exact-moment construction: BIGINT Σx/Σx², DECIMAL-routed Σy/Σxy,
+# closed form evaluated in double on the single merged row per group.
+ORACLES["regression_price_trend"] = """
+    WITH seg AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT) AS x,
+               CAST(o.o_totalprice AS DECIMAL(18,2)) AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    m AS (
+        SELECT segment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+        FROM seg GROUP BY segment
+    )
+    SELECT segment, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope_r,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n, 6) AS intercept_r
+    FROM m ORDER BY segment
+"""
