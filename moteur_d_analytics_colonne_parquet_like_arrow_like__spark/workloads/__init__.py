@@ -109,6 +109,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "sim_rrf_fusion",
     "text_bm25",
     "regression_price_trend",
+    "pipeline_dataset_card",
     # (e) stalest greens (round-1-only checks)
     "window_running_sum",
     "window_rank_dense",

@@ -1908,3 +1908,69 @@ ORACLES["text_bm25"] = f"""
     FROM scored GROUP BY doc_id
     ORDER BY bm25_r DESC, doc_id ASC LIMIT 10
 """
+
+
+def q_pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card in one row — the corpus summary a training-data
+    release ships: document/source/language counts, exact token total,
+    exact-duplicate count (normalized text), and the source-distribution
+    entropy in nats (how evenly the corpus draws from its sources).
+    Everything is one scan plus a 20-row per-source aggregate; the
+    entropy terms route through DECIMAL(28,15) so the sum is
+    merge-order-independent."""
+    from ..functions import normalize_text, words
+
+    docs = _documents(spark, sf_dir)
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.size(words(F.col("text"))).cast("long"))
+        .cast("bigint")
+        .alias("total_tokens"),
+        (
+            F.count(F.lit(1)) - F.countDistinct(normalize_text(F.col("text")))
+        )
+        .cast("bigint")
+        .alias("n_exact_dup_docs"),
+    )
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.agg(F.sum("c").cast("bigint").alias("n"))
+    p = F.col("c") / F.col("n")
+    ent = (
+        counts.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                -F.sum((p * F.log(p)).cast("decimal(28,15)")).cast("double"),
+                9,
+            ).alias("source_entropy_r")
+        )
+    )
+    return base.crossJoin(F.broadcast(ent))
+
+
+QUERIES["pipeline_dataset_card"] = q_pipeline_dataset_card
+
+ORACLES["pipeline_dataset_card"] = f"""
+    WITH base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(SUM(len(string_split({_NORM}, ' '))) AS BIGINT)
+                   AS total_tokens,
+               CAST(COUNT(*) - COUNT(DISTINCT {_NORM}) AS BIGINT)
+                   AS n_exact_dup_docs
+        FROM documents
+    ),
+    sc AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM sc),
+    ent AS (
+        SELECT round(CAST(-SUM(CAST(
+                   (c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE))
+               AS DECIMAL(28,15))) AS DOUBLE), 9) AS source_entropy_r
+        FROM sc, tot
+    )
+    SELECT n_docs, n_sources, n_langs, total_tokens, n_exact_dup_docs,
+           source_entropy_r
+    FROM base, ent
+"""
