@@ -80,11 +80,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "join_asof",
     "join_asof_nearest",
     "join_range",
-    "window_lag",
-    "pivot_event_types",
     "events_time_pruned",
-    "date_arithmetic",
-    "incremental_agg",
     # (c) never driver-sampled
     "multimodal_audio_features",
     "multimodal_image_resize",
@@ -110,6 +106,13 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "text_bm25",
     "regression_price_trend",
     "pipeline_dataset_card",
+    # (b-deferred) events queries whose semantics hold r1/r2 driver greens;
+    # only the (now 12×-re-proven) loader was at issue, so they yield the
+    # ~50-sample window to the never-sampled round-4 registrations above
+    "window_lag",
+    "pivot_event_types",
+    "date_arithmetic",
+    "incremental_agg",
     # (e) stalest greens (round-1-only checks)
     "window_running_sum",
     "window_rank_dense",
