@@ -612,3 +612,68 @@ def test_bm25_ranks_matching_docs(spark):
     # two-term doc should outrank the single-term repeats (tf saturates)
     assert rows[0]["doc_id"] == 2
     assert all(r["bm25_r"] > 0 for r in rows)
+
+
+# ------------------------------------------------- legacy nanos loader path
+
+
+def test_events_loader_handles_legacy_nanos_encoding(spark, tmp_path):
+    """The dtype-branch's back-compat arm: a TIMESTAMP(NANOS) parquet (the
+    pre-round-4 testdata vintage) must load to the same UTC instants the
+    native MICROS path produces. Guards the only loader branch the
+    current testdata no longer exercises."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf_dir = str(tmp_path)
+    ts_ns = pa.array(
+        [1704067200_000_000_000, 1706655432_123_456_789],  # 2024-01-01 / -30
+        type=pa.timestamp("ns"),
+    )
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], type=pa.int64()),
+            "ts": ts_ns,
+            "user_id": pa.array([10, 20], type=pa.int64()),
+            "event_type": pa.array(["view", "purchase"]),
+            "value": pa.array([1.5, 2.5], type=pa.float64()),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    pq.write_table(
+        table, f"{sf_dir}/events.parquet", coerce_timestamps=None
+    )
+    assert catalog.probe_events_ts_type(f"{sf_dir}/events.parquet") == (
+        "timestamp[ns]"
+    )
+    df = catalog.load_table(spark, sf_dir, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = {
+        r["event_id"]: str(r["ts"]) for r in df.orderBy("event_id").collect()
+    }
+    # nanos truncate to micros: ...789 ns -> ...456 us
+    assert got[1] == "2024-01-01 00:00:00"
+    assert got[2] == "2024-01-30 22:57:12.123456"
+
+
+def test_events_loader_rejects_out_of_range_timestamps(spark, tmp_path):
+    """The footer-stats sanity bound: an encoding drift that lands events
+    outside 2000-2100 must fail at probe time, not corrupt downstream."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf_dir = str(tmp_path)
+    table = pa.table(
+        {
+            "event_id": pa.array([1], type=pa.int64()),
+            # 1970-01-20-style corruption (the round-3 silent failure)
+            "ts": pa.array([1_700_000_000], type=pa.timestamp("us")),
+            "user_id": pa.array([1], type=pa.int64()),
+            "event_type": pa.array(["view"]),
+            "value": pa.array([1.0], type=pa.float64()),
+            "props": pa.array(["{}"]),
+        }
+    )
+    pq.write_table(table, f"{sf_dir}/events.parquet")
+    with pytest.raises(ValueError, match="sanity check failed"):
+        catalog.probe_events_ts_type(f"{sf_dir}/events.parquet")
