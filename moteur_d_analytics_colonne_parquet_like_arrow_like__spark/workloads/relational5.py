@@ -1886,3 +1886,52 @@ ORACLES["regression_price_trend"] = """
                  / n, 6) AS intercept_r
     FROM m ORDER BY segment
 """
+
+
+def q_events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + trailing 7-day WAU per active day — the growth metric board
+    deck. Exact distinct-over-sliding-window is done the scale-correct
+    way: reduce to distinct (user, day) FIRST (the only corpus-sized
+    shuffle), then each activity day replicates into the 7 window days
+    it serves (bounded explode) and a countDistinct per target day
+    finishes. No window function over raw events, no 7 self-joins."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    dau = ud.groupBy("d").agg(F.countDistinct("user_id").alias("dau"))
+    ex = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("td"),
+    )
+    wau = ex.groupBy("td").agg(F.countDistinct("user_id").alias("wau_7d"))
+    return (
+        dau.join(wau, dau.d == wau.td)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau_7d",
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES["events_rolling_active"] = q_events_rolling_active
+
+ORACLES["events_rolling_active"] = """
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    dau AS (SELECT d, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY d),
+    ex AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+                   CAST(d AS TIMESTAMP) + INTERVAL 6 DAY,
+                   INTERVAL 1 DAY)) AS DATE) AS td
+        FROM ud
+    ),
+    wau AS (SELECT td, COUNT(DISTINCT user_id) AS wau_7d FROM ex GROUP BY td)
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau_7d
+    FROM dau JOIN wau ON dau.d = wau.td
+    ORDER BY day
+"""
