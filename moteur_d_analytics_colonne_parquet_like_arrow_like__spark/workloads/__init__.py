@@ -79,7 +79,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "stream_upsert",
     "join_asof",
     "join_asof_nearest",
-    "events_time_pruned",
     # (c) never driver-sampled
     "multimodal_audio_features",
     "multimodal_image_resize",
@@ -106,6 +105,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "regression_price_trend",
     "pipeline_dataset_card",
     "events_rolling_active",
+    "text_pmi_pairs",
     # (b-deferred) events queries whose semantics hold r1/r2 driver greens;
     # only the (now 12×-re-proven) loader was at issue, so they yield the
     # ~50-sample window to the never-sampled round-4 registrations above
@@ -114,6 +114,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "date_arithmetic",
     "incremental_agg",
     "join_range",
+    "events_time_pruned",
     # (e) stalest greens (round-1-only checks)
     "window_running_sum",
     "window_rank_dense",

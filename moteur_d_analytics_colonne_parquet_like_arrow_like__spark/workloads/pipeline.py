@@ -1974,3 +1974,99 @@ ORACLES["pipeline_dataset_card"] = f"""
            source_entropy_r
     FROM base, ent
 """
+
+
+def q_text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over document-level term co-occurrence
+    — the collocation statistic behind phrase mining: PMI(a,b) =
+    ln(c_ab·N / (c_a·c_b)) over distinct-per-document terms, with a
+    document-frequency band (2%..78% of N) playing the blocker: without
+    it the per-document pair explosion is quadratic in vocabulary, with
+    it the pair space is bounded by the informative mid-band. All counts
+    exact integers; the log argument is a double ratio of exact int
+    products, so PMI is bit-identical across engines. Top-15 by support
+    then pair."""
+    from ..functions import words
+
+    docs = _documents(spark, sf_dir)
+    dt = (
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(words(F.col("text")))).alias("term")
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    df_t = (
+        dt.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("c_t"))
+        .crossJoin(F.broadcast(n_docs))
+        .where(
+            (F.col("c_t") >= 0.02 * F.col("n"))
+            & (F.col("c_t") <= 0.78 * F.col("n"))
+        )
+        .select("term", "c_t")
+    )
+    banded = dt.join(F.broadcast(df_t), "term")
+    a = banded.select(
+        F.col("doc_id"), F.col("term").alias("term_a"), F.col("c_t").alias("c_a")
+    )
+    b = banded.select(
+        F.col("doc_id"), F.col("term").alias("term_b"), F.col("c_t").alias("c_b")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b", "c_a", "c_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            F.col("c_ab").cast("bigint").alias("c_ab"),
+            F.round(
+                F.log(
+                    (F.col("c_ab") * F.col("n"))
+                    / (F.col("c_a") * F.col("c_b"))
+                ),
+                6,
+            ).alias("pmi_r"),
+        )
+    )
+    return pairs.orderBy(
+        F.col("c_ab").desc(), F.col("term_a").asc(), F.col("term_b").asc()
+    ).limit(15)
+
+
+QUERIES["text_pmi_pairs"] = q_text_pmi_pairs
+
+ORACLES["text_pmi_pairs"] = f"""
+    WITH dt AS (
+        SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id,
+                   unnest(list_distinct(string_split({_NORM}, ' '))) AS term
+            FROM documents
+        ) WHERE term <> ''
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    dft AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS c_t FROM dt GROUP BY term
+    ),
+    band AS (
+        SELECT term, c_t FROM dft, nd
+        WHERE c_t >= CAST(0.02 AS DOUBLE) * n
+          AND c_t <= CAST(0.78 AS DOUBLE) * n
+    ),
+    bd AS (SELECT dt.doc_id, dt.term, band.c_t FROM dt JOIN band USING (term)),
+    pairs AS (
+        SELECT a.term AS term_a, b.term AS term_b, a.c_t AS c_a,
+               b.c_t AS c_b, COUNT(*) AS c_ab
+        FROM bd a JOIN bd b
+          ON a.doc_id = b.doc_id AND a.term < b.term
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT term_a, term_b, CAST(c_ab AS BIGINT) AS c_ab,
+           round(ln((c_ab * n) / CAST(c_a * c_b AS DOUBLE)), 6) AS pmi_r
+    FROM pairs, nd
+    ORDER BY c_ab DESC, term_a ASC, term_b ASC LIMIT 15
+"""
