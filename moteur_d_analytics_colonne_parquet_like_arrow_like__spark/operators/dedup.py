@@ -643,8 +643,25 @@ def dedup_lines_global(
         doc.alias("__doc"),
         F.posexplode(lines).alias("__pos", "__line"),
     ).withColumn("__key", F.lower(F.trim(F.col("__line"))))
-    # position fits 2^20 lines/doc; encoded winner is a single BIGINT MIN.
-    enc = (F.col("__doc") * (1 << 20) + F.col("__pos")).alias("__enc")
+    # Encoded winner is a single BIGINT MIN: doc*2^20 + pos. The encoding
+    # is only injective for 0 <= doc < 2^43 and pos < 2^20; outside that a
+    # document would silently collide into another's range and corrupt
+    # winner selection, so the range is ASSERTED per row (JVM expression,
+    # no hot-path Python) rather than assumed.
+    in_range = (F.col("__pos") < (1 << 20)) & F.col("__doc").between(
+        0, (1 << 43) - 1
+    )
+    guard = F.assert_true(
+        in_range,
+        F.lit(
+            "dedup_lines_global: winner encoding needs 0 <= doc_id < 2^43 "
+            "and < 2^20 lines/doc; input exceeds that — switch the winner "
+            "agg to min(struct(doc, pos)) for this corpus"
+        ),
+    )
+    enc = F.when(
+        guard.isNull(), F.col("__doc") * (1 << 20) + F.col("__pos")
+    )
     ex = ex.withColumn("__enc", enc)
     stats = (
         ex.where(F.col("__key") != "")

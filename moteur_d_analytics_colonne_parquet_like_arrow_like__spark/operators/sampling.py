@@ -103,15 +103,21 @@ def mixture_sample(
     )
     # Sources absent from `weights` get weight 0 (dropped), made explicit
     # with coalesce: least() SKIPS nulls on both Spark and DuckDB, so a
-    # NULL map lookup would silently become keep-everything.
+    # NULL map lookup would silently become keep-everything. Same guard
+    # for a zero-token source: desired/0 is NULL in Spark (double div by
+    # zero), least() would skip it, and every doc of that source would be
+    # kept — a source with no tokens contributes nothing, keep_frac 0.
     fracs = fracs.select(
         "__src",
         F.least(
             F.lit(1.0),
-            F.coalesce(wmap[F.col("__src")], F.lit(0.0))
-            * F.lit(float(budget_frac))
-            * F.col("__total_tokens")
-            / F.col("__src_tokens"),
+            F.when(
+                F.col("__src_tokens") > 0,
+                F.coalesce(wmap[F.col("__src")], F.lit(0.0))
+                * F.lit(float(budget_frac))
+                * F.col("__total_tokens")
+                / F.col("__src_tokens"),
+            ).otherwise(F.lit(0.0)),
         ).alias("__keep_frac"),
     )
     return (

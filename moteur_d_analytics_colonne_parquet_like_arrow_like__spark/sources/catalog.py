@@ -41,39 +41,58 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def _first_parquet_file(path: str) -> str:
+def _parquet_files(path: str) -> list[str]:
     """``path`` may be a single parquet file or a directory of part files."""
     if os.path.isdir(path):
-        for entry in sorted(os.listdir(path)):
-            if entry.endswith(".parquet") and not entry.startswith("_"):
-                return os.path.join(path, entry)
-        raise FileNotFoundError(f"no parquet part files under {path}")
-    return path
+        files = [
+            os.path.join(path, entry)
+            for entry in sorted(os.listdir(path))
+            if entry.endswith(".parquet") and not entry.startswith("_")
+        ]
+        if not files:
+            raise FileNotFoundError(f"no parquet part files under {path}")
+        return files
+    return [path]
 
 
 # Footer-probe cache: the testdata's ts encoding has already changed once
 # between rounds (TIMESTAMP(NANOS) → TIMESTAMP(MICROS)), so the loaders
 # detect the type they actually got instead of hard-coding one vintage.
-# Keyed by resolved file path; a footer read is driver-side metadata only.
-_TS_PROBE_CACHE: dict[str, str] = {}
+# Keyed by (file, mtime) for every part file, so a dataset regenerated in
+# place mid-session re-probes instead of serving a stale vintage; a footer
+# read is driver-side metadata only.
+_TS_PROBE_CACHE: dict[tuple[tuple[str, float], ...], str] = {}
 
 
 def probe_events_ts_type(path: str) -> str:
     """Arrow type string of events.ts from the parquet footer, e.g.
     ``timestamp[ns]``, ``timestamp[us]``, ``timestamp[us, tz=UTC]``, ``int64``.
-    Also sanity-checks the footer min/max stats: a silent re-encoding that
-    lands timestamps outside 2000-2100 fails loudly here rather than
-    corrupting every downstream window/join (the round-3 failure mode)."""
-    f = _first_parquet_file(path)
-    cached = _TS_PROBE_CACHE.get(f)
+    Probes EVERY part file — a directory with mixed ts encodings would be
+    silently mis-normalized by a first-file-only probe — and sanity-checks
+    the footer min/max stats: a silent re-encoding that lands timestamps
+    outside 2000-2100 fails loudly here rather than corrupting every
+    downstream window/join (the round-3 failure mode)."""
+    files = _parquet_files(path)
+    cache_key = tuple((f, os.path.getmtime(f)) for f in files)
+    cached = _TS_PROBE_CACHE.get(cache_key)
     if cached is not None:
         return cached
     import pyarrow.parquet as pq
 
-    pf = pq.ParquetFile(f)
-    kind = str(pf.schema_arrow.field("ts").type)
-    _assert_events_ts_bounds(pf, kind, f)
-    _TS_PROBE_CACHE[f] = kind
+    kinds: dict[str, str] = {}
+    for f in files:
+        pf = pq.ParquetFile(f)
+        kind = str(pf.schema_arrow.field("ts").type)
+        kinds[f] = kind
+        _assert_events_ts_bounds(pf, kind, f)
+    if len(set(kinds.values())) > 1:
+        raise ValueError(
+            f"mixed events.ts encodings under {path}: {kinds}. A single "
+            "normalization branch cannot serve both — repartition the data "
+            "to one encoding or split the load."
+        )
+    kind = next(iter(kinds.values()))
+    _TS_PROBE_CACHE[cache_key] = kind
     return kind
 
 
@@ -91,7 +110,11 @@ def _assert_events_ts_bounds(pf, kind: str, fname: str) -> None:
     for rg in range(md.num_row_groups):
         st = md.row_group(rg).column(ci).statistics
         if st is None or not st.has_min_max:
-            return  # stats absent — cannot check, don't block the load
+            # Stats absent (a writer can legally omit them) — the bounds
+            # check must not silently lapse: fall back to reading ONE row
+            # and checking that instead of skipping the guard entirely.
+            vals = _first_ts_values(pf)
+            break
         vals.extend((st.min, st.max))
     unit_div = {"ns": 10**9, "us": 10**6, "ms": 10**3, "s": 1}
     years = []
@@ -110,6 +133,15 @@ def _assert_events_ts_bounds(pf, kind: str, fname: str) -> None:
             "sources/catalog.py::_normalize_events_ts before trusting any "
             "events-derived result."
         )
+
+
+def _first_ts_values(pf) -> list:
+    """One-row fallback for stats-less files: read the first batch's first
+    ``ts`` value so the [2000, 2100] bounds guard still fires."""
+    for batch in pf.iter_batches(batch_size=1, columns=["ts"]):
+        if batch.num_rows:
+            return batch.column(0).to_pylist()[:1]
+    return []
 
 
 def _normalize_events_ts(df: DataFrame) -> DataFrame:

