@@ -265,3 +265,50 @@ def kmeans_update_step(
     )
     centroid = F.array(*[F.col(f"__s{i}") / F.col("n") for i in range(dim)])
     return g.select(cluster_col, "n", centroid.alias("centroid"))
+
+
+def kmeans_iterate(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    iterations: int = 2,
+    dim: int = 64,
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Full Lloyd's loop: ``iterations`` unrolled rounds of
+    ``kmeans_assign_step`` + ``kmeans_update_step``, closing the loop the
+    two halves leave open (the assignment feeds the update whose centroids
+    feed the next assignment).
+
+    Scale shape: each round is one broadcast (k × dim doubles) + one
+    k×dim-cell partial aggregate — the corpus shuffles only its aggregate
+    cells, never its vectors. Between rounds the k-row centroid frame is
+    ``localCheckpoint``-ed (eager): the new broadcast reads k rows instead
+    of replaying the whole prior round's plan, the same lineage-cut
+    contract as ``graph.pagerank``. Every arithmetic step is the
+    deterministic building-block one (sequential-fold distances,
+    decimal-routed means), so the final centroids are bit-identical on
+    any engine and any partitioning.
+
+    Empty clusters drop out of the centroid set (no assignments → no
+    update row) and stay out — re-seeding policy is the caller's.
+    Returns the LAST update's (cluster_id, n, centroid).
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    cur = centroids
+    upd = None
+    for i in range(iterations):
+        assigned = kmeans_assign_step(
+            vectors, cur, id_col, vec_col, centroid_id_col
+        )
+        upd = kmeans_update_step(
+            assigned, vec_col="v", cluster_col="cluster_id", dim=dim
+        )
+        if i + 1 < iterations:
+            cur = upd.select(
+                F.col("cluster_id").alias(centroid_id_col),
+                F.col("centroid").alias(vec_col),
+            ).localCheckpoint(eager=True)
+    return upd

@@ -45,77 +45,24 @@ _MODULES = [
     streaming_ops,
 ]
 
-# Round-4 verification priority (the driver samples the first ~50 entries of
-# all_queries()): (a) the 12 round-3 failures — all traced to the events
-# loaders, now dtype-branching; (b) the events/streaming queries whose
-# r1/r2 greens the loader bug invalidated ("stale-broken" in VERDICT r3);
-# (c) the only two queries never driver-sampled (multimodal); (d) the five
-# operators newly registered this round; (e) the stalest remaining greens
-# (last checked round 1), then everything else freshest-last.
+# Round-5 verification priority (the driver samples the first ~50 entries of
+# all_queries()): (a) the five events queries whose latest driver green
+# predates the round-4 events-loader fix; (b) the two queries registered
+# this round; (c) every remaining query last driver-verified in round 1 —
+# after this round's sample, no registry entry's newest driver signature
+# should predate round 2; then (d)-(f) by ascending freshness.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # (a) round-3 failures — re-verify the loader fix driver-side
-    "sample_stratified",
-    "events_zorder_pruned",
-    "stream_stateful_multibatch",
-    "join_interval_overlap",
-    "stream_stream_left_join",
-    "stream_col_source",
-    "rollup_time_hierarchy",
-    "json_extract",
-    "batch_sessionize",
-    "events_funnel",
-    "join_full_outer",
-    "events_retention_cohorts",
-    # (b) events/streaming queries with invalidated r1/r2 greens
-    "stream_tumbling_window",
-    "stream_tumbling_append",
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_dedup",
-    "stream_stateful",
-    "stream_stream_join",
-    "stream_stream_full_join",
-    "stream_static_join",
-    "stream_upsert",
-    "join_asof",
-    "join_asof_nearest",
-    # (c) never driver-sampled
-    "multimodal_audio_features",
-    "multimodal_image_resize",
-    # (d) registered this round
-    "pagerank",
-    "kmeans_assign",
-    "kmeans_update",
-    "gopher_quality",
-    "chunk_documents",
-    "top_ngrams",
-    "dedup_lines_global",
-    "sample_weighted",
-    "incremental_quantiles",
-    "events_key_skew",
-    "scd2_segment_history",
-    "pipeline_mixture_sample",
-    "events_attribution",
-    "outlier_orders",
-    "events_gap_report",
-    "join_bucketed",
-    "pipeline_split_leakage",
-    "sim_rrf_fusion",
-    "text_bm25",
-    "regression_price_trend",
-    "pipeline_dataset_card",
-    "events_rolling_active",
-    "text_pmi_pairs",
-    # (b-deferred) events queries whose semantics hold r1/r2 driver greens;
-    # only the (now 12×-re-proven) loader was at issue, so they yield the
-    # ~50-sample window to the never-sampled round-4 registrations above
-    "window_lag",
-    "pivot_event_types",
+    # (a) pre-loader-fix stale greens - the five whose latest driver green
+    #     predates the r3->r4 events-loader fix (VERDICT r4 item 1)
     "date_arithmetic",
+    "pivot_event_types",
     "incremental_agg",
     "join_range",
     "events_time_pruned",
-    # (e) stalest greens (round-1-only checks)
+    # (b) registered this round, never driver-sampled
+    "kmeans_iterate",
+    "metadata_scan",
+    # (c) r1-vintage greens - stalest driver signatures
     "window_running_sum",
     "window_rank_dense",
     "sort_order_by",
@@ -131,7 +78,58 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "agg_percentiles",
     "sample_hash",
     "agg_grouping_sets",
-    # remainder, previous order (freshest r3 greens last among peers)
+    "join_anti",
+    "join_multiway",
+    "window_topk_per_group",
+    "sort_top_k",
+    "tpch_q1",
+    "tpch_q6",
+    "tpch_q13",
+    "tpch_q18_having",
+    "tpch_q4_exists",
+    "tpch_q12_conditional",
+    "tpch_q14_promo",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_embedding",
+    # (d) last verified round 2
+    "agg_approx_sketches",
+    "dedup_clusters",
+    "dedup_embedding_lsh",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh",
+    "sim_topk_lsh_multiprobe",
+    "text_lang_id",
+    "text_quality",
+    "text_tokens",
+    "text_fingerprint",
+    "text_pii",
+    "pipeline_curate",
+    "multimodal_decode",
+    "tpch_q2_mincost",
+    "tpch_q20_dominant",
+    "dedup_minhash_capped",
+    "window_frames",
+    "scalar_functions2",
+    "sim_topk_ivf",
+    "dedup_clusters_star",
+    "set_ops_all",
+    "table_time_travel",
+    "py_udtf_tokens",
+    "py_vectorized_dot",
+    "higher_order_funcs",
+    "join_salted",
+    "agg_variance_exact",
+    "text_winnow",
+    "tpch_q3_shipping",
+    "tpch_q10_returns",
+    "tpch_q19_disjunct",
+    "tpch_q7_volume",
+    "tpch_q15_top_supplier",
+    # (e) last verified round 3
     "tpch_q17_small_qty",
     "tpch_q8_market_share",
     "token_histogram",
@@ -170,56 +168,57 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "join_broadcast",
     "join_left",
     "join_semi",
-    "join_anti",
-    "join_multiway",
-    "window_topk_per_group",
-    "sort_top_k",
-    "tpch_q1",
-    "tpch_q6",
-    "tpch_q13",
-    "tpch_q18_having",
-    "tpch_q4_exists",
-    "tpch_q12_conditional",
-    "tpch_q14_promo",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_embedding",
-    "agg_approx_sketches",
-    "dedup_clusters",
-    "dedup_embedding_lsh",
-    "sim_topk_bruteforce",
-    "sim_topk_lsh",
-    "sim_topk_lsh_multiprobe",
-    "text_lang_id",
-    "text_quality",
-    "text_tokens",
-    "text_fingerprint",
-    "text_pii",
-    "pipeline_curate",
-    "multimodal_decode",
-    "tpch_q2_mincost",
-    "tpch_q20_dominant",
-    "dedup_minhash_capped",
-    "window_frames",
-    "scalar_functions2",
-    "sim_topk_ivf",
-    "dedup_clusters_star",
-    "set_ops_all",
-    "table_time_travel",
-    "py_udtf_tokens",
-    "py_vectorized_dot",
-    "higher_order_funcs",
-    "join_salted",
-    "agg_variance_exact",
-    "text_winnow",
-    "tpch_q3_shipping",
-    "tpch_q10_returns",
-    "tpch_q19_disjunct",
-    "tpch_q7_volume",
-    "tpch_q15_top_supplier",
+    # (f) freshest (round-4 sample), last
+    "sample_stratified",
+    "events_zorder_pruned",
+    "stream_stateful_multibatch",
+    "join_interval_overlap",
+    "stream_stream_left_join",
+    "stream_col_source",
+    "rollup_time_hierarchy",
+    "json_extract",
+    "batch_sessionize",
+    "events_funnel",
+    "join_full_outer",
+    "events_retention_cohorts",
+    "stream_tumbling_window",
+    "stream_tumbling_append",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_dedup",
+    "stream_stateful",
+    "stream_stream_join",
+    "stream_stream_full_join",
+    "stream_static_join",
+    "stream_upsert",
+    "join_asof",
+    "join_asof_nearest",
+    "multimodal_audio_features",
+    "multimodal_image_resize",
+    "pagerank",
+    "kmeans_assign",
+    "kmeans_update",
+    "gopher_quality",
+    "chunk_documents",
+    "top_ngrams",
+    "dedup_lines_global",
+    "sample_weighted",
+    "incremental_quantiles",
+    "events_key_skew",
+    "scd2_segment_history",
+    "pipeline_mixture_sample",
+    "events_attribution",
+    "outlier_orders",
+    "events_gap_report",
+    "join_bucketed",
+    "pipeline_split_leakage",
+    "sim_rrf_fusion",
+    "text_bm25",
+    "regression_price_trend",
+    "pipeline_dataset_card",
+    "events_rolling_active",
+    "text_pmi_pairs",
+    "window_lag",
 )
 
 

@@ -1491,6 +1491,108 @@ ORACLES["kmeans_update"] = """
 """
 
 
+def q_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO full Lloyd iterations composed end-to-end (assign → update →
+    re-assign against the UPDATED centroids → update), proving the two
+    green halves actually close the loop — the same composition gap
+    pagerank closed for graph iteration. Centroids localCheckpoint
+    between rounds (k rows), so round 2 broadcasts data, not lineage.
+    Output long (cluster_id, dim, mu) like kmeans_update."""
+    emb = _embeddings(spark, sf_dir)
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    upd = similarity.kmeans_iterate(
+        emb, cents, "vec_id", "embedding", iterations=2, dim=64
+    )
+    return (
+        upd.select("cluster_id", "n", F.posexplode("centroid").alias("dim", "mu"))
+        .select(
+            "cluster_id",
+            "n",
+            F.col("dim").cast("bigint").alias("dim"),
+            F.round("mu", 6).alias("mu_r"),
+        )
+        .orderBy("cluster_id", "dim")
+    )
+
+
+QUERIES["kmeans_iterate"] = q_kmeans_iterate
+
+# Iteration 1 = the kmeans_update oracle verbatim (unrounded means);
+# iteration 2 re-runs the same assignment/update against those means.
+# list(mu ORDER BY i) rebuilds each centroid in dimension order so the
+# round-2 distance fold runs in the same sequential order as Spark's
+# zip_with/aggregate (0.0 + d1 + d2 ... is IEEE-exact vs d1 + d2 ...).
+ORACLES["kmeans_iterate"] = """
+    WITH c0 AS (SELECT vec_id AS cluster_id, embedding FROM embeddings
+                WHERE vec_id < 8),
+    d1 AS (
+        SELECT v.vec_id, c.cluster_id, v.embedding,
+               list_reduce(list_transform(generate_series(1, 64),
+                   i -> (CAST(v.embedding[i] AS DOUBLE)
+                         - CAST(c.embedding[i] AS DOUBLE))
+                        * (CAST(v.embedding[i] AS DOUBLE)
+                           - CAST(c.embedding[i] AS DOUBLE))),
+                   (x, y) -> x + y) AS dist2
+        FROM embeddings v CROSS JOIN c0 c
+    ),
+    w1 AS (
+        SELECT vec_id, cluster_id, embedding FROM (
+            SELECT vec_id, cluster_id, embedding,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist2 ASC, cluster_id ASC)
+                       AS rk
+            FROM d1
+        ) WHERE rk = 1
+    ),
+    ex1 AS (
+        SELECT cluster_id, unnest(generate_series(1, 64)) AS i, embedding
+        FROM w1
+    ),
+    cent1 AS (
+        SELECT cluster_id, i,
+               CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+                             AS DECIMAL(28,15))) AS DOUBLE) / COUNT(*) AS mu
+        FROM ex1 GROUP BY cluster_id, i
+    ),
+    c1 AS (
+        SELECT cluster_id, list(mu ORDER BY i) AS cv
+        FROM cent1 GROUP BY cluster_id
+    ),
+    d2 AS (
+        SELECT v.vec_id, c.cluster_id, v.embedding,
+               list_reduce(list_transform(generate_series(1, 64),
+                   i -> (CAST(v.embedding[i] AS DOUBLE) - c.cv[i])
+                        * (CAST(v.embedding[i] AS DOUBLE) - c.cv[i])),
+                   (x, y) -> x + y) AS dist2
+        FROM embeddings v CROSS JOIN c1 c
+    ),
+    w2 AS (
+        SELECT vec_id, cluster_id, embedding FROM (
+            SELECT vec_id, cluster_id, embedding,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist2 ASC, cluster_id ASC)
+                       AS rk
+            FROM d2
+        ) WHERE rk = 1
+    ),
+    ex2 AS (
+        SELECT cluster_id, unnest(generate_series(1, 64)) AS i, embedding
+        FROM w2
+    ),
+    sums2 AS (
+        SELECT cluster_id, i, COUNT(*) AS n,
+               CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+                             AS DECIMAL(28,15))) AS DOUBLE) AS s
+        FROM ex2 GROUP BY cluster_id, i
+    )
+    SELECT cluster_id, n, CAST(i - 1 AS BIGINT) AS dim,
+           round(s / n, 6) AS mu_r
+    FROM sums2 ORDER BY cluster_id, dim
+"""
+
+
 def q_dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style corpus-global line dedup on the documents table: any
     trimmed+lowercased line occurring in >1 document survives only at

@@ -908,3 +908,64 @@ ORACLES = {
         ORDER BY p_partkey
     """,
 }
+
+
+def q_metadata_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's `scan` CLI verb as a gate query (cae/src/cli.cpp:
+    120-170): one row of footer-derived metadata for lineitem — column
+    count, an order-insensitive md5 schema fingerprint, total rows, and
+    the min/max orderkey aggregated from ROW-GROUP STATISTICS, no data
+    scan. The oracle recomputes the same facts by actually scanning, so
+    a parquet writer that lied in its footer stats fails the hash —
+    metadata-vs-data cross-validation, which is exactly what a scan verb
+    is for. Driver-side footer read only (sources/scanner.py:50), same
+    contract as the reference's footer-first reader (format.cpp:455-491)."""
+    import hashlib
+
+    from ..sources.catalog import table_path
+    from ..sources.scanner import scan_metadata
+
+    md = scan_metadata(table_path(sf_dir, "lineitem"), max_files=10_000)
+    names = [c["name"] for c in md["schema"]]
+    mins, maxs = [], []
+    for finfo in md["files"]:
+        for rg in finfo["row_groups"]:
+            for ch in rg["columns"]:
+                if ch["column"] == "l_orderkey" and ch["min"] is not None:
+                    mins.append(ch["min"])
+                    maxs.append(ch["max"])
+    if not mins:
+        raise ValueError("lineitem footer has no l_orderkey statistics")
+    row = [
+        (
+            "lineitem",
+            len(names),
+            hashlib.md5(",".join(sorted(names)).encode()).hexdigest(),
+            md["total_rows"],
+            min(mins),
+            max(maxs),
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "table_name string, n_cols bigint, schema_md5 string, "
+        "total_rows bigint, min_orderkey bigint, max_orderkey bigint",
+    )
+
+
+QUERIES["metadata_scan"] = q_metadata_scan
+
+# The oracle derives every field from the DATA (DESCRIBE + full scan);
+# the Spark side derives them from the FOOTER — matching hashes prove the
+# footer tells the truth about the file.
+ORACLES["metadata_scan"] = """
+    SELECT 'lineitem' AS table_name,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM (DESCRIBE lineitem))
+               AS n_cols,
+           (SELECT md5(string_agg(column_name, ',' ORDER BY column_name))
+            FROM (DESCRIBE lineitem)) AS schema_md5,
+           CAST(COUNT(*) AS BIGINT) AS total_rows,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_orderkey
+    FROM lineitem
+"""

@@ -134,3 +134,38 @@ def test_regression_slope_survives_bigint_overflow_scale(spark):
     )
     got = m.select(slope.alias("s")).first()["s"]
     assert got == pytest.approx(2.0, rel=1e-6)
+
+
+# ----------------------------------------------------------- kmeans_iterate
+
+
+def test_kmeans_iterate_converges_on_separated_clusters(spark):
+    # Two well-separated blobs; bad initial centroids (both inside blob A's
+    # half-space ordering). After 2 full Lloyd iterations the centroids
+    # must equal the exact blob means — the loop actually closes.
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import similarity
+
+    pts = [
+        (1, [0.0, 0.0]), (2, [0.0, 2.0]), (3, [2.0, 0.0]), (4, [2.0, 2.0]),
+        (5, [100.0, 100.0]), (6, [100.0, 102.0]),
+        (7, [102.0, 100.0]), (8, [102.0, 102.0]),
+    ]
+    vecs = spark.createDataFrame(pts, ["vec_id", "v"])
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0])], ["centroid_id", "v"]
+    )
+    out = {
+        r["cluster_id"]: (r["n"], r["centroid"])
+        for r in similarity.kmeans_iterate(
+            vecs, cents, "vec_id", "v", iterations=2, dim=2
+        ).collect()
+    }
+    assert out[0] == (4, [1.0, 1.0])
+    assert out[1] == (4, [101.0, 101.0])
+
+
+def test_kmeans_iterate_rejects_zero_iterations(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import similarity
+
+    with pytest.raises(ValueError, match="iterations"):
+        similarity.kmeans_iterate(None, None, "a", "b", iterations=0)
