@@ -182,64 +182,111 @@ def main() -> int:
     # Warm the JVM + file cache with one untimed pass of the cheapest query.
     qs["parity_aggregate"](spark, SF_DIR).count()
 
-    # Measure the per-job floor: a noop write of a 1-row relation pays the
-    # same py4j round-trip + plan + job/stage/task scheduling as any query,
-    # with no data work. Reported so the marginal (floor-subtracted) cost of
-    # each shape is visible — the floor is a constant while the data work
-    # parallelizes, so at 1000× scale only the marginal matters.
-    floor_times = []
-    for _ in range(max(REPS, 5)):
+    def _floor_sample() -> float:
+        # A noop write of a 1-row relation pays the same py4j round-trip +
+        # plan + job/stage/task scheduling as any query, with no data work.
         t0 = time.perf_counter()
         spark.range(1).write.format("noop").mode("overwrite").save()
-        floor_times.append(time.perf_counter() - t0)
-    floor_times.sort()
-    floor = round(floor_times[len(floor_times) // 2], 4)
+        return time.perf_counter() - t0
 
-    results: dict[str, float] = {}
-    rows: dict[str, int] = {}
-    builds: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = qs[name]
+    def _with_conf(name, thunk):
         overrides = QUERY_CONF.get(name, {})
         saved = {k: spark.conf.get(k) for k in overrides}
         for k, v in overrides.items():
             spark.conf.set(k, v)
         try:
-            times = []
-            reps = QUERY_REPS.get(name, REPS)
-            if name in EAGER_QUERIES:
-                builds[name] = 0.0
-                fn(spark, SF_DIR)  # warmup (untimed)
-                for _ in range(reps):
-                    t0 = time.perf_counter()
-                    _materialize(fn(spark, SF_DIR))
-                    times.append(time.perf_counter() - t0)
-            else:
-                # Build the plan once and execute it REPS times — the
-                # prepared-statement pattern (a DataFrame IS a reusable
-                # plan; dashboards re-execute, they don't re-derive).
-                # Client-side py4j plan-build time is reported separately
-                # as build_sec. One untimed warmup rep lets whole-stage-
-                # codegen JIT settle, matching the reference's warm-cache
-                # methodology (cae/README.md:140-147).
-                t0 = time.perf_counter()
-                df = fn(spark, SF_DIR)
-                builds[name] = round(time.perf_counter() - t0, 4)
-                _materialize(df)  # warmup (untimed)
-                for _ in range(reps):
-                    t0 = time.perf_counter()
-                    _materialize(df)
-                    times.append(time.perf_counter() - t0)
+            return thunk()
         finally:
             for k, v in saved.items():
                 spark.conf.set(k, v)
-        times.sort()
+
+    # Phase 1 — build each plan once (the prepared-statement pattern: a
+    # DataFrame IS a reusable plan; dashboards re-execute, they don't
+    # re-derive) and run one untimed warmup rep so whole-stage-codegen JIT
+    # settles, matching the reference's warm-cache methodology
+    # (cae/README.md:140-147). Client-side py4j plan-build time is
+    # reported separately as build_sec.
+    builds: dict[str, float] = {}
+    plans: dict[str, object] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        if name in EAGER_QUERIES:
+            builds[name] = 0.0
+            _with_conf(name, lambda: fn(spark, SF_DIR))  # warmup (untimed)
+        else:
+            t0 = time.perf_counter()
+            df = _with_conf(name, lambda: fn(spark, SF_DIR))
+            builds[name] = round(time.perf_counter() - t0, 4)
+            plans[name] = df
+            _with_conf(name, lambda: _materialize(df))  # warmup (untimed)
+
+    # Phase 2 — MULTI-PASS per-query blocks. Two failure modes to defend
+    # against, with measurements behind each choice (r5, this box):
+    #
+    # (a) Box-load spikes during one query's whole sample made r3/r4
+    #     cross-round numbers lie (tpch_q1 "regressed" 2.5× then recovered
+    #     with identical code). Defense: split each query's reps across
+    #     PASSES separated passes so a spike lands on a fraction of every
+    #     query's sample and the median shaves it.
+    # (b) Fully interleaving queries (one rep each, round-robin) — the
+    #     obvious fix for (a) — makes EVERY rep pay a ~0.3-0.5 s
+    #     plan-switch rewarm: measured, the first rep of a plan after
+    #     other plans ran is up to 6× its steady state and recovers by
+    #     rep 2-3 (JIT/deopt churn across generated classes), inflating
+    #     parity_full_scan 0.07 → 0.45 s while run-to-run agreement hides
+    #     it. Defense: keep reps back-to-back WITHIN a block and drop
+    #     each block's first rep as switch-warmup — the median then
+    #     measures steady state, which is what scales to a real cluster
+    #     (a production query doesn't time-share its executor JIT with
+    #     11 unrelated plans per second).
+    #
+    # The per-job floor is sampled before every block; its median
+    # subtracts from each query median to give the marginal series — the
+    # floor is a constant while the data work parallelizes, so at 1000×
+    # scale only the marginal matters.
+    PASSES = int(os.environ.get("BENCH_PASSES", "3"))
+    timings: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
+    floor_times: list[float] = []
+    for _pass in range(PASSES):
+        for name in BENCH_QUERIES:
+            reps = QUERY_REPS.get(name, REPS)
+            block = max(2, -(-reps // PASSES))  # ceil, min 2 kept reps
+            floor_times.append(_floor_sample())
+            fn = qs[name]
+            if name in EAGER_QUERIES:
+                # A streaming rep builds a fresh query each time (no
+                # prepared plan to rewarm) — every rep counts.
+                for _ in range(block):
+                    t0 = time.perf_counter()
+                    _with_conf(
+                        name, lambda: _materialize(fn(spark, SF_DIR))
+                    )
+                    timings[name].append(time.perf_counter() - t0)
+            else:
+                df = plans[name]
+                # First TWO reps of a block are switch-warmup: the rewarm
+                # curve measured ~0.39 → 0.18 → 0.05 s on the scan shapes,
+                # so one dropped rep still leaves a half-warm sample in.
+                for i in range(block + 2):
+                    t0 = time.perf_counter()
+                    _with_conf(name, lambda: _materialize(df))
+                    if i > 1:
+                        timings[name].append(time.perf_counter() - t0)
+
+    floor_times.sort()
+    floor = round(floor_times[len(floor_times) // 2], 4)
+
+    results: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in BENCH_QUERIES:
+        times = sorted(timings[name])
         results[name] = round(times[len(times) // 2], 4)  # median
-        rows[name] = _row_count(fn, spark)
+        rows[name] = _row_count(qs[name], spark)
 
     row_drift = check_row_drift(rows, sf)
 
     total = round(sum(results.values()), 4)
+    marginal = {n: round(max(0.0, t - floor), 4) for n, t in results.items()}
     out = {
         "metric": "bench_total_median_sec",
         "value": total,
@@ -250,10 +297,19 @@ def main() -> int:
         "sf": sf,
         "reps": REPS,
         "job_floor_sec": floor,
+        # Floor dispersion across the run (sampled once per rep round,
+        # interleaved with the queries): a wide band means the box was
+        # noisy and sub-200 ms comparisons are not meaningful this run.
+        "job_floor_band_sec": [
+            round(floor_times[0], 4),
+            round(floor_times[-1], 4),
+        ],
         "build_sec": builds,
-        "marginal_sec": {
-            n: round(max(0.0, t - floor), 4) for n, t in results.items()
-        },
+        # Headline series for round-over-round comparison: floor-subtracted
+        # marginals. Wall medians include ~floor sec of fixed local-mode
+        # scheduling per job that amortizes to nothing at real scale.
+        "marginal_total_sec": round(sum(marginal.values()), 4),
+        "marginal_sec": marginal,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
         "relayout": {
             "enabled": RELAYOUT,

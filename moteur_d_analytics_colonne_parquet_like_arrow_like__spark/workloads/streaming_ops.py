@@ -16,8 +16,13 @@ from .. import streaming as S
 
 
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 4 state partitions, not 8: every partition pays per-batch store
+    # init/commit (measured r5: commit 123 ms at 4 vs 378 ms at 8 vs
+    # 1.7 s at 16 for the same 21k keys — overhead scales with partition
+    # count, not data). A production keyspace sizes this up; a bounded
+    # replay wants the floor. See run_to_memory's sizing note.
     sdf = S.tumbling_window_agg(S.events_stream(spark, sf_dir))
-    return S.run_to_memory(sdf, output_mode="update", shuffle_partitions=8).orderBy(
+    return S.run_to_memory(sdf, output_mode="update", shuffle_partitions=4).orderBy(
         "window_start", "event_type"
     )
 
