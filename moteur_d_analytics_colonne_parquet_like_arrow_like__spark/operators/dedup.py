@@ -613,6 +613,57 @@ def embedding_near_dup_pairs_lsh(
     )
 
 
+def dedup_semantic(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.7,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, then compute exact
+    pairwise cosine ONLY within each cluster and mark every vector that
+    has a same-cluster neighbor with a smaller id at cosine >= threshold
+    as that neighbor's duplicate (greedy keep-the-smallest — deterministic
+    and engine-portable, unlike the paper's arbitrary keep-one).
+
+    Scale shape: this is THE trick that makes embedding dedup tractable at
+    corpus scale — the quadratic is confined to clusters (Σ c_i² work,
+    shuffled on cluster_id), with ``max_cluster_size`` capping a
+    degenerate hot cluster exactly like the LSH bucket cap
+    (``cap_bucket_size``). Assignment itself is the broadcast-centroids
+    ``kmeans_assign_step`` — the corpus never shuffles for it. Unit-norm
+    embeddings assumed (dot = cosine), same contract as the other
+    embedding operators.
+
+    Returns (vec_id, cluster_id, dup_of) for duplicates only.
+    """
+    from .similarity import kmeans_assign_step
+
+    assigned = kmeans_assign_step(vectors, centroids, id_col, vec_col)
+    tagged = assigned.select(
+        F.col("vec_id").alias("__id"), F.col("cluster_id"), F.col("v").alias("__v")
+    )
+    if max_cluster_size is not None:
+        tagged = cap_bucket_size(tagged, ["cluster_id"], max_cluster_size)
+    a = tagged.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("v_a"), "cluster_id"
+    )
+    b = tagged.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("v_b"), "cluster_id"
+    )
+    cos = dot_product(F.col("v_a"), F.col("v_b"))
+    pairs = (
+        a.join(b, "cluster_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cos >= F.lit(threshold))
+    )
+    return pairs.groupBy(
+        F.col("id_b").alias("vec_id"), F.col("cluster_id")
+    ).agg(F.min("id_a").alias("dup_of"))
+
+
 def dedup_lines_global(
     df: DataFrame,
     id_col: str,

@@ -62,6 +62,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # (b) registered this round, never driver-sampled
     "kmeans_iterate",
     "metadata_scan",
+    "dedup_semantic",
     # (c) r1-vintage greens - stalest driver signatures
     "window_running_sum",
     "window_rank_dense",

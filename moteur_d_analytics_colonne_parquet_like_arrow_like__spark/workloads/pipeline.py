@@ -1593,6 +1593,58 @@ ORACLES["kmeans_iterate"] = """
 """
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: k-means assignment to 8 fixed
+    centroids (broadcast), then exact cosine pairs ONLY within each
+    cluster — duplicates keep their smallest-id neighbor. The quadratic
+    is confined to Σ cluster² (cluster-partitioned, cappable) instead of
+    n² — the curation trick that makes embedding dedup tractable at
+    corpus scale (Abbas et al. 2023)."""
+    emb = _embeddings(spark, sf_dir)
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    out = dedup.dedup_semantic(
+        emb, cents, "vec_id", "embedding", threshold=0.45
+    )
+    return out.orderBy("vec_id")
+
+
+QUERIES["dedup_semantic"] = q_dedup_semantic
+
+# Assignment CTEs = the kmeans_assign oracle; pair cosine = the
+# dedup_embedding _DOT fold, restricted to same-cluster pairs.
+ORACLES["dedup_semantic"] = f"""
+    WITH c AS (SELECT vec_id AS cluster_id, embedding FROM embeddings
+               WHERE vec_id < 8),
+    d AS (
+        SELECT v.vec_id, c.cluster_id, v.embedding,
+               list_reduce(list_transform(generate_series(1, 64),
+                   i -> (CAST(v.embedding[i] AS DOUBLE)
+                         - CAST(c.embedding[i] AS DOUBLE))
+                        * (CAST(v.embedding[i] AS DOUBLE)
+                           - CAST(c.embedding[i] AS DOUBLE))),
+                   (x, y) -> x + y) AS dist2
+        FROM embeddings v CROSS JOIN c
+    ),
+    w AS (
+        SELECT vec_id, cluster_id, embedding FROM (
+            SELECT vec_id, cluster_id, embedding,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist2 ASC, cluster_id ASC)
+                       AS rk
+            FROM d
+        ) WHERE rk = 1
+    )
+    SELECT b.vec_id AS vec_id, b.cluster_id, MIN(a.vec_id) AS dup_of
+    FROM w a JOIN w b
+      ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+    WHERE {_DOT} >= 0.45
+    GROUP BY b.vec_id, b.cluster_id
+    ORDER BY vec_id
+"""
+
+
 def q_dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style corpus-global line dedup on the documents table: any
     trimmed+lowercased line occurring in >1 document survives only at

@@ -169,3 +169,37 @@ def test_kmeans_iterate_rejects_zero_iterations(spark):
 
     with pytest.raises(ValueError, match="iterations"):
         similarity.kmeans_iterate(None, None, "a", "b", iterations=0)
+
+
+# ------------------------------------------------------------ dedup_semantic
+
+
+def test_dedup_semantic_within_cluster_only(spark):
+    # Two tight clusters far apart: near-identical vectors in the same
+    # cluster dedup (keep smallest id); cross-cluster similarity is never
+    # even computed. Unit-norm 2-d vectors.
+    import math
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    vecs = spark.createDataFrame(
+        [
+            (10, unit(0.00)), (11, unit(0.01)), (12, unit(0.02)),
+            (20, unit(math.pi / 2)), (21, unit(math.pi / 2 + 0.01)),
+        ],
+        ["vec_id", "v"],
+    )
+    cents = spark.createDataFrame(
+        [(0, unit(0.0)), (1, unit(math.pi / 2))], ["centroid_id", "v"]
+    )
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import dedup
+
+    out = {
+        r["vec_id"]: r["dup_of"]
+        for r in dedup.dedup_semantic(
+            vecs, cents, "vec_id", "v", threshold=0.99
+        ).collect()
+    }
+    # 11 and 12 dup to 10; 21 dups to 20; 10 and 20 survive
+    assert out == {11: 10, 12: 10, 21: 20}
