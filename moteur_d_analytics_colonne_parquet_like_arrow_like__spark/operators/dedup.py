@@ -755,3 +755,50 @@ def dedup_lines_global(
             ).alias("text_clean"),
         )
     )
+
+
+def keep_best_per_cluster(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Pick the representative of each duplicate cluster by QUALITY, not
+    by smallest id: given ``clusters`` (node, label) from
+    :func:`duplicate_clusters` and a per-document ``scores`` relation,
+    keep the member with the highest score (ties → smallest id). This is
+    the curation policy that keeps the cleanest copy of boilerplate-heavy
+    near-dup families instead of whichever crawled first.
+
+    Returns one row per cluster: (label, keeper_id, n_members, best_score).
+    Scale shape: one join of the cluster membership against the score
+    table (both keyed by doc id) + one window per cluster label — cluster
+    count ≪ corpus size, membership lists are near-dup families (small by
+    construction; a pathological mega-cluster is a dedup-threshold bug,
+    not a planner problem).
+    """
+    from pyspark.sql import Window
+
+    m = clusters.join(
+        scores.select(
+            F.col(id_col).alias("node"), F.col(score_col).alias("__s")
+        ),
+        "node",
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("__s").desc(), F.col("node").asc()
+    )
+    return (
+        m.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("label")).cast("bigint"),
+        )
+        .where(F.col("__rn") == 1)
+        .select(
+            "label",
+            F.col("node").alias("keeper_id"),
+            "n_members",
+            F.col("__s").alias("best_score"),
+        )
+    )

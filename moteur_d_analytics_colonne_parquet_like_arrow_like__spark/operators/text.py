@@ -641,3 +641,90 @@ def bm25_topk(
         .orderBy(F.col("bm25_r").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def unigram_lm_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    round_logp: int = 9,
+) -> DataFrame:
+    """CCNet-style unigram language-model scoring: train a unigram model
+    on the corpus itself (token → count / total), then score every
+    document by its mean negative log-likelihood in nats. High NLL =
+    tokens the corpus finds surprising — the cheap perplexity proxy used
+    to bucket web text by fluency before LLM training (Wenzek et al.
+    2020, "CCNet", §4.3; there the model is external KenLM, here it is
+    the corpus's own unigram distribution — same bucketing mechanics, no
+    external artifact).
+
+    Determinism: each token's log-probability is rounded to
+    ``round_logp`` decimals and cast to DECIMAL(18,9) BEFORE the per-doc
+    sum, so partial-aggregation order can never change the double; the
+    mean divides the exact sum by the exact token count at the end.
+
+    Scale shape: one explode + one vocab aggregate (vocabulary-sized —
+    bounded, broadcastable) + a broadcast join back onto the token
+    stream + one per-doc aggregate. The corpus total is a 1-row cross
+    join. Nothing quadratic, no Python.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(words(text_col)).alias("t")
+    ).where(F.col("t") != "")
+    vocab = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
+    logp = vocab.crossJoin(F.broadcast(total)).select(
+        "t",
+        F.round(F.log(F.col("cnt") / F.col("total")), round_logp)
+        .cast("decimal(18,9)")
+        .alias("logp"),
+    )
+    return (
+        toks.join(F.broadcast(logp), "t")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(
+                -F.sum("logp").cast("double") / F.count(F.lit(1)), 6
+            ).alias("nll_r"),
+        )
+    )
+
+
+def token_entropy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    round_term: int = 9,
+) -> DataFrame:
+    """Within-document token Shannon entropy (nats): H = −Σ p·ln p over
+    the document's own token frequency distribution. Low entropy =
+    repetitive/templated text (complements the Gopher repetition ratios
+    with a single scalar); high entropy = diverse vocabulary.
+
+    Each p·ln p term is rounded and DECIMAL-cast before the per-doc sum
+    (same determinism rule as :func:`unigram_lm_scores`). Scale shape:
+    explode + per-(doc, token) count + per-doc aggregate — two keyed
+    shuffles on doc id, nothing corpus-quadratic.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(words(text_col)).alias("t")
+    ).where(F.col("t") != "")
+    tf = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("c"))
+    n = tf.groupBy(id_col).agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n").cast("double")
+    return (
+        tf.join(n, id_col)
+        .select(
+            F.col(id_col),
+            F.col("n"),
+            F.round(p * F.log(p), round_term)
+            .cast("decimal(18,9)")
+            .alias("term"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max("n").cast("bigint").alias("n_tokens"),
+            F.round(-F.sum("term").cast("double"), 6).alias("entropy_r"),
+        )
+    )

@@ -1,0 +1,174 @@
+"""Time-series operators: grid resampling with forward-fill, and robust
+(median/MAD) outlier detection (reference: ABSENT — SURVEY.md §2 extension
+surface; the reference engine stops at zone-map time pruning, these are the
+gap-fill / anomaly passes every telemetry pipeline layers on top).
+
+Scale notes:
+
+- ``resample_ffill`` materialises one row per (key, grid step). The grid is
+  generated per key with ``explode(sequence(...))`` — a map-side expansion
+  bounded by each key's own time span, never a driver-side loop or a global
+  calendar cross join. The forward-fill is one window per key ordered by the
+  grid timestamp; the only shuffle is the partitionBy(key) exchange, and the
+  observation aggregate that precedes it shares the same key so AQE can
+  coalesce. At 100 TB the span guard (``max_steps``) is the safety valve: a
+  key with a pathological min/max span fails loudly instead of exploding a
+  billion grid rows.
+- ``mad_outliers`` is two exact-median passes (per-group median, then median
+  of absolute deviations) + a broadcast join of the tiny per-group stats
+  table back onto the facts. Group count is assumed small (event types,
+  sensors — thousands at most), so the stats side always broadcasts; the
+  fact side is never shuffled at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def resample_ffill(
+    observed: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    max_steps: int = 1_000_000,
+) -> DataFrame:
+    """Resample one-row-per-(key, bucket) observations onto a dense
+    per-key time grid and forward-fill the gaps.
+
+    ``observed`` must already be aggregated to at most one row per
+    (key, bucket) — this operator owns the grid and the fill, not the
+    bucket aggregate (callers pick sum/avg/last and its exactness rules).
+    The output has one row per grid step from each key's first to last
+    bucket with:
+
+    - ``value_col``: the observed value, forward-filled from the most
+      recent non-null observation (``last(..., ignorenulls=True)`` over a
+      ROWS UNBOUNDED PRECEDING window — the first grid row per key is an
+      observation by construction, so no leading nulls survive),
+    - ``is_gap``: 1 where the row was synthesised by the grid, 0 where
+      observed.
+
+    ``max_steps`` guards the sequence explode: one corrupt timestamp
+    (epoch 0, year 9999) would otherwise silently inflate a key's grid to
+    millions of rows; exceeding it raises at execution time.
+    """
+    grid_span = observed.groupBy(key_col).agg(
+        F.min(bucket_col).alias("__h0"), F.max(bucket_col).alias("__h1")
+    )
+    step_expr = F.expr(f"INTERVAL {step}")
+    # Step length in micros via instants (epoch + step − epoch), immune to
+    # session-timezone parsing: timestamp_seconds(0) is the epoch instant.
+    step_us = F.unix_micros(F.timestamp_seconds(F.lit(0)) + step_expr)
+    n_steps = (
+        F.unix_micros(F.col("__h1")) - F.unix_micros(F.col("__h0"))
+    ) / step_us
+    guarded = grid_span.withColumn(
+        "__h1",
+        F.when(
+            n_steps <= F.lit(max_steps), F.col("__h1")
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"resample_ffill: key span exceeds max_steps={max_steps}"
+                )
+            )
+        ),
+    )
+    grid = guarded.select(
+        key_col,
+        F.explode(F.sequence(F.col("__h0"), F.col("__h1"), step_expr)).alias(
+            bucket_col
+        ),
+    )
+    joined = grid.join(observed, on=[key_col, bucket_col], how="left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        key_col,
+        bucket_col,
+        F.last(F.col(value_col), ignorenulls=True).over(w).alias(value_col),
+        F.col(value_col).isNull().cast("int").alias("is_gap"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+    round_stats: int | None = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Robust per-group outlier detection: |x − median| > k·1.4826·MAD.
+
+    Returns ``(stats, flagged)``: ``stats`` has one row per group with
+    ``med`` and ``mad`` (exact medians — use on bounded group counts);
+    ``flagged`` is ``df`` plus an ``is_outlier`` int column. 1.4826 scales
+    MAD to the σ of a normal distribution, making ``k`` read like a
+    z-score threshold.
+
+    ``round_stats`` rounds med/MAD before the threshold comparison so two
+    engines whose exact-median interpolation differs in the last ulp still
+    flag identical rows (the oracle-parity rule; pass None for raw).
+    """
+    med = df.groupBy(group_col).agg(
+        F.median(F.col(value_col)).alias("med")
+    )
+    dev = df.join(F.broadcast(med), group_col).select(
+        group_col, F.abs(F.col(value_col) - F.col("med")).alias("__adev")
+    )
+    mad = dev.groupBy(group_col).agg(F.median("__adev").alias("mad"))
+    stats = med.join(mad, group_col)
+    if round_stats is not None:
+        stats = stats.select(
+            group_col,
+            F.round("med", round_stats).alias("med"),
+            F.round("mad", round_stats).alias("mad"),
+        )
+    flagged = df.join(F.broadcast(stats), group_col).withColumn(
+        "is_outlier",
+        (
+            F.abs(F.col(value_col) - F.col("med"))
+            > F.lit(k) * F.lit(1.4826) * F.col("mad")
+        ).cast("int"),
+    )
+    return stats, flagged
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lower_p: float = 0.01,
+    upper_p: float = 0.99,
+    round_stats: int | None = 6,
+) -> DataFrame:
+    """Per-group percentile clipping (winsorization): values below the
+    group's ``lower_p`` quantile clamp up to it, above ``upper_p`` clamp
+    down — the standard robust pre-processing for heavy-tailed features.
+
+    Adds ``lo``/``hi`` (the per-group bounds, exact interpolated
+    percentiles, rounded like :func:`mad_outliers` for cross-engine
+    determinism) and ``winsorized`` (the clamped value). Same scale shape
+    as ``mad_outliers``: one exact-percentile pass over a bounded group
+    count, then a broadcast of the tiny bounds table — the fact side never
+    shuffles.
+    """
+    bounds = df.groupBy(group_col).agg(
+        F.percentile(F.col(value_col), F.lit(lower_p)).alias("lo"),
+        F.percentile(F.col(value_col), F.lit(upper_p)).alias("hi"),
+    )
+    if round_stats is not None:
+        bounds = bounds.select(
+            group_col,
+            F.round("lo", round_stats).alias("lo"),
+            F.round("hi", round_stats).alias("hi"),
+        )
+    return df.join(F.broadcast(bounds), group_col).withColumn(
+        "winsorized",
+        F.least(F.greatest(F.col(value_col), F.col("lo")), F.col("hi")),
+    )

@@ -30,6 +30,8 @@ from . import (
     relational3,
     relational4,
     relational5,
+    relational6,
+    pipeline2,
     streaming_ops,
 )
 
@@ -40,8 +42,10 @@ _MODULES = [
     relational3,
     relational4,
     relational5,
+    relational6,
     python_surface,
     pipeline,
+    pipeline2,
     streaming_ops,
 ]
 
@@ -63,6 +67,12 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "kmeans_iterate",
     "metadata_scan",
     "dedup_semantic",
+    "events_gap_fill",
+    "events_anomaly_mad",
+    "events_winsorize",
+    "text_unigram_lm",
+    "text_token_entropy",
+    "dedup_keep_best",
     # (c) r1-vintage greens - stalest driver signatures
     "window_running_sum",
     "window_rank_dense",

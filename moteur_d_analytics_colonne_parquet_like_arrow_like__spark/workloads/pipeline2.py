@@ -1,0 +1,169 @@
+"""Second training-data-pipeline workload: corpus-trained unigram LM
+scoring (the CCNet perplexity-bucket proxy), within-document token
+entropy, and quality-aware near-dup cluster resolution (keep the BEST
+copy, not the first). Extends workloads/pipeline.py; shares its SQL
+helpers so the oracle constants stay single-sourced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..operators import dedup, text
+from ..sources.catalog import load_table
+from .pipeline import _CLUSTERS_SQL, _EN_WORDS, _NORM, _jaccard_pairs_sql
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 most 'surprising' documents by corpus-unigram mean NLL —
+    the perplexity-bucket pass of a CCNet-style curation pipeline
+    (operators/text.unigram_lm_scores). Ranked by the rounded NLL with
+    doc_id as the total tie-breaker."""
+    out = text.unigram_lm_scores(
+        _documents(spark, sf_dir), "doc_id", "text"
+    )
+    return (
+        out.select("doc_id", "n_tokens", "nll_r")
+        .orderBy(F.col("nll_r").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+
+
+def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-50 documents by token entropy — the most repetitive /
+    templated text in the corpus (operators/text.token_entropy)."""
+    out = text.token_entropy(_documents(spark, sf_dir), "doc_id", "text")
+    return (
+        out.select("doc_id", "n_tokens", "entropy_r")
+        .orderBy(F.col("entropy_r").asc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution keeping the highest-QUALITY member per
+    cluster (ties → smallest id) instead of pipeline_curate's
+    smallest-id policy: n-gram Jaccard pairs → connected components →
+    quality-ranked representative (operators/dedup.keep_best_per_cluster
+    over operators/text.quality_features scores)."""
+    docs = _documents(spark, sf_dir)
+    scored = text.quality_features(
+        docs.select("doc_id", "text"), "text"
+    ).select("doc_id", "q_score")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_k=3, threshold=0.8
+    )
+    clusters = dedup.duplicate_clusters(pairs)
+    best = dedup.keep_best_per_cluster(clusters, scored, "doc_id", "q_score")
+    return best.select(
+        "label",
+        "keeper_id",
+        "n_members",
+        F.round("best_score", 6).alias("best_q_r"),
+    ).orderBy("label")
+
+
+QUERIES = {
+    "text_unigram_lm": q_text_unigram_lm,
+    "text_token_entropy": q_text_token_entropy,
+    "dedup_keep_best": q_dedup_keep_best,
+}
+
+# Token CTE shared by the two text oracles: non-empty whitespace tokens of
+# the normalized text (same tokenization as functions.words).
+_TOKS = f"""
+    toks AS (
+        SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS t
+        FROM documents
+    ),
+    tk AS (SELECT doc_id, t FROM toks WHERE t <> '')
+"""
+
+# Quality-score CTE (same formula as pipeline._quality_kept_sql, emitting
+# the score instead of filtering on it).
+_QSCORE = f"""
+    qd AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+    qf AS (
+        SELECT doc_id,
+               length(norm) AS n_chars,
+               len(string_split(norm, ' ')) AS n_words,
+               length(regexp_replace(norm, '[a-z0-9 ]', '', 'g')) AS punct,
+               length(regexp_replace(norm, '[^0-9]', '', 'g')) AS digits,
+               len(list_filter(string_split(norm, ' '),
+                   w -> list_contains([{_EN_WORDS}], w))) AS stop
+        FROM qd
+    ),
+    qs AS (
+        SELECT doc_id,
+               0.4 * (stop / n_words) + 0.3 * (1.0 - punct / n_chars)
+               + 0.2 * (least(CAST(n_words AS DOUBLE), 100.0) / 100.0)
+               + 0.1 * (1.0 - digits / n_chars) AS q_score
+        FROM qf
+    )
+"""
+
+ORACLES = {
+    "text_unigram_lm": f"""
+        WITH {_TOKS},
+        vocab AS (SELECT t, COUNT(*) AS cnt FROM tk GROUP BY t),
+        tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab),
+        lp AS (
+            SELECT t, CAST(round(ln(cnt / total), 9) AS DECIMAL(18,9))
+                      AS logp
+            FROM vocab CROSS JOIN tot
+        ),
+        doc AS (
+            SELECT tk.doc_id, COUNT(*) AS n_tokens, SUM(lp.logp) AS slp
+            FROM tk JOIN lp USING (t) GROUP BY tk.doc_id
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               round(-CAST(slp AS DOUBLE) / n_tokens, 6) AS nll_r
+        FROM doc
+        ORDER BY nll_r DESC, doc_id ASC
+        LIMIT 50
+    """,
+    "text_token_entropy": f"""
+        WITH {_TOKS},
+        tf AS (SELECT doc_id, t, COUNT(*) AS c FROM tk GROUP BY doc_id, t),
+        n AS (SELECT doc_id, SUM(c) AS n FROM tf GROUP BY doc_id),
+        terms AS (
+            SELECT tf.doc_id, n.n,
+                   CAST(round((tf.c / CAST(n.n AS DOUBLE))
+                              * ln(tf.c / CAST(n.n AS DOUBLE)), 9)
+                        AS DECIMAL(18,9)) AS term
+            FROM tf JOIN n USING (doc_id)
+        )
+        SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+               round(-CAST(SUM(term) AS DOUBLE), 6) AS entropy_r
+        FROM terms GROUP BY doc_id
+        ORDER BY entropy_r ASC, doc_id ASC
+        LIMIT 50
+    """,
+    "dedup_keep_best": f"""
+        WITH RECURSIVE {_jaccard_pairs_sql(3, 0.8)},
+        {_CLUSTERS_SQL},
+        {_QSCORE},
+        m AS (
+            SELECT c.label, c.node, qs.q_score
+            FROM clusters c JOIN qs ON qs.doc_id = c.node
+        ),
+        r AS (
+            SELECT label, node, q_score,
+                   row_number() OVER (
+                       PARTITION BY label
+                       ORDER BY q_score DESC, node ASC
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY label) AS n_members
+            FROM m
+        )
+        SELECT label, node AS keeper_id,
+               CAST(n_members AS BIGINT) AS n_members,
+               round(q_score, 6) AS best_q_r
+        FROM r WHERE rn = 1
+        ORDER BY label
+    """,
+}

@@ -203,3 +203,121 @@ def test_dedup_semantic_within_cluster_only(spark):
     }
     # 11 and 12 dup to 10; 21 dups to 20; 10 and 20 survive
     assert out == {11: 10, 12: 10, 21: 20}
+
+
+# ---------------------------------------------------- timeseries operators
+
+
+def test_resample_ffill_fills_gaps_and_flags(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import timeseries
+
+    obs = spark.createDataFrame(
+        [
+            ("a", datetime.datetime(2024, 1, 1, 0), 1.0),
+            ("a", datetime.datetime(2024, 1, 1, 3), 4.0),
+            ("b", datetime.datetime(2024, 1, 1, 5), 9.0),
+        ],
+        ["k", "h", "v"],
+    )
+    out = timeseries.resample_ffill(obs, "k", "h", "v", step="1 hour")
+    rows = {(r["k"], r["h"].hour): (r["v"], r["is_gap"]) for r in out.collect()}
+    # key a: 4 grid hours 0..3, hours 1-2 are filled gaps carrying 1.0
+    assert rows[("a", 0)] == (1.0, 0)
+    assert rows[("a", 1)] == (1.0, 1)
+    assert rows[("a", 2)] == (1.0, 1)
+    assert rows[("a", 3)] == (4.0, 0)
+    # key b: single observation => single grid row, no gaps
+    assert rows[("b", 5)] == (9.0, 0)
+    assert len(rows) == 5
+
+
+def test_resample_ffill_span_guard_raises(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import timeseries
+
+    obs = spark.createDataFrame(
+        [
+            ("a", datetime.datetime(1970, 1, 1), 0.0),
+            ("a", datetime.datetime(2024, 1, 1), 1.0),
+        ],
+        ["k", "h", "v"],
+    )
+    out = timeseries.resample_ffill(obs, "k", "h", "v", step="1 hour", max_steps=100)
+    with pytest.raises(Exception, match="max_steps"):
+        out.collect()
+
+
+def test_mad_outliers_flags_only_the_spike(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import timeseries
+
+    vals = [float(x) for x in (10, 11, 12, 13, 14, 1000)]
+    df = spark.createDataFrame([("t", v) for v in vals], ["g", "v"])
+    stats, flagged = timeseries.mad_outliers(df, "g", "v", k=3.0)
+    st = stats.collect()[0]
+    assert st["med"] == 12.5  # median of 6 values interpolates
+    outliers = {r["v"] for r in flagged.collect() if r["is_outlier"] == 1}
+    assert outliers == {1000.0}
+
+
+def test_winsorize_clamps_to_band(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import timeseries
+
+    df = spark.createDataFrame(
+        [("t", float(v)) for v in range(1, 101)], ["g", "v"]
+    )
+    out = timeseries.winsorize(df, "g", "v", lower_p=0.05, upper_p=0.95)
+    rows = out.collect()
+    lo, hi = rows[0]["lo"], rows[0]["hi"]
+    assert lo < hi
+    assert all(lo <= r["winsorized"] <= hi for r in rows)
+    # interior values untouched
+    assert all(
+        r["winsorized"] == r["v"] for r in rows if lo <= r["v"] <= hi
+    )
+
+
+# ------------------------------------------------- text LM / entropy / best
+
+
+def test_unigram_lm_scores_known_corpus(spark):
+    import math
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import text as t
+
+    # corpus: 4 tokens total -> p(a)=3/4, p(b)=1/4
+    df = spark.createDataFrame([(1, "a a a"), (2, "b")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in t.unigram_lm_scores(df, "doc_id", "text").collect()}
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["nll_r"] == pytest.approx(-math.log(0.75), abs=1e-6)
+    assert out[2]["nll_r"] == pytest.approx(-math.log(0.25), abs=1e-6)
+
+
+def test_token_entropy_uniform_vs_repetitive(spark):
+    import math
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(1, "x x x x"), (2, "a b c d")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in t.token_entropy(df, "doc_id", "text").collect()}
+    assert out[1]["entropy_r"] == 0.0  # all-same tokens: zero entropy
+    assert out[2]["entropy_r"] == pytest.approx(math.log(4), abs=1e-6)
+    assert out[2]["n_tokens"] == 4
+
+
+def test_keep_best_per_cluster_prefers_score_then_id(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import dedup as d
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], ["node", "label"]
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (7, 0.5), (8, 0.5)],
+        ["doc_id", "q"],
+    )
+    out = {
+        r["label"]: (r["keeper_id"], r["n_members"], r["best_score"])
+        for r in d.keep_best_per_cluster(clusters, scores, "doc_id", "q").collect()
+    }
+    assert out[1] == (2, 3, 0.9)  # highest score wins; tie broken by id
+    assert out[7] == (7, 2, 0.5)
