@@ -312,3 +312,107 @@ def kmeans_iterate(
                 F.col("centroid").alias(vec_col),
             ).localCheckpoint(eager=True)
     return upd
+
+
+def sq_int8_stats(corpus: DataFrame, vec_col: str, dim: int = 64) -> DataFrame:
+    """The codebook of SYMMETRIC int8 scalar quantization: one row with
+    ``gmax`` = the largest absolute component value across the whole
+    corpus, computed in a single map-side-combined pass (per-dimension
+    ``max(abs(.))`` aggregates folded with ``greatest``).
+
+    Symmetric (no per-dimension offset) is deliberate: with an offset
+    codebook ``q ≈ a·v + b`` the quantized inner product picks up ``b``
+    cross-terms and stops tracking the true dot product (offset SQ is an
+    L2/decode codebook, not a dot-product one). With one global scale,
+    ``dot(q_a, q_b) = (127/gmax)² · dot(a, b)`` up to rounding — ranking
+    by the INTEGER dot is ranking by the true dot. At 100 TB the stats
+    pass is the only full-corpus scan quantization needs, and its result
+    is 8 bytes — broadcast everywhere after."""
+    vec = as_double_array(vec_col)
+    per_dim = [
+        F.max(F.abs(F.element_at(vec, i + 1))).alias(f"__m{i}")
+        for i in range(dim)
+    ]
+    one = corpus.agg(*per_dim)
+    gmax = (
+        F.greatest(*[F.col(f"__m{i}") for i in range(dim)])
+        if dim > 1
+        else F.col("__m0")
+    )
+    return one.select(gmax.alias("gmax"))
+
+
+def sq_int8_quantize(
+    df: DataFrame, vec_col: str, stats: DataFrame, out_col: str = "qvec"
+) -> DataFrame:
+    """Quantize a float vector column to int8 codes in [-127, 127]:
+    ``q_d = round(v_d * 127 / gmax)`` (0 if the corpus is all-zero). The
+    one-row stats frame is broadcast-crossJoined — the vector side never
+    shuffles. Rounding is HALF-AWAY-FROM-ZERO in both Spark (HALF_UP on
+    BigDecimal) and ANSI engines, so the codes — and every integer
+    distance computed from them — are bit-exact cross-engine.
+
+    This is the first rung of vector-index compression (FAISS ``SQ8``
+    family): 4x smaller than float32, integer SIMD distance, recall loss
+    ~0 at 64-256 dims — at 100 TB the difference between an in-memory and
+    a disk-bound ANN corpus."""
+    vec = as_double_array(vec_col)
+    q = F.transform(
+        vec,
+        lambda x: F.when(F.col("__gmax") > 0, F.round(x * F.lit(127.0) / F.col("__gmax"), 0))
+        .otherwise(F.lit(0.0))
+        .cast("int"),
+    )
+    return (
+        df.crossJoin(F.broadcast(stats.select(F.col("gmax").alias("__gmax"))))
+        .withColumn(out_col, q)
+        .drop("__gmax")
+    )
+
+
+def sq_int8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k by int8-quantized dot product: corpus and queries
+    share one symmetric codebook (``sq_int8_stats`` over the corpus),
+    quantize to int8, and rank by the INTEGER dot product — exact integer
+    arithmetic, so the ranking needs no float rounding tolerance and is
+    bit-stable on any engine and any partitioning (ties broken by corpus
+    id).
+
+    Plan shape mirrors ``cosine_topk_exact_baseline`` (broadcast queries,
+    corpus never shuffles) but the scan side runs entirely in integer
+    codes; compose with ``bucket_id``/``ivf_write`` partition pruning for
+    the sub-linear candidate walk."""
+    stats = sq_int8_stats(corpus, vec_col, dim)
+    c = sq_int8_quantize(
+        corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col)),
+        vec_col,
+        stats,
+        "cq",
+    ).select("corpus_id", "cq")
+    q = sq_int8_quantize(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        vec_col,
+        stats,
+        "qq",
+    ).select("query_id", "qq")
+    joined = c.join(F.broadcast(q), F.col("query_id") != F.col("corpus_id"))
+    prod = F.zip_with(
+        F.col("qq"), F.col("cq"), lambda x, y: (x * y).cast("long")
+    )
+    qdot = F.aggregate(prod, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        joined.withColumn("qdot", qdot)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "qdot", "rnk")
+    )

@@ -1,0 +1,113 @@
+"""Analytical statistics operators: Pareto/skyline frontier and an
+all-pairs correlation matrix (reference: ABSENT — SURVEY.md §2 extension
+surface; the reference's aggregate verbs stop at count/sum/min/max,
+``cae/src/execution.cpp:214-260``).
+
+Scale notes (the part that matters at 100 TB):
+
+- ``pareto_frontier`` is the O(n log n) windowed formulation of the
+  skyline query, not the O(n²) dominance anti-join: reduce the fact table
+  to one row per x-value (map-side combinable groupBy), run a tiny running
+  -max window over that reduced table, and broadcast the surviving frontier
+  x-values back to the facts. The raw rows are touched exactly twice
+  (reduce + final semi-join) and never pair-joined.
+- ``correlation_matrix`` computes every pairwise Pearson correlation in
+  ONE aggregation pass: ``corr`` is algebraic (sums / sums-of-squares /
+  cross-products), so Spark map-side-combines all k·(k-1)/2 pairs
+  simultaneously — a single scan of a 100 TB table yields the full matrix,
+  vs k² separate scans for the naive loop.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def pareto_frontier(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Rows not dominated on (maximize ``x_col``, maximize ``y_col``),
+    standard skyline dominance: a row is dominated iff some other row is
+    >= in both dimensions and strictly > in at least one. Classic skyline
+    / Pareto-efficiency query (e.g. "orders that are the best price for
+    their recency"); rows tied in both dimensions all survive.
+
+    Plan shape: groupBy(x) → max(y) (combiner-friendly; output is at most
+    |distinct x| rows), then a single unpartitioned running-max window over
+    that *reduced* table ordered by x descending — ``best_above`` is the
+    best y among strictly larger x (ROWS ... 1 PRECEDING skips the current
+    x). A reduced row is on the frontier iff its y beats every y at larger
+    x. Facts re-join the surviving (x, y-max) pairs by broadcast: no
+    shuffle of the fact side, no pairwise dominance join anywhere.
+
+    The unpartitioned window is over per-x maxima only — bounded by the
+    x-value cardinality (dates, price bands...), not the row count; for a
+    high-cardinality continuous x, bucket x first.
+    """
+    keep = keep_cols or df.columns
+    dmax = df.groupBy(F.col(x_col).alias("__x")).agg(
+        F.max(F.col(y_col)).alias("__ymax")
+    )
+    w = (
+        Window.orderBy(F.col("__x").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        dmax.withColumn("__best_above", F.max("__ymax").over(w))
+        .where(
+            F.col("__best_above").isNull()
+            | (F.col("__ymax") > F.col("__best_above"))
+        )
+        .select("__x", "__ymax")
+    )
+    out = df.join(
+        F.broadcast(frontier),
+        (df[x_col] == F.col("__x")) & (df[y_col] == F.col("__ymax")),
+    )
+    return out.select(*keep)
+
+
+def correlation_matrix(
+    df: DataFrame, cols: list[str], round_digits: int = 6
+) -> DataFrame:
+    """Pearson correlation of every unordered column pair, as rows
+    ``(col_a, col_b, n, corr_r)`` with col_a < col_b lexicographically.
+
+    One ``agg`` computes all pairs: each ``corr`` is an algebraic
+    aggregate, so the whole matrix is a single map-side-combined pass over
+    the table — the profiling primitive for feature selection over a
+    100 TB training set. The one-row result is exploded to tidy pairs
+    driver-free via an inline array → no collect.
+    """
+    pairs = [
+        (a, b) for a, b in itertools.combinations(sorted(cols), 2)
+    ]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for a, b in pairs:
+        aggs.append(F.corr(F.col(a), F.col(b)).alias(f"__c_{a}_{b}"))
+    one = df.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"__c_{a}_{b}").alias("c"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return (
+        one.select(F.col("__n").alias("n"), F.explode(structs).alias("p"))
+        .select(
+            F.col("p.col_a").alias("col_a"),
+            F.col("p.col_b").alias("col_b"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("p.c"), round_digits).alias("corr_r"),
+        )
+        .orderBy("col_a", "col_b")
+    )

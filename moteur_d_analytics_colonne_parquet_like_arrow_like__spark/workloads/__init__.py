@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import (
+    analytics,
     parity,
     pipeline,
     python_surface,
@@ -43,6 +44,7 @@ _MODULES = [
     relational4,
     relational5,
     relational6,
+    analytics,
     python_surface,
     pipeline,
     pipeline2,
@@ -73,6 +75,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "text_unigram_lm",
     "text_token_entropy",
     "dedup_keep_best",
+    "feature_correlations",
+    "orders_pareto",
+    "join_fuzzy_match",
+    "sim_topk_int8",
     # (c) r1-vintage greens - stalest driver signatures
     "window_running_sum",
     "window_rank_dense",

@@ -1,0 +1,185 @@
+"""Analytical extension workloads (round 5): skyline/Pareto frontier,
+one-pass correlation matrix, blocked fuzzy record linkage, and int8
+scalar-quantized ANN — the analytics a curation/BI user reaches for next
+after the reference's scan/filter/agg verbs (reference: ABSENT;
+SURVEY.md §2 extension surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import joins, similarity, stats
+from ..sources.catalog import load_table
+
+_CORR_COLS = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+
+
+def q_feature_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs Pearson correlation over lineitem's numeric measures in a
+    single map-side-combined aggregation pass (operators/stats
+    .correlation_matrix) — the feature-selection profiling primitive."""
+    li = load_table(spark, sf_dir, "lineitem").select(*_CORR_COLS)
+    return stats.correlation_matrix(li, _CORR_COLS, round_digits=6)
+
+
+def q_orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline of orders on (maximize order date, maximize total price):
+    the orders for which no later order was also more valuable
+    (operators/stats.pareto_frontier — O(n log n) windowed formulation,
+    never a pairwise dominance join)."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = stats.pareto_frontier(
+        orders,
+        "o_orderdate",
+        "o_totalprice",
+        keep_cols=["o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+    return out.select(
+        "o_orderkey",
+        F.to_date("o_orderdate").cast("string").alias("order_date"),
+        F.round("o_totalprice", 2).alias("price_r"),
+    ).orderBy("o_orderkey")
+
+
+def q_join_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage: even-keyed parts matched to their
+    best odd-keyed near-name (Levenshtein <= 3, blocked on the name's
+    head noun + length band — operators/joins.fuzzy_best_match). The
+    entity-resolution shape of joining two dirty catalogs."""
+    part = load_table(spark, sf_dir, "part")
+    left = part.where(F.col("p_partkey") % 2 == 0)
+    right = part.where(F.col("p_partkey") % 2 == 1)
+    return joins.fuzzy_best_match(
+        left, right, "p_partkey", "p_partkey", "p_name", max_dist=3
+    ).orderBy("left_id")
+
+
+def q_sim_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k over int8 scalar-quantized embeddings — 4x memory
+    compression with integer-exact ranking (operators/similarity
+    .sq_int8_topk); same broadcast-queries plan as the float baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.sq_int8_topk(
+        emb, queries, "vec_id", "embedding", k=5, dim=64
+    ).orderBy("query_id", "rnk")
+
+
+QUERIES = {
+    "feature_correlations": q_feature_correlations,
+    "orders_pareto": q_orders_pareto,
+    "join_fuzzy_match": q_join_fuzzy_match,
+    "sim_topk_int8": q_sim_topk_int8,
+}
+
+# --- oracle SQL ---------------------------------------------------------
+
+_CORR_PAIRS = [
+    (a, b)
+    for i, a in enumerate(sorted(_CORR_COLS))
+    for b in sorted(_CORR_COLS)[i + 1 :]
+]
+
+_DIM = 64
+
+# Symmetric int8 quantization, unrolled per dimension (embedding[i] is
+# 1-based in DuckDB). Mirrors operators/similarity.sq_int8_quantize
+# exactly: double math, one global scale, half-away-from-zero round.
+_SQ_STATS = "greatest(" + ", ".join(
+    f"max(abs(CAST(embedding[{i + 1}] AS DOUBLE)))" for i in range(_DIM)
+) + ") AS gmax"
+_SQ_CODES = ", ".join(
+    f"CAST(CASE WHEN gmax > 0 THEN "
+    f"round(CAST(embedding[{i + 1}] AS DOUBLE) * 127.0 / gmax) "
+    f"ELSE 0.0 END AS INTEGER)"
+    for i in range(_DIM)
+)
+_SQ_DOT = " + ".join(
+    f"CAST(a.qv[{i + 1}] AS BIGINT) * b.qv[{i + 1}]" for i in range(_DIM)
+)
+
+ORACLES = {
+    "feature_correlations": "\nUNION ALL\n".join(
+        f"""
+        SELECT '{a}' AS col_a, '{b}' AS col_b,
+               COUNT(*) AS n, round(corr({a}, {b}), 6) AS corr_r
+        FROM lineitem
+        """
+        for a, b in _CORR_PAIRS
+    )
+    + "\nORDER BY col_a, col_b",
+    "orders_pareto": """
+        WITH dmax AS (
+            SELECT o_orderdate AS d, max(o_totalprice) AS m
+            FROM orders GROUP BY 1
+        ),
+        r AS (
+            SELECT d, m,
+                   max(m) OVER (
+                       ORDER BY d DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS later
+            FROM dmax
+        )
+        SELECT o.o_orderkey,
+               CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS order_date,
+               round(o.o_totalprice, 2) AS price_r
+        FROM orders o
+        JOIN r ON o.o_orderdate = r.d AND o.o_totalprice = r.m
+        WHERE r.later IS NULL OR r.m > r.later
+        ORDER BY o_orderkey
+    """,
+    "join_fuzzy_match": """
+        WITH l AS (
+            SELECT p_partkey AS left_id, p_name AS name_l,
+                   string_split(p_name, ' ')[-1] AS blk,
+                   length(p_name) AS len_l
+            FROM part WHERE p_partkey % 2 = 0
+        ),
+        r AS (
+            SELECT p_partkey AS right_id, p_name AS name_r,
+                   string_split(p_name, ' ')[-1] AS blk,
+                   length(p_name) AS len_r
+            FROM part WHERE p_partkey % 2 = 1
+        ),
+        cand AS (
+            SELECT l.left_id, r.right_id, l.name_l, r.name_r,
+                   levenshtein(l.name_l, r.name_r) AS dist
+            FROM l JOIN r
+              ON l.blk = r.blk AND abs(l.len_l - r.len_r) <= 3
+        ),
+        best AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY left_id
+                       ORDER BY dist ASC, right_id ASC
+                   ) AS rk
+            FROM cand WHERE dist <= 3
+        )
+        SELECT left_id, right_id, name_l, name_r, dist
+        FROM best WHERE rk = 1 ORDER BY left_id
+    """,
+    "sim_topk_int8": f"""
+        WITH stats AS (SELECT {_SQ_STATS} FROM embeddings),
+        q AS (
+            SELECT vec_id, [{_SQ_CODES}] AS qv
+            FROM embeddings CROSS JOIN stats
+        ),
+        scored AS (
+            SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
+                   {_SQ_DOT} AS qdot
+            FROM q a JOIN q b
+              ON b.vec_id < 10 AND a.vec_id <> b.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, corpus_id, qdot,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY qdot DESC, corpus_id ASC
+                   ) AS rnk
+            FROM scored
+        )
+        SELECT query_id, corpus_id, qdot, rnk FROM ranked
+        WHERE rnk <= 5 ORDER BY query_id, rnk
+    """,
+}

@@ -321,3 +321,147 @@ def test_keep_best_per_cluster_prefers_score_then_id(spark):
     }
     assert out[1] == (2, 3, 0.9)  # highest score wins; tie broken by id
     assert out[7] == (7, 2, 0.5)
+
+
+# --- round-5b: stats / fuzzy linkage / int8 ANN -------------------------
+
+
+def test_pareto_frontier_standard_dominance(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import stats as st
+
+    # (x, y): (3,10) frontier; (2,10) dominated by (3,10) [x', y equal];
+    # (3,5) dominated same-x by (3,10); (1,20) frontier (best y);
+    # (3,10) duplicate survives too (ties in both dims never dominate).
+    df = spark.createDataFrame(
+        [(1, 1, 20), (2, 2, 10), (3, 3, 10), (4, 3, 5), (5, 3, 10)],
+        ["id", "x", "y"],
+    )
+    kept = sorted(
+        r["id"]
+        for r in st.pareto_frontier(df, "x", "y", ["id"]).collect()
+    )
+    assert kept == [1, 3, 5]
+
+
+def test_correlation_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import stats as st
+
+    rng = np.random.RandomState(7)
+    a = rng.rand(200)
+    b = 2.0 * a + rng.rand(200) * 0.1
+    c = rng.rand(200)
+    df = spark.createDataFrame(
+        [(float(x), float(y), float(z)) for x, y, z in zip(a, b, c)],
+        ["a", "b", "c"],
+    )
+    out = {
+        (r["col_a"], r["col_b"]): (r["n"], r["corr_r"])
+        for r in st.correlation_matrix(df, ["a", "b", "c"]).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert out[("a", "b")][0] == 200
+    assert out[("a", "b")][1] == pytest.approx(
+        float(np.corrcoef(a, b)[0, 1]), abs=1e-6
+    )
+    assert out[("b", "c")][1] == pytest.approx(
+        float(np.corrcoef(b, c)[0, 1]), abs=1e-6
+    )
+
+
+def test_fuzzy_best_match_blocking_and_threshold(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import joins as j
+
+    left = spark.createDataFrame(
+        [(1, "red widget"), (2, "blue bolt"), (3, "gold ring")],
+        ["id", "name"],
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "red widget"),   # exact dup of 1
+            (11, "rad widget"),   # dist 1 from 1 — loses to exact
+            (20, "blue volt"),    # dist 1 from "blue bolt"? b->v: 1
+            (30, "gold sprocket"),  # different block noun — never paired
+        ],
+        ["id", "name"],
+    )
+    out = {
+        r["left_id"]: (r["right_id"], r["dist"])
+        for r in j.fuzzy_best_match(
+            left, right, "id", "id", "name", max_dist=3
+        ).collect()
+    }
+    assert out[1] == (10, 0)  # exact beats dist-1
+    assert 2 not in out  # "volt" vs "bolt" is a different block noun
+    assert 3 not in out  # no "ring"-block candidate within threshold
+
+
+def test_fuzzy_best_match_block_cap_drops_hot_block(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import joins as j
+
+    left = spark.createDataFrame([(1, "a widget")], ["id", "name"])
+    right = spark.createDataFrame(
+        [(i, "a widget") for i in range(10, 16)], ["id", "name"]
+    )
+    capped = j.fuzzy_best_match(
+        left, right, "id", "id", "name", max_dist=3, block_cap=3
+    ).collect()
+    assert capped == []  # 6-row block > cap of 3 → dropped, not scored
+    uncapped = j.fuzzy_best_match(
+        left, right, "id", "id", "name", max_dist=3
+    ).collect()
+    assert uncapped[0]["right_id"] == 10
+
+
+def test_sq_int8_codes_bounded_and_extremes(spark):
+    from pyspark.sql import functions as F
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import similarity as s
+
+    df = spark.createDataFrame(
+        [(0, [0.0, -1.0]), (1, [10.0, 1.0]), (2, [5.0, 0.0]), (3, [2.5, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    stats = s.sq_int8_stats(df, "embedding", dim=2)
+    assert stats.collect()[0]["gmax"] == 10.0  # global max |component|
+    q = {
+        r["vec_id"]: r["qvec"]
+        for r in s.sq_int8_quantize(df, "embedding", stats).collect()
+    }
+    # symmetric codes: q = round(v * 127 / gmax); sign preserved, the
+    # largest-magnitude component maps to +/-127
+    assert q[0] == [0, -13]
+    assert q[1] == [127, 13]
+    assert q[2] == [64, 0]  # 63.5 rounds half-away-from-zero to 64
+    assert q[3][0] == 32  # round(31.75)
+    # codes always within [-127, 127]
+    assert all(-127 <= v <= 127 for qv in q.values() for v in qv)
+
+
+def test_sq_int8_topk_agrees_with_exact_on_separated_corpus(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import similarity as s
+
+    # Well-separated unit-ish vectors: quantized ranking == exact ranking.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.where("vec_id = 0")
+    got = [
+        r["corpus_id"]
+        for r in s.sq_int8_topk(
+            df, queries, "vec_id", "embedding", k=4, dim=4
+        ).orderBy("rnk").collect()
+    ]
+    exact = [
+        r["corpus_id"]
+        for r in s.cosine_topk_exact_baseline(
+            df, queries, "vec_id", "embedding", k=4
+        ).orderBy("rnk").collect()
+    ]
+    assert got == exact == [1, 2, 3, 4]
