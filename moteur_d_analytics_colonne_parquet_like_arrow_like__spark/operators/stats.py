@@ -111,3 +111,47 @@ def correlation_matrix(
         )
         .orderBy("col_a", "col_b")
     )
+
+
+def equidepth_histogram(
+    df: DataFrame, col: str, n_buckets: int = 10
+) -> DataFrame:
+    """Equi-depth (quantile) discretization with ties-keep-together
+    semantics: every distinct value v gets ``bucket(v) = 1 +
+    (rows_before_v * n_buckets) div n`` — pure integer arithmetic over
+    EXCLUSIVE cumulative counts, so the assignment is deterministic and
+    bit-identical on any engine (no percentile interpolation, no float
+    division), and equal values never straddle a bucket boundary (unlike
+    ``ntile``, whose tie placement depends on row order).
+
+    Returns per-bucket rows (bucket, n_rows, n_values, min_v, max_v).
+
+    Plan shape: groupBy(value) → count (ONE combiner-friendly shuffle of
+    the raw rows), then the cumulative window runs over the *distinct
+    values only* — bounded by value cardinality, not row count. For a
+    continuous column, pre-round to the precision that matters (the gate
+    query buckets prices rounded to 100s) exactly as a production
+    discretizer would; the raw-cardinality alternative is a global sort.
+    At 100 TB the heavy table is touched once, map-side combined.
+    """
+    counts = df.groupBy(F.col(col).alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = counts.withColumn(
+        "cb", F.coalesce(F.sum("c").over(w), F.lit(0)).cast("bigint")
+    )
+    tot = counts.agg(F.sum("c").cast("bigint").alias("n"))
+    bucketed = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "bucket", F.expr(f"(cb * {int(n_buckets)}) div n") + F.lit(1)
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_values"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+        .orderBy("bucket")
+    )

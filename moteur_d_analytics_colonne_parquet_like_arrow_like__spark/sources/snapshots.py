@@ -333,3 +333,87 @@ class SnapshotTable:
 
                     shutil.rmtree(full)
         return {"dropped_versions": drop, "removed_files": removed_files}
+
+
+def snapshot_diff(
+    table: SnapshotTable,
+    spark: SparkSession,
+    v_from: int,
+    v_to: int,
+    keys: list[str],
+) -> DataFrame:
+    """Change-data-capture between two committed versions: one row per
+    changed key with ``change_op`` in (insert, update, delete), the key
+    columns, and ``old_values`` / ``new_values`` structs of the non-key
+    columns (NULL on the missing side of insert/delete).
+
+    **Manifest-level file pruning is the scale story**: both manifests
+    list their exact data files, and any file PRESENT IN BOTH versions
+    holds identical rows by construction (data files are immutable), so
+    the row diff scans only the symmetric difference of the two file
+    lists. After a ``merge`` that rewrote 0.1% of a 100 TB table, the
+    diff reads ~0.2% of it — the changed-file row sets — and never the
+    shared bulk. Rows that merely MOVED files unchanged (compaction)
+    survive the file prune but cancel in the value comparison
+    (null-safe struct equality) and emit nothing.
+
+    Contract: ``keys`` must be unique per version (the same precondition
+    ``merge`` enforces); with duplicate keys the update pairing is
+    ambiguous. Schema evolution is handled by projecting both sides
+    through the *to*-version schema (added columns read as NULL on the
+    old side, per the additive-evolution rule in ``append``).
+    """
+    from pyspark.sql import functions as F, types as T
+
+    mf = table._read_manifest(v_from)
+    mt = table._read_manifest(v_to)
+    from_files, to_files = set(mf["files"]), set(mt["files"])
+    only_f = sorted(from_files - to_files)
+    only_t = sorted(to_files - from_files)
+
+    schema_t = T.StructType.fromJson(json.loads(mt["schema"]))
+    schema_f = T.StructType.fromJson(json.loads(mf["schema"]))
+
+    def _read(files: list[str], schema: T.StructType) -> DataFrame:
+        if not files:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(table.path, f) for f in files]
+        )
+
+    old = _read(only_f, schema_f)
+    new = _read(only_t, schema_t)
+    val_cols = [f.name for f in schema_t.fields if f.name not in keys]
+    for f in schema_t.fields:  # additive evolution: old side lacks new cols
+        if f.name not in old.columns:
+            old = old.withColumn(f.name, F.lit(None).cast(f.dataType))
+
+    o = old.select(*keys, F.struct(*val_cols).alias("old_values"))
+    n = new.select(*keys, F.struct(*val_cols).alias("new_values"))
+    j = o.join(n, keys, "full_outer")
+    op = (
+        F.when(F.col("old_values").isNull(), F.lit("insert"))
+        .when(F.col("new_values").isNull(), F.lit("delete"))
+        .when(
+            ~F.col("old_values").eqNullSafe(F.col("new_values")),
+            F.lit("update"),
+        )
+        .otherwise(F.lit(None))  # moved file, identical row: not a change
+    )
+    return (
+        j.withColumn("change_op", op)
+        .where(F.col("change_op").isNotNull())
+        .select("change_op", *keys, "old_values", "new_values")
+    )
+
+
+def diff_pruned_files(
+    table: SnapshotTable, v_from: int, v_to: int
+) -> tuple[list[str], list[str], list[str]]:
+    """The file-prune decision ``snapshot_diff`` makes, surfaced for
+    inspection/tests: (files only in v_from, files only in v_to, shared
+    files skipped entirely)."""
+    mf = table._read_manifest(v_from)["files"]
+    mt = table._read_manifest(v_to)["files"]
+    sf, st = set(mf), set(mt)
+    return sorted(sf - st), sorted(st - sf), sorted(sf & st)

@@ -79,6 +79,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "orders_pareto",
     "join_fuzzy_match",
     "sim_topk_int8",
+    "feature_bucketize",
+    "table_snapshot_diff",
     # (c) r1-vintage greens - stalest driver signatures
     "window_running_sum",
     "window_rank_dense",

@@ -66,11 +66,71 @@ def q_sim_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rnk")
 
 
+def q_feature_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile discretization of lineitem prices (rounded to
+    100s), ties-keep-together, integer-exact bucket assignment
+    (operators/stats.equidepth_histogram) — the quantile-binning feature
+    prep a training pipeline runs before one-hot/embedding lookup."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round("l_extendedprice", -2).alias("price_100")
+    )
+    return stats.equidepth_histogram(li, "price_100", n_buckets=10)
+
+
+def q_table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two snapshot-table versions: v0 = an orders subset,
+    v1 = v0 after a copy-on-write MERGE (inserts + price updates +
+    deletes). ``snapshot_diff`` (sources/snapshots.py) reads only the
+    files the merge actually rewrote — shared manifest files are pruned
+    wholesale — and classifies per-key changes; the oracle recomputes
+    insert/update/delete rows straight from the orders table, so both
+    the merge semantics and the diff classification are value-checked."""
+    import hashlib
+
+    from ..sources.snapshots import SnapshotTable, snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price_r"),
+    )
+    base = orders.where(F.col("o_orderkey") % 5 != 4)
+    path = f"/tmp/snapdiff_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    t = SnapshotTable(path)
+    if t.latest_version() != 1:
+        t.append(base.repartition(8))
+        inserts = orders.where(
+            (F.col("o_orderkey") % 5 == 4) & (F.col("o_orderkey") % 3 == 0)
+        ).withColumn("__del", F.lit(False))
+        touched = base.where(
+            (F.col("o_orderkey") % 37 == 0) | (F.col("o_orderkey") % 41 == 0)
+        )
+        upserts = touched.withColumn(
+            "price_r", F.col("price_r") + F.lit(1.0)
+        ).withColumn("__del", F.col("o_orderkey") % 41 == 0)
+        t.merge(
+            spark,
+            inserts.unionByName(upserts),
+            keys=["o_orderkey"],
+            delete_col="__del",
+        )
+    d = snapshot_diff(t, spark, 0, 1, keys=["o_orderkey"])
+    return d.select(
+        "change_op",
+        "o_orderkey",
+        F.col("new_values.o_orderstatus").alias("new_status"),
+        F.col("new_values.price_r").alias("new_price_r"),
+        F.col("old_values.price_r").alias("old_price_r"),
+    ).orderBy("change_op", "o_orderkey")
+
+
 QUERIES = {
     "feature_correlations": q_feature_correlations,
     "orders_pareto": q_orders_pareto,
     "join_fuzzy_match": q_join_fuzzy_match,
     "sim_topk_int8": q_sim_topk_int8,
+    "feature_bucketize": q_feature_bucketize,
+    "table_snapshot_diff": q_table_snapshot_diff,
 }
 
 # --- oracle SQL ---------------------------------------------------------
@@ -181,5 +241,50 @@ ORACLES = {
         )
         SELECT query_id, corpus_id, qdot, rnk FROM ranked
         WHERE rnk <= 5 ORDER BY query_id, rnk
+    """,
+    "feature_bucketize": """
+        WITH v AS (
+            SELECT round(l_extendedprice, -2) AS val FROM lineitem
+        ),
+        c AS (SELECT val, COUNT(*) AS c FROM v GROUP BY val),
+        cum AS (
+            SELECT val, c,
+                   CAST(COALESCE(SUM(c) OVER (
+                       ORDER BY val
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS cb
+            FROM c
+        ),
+        t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c)
+        SELECT (cb * 10) // n + 1 AS bucket,
+               CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_values,
+               min(val) AS min_v, max(val) AS max_v
+        FROM cum CROSS JOIN t
+        GROUP BY 1 ORDER BY 1
+    """,
+    "table_snapshot_diff": """
+        WITH base AS (
+            SELECT o_orderkey, o_orderstatus,
+                   round(o_totalprice, 2) AS price_r
+            FROM orders WHERE o_orderkey % 5 <> 4
+        )
+        SELECT 'insert' AS change_op, o_orderkey,
+               o_orderstatus AS new_status,
+               round(o_totalprice, 2) AS new_price_r,
+               CAST(NULL AS DOUBLE) AS old_price_r
+        FROM orders
+        WHERE o_orderkey % 5 = 4 AND o_orderkey % 3 = 0
+        UNION ALL
+        SELECT 'update', o_orderkey, o_orderstatus,
+               price_r + 1.0, price_r
+        FROM base
+        WHERE o_orderkey % 37 = 0 AND o_orderkey % 41 <> 0
+        UNION ALL
+        SELECT 'delete', o_orderkey, CAST(NULL AS VARCHAR),
+               CAST(NULL AS DOUBLE), price_r
+        FROM base
+        WHERE o_orderkey % 41 = 0
+        ORDER BY change_op, o_orderkey
     """,
 }

@@ -465,3 +465,86 @@ def test_sq_int8_topk_agrees_with_exact_on_separated_corpus(spark):
         ).orderBy("rnk").collect()
     ]
     assert got == exact == [1, 2, 3, 4]
+
+
+def test_equidepth_histogram_ties_and_depth(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import stats as st
+
+    # 12 rows over 4 distinct values; 4 appears 6x and must stay in ONE
+    # bucket even though a row-equal split would straddle.
+    rows = [(1,)] * 2 + [(2,)] * 2 + [(3,)] * 2 + [(4,)] * 6
+    df = spark.createDataFrame(rows, ["v"])
+    out = {
+        r["bucket"]: (r["n_rows"], r["min_v"], r["max_v"])
+        for r in st.equidepth_histogram(df, "v", n_buckets=3).collect()
+    }
+    # cb: 1->0, 2->2, 3->4, 4->6 ; bucket = cb*3 div 12 + 1 = 1,1,2,2
+    assert out == {1: (4, 1, 2), 2: (8, 3, 4)}
+    total = sum(v[0] for v in out.values())
+    assert total == 12
+
+
+def test_snapshot_diff_classifies_and_prunes_shared_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.snapshots import (
+        SnapshotTable,
+        diff_pruned_files,
+        snapshot_diff,
+    )
+
+    t = SnapshotTable(str(tmp_path / "cdc"))
+    base = spark.createDataFrame(
+        [(i, f"v{i}", float(i)) for i in range(100)], ["k", "s", "x"]
+    )
+    t.append(base.repartition(8))
+    src = spark.createDataFrame(
+        [
+            (3, "v3", 99.0, False),   # update (x changes)
+            (7, "v7", 7.0, True),     # delete
+            (200, "v200", 200.0, False),  # insert
+            (11, "v11", 11.0, False),  # upsert with identical values
+        ],
+        ["k", "s", "x", "__del"],
+    )
+    t.merge(spark, src, keys=["k"], delete_col="__del")
+
+    only_f, only_t, shared = diff_pruned_files(t, 0, 1)
+    assert shared, "merge must carry untouched files by reference"
+    assert only_f and only_t, "merge must rewrite the touched files"
+
+    d = {
+        r["k"]: r["change_op"]
+        for r in snapshot_diff(t, spark, 0, 1, keys=["k"]).collect()
+    }
+    # 11's rewrite produced identical values -> not a change; neighbors in
+    # rewritten files cancel via the null-safe struct equality.
+    assert d == {3: "update", 7: "delete", 200: "insert"}
+    upd = (
+        snapshot_diff(t, spark, 0, 1, keys=["k"])
+        .where(F.col("k") == 3)
+        .select("old_values.x", "new_values.x")
+        .collect()[0]
+    )
+    assert upd[0] == 3.0 and upd[1] == 99.0
+
+
+def test_snapshot_diff_reverse_direction(spark, tmp_path):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.snapshots import (
+        SnapshotTable,
+        snapshot_diff,
+    )
+
+    t = SnapshotTable(str(tmp_path / "cdc2"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "s"]))
+    t.overwrite(spark.createDataFrame([(2, "B"), (3, "c")], ["k", "s"]))
+    fwd = {
+        r["k"]: r["change_op"]
+        for r in snapshot_diff(t, spark, 0, 1, keys=["k"]).collect()
+    }
+    rev = {
+        r["k"]: r["change_op"]
+        for r in snapshot_diff(t, spark, 1, 0, keys=["k"]).collect()
+    }
+    assert fwd == {1: "delete", 2: "update", 3: "insert"}
+    assert rev == {1: "insert", 2: "update", 3: "delete"}
