@@ -728,3 +728,99 @@ def token_entropy(
             F.round(-F.sum("term").cast("double"), 6).alias("entropy_r"),
         )
     )
+
+
+def bpe_train_merges(
+    df: DataFrame, text_col: str, n_merges: int = 3
+) -> DataFrame:
+    """Distributed BPE (byte-pair-encoding) merge training — the corpus
+    side of tokenizer construction: learn the ``n_merges`` most frequent
+    adjacent-symbol merges, returning one row per learned merge
+    ``(step, pair_a, pair_b, merged, weight)``.
+
+    Classic BPE trains on the word-frequency dictionary, not raw text, so
+    the heavy corpus is touched ONCE: tokenize (lowercase, alpha-only —
+    which also keeps every symbol regex/replace-safe), explode, and
+    reduce to (word, count) — after that each merge round runs over the
+    vocabulary table (thousands of rows at any corpus size; Zipf does the
+    compression). Each round is:
+
+    - pair stats: per-word adjacent symbol pairs via transform(sequence)
+      (no positional self-join), weighted by word count, one
+      combiner-friendly groupBy over the small vocab table;
+    - winner: global top pair by (weight desc, pair asc) — a 1-row
+      TakeOrderedAndProject, broadcast-crossJoined back, never collected
+      to the driver;
+    - merge: space-padded substring replace `` a b `` → `` ab `` on every
+      word's symbol sequence.
+
+    Merge semantics are plain LEFT-TO-RIGHT NON-OVERLAPPING substring
+    replacement — identical in Spark and every ANSI engine, which is what
+    makes the whole training run oracle-checkable. This deviates from
+    textbook greedy BPE only on runs of 3+ identical symbols inside one
+    word ("aaa..."), where non-overlapping replace can skip a merge site
+    in the round it was learned; it is picked up in later rounds.
+    Vocabulary lineage is cut per round (``localCheckpoint``) so the plan
+    stays O(1) deep per merge instead of nesting every prior round — the
+    pagerank/kmeans_iterate contract.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    toks = F.filter(
+        F.transform(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda w: F.regexp_replace(w, "[^a-z]", ""),
+        ),
+        lambda w: w != "",
+    )
+    vocab = (
+        df.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq"),
+            "cnt",
+        )
+    )
+    steps: list[DataFrame] = []
+    for step in range(1, n_merges + 1):
+        vocab = vocab.localCheckpoint(eager=True)
+        syms = F.split(F.col("seq"), " ")
+        pair_arr = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("a"),
+                    F.element_at(syms, i + 1).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        top = (
+            vocab.select(F.explode(pair_arr).alias("p"), "cnt")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").cast("bigint").alias("w"))
+            .orderBy(F.col("w").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+        )
+        steps.append(
+            top.select(
+                F.lit(step).alias("step"),
+                F.col("a").alias("pair_a"),
+                F.col("b").alias("pair_b"),
+                F.concat("a", "b").alias("merged"),
+                F.col("w").alias("weight"),
+            )
+        )
+        padded = F.concat(F.lit(" "), F.col("seq"), F.lit(" "))
+        pat = F.concat(F.lit(" "), F.col("a"), F.lit(" "), F.col("b"), F.lit(" "))
+        rep = F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" "))
+        vocab = (
+            vocab.crossJoin(F.broadcast(top))
+            .withColumn("seq", F.trim(F.replace(padded, pat, rep)))
+            .select("seq", "cnt")
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("step")

@@ -81,6 +81,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "sim_topk_int8",
     "feature_bucketize",
     "table_snapshot_diff",
+    "bpe_train",
     # (c) r1-vintage greens - stalest driver signatures
     "window_running_sum",
     "window_rank_dense",

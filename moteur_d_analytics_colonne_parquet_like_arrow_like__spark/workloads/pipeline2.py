@@ -67,10 +67,22 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label")
 
 
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training: the 5 highest-weight symbol
+    merges learned from the corpus word-frequency table
+    (operators/text.bpe_train_merges) — each round is one vocab-table
+    aggregation + a broadcast 1-row winner, never a driver loop."""
+    return text.bpe_train_merges(
+        _documents(spark, sf_dir), "text", n_merges=5
+    )
+
+
 QUERIES = {
     "text_unigram_lm": q_text_unigram_lm,
     "text_token_entropy": q_text_token_entropy,
     "dedup_keep_best": q_dedup_keep_best,
+    "bpe_train": q_bpe_train,
 }
 
 # Token CTE shared by the two text oracles: non-empty whitespace tokens of
@@ -167,3 +179,118 @@ ORACLES = {
         ORDER BY label
     """,
 }
+
+
+# BPE merge training, 5 unrolled rounds. Tokenization matches the
+# top_ngrams contract (lowercase, strip non-[a-z], drop empties); merge
+# is space-padded left-to-right non-overlapping replace on both engines.
+ORACLES["bpe_train"] = r"""
+    WITH toks AS (
+        SELECT unnest(list_filter(list_transform(
+            regexp_split_to_array(lower(trim(text)), '\s+'),
+            w -> regexp_replace(w, '[^a-z]', '', 'g')),
+            w -> w <> '')) AS word
+        FROM documents
+    ),
+    w0 AS (
+        SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS seq,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks GROUP BY 1
+    ),
+    p0 AS (
+        SELECT u.a AS a, u.b AS b, CAST(SUM(cnt) AS BIGINT) AS w
+        FROM (
+            SELECT cnt,
+                   unnest(list_transform(generate_series(1, len(syms) - 1),
+                          j -> struct_pack(a := syms[j], b := syms[j+1]))) AS u
+            FROM (SELECT string_split(seq, ' ') AS syms, cnt FROM w0)
+            WHERE len(syms) >= 2
+        )
+        GROUP BY u.a, u.b
+    ),
+    t0 AS (SELECT a, b, w FROM p0 ORDER BY w DESC, a ASC, b ASC LIMIT 1),
+    w1 AS (
+        SELECT trim(replace(' ' || seq || ' ',
+                            ' ' || a || ' ' || b || ' ',
+                            ' ' || a || b || ' ')) AS seq, cnt
+        FROM w0 CROSS JOIN t0
+    ),
+    p1 AS (
+        SELECT u.a AS a, u.b AS b, CAST(SUM(cnt) AS BIGINT) AS w
+        FROM (
+            SELECT cnt,
+                   unnest(list_transform(generate_series(1, len(syms) - 1),
+                          j -> struct_pack(a := syms[j], b := syms[j+1]))) AS u
+            FROM (SELECT string_split(seq, ' ') AS syms, cnt FROM w1)
+            WHERE len(syms) >= 2
+        )
+        GROUP BY u.a, u.b
+    ),
+    t1 AS (SELECT a, b, w FROM p1 ORDER BY w DESC, a ASC, b ASC LIMIT 1),
+    w2 AS (
+        SELECT trim(replace(' ' || seq || ' ',
+                            ' ' || a || ' ' || b || ' ',
+                            ' ' || a || b || ' ')) AS seq, cnt
+        FROM w1 CROSS JOIN t1
+    ),
+    p2 AS (
+        SELECT u.a AS a, u.b AS b, CAST(SUM(cnt) AS BIGINT) AS w
+        FROM (
+            SELECT cnt,
+                   unnest(list_transform(generate_series(1, len(syms) - 1),
+                          j -> struct_pack(a := syms[j], b := syms[j+1]))) AS u
+            FROM (SELECT string_split(seq, ' ') AS syms, cnt FROM w2)
+            WHERE len(syms) >= 2
+        )
+        GROUP BY u.a, u.b
+    ),
+    t2 AS (SELECT a, b, w FROM p2 ORDER BY w DESC, a ASC, b ASC LIMIT 1),
+    w3 AS (
+        SELECT trim(replace(' ' || seq || ' ',
+                            ' ' || a || ' ' || b || ' ',
+                            ' ' || a || b || ' ')) AS seq, cnt
+        FROM w2 CROSS JOIN t2
+    ),
+    p3 AS (
+        SELECT u.a AS a, u.b AS b, CAST(SUM(cnt) AS BIGINT) AS w
+        FROM (
+            SELECT cnt,
+                   unnest(list_transform(generate_series(1, len(syms) - 1),
+                          j -> struct_pack(a := syms[j], b := syms[j+1]))) AS u
+            FROM (SELECT string_split(seq, ' ') AS syms, cnt FROM w3)
+            WHERE len(syms) >= 2
+        )
+        GROUP BY u.a, u.b
+    ),
+    t3 AS (SELECT a, b, w FROM p3 ORDER BY w DESC, a ASC, b ASC LIMIT 1),
+    w4 AS (
+        SELECT trim(replace(' ' || seq || ' ',
+                            ' ' || a || ' ' || b || ' ',
+                            ' ' || a || b || ' ')) AS seq, cnt
+        FROM w3 CROSS JOIN t3
+    ),
+    p4 AS (
+        SELECT u.a AS a, u.b AS b, CAST(SUM(cnt) AS BIGINT) AS w
+        FROM (
+            SELECT cnt,
+                   unnest(list_transform(generate_series(1, len(syms) - 1),
+                          j -> struct_pack(a := syms[j], b := syms[j+1]))) AS u
+            FROM (SELECT string_split(seq, ' ') AS syms, cnt FROM w4)
+            WHERE len(syms) >= 2
+        )
+        GROUP BY u.a, u.b
+    ),
+    t4 AS (SELECT a, b, w FROM p4 ORDER BY w DESC, a ASC, b ASC LIMIT 1),
+    w5 AS (
+        SELECT trim(replace(' ' || seq || ' ',
+                            ' ' || a || ' ' || b || ' ',
+                            ' ' || a || b || ' ')) AS seq, cnt
+        FROM w4 CROSS JOIN t4
+    )
+    SELECT 1 AS step, a AS pair_a, b AS pair_b, a || b AS merged, w AS weight FROM t0
+        UNION ALL SELECT 2 AS step, a AS pair_a, b AS pair_b, a || b AS merged, w AS weight FROM t1
+        UNION ALL SELECT 3 AS step, a AS pair_a, b AS pair_b, a || b AS merged, w AS weight FROM t2
+        UNION ALL SELECT 4 AS step, a AS pair_a, b AS pair_b, a || b AS merged, w AS weight FROM t3
+        UNION ALL SELECT 5 AS step, a AS pair_a, b AS pair_b, a || b AS merged, w AS weight FROM t4
+    ORDER BY step
+"""

@@ -548,3 +548,32 @@ def test_snapshot_diff_reverse_direction(spark, tmp_path):
     }
     assert fwd == {1: "delete", 2: "update", 3: "insert"}
     assert rev == {1: "insert", 2: "update", 3: "delete"}
+
+
+def test_bpe_train_merges_known_corpus(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import text as tx
+
+    # Hand-computed: counts low:3 lower:1 newest:2.
+    # Round 1 pairs: (l,o):4 (o,w):4 (w,e):3 (n,e):2 (e,w):2 (e,s):2
+    # (s,t):2 (e,r):1 -> tie at 4 broken by pair asc -> (l,o).
+    # Round 2: (lo,w):4 wins. Round 3: five pairs tie at 2 -> (e,s).
+    docs = spark.createDataFrame(
+        [(1, "low low low lower"), (2, "newest newest")],
+        ["doc_id", "text"],
+    )
+    out = [
+        (r["step"], r["pair_a"], r["pair_b"], r["merged"], r["weight"])
+        for r in tx.bpe_train_merges(docs, "text", n_merges=3).collect()
+    ]
+    assert out == [
+        (1, "l", "o", "lo", 4),
+        (2, "lo", "w", "low", 4),
+        (3, "e", "s", "es", 2),
+    ]
+
+
+def test_bpe_train_merges_rejects_zero(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import text as tx
+
+    with pytest.raises(ValueError, match="n_merges"):
+        tx.bpe_train_merges(None, "text", n_merges=0)
