@@ -254,14 +254,20 @@ def main() -> int:
             floor_times.append(_floor_sample())
             fn = qs[name]
             if name in EAGER_QUERIES:
-                # A streaming rep builds a fresh query each time (no
-                # prepared plan to rewarm) — every rep counts.
-                for _ in range(block):
+                # A streaming rep builds a fresh query each time, but the
+                # generated code is SHAPE-identical across reps, so the
+                # plan-switch rewarm decay applies here too (measured,
+                # back-to-back full-query reps after a cold block:
+                # 1.96 → 1.85 → 1.64 → 1.48 → 1.35 → 1.21 s at identical
+                # output). The first rep of each block is the switch-warmup
+                # — dropped, same steady-state rule as prepared plans.
+                for i in range(block + 1):
                     t0 = time.perf_counter()
                     _with_conf(
                         name, lambda: _materialize(fn(spark, SF_DIR))
                     )
-                    timings[name].append(time.perf_counter() - t0)
+                    if i > 0:
+                        timings[name].append(time.perf_counter() - t0)
             else:
                 df = plans[name]
                 # First TWO reps of a block are switch-warmup: the rewarm

@@ -180,6 +180,7 @@ def run_to_memory(
     output_mode: str = "complete",
     query_name: str | None = None,
     shuffle_partitions: int | None = None,
+    no_data_batches: bool = True,
 ) -> DataFrame:
     """Execute a streaming plan to completion (availableNow) into a memory
     sink; returns the sink contents as a batch DataFrame.
@@ -190,12 +191,29 @@ def run_to_memory(
     size to key cardinality — small replays want 4-8, a production
     deployment wants enough for its keyspace. Session conf is restored
     afterwards.
+
+    ``no_data_batches=False`` disables the trailing empty micro-batch the
+    engine fires to advance the watermark after the data is exhausted
+    (``spark.sql.streaming.noDataMicroBatches.enabled``). For UPDATE-mode
+    aggregations every row was already emitted by the data batches, so the
+    no-data batch contributes nothing to the sink yet pays a full state
+    reload+commit per partition — measured ~0.5 s of a 1.3 s bounded
+    replay. APPEND-mode queries MUST keep it: the no-data batch is what
+    finalizes windows past the watermark (the gate's
+    ``stream_tumbling_append`` output would lose its last windows).
     """
     name = query_name or f"mem_{uuid.uuid4().hex[:8]}"
     spark = sdf.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_ndb = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled",
+        "true" if no_data_batches else "false",
+    )
     try:
         q = (
             sdf.writeStream.format("memory")
@@ -212,6 +230,9 @@ def run_to_memory(
     finally:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb
+        )
     return spark.table(name)
 
 

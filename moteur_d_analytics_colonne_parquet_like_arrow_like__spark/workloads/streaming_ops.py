@@ -21,10 +21,18 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1.7 s at 16 for the same 21k keys — overhead scales with partition
     # count, not data). A production keyspace sizes this up; a bounded
     # replay wants the floor. See run_to_memory's sizing note.
+    # no_data_batches=False: UPDATE mode emits every row in the data
+    # batches; the trailing watermark-advance batch adds ~0.5 s of state
+    # reload/commit and zero rows (run_to_memory docstring; measured
+    # 1.2-1.6 s -> 0.79 s at identical 21,388-row output). Append-mode
+    # siblings keep the default — their windows finalize IN that batch.
     sdf = S.tumbling_window_agg(S.events_stream(spark, sf_dir))
-    return S.run_to_memory(sdf, output_mode="update", shuffle_partitions=4).orderBy(
-        "window_start", "event_type"
-    )
+    return S.run_to_memory(
+        sdf,
+        output_mode="update",
+        shuffle_partitions=4,
+        no_data_batches=False,
+    ).orderBy("window_start", "event_type")
 
 
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:

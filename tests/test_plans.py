@@ -160,3 +160,70 @@ def test_cms_build_single_shuffle(spark):
     # formatted explain lists each node twice (tree + detail): count ids
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2  # partial + final
+
+
+# --- round-5 operators: plan-shape assertions ---------------------------
+
+
+def test_pareto_broadcasts_frontier_no_cartesian(spark, sf_dir):
+    # The skyline must be the windowed formulation: the fact side joins a
+    # BROADCAST frontier; a CartesianProduct would mean the O(n²)
+    # dominance join crept back in.
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import analytics
+
+    df = analytics.q_orders_pareto(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_correlation_matrix_single_aggregation(spark, sf_dir):
+    # All pairwise corr coefficients must ride ONE aggregate (partial +
+    # final over a single exchange) — one scan, not one scan per pair.
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import analytics
+
+    import re
+
+    df = analytics.q_feature_correlations(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    # one scan; node-detail headers "(n) Exchange" count physical nodes
+    # once each (the tree section repeats them)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_equidepth_window_runs_over_reduced_table(spark, sf_dir):
+    # The cumulative window must consume the value-level AGGREGATE, never
+    # raw rows: in the plan tree (leaves printed first in the numbered
+    # node list) the value groupBy's HashAggregate precedes the Window.
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import analytics
+
+    df = analytics.q_feature_bucketize(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "Window" in plan and "HashAggregate" in plan
+    assert plan.index("HashAggregate") < plan.index("Window")
+
+
+def test_sq_int8_topk_broadcasts_queries(spark, sf_dir):
+    # The quantized corpus side must meet BROADCAST queries (nested-loop
+    # on the != predicate) — the corpus itself never shuffles before the
+    # join; the only exchange is the per-query top-k window.
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import analytics
+
+    df = analytics.q_sim_topk_int8(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_match_block_cap_join_broadcasts(spark, sf_dir):
+    # The hot-block cap join (right side x its block census) must be a
+    # broadcast, and candidate pairing must be an equi hash/merge join on
+    # the block key — never a cartesian scorer.
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import analytics
+
+    df = analytics.q_join_fuzzy_match(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
