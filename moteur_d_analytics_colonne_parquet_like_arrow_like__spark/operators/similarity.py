@@ -416,3 +416,112 @@ def sq_int8_topk(
         .where(F.col("rnk") <= k)
         .select("query_id", "corpus_id", "qdot", "rnk")
     )
+
+
+def recall_report(
+    approx_topk: DataFrame, exact_topk: DataFrame
+) -> DataFrame:
+    """Recall@k of an approximate ANN ranking against the exact baseline —
+    the quality dial every ANN deployment tunes against cost: one row per
+    query_id with hits, k, and recall, plus deterministic per-query
+    output ordering.
+
+    Both inputs are (query_id, corpus_id, ..., rnk) top-k frames (any of
+    ``lsh_bucketed_topk`` / ``ivf_topk`` / ``sq_int8_topk`` vs
+    ``cosine_topk_exact_baseline``). The join is a LEFT SEMI from exact to
+    approx on (query_id, corpus_id) — per-query set intersection sized k,
+    never the corpus. Recall is hits/k in exact integer counts plus one
+    rounded division, so the report itself is oracle-stable.
+
+    At scale both sides are tiny (queries × k rows); the report costs two
+    hash aggregations over them — measuring recall on a 100 TB corpus is
+    free compared to producing either ranking."""
+    e = exact_topk.select("query_id", "corpus_id")
+    a = approx_topk.select("query_id", "corpus_id")
+    hits = (
+        e.join(a, ["query_id", "corpus_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+    )
+    per_q = (
+        e.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+        .join(hits, ["query_id"], "left")
+        .na.fill({"hits": 0})
+    )
+    return per_q.select(
+        "query_id",
+        "hits",
+        "k",
+        F.round(F.col("hits") / F.col("k"), 6).alias("recall_r"),
+    ).orderBy("query_id")
+
+
+def ivf_sq_topk(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    dim: int = 64,
+    dims: tuple[int, ...] = DEFAULT_BUCKET_DIMS,
+) -> DataFrame:
+    """The production ANN layout, composed: IVF partition pruning (probe
+    only the query's sign-bucket directory) over SYMMETRIC int8-quantized
+    codes (4x smaller scan, integer-exact ranking). This is
+    FAISS-IVF+SQ8's shape on a data lake: the corpus is written once,
+    partitioned by bucket, carrying its quantized codes; a probe reads
+    one bucket's files and ranks by integer dot product.
+
+    The codebook (one global scale) comes from the FULL corpus — codes
+    must be comparable across buckets, and queries quantize with the same
+    scale. Results equal ``sq_int8_topk`` restricted to same-bucket
+    candidates; ties break on corpus id."""
+    import os
+
+    marker = os.path.join(path, "_IVF_SQ_DONE")
+    if not os.path.exists(marker):
+        stats = sq_int8_stats(corpus, vec_col, dim)
+        coded = sq_int8_quantize(corpus, vec_col, stats, "qvec_i8")
+        coded.select(
+            F.col(id_col),
+            F.col("qvec_i8"),
+            bucket_id(vec_col, dims).alias("bucket"),
+        ).write.mode("overwrite").partitionBy("bucket").parquet(path)
+        stats.write.mode("overwrite").parquet(os.path.join(path, "_codebook"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    coded_corpus = spark.read.parquet(path).select(
+        F.col(id_col).alias("corpus_id"),
+        F.col("qvec_i8").alias("cq"),
+        F.col("bucket").cast("int").alias("bucket"),
+    )
+    stats = spark.read.parquet(os.path.join(path, "_codebook"))
+    q = sq_int8_quantize(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col),
+            bucket_id(vec_col, dims).cast("int").alias("bucket"),
+        ),
+        vec_col,
+        stats,
+        "qq",
+    ).select("query_id", "qq", "bucket")
+    joined = coded_corpus.join(F.broadcast(q), on=["bucket"]).where(
+        F.col("query_id") != F.col("corpus_id")
+    )
+    prod = F.zip_with(
+        F.col("qq"), F.col("cq"), lambda x, y: (x * y).cast("long")
+    )
+    qdot = F.aggregate(prod, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        joined.withColumn("qdot", qdot)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "qdot", "rnk")
+    )

@@ -82,6 +82,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "feature_bucketize",
     "table_snapshot_diff",
     "bpe_train",
+    "sim_recall_report",
+    "sim_ivf_sq",
     # (c) r1-vintage greens - stalest driver signatures
     "window_running_sum",
     "window_rank_dense",

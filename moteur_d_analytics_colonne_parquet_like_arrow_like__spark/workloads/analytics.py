@@ -124,6 +124,37 @@ def q_table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("change_op", "o_orderkey")
 
 
+def q_sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of single-probe LSH against the exact cosine baseline —
+    the ANN quality dial (operators/similarity.recall_report). Both
+    rankings are themselves gate-proven; the report is two tiny hash
+    aggregations over queries x k rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    approx = similarity.lsh_bucketed_topk(
+        emb, queries, "vec_id", "embedding", k=5
+    )
+    exact = similarity.cosine_topk_exact_baseline(
+        emb, queries, "vec_id", "embedding", k=5
+    )
+    return similarity.recall_report(approx, exact)
+
+
+def q_sim_ivf_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production ANN layout: IVF partition pruning over
+    symmetric int8-quantized codes (operators/similarity.ivf_sq_topk) —
+    a probe reads one bucket directory of 4x-compressed codes and ranks
+    by integer dot product."""
+    import hashlib
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    path = f"/tmp/ivfsq_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    return similarity.ivf_sq_topk(
+        spark, path, emb, queries, "vec_id", "embedding", k=5, dim=64
+    ).orderBy("query_id", "rnk")
+
+
 QUERIES = {
     "feature_correlations": q_feature_correlations,
     "orders_pareto": q_orders_pareto,
@@ -131,6 +162,8 @@ QUERIES = {
     "sim_topk_int8": q_sim_topk_int8,
     "feature_bucketize": q_feature_bucketize,
     "table_snapshot_diff": q_table_snapshot_diff,
+    "sim_recall_report": q_sim_recall_report,
+    "sim_ivf_sq": q_sim_ivf_sq,
 }
 
 # --- oracle SQL ---------------------------------------------------------
@@ -288,3 +321,85 @@ ORACLES = {
         ORDER BY change_op, o_orderkey
     """,
 }
+
+# Shared SQL fragments for the ANN oracles below.
+_RDOT = (
+    "list_reduce(list_transform(generate_series(1, 64), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), "
+    "(x, y) -> x + y)"
+)
+_RBUCKET = "CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END + CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END + CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END"
+
+
+# Recall@5: both rankings rebuilt in SQL (the same CTE shapes the
+# sim_topk_bruteforce / sim_topk_lsh oracles use), then a per-query set
+# intersection — integer-exact except one rounded division.
+ORACLES["sim_recall_report"] = f"""
+    WITH exact AS (
+        SELECT query_id, corpus_id FROM (
+            SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY round({_RDOT}, 6) DESC, a.vec_id ASC
+                   ) AS rnk
+            FROM embeddings a JOIN embeddings b
+              ON b.vec_id < 10 AND a.vec_id <> b.vec_id
+        ) WHERE rnk <= 5
+    ),
+    bucketed AS (
+        SELECT vec_id, embedding, {_RBUCKET} AS bucket FROM embeddings
+    ),
+    approx AS (
+        SELECT query_id, corpus_id FROM (
+            SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY round({_RDOT}, 6) DESC, a.vec_id ASC
+                   ) AS rnk
+            FROM bucketed a JOIN bucketed b
+              ON a.bucket = b.bucket AND b.vec_id < 10
+                 AND a.vec_id <> b.vec_id
+        ) WHERE rnk <= 5
+    ),
+    h AS (
+        SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS hits
+        FROM exact e JOIN approx x
+          ON e.query_id = x.query_id AND e.corpus_id = x.corpus_id
+        GROUP BY 1
+    ),
+    kk AS (
+        SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k
+        FROM exact GROUP BY 1
+    )
+    SELECT kk.query_id, COALESCE(h.hits, 0) AS hits, kk.k,
+           round(CAST(COALESCE(h.hits, 0) AS DOUBLE) / kk.k, 6) AS recall_r
+    FROM kk LEFT JOIN h ON kk.query_id = h.query_id
+    ORDER BY kk.query_id
+"""
+
+# IVF + int8 SQ composition: same quantized codes as sim_topk_int8,
+# candidates restricted to the query's sign bucket.
+ORACLES["sim_ivf_sq"] = f"""
+    WITH stats AS (SELECT {_SQ_STATS} FROM embeddings),
+    q AS (
+        SELECT vec_id, [{_SQ_CODES}] AS qv, {_RBUCKET} AS bucket
+        FROM embeddings CROSS JOIN stats
+    ),
+    scored AS (
+        SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
+               {_SQ_DOT} AS qdot
+        FROM q a JOIN q b
+          ON a.bucket = b.bucket AND b.vec_id < 10
+             AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, corpus_id, qdot,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY qdot DESC, corpus_id ASC
+               ) AS rnk
+        FROM scored
+    )
+    SELECT query_id, corpus_id, qdot, rnk FROM ranked
+    WHERE rnk <= 5 ORDER BY query_id, rnk
+"""

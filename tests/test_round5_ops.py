@@ -577,3 +577,75 @@ def test_bpe_train_merges_rejects_zero(spark):
 
     with pytest.raises(ValueError, match="n_merges"):
         tx.bpe_train_merges(None, "text", n_merges=0)
+
+
+def test_recall_report_counts_hits_and_misses(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import similarity as s
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (2, 22)],
+        ["query_id", "corpus_id"],
+    )
+    approx = spark.createDataFrame(
+        # query 1: 2/3 hits; query 2: 0/3 (approx found only strangers)
+        [(1, 10), (1, 12), (1, 99), (2, 98), (2, 97), (2, 96)],
+        ["query_id", "corpus_id"],
+    )
+    out = {
+        r["query_id"]: (r["hits"], r["k"], r["recall_r"])
+        for r in s.recall_report(approx, exact).collect()
+    }
+    assert out[1] == (2, 3, pytest.approx(2 / 3, abs=1e-6))
+    assert out[2] == (0, 3, 0.0)
+
+
+def test_ivf_sq_matches_int8_within_bucket_and_prunes(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark import plans
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import similarity as s
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivfsq")
+    got = s.ivf_sq_topk(
+        spark, path, emb, queries, "vec_id", "embedding", k=3, dim=64
+    )
+    # Composition contract: identical to the full int8 ranking restricted
+    # to same-bucket candidates.
+    stats = s.sq_int8_stats(emb, "embedding", dim=64)
+    bq = s.sq_int8_quantize(
+        emb.select("vec_id", "embedding", s.bucket_id("embedding").alias("b")),
+        "embedding",
+        stats,
+        "qv",
+    )
+    c = bq.select(
+        F.col("vec_id").alias("corpus_id"), F.col("qv").alias("cq"), "b"
+    )
+    q = bq.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq"),
+        F.col("b").alias("bq_"),
+    )
+    from pyspark.sql import Window
+
+    j = c.join(q, (F.col("b") == F.col("bq_")) & (F.col("query_id") != F.col("corpus_id")))
+    dot = F.aggregate(
+        F.zip_with("qq", "cq", lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("corpus_id").asc()
+    )
+    want = (
+        j.withColumn("qdot", dot)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("query_id", "corpus_id", "qdot", "rnk")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # The probe must partition-prune to the query buckets.
+    plan = plans.formatted_plan(got)
+    assert "PartitionFilters: [" in plan and "bucket" in plan
