@@ -824,3 +824,63 @@ def bpe_train_merges(
     for s in steps[1:]:
         out = out.unionByName(s)
     return out.orderBy("step")
+
+
+def bpe_encode_counts(
+    df: DataFrame, id_col: str, text_col: str, merges: DataFrame
+) -> DataFrame:
+    """Apply a learned BPE merge program (``bpe_train_merges`` output) to
+    every document and return per-document token statistics
+    ``(id, n_words, n_tokens)`` under the merged vocabulary — the encode
+    half of the tokenizer, and the token-count signal a data-mixture
+    budget actually bills against.
+
+    The merge program is aggregated into ONE ordered array of
+    (pair_a, pair_b) structs and broadcast; application is a Catalyst
+    ``aggregate`` fold over that array per word — the same space-padded
+    left-to-right replace the trainer used, so train and encode share
+    exact semantics. Encoding is therefore a pure per-row expression over
+    a broadcast program: zero shuffles until the final per-document sum,
+    the "train once, apply as a mapper" shape a 100 TB corpus needs.
+    """
+    toks = F.filter(
+        F.transform(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda w: F.regexp_replace(w, "[^a-z]", ""),
+        ),
+        lambda w: w != "",
+    )
+    prog = merges.agg(
+        F.array_sort(
+            F.collect_list(F.struct("step", "pair_a", "pair_b"))
+        ).alias("__prog")
+    )
+    words_df = df.select(
+        F.col(id_col), F.explode(toks).alias("word")
+    ).withColumn(
+        "seq", F.trim(F.regexp_replace("word", "(.)", "$1 "))
+    )
+    apply_merge = lambda acc, m: F.trim(  # noqa: E731
+        F.replace(
+            F.concat(F.lit(" "), acc, F.lit(" ")),
+            F.concat(
+                F.lit(" "), m["pair_a"], F.lit(" "), m["pair_b"], F.lit(" ")
+            ),
+            F.concat(F.lit(" "), m["pair_a"], m["pair_b"], F.lit(" ")),
+        )
+    )
+    encoded = (
+        words_df.crossJoin(F.broadcast(prog))
+        .withColumn(
+            "enc", F.aggregate("__prog", F.col("seq"), apply_merge)
+        )
+        .withColumn("n_tok", F.size(F.split(F.col("enc"), " ")))
+    )
+    return (
+        encoded.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy(id_col)
+    )

@@ -84,6 +84,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "bpe_train",
     "sim_recall_report",
     "sim_ivf_sq",
+    "bpe_encode",
     # (c) r1-vintage greens - stalest driver signatures
     "window_running_sum",
     "window_rank_dense",

@@ -78,11 +78,32 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer loop closed: train 3 BPE merges on the corpus, then
+    ENCODE every document with the learned program
+    (operators/text.bpe_encode_counts) — per-document word and
+    merged-vocab token counts. Encoding is a broadcast-program fold,
+    zero shuffles before the per-document sum."""
+    docs = _documents(spark, sf_dir)
+    # The n-row merge program is localCheckpoint-ed: the encode consumes
+    # it THREE times (program aggregation, broadcast, final action), and
+    # without the cut each consumption replays the whole training chain.
+    merges = text.bpe_train_merges(docs, "text", n_merges=3).localCheckpoint(
+        eager=True
+    )
+    # Train corpus-wide; demo the encode on a bounded slice (the encode
+    # itself is a per-row map — cost is linear, the slice just keeps the
+    # gate's DuckDB replay inside its time budget).
+    subset = docs.where(F.col("doc_id") < 500)
+    return text.bpe_encode_counts(subset, "doc_id", "text", merges)
+
+
 QUERIES = {
     "text_unigram_lm": q_text_unigram_lm,
     "text_token_entropy": q_text_token_entropy,
     "dedup_keep_best": q_dedup_keep_best,
     "bpe_train": q_bpe_train,
+    "bpe_encode": q_bpe_encode,
 }
 
 # Token CTE shared by the two text oracles: non-empty whitespace tokens of
@@ -293,4 +314,103 @@ ORACLES["bpe_train"] = r"""
         UNION ALL SELECT 4 AS step, a AS pair_a, b AS pair_b, a || b AS merged, w AS weight FROM t3
         UNION ALL SELECT 5 AS step, a AS pair_a, b AS pair_b, a || b AS merged, w AS weight FROM t4
     ORDER BY step
+"""
+
+
+# Encode with the 5 trained merges: the training CTE chain derives
+# t0..t4 on the vocab, then per-document words run the same replace
+# chain; token counts under the merged vocabulary per document.
+ORACLES["bpe_encode"] = r"""
+    WITH dt AS (
+        SELECT doc_id, unnest(list_filter(list_transform(
+            regexp_split_to_array(lower(trim(text)), '\s+'),
+            w -> regexp_replace(w, '[^a-z]', '', 'g')),
+            w -> w <> '')) AS word
+        FROM documents
+    ),
+    w0 AS (
+        SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS seq,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM dt GROUP BY 1
+    ),
+    p0 AS (
+        SELECT u.a AS a, u.b AS b, CAST(SUM(cnt) AS BIGINT) AS w
+        FROM (
+            SELECT cnt,
+                   unnest(list_transform(generate_series(1, len(syms) - 1),
+                          j -> struct_pack(a := syms[j], b := syms[j+1]))) AS u
+            FROM (SELECT string_split(seq, ' ') AS syms, cnt FROM w0)
+            WHERE len(syms) >= 2
+        )
+        GROUP BY u.a, u.b
+    ),
+    t0 AS (SELECT a, b, w FROM p0 ORDER BY w DESC, a ASC, b ASC LIMIT 1),
+    w1 AS (
+        SELECT trim(replace(' ' || seq || ' ',
+                            ' ' || a || ' ' || b || ' ',
+                            ' ' || a || b || ' ')) AS seq, cnt
+        FROM w0 CROSS JOIN t0
+    ),
+    p1 AS (
+        SELECT u.a AS a, u.b AS b, CAST(SUM(cnt) AS BIGINT) AS w
+        FROM (
+            SELECT cnt,
+                   unnest(list_transform(generate_series(1, len(syms) - 1),
+                          j -> struct_pack(a := syms[j], b := syms[j+1]))) AS u
+            FROM (SELECT string_split(seq, ' ') AS syms, cnt FROM w1)
+            WHERE len(syms) >= 2
+        )
+        GROUP BY u.a, u.b
+    ),
+    t1 AS (SELECT a, b, w FROM p1 ORDER BY w DESC, a ASC, b ASC LIMIT 1),
+    w2 AS (
+        SELECT trim(replace(' ' || seq || ' ',
+                            ' ' || a || ' ' || b || ' ',
+                            ' ' || a || b || ' ')) AS seq, cnt
+        FROM w1 CROSS JOIN t1
+    ),
+    p2 AS (
+        SELECT u.a AS a, u.b AS b, CAST(SUM(cnt) AS BIGINT) AS w
+        FROM (
+            SELECT cnt,
+                   unnest(list_transform(generate_series(1, len(syms) - 1),
+                          j -> struct_pack(a := syms[j], b := syms[j+1]))) AS u
+            FROM (SELECT string_split(seq, ' ') AS syms, cnt FROM w2)
+            WHERE len(syms) >= 2
+        )
+        GROUP BY u.a, u.b
+    ),
+    t2 AS (SELECT a, b, w FROM p2 ORDER BY w DESC, a ASC, b ASC LIMIT 1),
+    w3 AS (
+        SELECT trim(replace(' ' || seq || ' ',
+                            ' ' || a || ' ' || b || ' ',
+                            ' ' || a || b || ' ')) AS seq, cnt
+        FROM w2 CROSS JOIN t2
+    ),
+    dw AS (
+        SELECT doc_id,
+               trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS seq
+        FROM dt WHERE doc_id < 500
+    ),
+    e0 AS (
+        SELECT doc_id, trim(replace(' ' || seq || ' ',
+                            ' ' || a || ' ' || b || ' ',
+                            ' ' || a || b || ' ')) AS seq
+        FROM dw CROSS JOIN t0
+    ),
+    e1 AS (
+        SELECT doc_id, trim(replace(' ' || seq || ' ',
+                            ' ' || a || ' ' || b || ' ',
+                            ' ' || a || b || ' ')) AS seq
+        FROM e0 CROSS JOIN t1
+    ),
+    e2 AS (
+        SELECT doc_id, trim(replace(' ' || seq || ' ',
+                            ' ' || a || ' ' || b || ' ',
+                            ' ' || a || b || ' ')) AS seq
+        FROM e1 CROSS JOIN t2
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(string_split(seq, ' '))) AS BIGINT) AS n_tokens
+    FROM e2 GROUP BY doc_id ORDER BY doc_id
 """

@@ -649,3 +649,21 @@ def test_ivf_sq_matches_int8_within_bucket_and_prunes(spark, sf_dir, tmp_path):
     # The probe must partition-prune to the query buckets.
     plan = plans.formatted_plan(got)
     assert "PartitionFilters: [" in plan and "bucket" in plan
+
+
+def test_bpe_encode_counts_known_corpus(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower"), (2, "newest newest")],
+        ["doc_id", "text"],
+    )
+    merges = tx.bpe_train_merges(docs, "text", n_merges=3)
+    # merges: (l,o) -> (lo,w) -> (e,s). Encodings: low -> [low] (1 tok);
+    # lower -> [low, e, r] (3); newest -> [n, e, w, es, t] (5).
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in tx.bpe_encode_counts(docs, "doc_id", "text", merges).collect()
+    }
+    assert out[1] == (4, 3 * 1 + 3)
+    assert out[2] == (2, 2 * 5)
