@@ -155,3 +155,109 @@ def equidepth_histogram(
         )
         .orderBy("bucket")
     )
+
+
+def basket_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support_count: int = 2,
+    max_basket_size: int = 100,
+    top_n: int = 20,
+) -> DataFrame:
+    """Market-basket association rules over item pairs: for every ordered
+    pair (a → b) co-occurring in >= ``min_support_count`` baskets, the
+    classic measures — support (co-count / baskets), confidence
+    (co-count / count(a)), and lift (confidence / P(b)) — ranked by
+    (lift desc, pair asc), top ``top_n``.
+
+    Scale shape: distinct (basket, item) first (combiner-friendly — the
+    raw fact table is touched once), then the pair space comes from a
+    self-join ON THE BASKET KEY, bounded per basket by basket size; the
+    ``max_basket_size`` cap drops degenerate mega-baskets before pairing
+    (the same hot-bucket guard as MinHash LSH). Item frequencies and the
+    basket total are small aggregates broadcast back into the measures.
+    All counts are exact integers; the three ratios are single divisions
+    rounded at the end — cross-engine stable.
+    """
+    bi = df.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    sizes = bi.groupBy("b").agg(F.count(F.lit(1)).alias("__bn"))
+    bi = bi.join(
+        F.broadcast(sizes.where(F.col("__bn") <= max_basket_size)), "b"
+    ).select("b", "i")
+    n_baskets = bi.select("b").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_baskets")
+    )
+    freq = bi.groupBy("i").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    l, r = bi.alias("l"), bi.alias("r")
+    pairs = (
+        l.join(r, (F.col("l.b") == F.col("r.b")) & (F.col("l.i") != F.col("r.i")))
+        .groupBy(
+            F.col("l.i").alias("item_a"), F.col("r.i").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
+        .where(F.col("co") >= min_support_count)
+    )
+    fa = freq.select(F.col("i").alias("item_a"), F.col("cnt").alias("cnt_a"))
+    fb = freq.select(F.col("i").alias("item_b"), F.col("cnt").alias("cnt_b"))
+    out = (
+        pairs.join(F.broadcast(fa), "item_a")
+        .join(F.broadcast(fb), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "co",
+            F.round(F.col("co") / F.col("n_baskets"), 6).alias("support_r"),
+            F.round(F.col("co") / F.col("cnt_a"), 6).alias("confidence_r"),
+            F.round(
+                (F.col("co") * F.col("n_baskets"))
+                / (F.col("cnt_a") * F.col("cnt_b")),
+                6,
+            ).alias("lift_r"),
+        )
+    )
+    return out.orderBy(
+        F.col("lift_r").desc(),
+        F.col("item_a").asc(),
+        F.col("item_b").asc(),
+    ).limit(top_n)
+
+
+def normalize_scores_per_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group percentile-rank normalization: each row's score becomes
+    its exact within-group percentile ``(rank - 1) / (n - 1)`` (0 for a
+    1-row group), with ``id_col`` as the deterministic tie-breaker. The
+    curation use: quality scores from different sources live on different
+    scales; rank-normalizing per source makes one global threshold
+    meaningful across the mixture.
+
+    One window partitioned by group (a single exchange on the group key,
+    rank + count sharing it); the math is integer rank over integer count
+    — cross-engine exact except the final rounded division. Heavy skew
+    (one giant group) is bounded by that group's size, same as any
+    per-source pass.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    wn = Window.partitionBy(group_col)
+    return df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(score_col),
+        F.round(
+            F.when(F.count(F.lit(1)).over(wn) > 1,
+                   (F.row_number().over(w) - F.lit(1))
+                   / (F.count(F.lit(1)).over(wn) - F.lit(1)))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("pct_r"),
+    )

@@ -85,6 +85,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "sim_recall_report",
     "sim_ivf_sq",
     "bpe_encode",
+    "basket_rules",
+    "pipeline_score_normalize",
     # (c) r1-vintage greens - stalest driver signatures
     "window_running_sum",
     "window_rank_dense",

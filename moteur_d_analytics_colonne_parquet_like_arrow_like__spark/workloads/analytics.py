@@ -155,6 +155,36 @@ def q_sim_ivf_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rnk")
 
 
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over co-ordered parts: top-20
+    (a -> b) pairs by lift with exact support/confidence
+    (operators/stats.basket_rules) — the pair space is basket-key-joined
+    and capped, never an item cross join."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    return stats.basket_rules(
+        li, "l_orderkey", "l_partkey", min_support_count=3, top_n=20
+    )
+
+
+def q_pipeline_score_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile-rank normalization of document quality
+    scores (operators/stats.normalize_scores_per_group) — the curation
+    step that makes one global quality threshold meaningful across
+    sources whose raw score scales differ."""
+    from ..operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_features(
+        docs.select("doc_id", "source", "text"), "text"
+    ).select("doc_id", "source", F.round("q_score", 6).alias("q6"))
+    out = stats.normalize_scores_per_group(scored, "source", "q6", "doc_id")
+    return out.select(
+        "doc_id", "source", F.col("q6").alias("q_r"), "pct_r"
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "feature_correlations": q_feature_correlations,
     "orders_pareto": q_orders_pareto,
@@ -164,6 +194,8 @@ QUERIES = {
     "table_snapshot_diff": q_table_snapshot_diff,
     "sim_recall_report": q_sim_recall_report,
     "sim_ivf_sq": q_sim_ivf_sq,
+    "basket_rules": q_basket_rules,
+    "pipeline_score_normalize": q_pipeline_score_normalize,
 }
 
 # --- oracle SQL ---------------------------------------------------------
@@ -402,4 +434,56 @@ ORACLES["sim_ivf_sq"] = f"""
     )
     SELECT query_id, corpus_id, qdot, rnk FROM ranked
     WHERE rnk <= 5 ORDER BY query_id, rnk
+"""
+
+
+ORACLES["basket_rules"] = """
+    WITH bi AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ),
+    keep AS (SELECT b FROM bi GROUP BY b HAVING COUNT(*) <= 100),
+    bi2 AS (SELECT bi.b, bi.i FROM bi JOIN keep USING (b)),
+    nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n_baskets FROM bi2),
+    fr AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS cnt FROM bi2 GROUP BY i),
+    pr AS (
+        SELECT l.i AS item_a, r.i AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS co
+        FROM bi2 l JOIN bi2 r ON l.b = r.b AND l.i <> r.i
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    )
+    SELECT item_a, item_b, co,
+           round(co / CAST(n_baskets AS DOUBLE), 6) AS support_r,
+           round(co / CAST(fa.cnt AS DOUBLE), 6) AS confidence_r,
+           round((co * n_baskets) / CAST(fa.cnt * fb.cnt AS DOUBLE), 6)
+               AS lift_r
+    FROM pr
+    JOIN fr fa ON fa.i = pr.item_a
+    JOIN fr fb ON fb.i = pr.item_b
+    CROSS JOIN nb
+    ORDER BY lift_r DESC, item_a ASC, item_b ASC
+    LIMIT 20
+"""
+
+# Quality-score formula shared with pipeline2's _QSCORE (same CTE text).
+from .pipeline2 import _QSCORE as _P2_QSCORE
+
+ORACLES["pipeline_score_normalize"] = f"""
+    WITH {_P2_QSCORE},
+    s AS (
+        SELECT qs.doc_id, d.source, round(qs.q_score, 6) AS q6
+        FROM qs JOIN documents d ON d.doc_id = qs.doc_id
+    ),
+    r AS (
+        SELECT doc_id, source, q6,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY q6 ASC, doc_id ASC
+               ) AS rk,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM s
+    )
+    SELECT doc_id, source, q6 AS q_r,
+           round(CASE WHEN n > 1
+                      THEN (rk - 1) / CAST(n - 1 AS DOUBLE)
+                      ELSE 0.0 END, 6) AS pct_r
+    FROM r ORDER BY doc_id
 """

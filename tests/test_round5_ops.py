@@ -667,3 +667,62 @@ def test_bpe_encode_counts_known_corpus(spark):
     }
     assert out[1] == (4, 3 * 1 + 3)
     assert out[2] == (2, 2 * 5)
+
+
+def test_basket_rules_measures_and_cap(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import stats as st
+
+    # 4 baskets: {a,b} x3, {a,c} x1 -> pair (a,b) co=3; confidence
+    # a->b = 3/4, b->a = 3/3; lift(a,b) = (3*4)/(4*3) = 1.0,
+    # lift(b,a) = (3*4)/(3*4) = 1.0.
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"),
+        (4, "a"), (4, "c"),
+    ]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    out = {
+        (r["item_a"], r["item_b"]): (r["co"], r["confidence_r"], r["lift_r"])
+        for r in st.basket_rules(
+            df, "basket", "item", min_support_count=2
+        ).collect()
+    }
+    assert out[("a", "b")] == (3, 0.75, 1.0)
+    assert out[("b", "a")] == (3, 1.0, 1.0)
+    assert ("a", "c") not in out  # below min support
+
+    # mega-basket cap: a 3-item basket dropped with cap=2 removes pairs
+    capped = st.basket_rules(
+        spark.createDataFrame(
+            [(1, "x"), (1, "y"), (1, "z"), (2, "x"), (2, "y")],
+            ["basket", "item"],
+        ),
+        "basket",
+        "item",
+        min_support_count=2,
+        max_basket_size=2,
+    ).collect()
+    assert capped == []  # only basket 2 survives; co=1 < min_support
+
+
+def test_normalize_scores_per_group_percentiles(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import stats as st
+
+    df = spark.createDataFrame(
+        [
+            (1, "web", 0.1), (2, "web", 0.5), (3, "web", 0.9),
+            (4, "book", 0.5),  # singleton group -> 0.0
+            (5, "wiki", 0.3), (6, "wiki", 0.3),  # tie -> id breaks
+        ],
+        ["doc_id", "src", "score"],
+    )
+    out = {
+        r["doc_id"]: r["pct_r"]
+        for r in st.normalize_scores_per_group(
+            df, "src", "score", "doc_id"
+        ).collect()
+    }
+    assert out[1] == 0.0 and out[2] == 0.5 and out[3] == 1.0
+    assert out[4] == 0.0
+    assert out[5] == 0.0 and out[6] == 1.0
