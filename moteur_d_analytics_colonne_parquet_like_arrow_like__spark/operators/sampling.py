@@ -129,3 +129,59 @@ def mixture_sample(
         .withColumn("keep_frac_r", F.round(F.col("__keep_frac"), 9))
         .drop("__keep_frac")
     )
+
+
+def negative_pairs(
+    df: DataFrame, id_col: str, k: int = 4
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: ``k``
+    pseudo-random partner ids per row, derived from the stable md5 hash
+    family — ``cand(id, slot) = h60(id ':' slot) mod (max_id + 1)``,
+    self-collisions remapped to ``cand + 1 mod n``. Returns
+    (anchor id, slot, neg id), deterministic across runs, partitions,
+    and retries (the property that makes the training set reproducible).
+
+    Plan shape: the candidate expression is a per-row explode of k slots
+    (map-side); the inner join back onto the real id set keeps only
+    partners that exist — with DENSE ids (0..n-1, the usual layout after
+    corpus packing) every candidate hits and each anchor gets exactly k
+    negatives; with sparse ids the miss rate equals the sparsity and the
+    join silently yields fewer (document your id space or densify
+    first). The only shuffles are that narrow id equi-join and nothing
+    else; no RNG, no driver state.
+    """
+    bound = df.agg(
+        (F.max(F.col(id_col)) + F.lit(1)).cast("bigint").alias("__n")
+    )
+    anchors = df.select(F.col(id_col).alias("anchor")).crossJoin(
+        F.broadcast(bound)
+    )
+    slots = F.explode(
+        F.sequence(F.lit(1), F.lit(int(k)))
+    ).alias("slot")
+    cand = F.pmod(
+        stable_hash60(
+            F.concat(F.col("anchor").cast("string"), F.lit(":"), F.col("slot").cast("string"))
+        ),
+        F.col("__n"),
+    )
+    c = (
+        anchors.select("anchor", slots, F.col("__n"))
+        .withColumn("__cand", cand)
+        .withColumn(
+            "__cand",
+            F.when(F.col("__cand") == F.col("anchor"),
+                   F.pmod(F.col("__cand") + 1, F.col("__n")))
+            .otherwise(F.col("__cand")),
+        )
+    )
+    real = df.select(F.col(id_col).alias("__cand")).distinct()
+    return (
+        c.join(real, "__cand")
+        .select(
+            F.col("anchor").alias(id_col),
+            F.col("slot").cast("int").alias("slot"),
+            F.col("__cand").alias("neg_id"),
+        )
+        .orderBy(id_col, "slot")
+    )

@@ -172,3 +172,50 @@ def winsorize(
         "winsorized",
         F.least(F.greatest(F.col(value_col), F.col("lo")), F.col("hi")),
     )
+
+
+def ewma_half(
+    observed: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Exponentially-weighted moving average with alpha = 1/2 per key:
+    ``ewma_1 = x_1; ewma_t = x_t/2 + ewma_{t-1}/2`` over the
+    ``order_col``-sorted series. Returns (key, n_points, last_value,
+    ewma_r) — the smoothed level a monitoring/forecast pass reads.
+
+    Exactness across engines WITHOUT decimal routing: the recurrence is
+    evaluated as a SEQUENTIAL FOLD over the per-key ordered array
+    (``aggregate`` here, ``list_reduce`` in ANSI engines), so the
+    operation order is fixed by definition — and every step is two
+    IEEE-exact halvings plus one correctly-rounded add, identical
+    everywhere. This is the same determinism contract as
+    ``functions.dot_product``, applied to a recurrence that window
+    functions cannot express (each output depends on the previous
+    OUTPUT, not a frame of inputs).
+
+    Scale shape: one groupBy(key) collecting the ordered (order, value)
+    structs — the array is bounded by the per-key series length (days,
+    not events; aggregate ``observed`` to one row per (key, step) first,
+    e.g. via ``resample_ffill`` or a bucketed mean). The fold is a
+    per-row expression after that single shuffle.
+    """
+    pts = observed.groupBy(F.col(key_col).alias("key")).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(order_col).alias("o"),
+                                    F.col(value_col).alias("v")))
+        ).alias("__pts")
+    )
+    vals = F.transform(F.col("__pts"), lambda p: p["v"].cast("double"))
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: acc / F.lit(2.0) + x / F.lit(2.0),
+    )
+    return pts.select(
+        F.col("key").alias(key_col),
+        F.size(F.col("__pts")).cast("bigint").alias("n_points"),
+        F.round(F.element_at(vals, -1), 6).alias("last_r"),
+        F.round(ewma, 6).alias("ewma_r"),
+    ).orderBy(key_col)

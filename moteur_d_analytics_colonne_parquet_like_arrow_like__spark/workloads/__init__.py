@@ -87,6 +87,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "bpe_encode",
     "basket_rules",
     "pipeline_score_normalize",
+    "events_ewma",
+    "pipeline_negative_pairs",
     # (c) r1-vintage greens - stalest driver signatures
     "window_running_sum",
     "window_rank_dense",

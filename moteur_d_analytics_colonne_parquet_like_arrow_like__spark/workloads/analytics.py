@@ -185,6 +185,37 @@ def q_pipeline_score_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (alpha=1/2) of the daily mean event value
+    (operators/timeseries.ewma_half): the recurrence runs as a per-key
+    sequential fold, so it is cross-engine exact with no decimal routing
+    — the smoothing level a monitoring pass reads per entity. The daily
+    mean itself routes its sum through DECIMAL so the fold's inputs are
+    order-independent."""
+    from ..operators import timeseries
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    return timeseries.ewma_half(daily, "user_id", "day", "m")
+
+
+def q_pipeline_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling: 4 md5-derived partner
+    docs per document (operators/sampling.negative_pairs) — reproducible
+    across runs/partitions/retries, no RNG."""
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return sampling.negative_pairs(docs, "doc_id", k=4)
+
+
 QUERIES = {
     "feature_correlations": q_feature_correlations,
     "orders_pareto": q_orders_pareto,
@@ -196,6 +227,8 @@ QUERIES = {
     "sim_ivf_sq": q_sim_ivf_sq,
     "basket_rules": q_basket_rules,
     "pipeline_score_normalize": q_pipeline_score_normalize,
+    "events_ewma": q_events_ewma,
+    "pipeline_negative_pairs": q_pipeline_negative_pairs,
 }
 
 # --- oracle SQL ---------------------------------------------------------
@@ -486,4 +519,48 @@ ORACLES["pipeline_score_normalize"] = f"""
                       THEN (rk - 1) / CAST(n - 1 AS DOUBLE)
                       ELSE 0.0 END, 6) AS pct_r
     FROM r ORDER BY doc_id
+"""
+
+
+ORACLES["events_ewma"] = """
+    WITH d AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+                   AS m
+        FROM events GROUP BY 1, 2
+    ),
+    arr AS (
+        SELECT user_id,
+               list_transform(
+                   list_sort(list(struct_pack(o := day, v := m))),
+                   p -> p.v) AS vals
+        FROM d GROUP BY user_id
+    )
+    SELECT user_id, CAST(len(vals) AS BIGINT) AS n_points,
+           round(vals[-1], 6) AS last_r,
+           round(list_reduce(vals, (acc, x) -> acc / 2.0 + x / 2.0), 6)
+               AS ewma_r
+    FROM arr ORDER BY user_id
+"""
+
+ORACLES["pipeline_negative_pairs"] = """
+    WITH n AS (SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS nn FROM documents),
+    slots AS (SELECT unnest(generate_series(1, 4)) AS slot),
+    c AS (
+        SELECT d.doc_id AS anchor, slots.slot,
+               CAST(concat('0x', substr(
+                   md5(d.doc_id || ':' || slots.slot), 1, 15)) AS BIGINT)
+                   % nn AS cand
+        FROM documents d CROSS JOIN n CROSS JOIN slots
+    ),
+    fixed AS (
+        SELECT anchor, slot,
+               CASE WHEN cand = anchor THEN (cand + 1) % (SELECT nn FROM n)
+                    ELSE cand END AS cand
+        FROM c
+    )
+    SELECT f.anchor AS doc_id, CAST(f.slot AS INTEGER) AS slot,
+           f.cand AS neg_id
+    FROM fixed f JOIN documents r ON r.doc_id = f.cand
+    ORDER BY doc_id, slot
 """

@@ -726,3 +726,31 @@ def test_normalize_scores_per_group_percentiles(spark):
     assert out[1] == 0.0 and out[2] == 0.5 and out[3] == 1.0
     assert out[4] == 0.0
     assert out[5] == 0.0 and out[6] == 1.0
+
+
+def test_ewma_half_recurrence_and_singleton(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import timeseries as ts
+
+    df = spark.createDataFrame(
+        # series 8, 4, 2: ewma = ((8/2 + 4/2)=6 -> 6/2 + 2/2 = 4.0
+        [(1, 1, 8.0), (1, 2, 4.0), (1, 3, 2.0), (2, 1, 7.5)],
+        ["k", "t", "v"],
+    )
+    out = {
+        r["k"]: (r["n_points"], r["last_r"], r["ewma_r"])
+        for r in ts.ewma_half(df, "k", "t", "v").collect()
+    }
+    assert out[1] == (3, 2.0, 4.0)
+    assert out[2] == (1, 7.5, 7.5)  # ewma of a singleton is the value
+
+
+def test_negative_pairs_deterministic_no_self(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import sampling as sp
+
+    ids = spark.createDataFrame([(i,) for i in range(50)], ["doc_id"])
+    a = sp.negative_pairs(ids, "doc_id", k=3).collect()
+    b = sp.negative_pairs(ids, "doc_id", k=3).collect()
+    assert a == b  # reproducible
+    assert len(a) == 150  # dense ids: exactly k per anchor
+    assert all(r["neg_id"] != r["doc_id"] for r in a)  # no self-pairs
+    assert all(0 <= r["neg_id"] < 50 for r in a)
