@@ -89,6 +89,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "pipeline_score_normalize",
     "events_ewma",
     "pipeline_negative_pairs",
+    "table_schema_evolution",
     # (c) r1-vintage greens - stalest driver signatures
     "window_running_sum",
     "window_rank_dense",

@@ -216,6 +216,49 @@ def q_pipeline_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.negative_pairs(docs, "doc_id", k=4)
 
 
+def q_table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution on the gate: v0 commits a 2-column
+    orders slice, v1 appends rows WITH a new nullable column
+    (allow_evolution). Reading v1 projects v0's files through the
+    widened schema (old rows -> NULL in the new column); reading v0
+    still sees the original 2 columns. The output aggregates both
+    reads; the oracle recomputes each version's content from orders, so
+    the widened-read NULL semantics are value-checked."""
+    import hashlib
+
+    from ..sources.snapshots import SnapshotTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    v0_rows = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    v1_rows = orders.where(F.col("o_orderkey") % 3 == 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price_r"),
+    )
+    path = f"/tmp/snapevo_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    t = SnapshotTable(path)
+    if t.latest_version() != 1:
+        t.append(v0_rows.repartition(4))
+        t.append(v1_rows.repartition(4), allow_evolution=True)
+    latest = t.read(spark, 1)
+    by_status = latest.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("price_r").cast("bigint").alias("n_priced"),
+        F.sum(F.col("price_r").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+    v0_read = t.read(spark, 0).agg(
+        F.lit("__v0_total").alias("o_orderstatus"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.lit(0).cast("bigint").alias("n_priced"),
+        F.lit(None).cast("double").alias("sum_price"),
+    )
+    return by_status.unionByName(v0_read).orderBy("o_orderstatus")
+
+
 QUERIES = {
     "feature_correlations": q_feature_correlations,
     "orders_pareto": q_orders_pareto,
@@ -229,6 +272,7 @@ QUERIES = {
     "pipeline_score_normalize": q_pipeline_score_normalize,
     "events_ewma": q_events_ewma,
     "pipeline_negative_pairs": q_pipeline_negative_pairs,
+    "table_schema_evolution": q_table_schema_evolution,
 }
 
 # --- oracle SQL ---------------------------------------------------------
@@ -563,4 +607,30 @@ ORACLES["pipeline_negative_pairs"] = """
            f.cand AS neg_id
     FROM fixed f JOIN documents r ON r.doc_id = f.cand
     ORDER BY doc_id, slot
+"""
+
+
+ORACLES["table_schema_evolution"] = """
+    WITH v0 AS (
+        SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    v1new AS (
+        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price_r
+        FROM orders WHERE o_orderkey % 3 = 1
+    ),
+    latest AS (
+        SELECT o_orderstatus, CAST(NULL AS DOUBLE) AS price_r FROM v0
+        UNION ALL
+        SELECT o_orderstatus, price_r FROM v1new
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(price_r) AS BIGINT) AS n_priced,
+           CAST(SUM(CAST(price_r AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM latest GROUP BY o_orderstatus
+    UNION ALL
+    SELECT '__v0_total', CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM v0
+    ORDER BY o_orderstatus
 """
