@@ -90,6 +90,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "events_ewma",
     "pipeline_negative_pairs",
     "table_schema_evolution",
+    "events_top_paths",
     # (c) r1-vintage greens - stalest driver signatures
     "window_running_sum",
     "window_rank_dense",

@@ -259,6 +259,61 @@ def q_table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return by_status.unionByName(v0_read).orderBy("o_orderstatus")
 
 
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining — the funnel-DISCOVERY complement of
+    events_funnel (which checks one known path): sessionize by the same
+    30-minute gap rule as batch_sessionize, take each session's first 5
+    event types in (ts, event_id) order as a path string, and rank the
+    top 20 paths by frequency.
+
+    Plan: the two sessionization windows and the path-collection
+    aggregation all share ONE (user_id, ts) exchange; the path groupBy
+    reduces to at most |distinct paths| rows (bounded by type-vocabulary
+    ^5, and in practice by Zipf); top-k is TakeOrderedAndProject. At
+    100 TB nothing after the per-session reduction touches raw events."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap_min = (
+        F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    ) / 60
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(gap_min.isNull() | (gap_min > 30), 1)
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sess = flagged.withColumn("sid", F.sum("new_s").over(w))
+    paths = (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.slice(F.col("evs"), 1, 5), lambda e: e["event_type"]
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(20)
+    )
+
+
 QUERIES = {
     "feature_correlations": q_feature_correlations,
     "orders_pareto": q_orders_pareto,
@@ -273,6 +328,7 @@ QUERIES = {
     "events_ewma": q_events_ewma,
     "pipeline_negative_pairs": q_pipeline_negative_pairs,
     "table_schema_evolution": q_table_schema_evolution,
+    "events_top_paths": q_events_top_paths,
 }
 
 # --- oracle SQL ---------------------------------------------------------
@@ -633,4 +689,37 @@ ORACLES["table_schema_evolution"] = """
            CAST(NULL AS DOUBLE)
     FROM v0
     ORDER BY o_orderstatus
+"""
+
+
+ORACLES["events_top_paths"] = """
+    WITH o AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts) / 60.0
+                            > 30
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    s AS (
+        SELECT *, SUM(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS sid
+        FROM o
+    ),
+    p AS (
+        SELECT array_to_string(
+                   list_transform(
+                       list_sort(list(struct_pack(
+                           ts := ts, event_id := event_id,
+                           t := event_type)))[1:5],
+                       e -> e.t),
+                   '>') AS path
+        FROM s GROUP BY user_id, sid
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM p GROUP BY path
+    ORDER BY n_sessions DESC, path ASC
+    LIMIT 20
 """

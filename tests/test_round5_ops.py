@@ -754,3 +754,14 @@ def test_negative_pairs_deterministic_no_self(spark):
     assert len(a) == 150  # dense ids: exactly k per anchor
     assert all(r["neg_id"] != r["doc_id"] for r in a)  # no self-pairs
     assert all(0 <= r["neg_id"] < 50 for r in a)
+
+
+def test_top_paths_sessionizes_and_truncates(spark, sf_dir):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import analytics
+
+    out = analytics.q_events_top_paths(spark, sf_dir).collect()
+    assert 0 < len(out) <= 20
+    # paths are at most 5 steps and counts are descending
+    assert all(len(r["path"].split(">")) <= 5 for r in out)
+    counts = [r["n_sessions"] for r in out]
+    assert counts == sorted(counts, reverse=True)
