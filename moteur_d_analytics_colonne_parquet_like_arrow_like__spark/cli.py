@@ -205,6 +205,40 @@ def _cmd_snapshot(args: argparse.Namespace) -> int:
         res = t.vacuum(keep_versions=args.keep_versions)
         print(json.dumps(res))
         return 0
+    if args.action == "diff":
+        from pyspark.sql import functions as F
+
+        from .sources.snapshots import diff_pruned_files, snapshot_diff
+
+        if args.version is None or args.to_version is None:
+            raise ValueError("diff needs --version (from) and --to-version")
+        if not args.keys:
+            raise ValueError("diff needs --keys col[,col...]")
+        keys = [c.strip() for c in args.keys.split(",")]
+        only_f, only_t, shared = diff_pruned_files(
+            t, args.version, args.to_version
+        )
+        print(
+            f"files: {len(only_f)} only-v{args.version}, "
+            f"{len(only_t)} only-v{args.to_version}, "
+            f"{len(shared)} shared (pruned from the scan)"
+        )
+        d = snapshot_diff(
+            t,
+            get_spark("moteur_cli_snapshot"),
+            args.version,
+            args.to_version,
+            keys,
+        )
+        counts = {
+            r["change_op"]: r["n"]
+            for r in d.groupBy("change_op").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        print(json.dumps({"changes": counts}))
+        d.orderBy("change_op", *keys).show(args.limit, truncate=False)
+        return 0
     raise ValueError(f"unknown snapshot action {args.action!r}")
 
 
@@ -269,10 +303,23 @@ def build_parser() -> argparse.ArgumentParser:
     sq.add_argument("--explain", action="store_true")
     sq.set_defaults(fn=_cmd_sql)
 
-    sn = sub.add_parser("snapshot", help="snapshot-table history/read/compact/vacuum")
-    sn.add_argument("action", choices=["history", "read", "compact", "vacuum"])
+    sn = sub.add_parser(
+        "snapshot", help="snapshot-table history/read/compact/vacuum/diff"
+    )
+    sn.add_argument(
+        "action", choices=["history", "read", "compact", "vacuum", "diff"]
+    )
     sn.add_argument("path")
     sn.add_argument("--version", type=int, default=None)
+    sn.add_argument(
+        "--to-version",
+        type=int,
+        default=None,
+        help="diff target version (--version is the base)",
+    )
+    sn.add_argument(
+        "--keys", default=None, help="diff key columns, comma-separated"
+    )
     sn.add_argument("--target-files", type=int, default=1)
     sn.add_argument(
         "--zorder",

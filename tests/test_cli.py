@@ -194,3 +194,42 @@ def test_sql_verb_col_views(spark, tmp_path, capsys):
         ["sql", "SELECT count(*) AS n FROM t", "--table", f"t={d}"]
     )
     assert rc == 0 and "3000" in capsys.readouterr().out
+
+
+def test_cli_snapshot_diff(spark, tmp_path, capsys):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.snapshots import (
+        SnapshotTable,
+    )
+
+    path = str(tmp_path / "snap_cli_diff")
+    t = SnapshotTable(path)
+    t.append(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(20)], ["k", "x"]
+        ).repartition(4)
+    )
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            [(3, 99.0, False), (50, 50.0, False), (7, 7.0, True)],
+            ["k", "x", "d"],
+        ),
+        keys=["k"],
+        delete_col="d",
+    )
+    rc = cli.main(
+        ["snapshot", "diff", path, "--version", "0", "--to-version", "1",
+         "--keys", "k"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "shared (pruned from the scan)" in out
+    assert '"update": 1' in out and '"insert": 1' in out and '"delete": 1' in out
+    # error paths: missing versions / missing keys
+    assert cli.main(["snapshot", "diff", path, "--version", "0"]) == 1
+    assert (
+        cli.main(
+            ["snapshot", "diff", path, "--version", "0", "--to-version", "1"]
+        )
+        == 1
+    )
