@@ -368,3 +368,73 @@ def fuzzy_best_match(
         .where(F.col("__rk") == 1)
         .select("left_id", "right_id", "name_l", "name_r", "dist")
     )
+
+
+def join_plan_advisor(
+    left: DataFrame,
+    right: DataFrame,
+    key_l: str,
+    key_r: str,
+    broadcast_row_limit: int = 1_000_000,
+    skew_x_mean: float = 10.0,
+) -> DataFrame:
+    """Pre-join planning report — the numbers behind the broadcast /
+    plain-shuffle / salted decision, as ONE deterministic row:
+    per-side row and key counts, the EXACT inner-join output cardinality
+    (sum over matching keys of cnt_l x cnt_r — what a cost-based
+    optimizer estimates, computed exactly here), each side's hottest-key
+    multiplier over its mean, and the recommendation:
+
+    - ``broadcast`` when a side's row count fits the broadcast budget,
+    - ``salt`` when the shuffled join's hottest key exceeds
+      ``skew_x_mean`` times its side's mean key load (the single-reducer
+      straggler signature — AQE splits moderate skew, salting handles
+      the pathological key deterministically; see ``salted_join``),
+    - ``shuffle`` otherwise.
+
+    Scale shape: each side reduces to its per-key count table first
+    (combiner-friendly; the raw tables are scanned once and never joined
+    row-to-row), the output-size estimate joins the two SMALL count
+    tables on the key, and every statistic after that aggregates counts.
+    Advising on a 100 TB join costs two narrow scans.
+    """
+    lc = left.groupBy(F.col(key_l).alias("k")).agg(
+        F.count(F.lit(1)).alias("cl")
+    )
+    rc = right.groupBy(F.col(key_r).alias("k")).agg(
+        F.count(F.lit(1)).alias("cr")
+    )
+    lstats = lc.agg(
+        F.sum("cl").cast("bigint").alias("l_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("l_keys"),
+        F.max("cl").cast("bigint").alias("l_hot"),
+    )
+    rstats = rc.agg(
+        F.sum("cr").cast("bigint").alias("r_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("r_keys"),
+        F.max("cr").cast("bigint").alias("r_hot"),
+    )
+    est = lc.join(rc, "k").agg(
+        F.sum(F.col("cl") * F.col("cr")).cast("bigint").alias("out_rows")
+    )
+    one = lstats.crossJoin(F.broadcast(rstats)).crossJoin(F.broadcast(est))
+    l_x = F.round(F.col("l_hot") * F.col("l_keys") / F.col("l_rows"), 3)
+    r_x = F.round(F.col("r_hot") * F.col("r_keys") / F.col("r_rows"), 3)
+    rec = (
+        F.when(F.col("r_rows") <= broadcast_row_limit, F.lit("broadcast_right"))
+        .when(F.col("l_rows") <= broadcast_row_limit, F.lit("broadcast_left"))
+        .when(
+            (l_x > skew_x_mean) | (r_x > skew_x_mean), F.lit("salt")
+        )
+        .otherwise(F.lit("shuffle"))
+    )
+    return one.select(
+        "l_rows",
+        "l_keys",
+        "r_rows",
+        "r_keys",
+        F.coalesce(F.col("out_rows"), F.lit(0)).alias("out_rows"),
+        l_x.alias("l_hot_x_mean_r"),
+        r_x.alias("r_hot_x_mean_r"),
+        rec.alias("recommendation"),
+    )

@@ -91,6 +91,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "pipeline_negative_pairs",
     "table_schema_evolution",
     "events_top_paths",
+    "join_plan_advisor",
     # (c) r1-vintage greens - stalest driver signatures
     "window_running_sum",
     "window_rank_dense",

@@ -314,6 +314,25 @@ def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_plan_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join planning reports (operators/joins.join_plan_advisor) for
+    two join shapes: the lineitem-orders fact join and the events
+    self-join on user_id — per-side rows/keys, the EXACT inner-join
+    output cardinality, hottest-key multipliers, and the
+    broadcast/salt/shuffle recommendation. Two narrow count-table
+    passes per report; the raw tables never pair up."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    a = joins.join_plan_advisor(
+        li, orders, "l_orderkey", "o_orderkey", broadcast_row_limit=10_000
+    ).select(F.lit("lineitem~orders").alias("pair"), "*")
+    b = joins.join_plan_advisor(
+        ev, ev, "user_id", "user_id"
+    ).select(F.lit("events~events").alias("pair"), "*")
+    return a.unionByName(b).orderBy("pair")
+
+
 QUERIES = {
     "feature_correlations": q_feature_correlations,
     "orders_pareto": q_orders_pareto,
@@ -329,6 +348,7 @@ QUERIES = {
     "pipeline_negative_pairs": q_pipeline_negative_pairs,
     "table_schema_evolution": q_table_schema_evolution,
     "events_top_paths": q_events_top_paths,
+    "join_plan_advisor": q_join_plan_advisor,
 }
 
 # --- oracle SQL ---------------------------------------------------------
@@ -722,4 +742,53 @@ ORACLES["events_top_paths"] = """
     FROM p GROUP BY path
     ORDER BY n_sessions DESC, path ASC
     LIMIT 20
+"""
+
+
+ORACLES["join_plan_advisor"] = """
+    WITH lc AS (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+    oc AS (SELECT o_orderkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),
+    ec AS (SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY 1),
+    rep1 AS (
+        SELECT 'lineitem~orders' AS pair,
+               (SELECT CAST(SUM(c) AS BIGINT) FROM lc) AS l_rows,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lc) AS l_keys,
+               (SELECT CAST(SUM(c) AS BIGINT) FROM oc) AS r_rows,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM oc) AS r_keys,
+               (SELECT CAST(COALESCE(SUM(lc.c * oc.c), 0) AS BIGINT)
+                FROM lc JOIN oc USING (k)) AS out_rows,
+               (SELECT round(MAX(c) * COUNT(*) / CAST(SUM(c) AS DOUBLE), 3)
+                FROM lc) AS l_hot_x_mean_r,
+               (SELECT round(MAX(c) * COUNT(*) / CAST(SUM(c) AS DOUBLE), 3)
+                FROM oc) AS r_hot_x_mean_r
+    ),
+    rep2 AS (
+        SELECT 'events~events' AS pair,
+               (SELECT CAST(SUM(c) AS BIGINT) FROM ec) AS l_rows,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ec) AS l_keys,
+               (SELECT CAST(SUM(c) AS BIGINT) FROM ec) AS r_rows,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ec) AS r_keys,
+               (SELECT CAST(SUM(c * c) AS BIGINT) FROM ec) AS out_rows,
+               (SELECT round(MAX(c) * COUNT(*) / CAST(SUM(c) AS DOUBLE), 3)
+                FROM ec) AS l_hot_x_mean_r,
+               (SELECT round(MAX(c) * COUNT(*) / CAST(SUM(c) AS DOUBLE), 3)
+                FROM ec) AS r_hot_x_mean_r
+    ),
+    reps AS (SELECT * FROM rep1 UNION ALL SELECT * FROM rep2)
+    SELECT pair, l_rows, l_keys, r_rows, r_keys, out_rows,
+           l_hot_x_mean_r, r_hot_x_mean_r,
+           CASE WHEN pair = 'lineitem~orders' THEN
+                    CASE WHEN r_rows <= 10000 THEN 'broadcast_right'
+                         WHEN l_rows <= 10000 THEN 'broadcast_left'
+                         WHEN l_hot_x_mean_r > 10.0
+                              OR r_hot_x_mean_r > 10.0 THEN 'salt'
+                         ELSE 'shuffle' END
+                ELSE
+                    CASE WHEN r_rows <= 1000000 THEN 'broadcast_right'
+                         WHEN l_rows <= 1000000 THEN 'broadcast_left'
+                         WHEN l_hot_x_mean_r > 10.0
+                              OR r_hot_x_mean_r > 10.0 THEN 'salt'
+                         ELSE 'shuffle' END
+           END AS recommendation
+    FROM reps ORDER BY pair
 """

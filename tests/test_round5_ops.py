@@ -765,3 +765,35 @@ def test_top_paths_sessionizes_and_truncates(spark, sf_dir):
     assert all(len(r["path"].split(">")) <= 5 for r in out)
     counts = [r["n_sessions"] for r in out]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_join_plan_advisor_recommendations(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import joins as j
+
+    fact = spark.createDataFrame(
+        [(i % 100, i) for i in range(5000)], ["k", "v"]
+    )
+    dim = spark.createDataFrame([(i, i) for i in range(100)], ["k", "d"])
+    # small right side -> broadcast
+    r = j.join_plan_advisor(fact, dim, "k", "k", broadcast_row_limit=1000)
+    row = r.collect()[0]
+    assert row["recommendation"] == "broadcast_right"
+    assert row["out_rows"] == 5000  # each fact row matches exactly one dim
+
+    # skewed self-join, broadcast budget exhausted -> salt
+    skewed = spark.createDataFrame(
+        [(0, i) for i in range(900)] + [(i, i) for i in range(1, 101)],
+        ["k", "v"],
+    )
+    row = j.join_plan_advisor(
+        skewed, skewed, "k", "k", broadcast_row_limit=10
+    ).collect()[0]
+    assert row["recommendation"] == "salt"
+    assert row["out_rows"] == 900 * 900 + 100  # hot key square + singletons
+    assert row["l_hot_x_mean_r"] > 10
+
+    # balanced fact-fact, nothing broadcastable -> shuffle
+    row = j.join_plan_advisor(
+        fact, fact, "k", "k", broadcast_row_limit=10
+    ).collect()[0]
+    assert row["recommendation"] == "shuffle"
