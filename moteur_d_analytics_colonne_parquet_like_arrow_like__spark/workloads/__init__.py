@@ -92,6 +92,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "table_schema_evolution",
     "events_top_paths",
     "join_plan_advisor",
+    "table_incremental_view",
     # (c) r1-vintage greens - stalest driver signatures
     "window_running_sum",
     "window_rank_dense",

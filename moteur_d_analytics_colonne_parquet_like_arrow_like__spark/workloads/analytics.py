@@ -333,6 +333,34 @@ def q_join_plan_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b).orderBy("pair")
 
 
+def q_table_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-driven incremental view maintenance (operators/views): the
+    per-status aggregate view materialized at snapshot v0 absorbs ONLY
+    the snapshot_diff(0, 1) change set — never rescanning the table —
+    and must land exactly on the view recomputed from v1, which is what
+    the oracle derives from the orders table directly. The refresh cost
+    is O(changes); the exactness comes from decimal delta algebra."""
+    import hashlib
+
+    from ..operators import views
+    from ..sources.snapshots import SnapshotTable, snapshot_diff
+
+    # Same table the snapshot-diff gate query builds (shared /tmp cache).
+    q_table_snapshot_diff(spark, sf_dir).limit(0).collect()
+    path = f"/tmp/snapdiff_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    t = SnapshotTable(path)
+    view0 = views.agg_view(t.read(spark, 0), "o_orderstatus", "price_r")
+    diff = snapshot_diff(t, spark, 0, 1, keys=["o_orderkey"])
+    maintained = views.maintain_agg_view(
+        view0, diff, "o_orderstatus", "price_r"
+    )
+    return maintained.select(
+        "o_orderstatus",
+        "n_rows",
+        F.round(F.col("__sum_dec").cast("double"), 2).alias("sum_price_r"),
+    ).orderBy("o_orderstatus")
+
+
 QUERIES = {
     "feature_correlations": q_feature_correlations,
     "orders_pareto": q_orders_pareto,
@@ -349,6 +377,7 @@ QUERIES = {
     "table_schema_evolution": q_table_schema_evolution,
     "events_top_paths": q_events_top_paths,
     "join_plan_advisor": q_join_plan_advisor,
+    "table_incremental_view": q_table_incremental_view,
 }
 
 # --- oracle SQL ---------------------------------------------------------
@@ -791,4 +820,29 @@ ORACLES["join_plan_advisor"] = """
                          ELSE 'shuffle' END
            END AS recommendation
     FROM reps ORDER BY pair
+"""
+
+
+ORACLES["table_incremental_view"] = """
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               round(o_totalprice, 2) AS price_r
+        FROM orders WHERE o_orderkey % 5 <> 4
+    ),
+    v1 AS (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderkey % 37 = 0 THEN price_r + 1.0
+                    ELSE price_r END AS price_r
+        FROM base WHERE o_orderkey % 41 <> 0
+        UNION ALL
+        SELECT o_orderstatus, round(o_totalprice, 2)
+        FROM orders
+        WHERE o_orderkey % 5 = 4 AND o_orderkey % 3 = 0
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           round(CAST(SUM(CAST(price_r AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_price_r
+    FROM v1 GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
 """

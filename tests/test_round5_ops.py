@@ -797,3 +797,57 @@ def test_join_plan_advisor_recommendations(spark):
         fact, fact, "k", "k", broadcast_row_limit=10
     ).collect()[0]
     assert row["recommendation"] == "shuffle"
+
+
+def test_maintain_agg_view_matches_recompute(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import views
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.snapshots import (
+        SnapshotTable,
+        snapshot_diff,
+    )
+
+    t = SnapshotTable(str(tmp_path / "ivm"))
+    base = spark.createDataFrame(
+        [(i, "g" + str(i % 3), float(i)) for i in range(30)],
+        ["k", "g", "x"],
+    )
+    t.append(base.repartition(4))
+    # update k=3 (+100), delete k=7, insert k=100 into g1, and delete the
+    # ONLY member of a brand-new group to test group drop-out: first add
+    # k=200 in its own group, then remove it in the same merge? -> two
+    # merges: add, then remove.
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            [(3, "g0", 103.0, False), (7, "g1", 7.0, True),
+             (100, "g1", 100.0, False), (200, "gz", 1.0, False)],
+            ["k", "g", "x", "d"],
+        ),
+        keys=["k"],
+        delete_col="d",
+    )
+    t.merge(
+        spark,
+        spark.createDataFrame([(200, "gz", 1.0, True)], ["k", "g", "x", "d"]),
+        keys=["k"],
+        delete_col="d",
+    )
+    view0 = views.agg_view(t.read(spark, 0), "g", "x")
+    d01 = snapshot_diff(t, spark, 0, 1, keys=["k"])
+    v1_maint = views.maintain_agg_view(view0, d01, "g", "x")
+    d12 = snapshot_diff(t, spark, 1, 2, keys=["k"])
+    v2_maint = views.maintain_agg_view(v1_maint, d12, "g", "x")
+
+    v2_true = views.agg_view(t.read(spark, 2), "g", "x")
+    got = {
+        r["g"]: (r["n_rows"], float(r["__sum_dec"]))
+        for r in v2_maint.collect()
+    }
+    want = {
+        r["g"]: (r["n_rows"], float(r["__sum_dec"]))
+        for r in v2_true.collect()
+    }
+    assert got == want
+    assert "gz" not in got  # zero-count group dropped out exactly
