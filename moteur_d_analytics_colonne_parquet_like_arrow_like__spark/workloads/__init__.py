@@ -93,6 +93,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "events_top_paths",
     "join_plan_advisor",
     "table_incremental_view",
+    "customers_abc",
+    "events_markov",
     # (c) r1-vintage greens - stalest driver signatures
     "window_running_sum",
     "window_rank_dense",

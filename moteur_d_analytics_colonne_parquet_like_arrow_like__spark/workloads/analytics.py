@@ -361,6 +361,83 @@ def q_table_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderstatus")
 
 
+def q_customers_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto 80/20) revenue classification: customers ranked by
+    total order revenue, classified A while cumulative share <= 50%, B
+    while <= 80%, else C; one row per class with member count and the
+    class's exact revenue share. Plan: the fact table reduces to
+    per-customer decimal sums (one combiner-friendly shuffle); the
+    ranking window and cumulative share run over the reduced customer
+    table; classes re-aggregate. Cross-engine exact: revenue is decimal,
+    shares are single divisions of decimal-rooted doubles, and the
+    rank tie-breaks on the customer key."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")).alias("rev")
+    )
+    w = Window.orderBy(F.col("rev").desc(), F.col("o_custkey").asc())
+    tot = per_cust.agg(F.sum("rev").alias("tot"))
+    ranked = (
+        per_cust.withColumn(
+            "cum", F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__share",
+            F.col("cum").cast("double") / F.col("tot").cast("double"),
+        )
+        .withColumn(
+            "cls",
+            F.when(F.col("__share") <= 0.5, "A")
+            .when(F.col("__share") <= 0.8, "B")
+            .otherwise("C"),
+        )
+    )
+    return (
+        ranked.groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(
+                F.sum("rev").cast("double") / F.max("tot").cast("double"), 6
+            ).alias("rev_share_r"),
+        )
+        .orderBy("cls")
+    )
+
+
+def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event-type
+    sequence: P(next type | type) from lag pairs in strict (ts,
+    event_id) order — the behavioral model behind events_top_paths'
+    raw journeys. One (user, ts) exchange for the lag; the transition
+    groupBy reduces to |types|² rows; probabilities are exact counts
+    over exact row totals."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("t_to"),
+            F.lag("event_type").over(w).alias("t_from"),
+        )
+        .where(F.col("t_from").isNotNull())
+        .groupBy("t_from", "t_to")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w2 = Window.partitionBy("t_from")
+    return pairs.select(
+        "t_from",
+        "t_to",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w2), 6).alias("p_r"),
+    ).orderBy("t_from", "t_to")
+
+
 QUERIES = {
     "feature_correlations": q_feature_correlations,
     "orders_pareto": q_orders_pareto,
@@ -378,6 +455,8 @@ QUERIES = {
     "events_top_paths": q_events_top_paths,
     "join_plan_advisor": q_join_plan_advisor,
     "table_incremental_view": q_table_incremental_view,
+    "customers_abc": q_customers_abc,
+    "events_markov": q_events_markov,
 }
 
 # --- oracle SQL ---------------------------------------------------------
@@ -845,4 +924,54 @@ ORACLES["table_incremental_view"] = """
                AS sum_price_r
     FROM v1 GROUP BY o_orderstatus
     ORDER BY o_orderstatus
+"""
+
+
+ORACLES["customers_abc"] = """
+    WITH pc AS (
+        SELECT o_custkey,
+               SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    t AS (SELECT SUM(rev) AS tot FROM pc),
+    r AS (
+        SELECT o_custkey, rev,
+               SUM(rev) OVER (
+                   ORDER BY rev DESC, o_custkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM pc
+    ),
+    cl AS (
+        SELECT rev,
+               CASE WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)
+                         <= 0.5 THEN 'A'
+                    WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)
+                         <= 0.8 THEN 'B'
+                    ELSE 'C' END AS cls,
+               tot
+        FROM r CROSS JOIN t
+    )
+    SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           round(CAST(SUM(rev) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE), 6)
+               AS rev_share_r
+    FROM cl GROUP BY cls ORDER BY cls
+"""
+
+ORACLES["events_markov"] = """
+    WITH p AS (
+        SELECT lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS t_from,
+               event_type AS t_to
+        FROM events
+    ),
+    c AS (
+        SELECT t_from, t_to, CAST(COUNT(*) AS BIGINT) AS n
+        FROM p WHERE t_from IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT t_from, t_to, n,
+           round(n / CAST(SUM(n) OVER (PARTITION BY t_from) AS DOUBLE), 6)
+               AS p_r
+    FROM c ORDER BY t_from, t_to
 """

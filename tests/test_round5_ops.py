@@ -851,3 +851,42 @@ def test_maintain_agg_view_matches_recompute(spark, tmp_path):
     }
     assert got == want
     assert "gz" not in got  # zero-count group dropped out exactly
+
+
+def test_customers_abc_partitions_and_shares(spark, sf_dir):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import analytics
+
+    out = {r["cls"]: r for r in analytics.q_customers_abc(spark, sf_dir).collect()}
+    assert set(out) == {"A", "B", "C"}
+    # shares sum to 1 and each class sits inside its band
+    total = sum(r["rev_share_r"] for r in out.values())
+    assert total == pytest.approx(1.0, abs=1e-5)
+    assert out["A"]["rev_share_r"] <= 0.5 + 1e-6
+    # every distinct paying customer lands in exactly one class
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.catalog import load_table
+
+    n_cust = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_customers"] for r in out.values()) == n_cust
+    # A members average more revenue per head than C members (the ranking
+    # worked), even on near-uniform synthetic data
+    per_head = {
+        c: out[c]["rev_share_r"] / out[c]["n_customers"] for c in out
+    }
+    assert per_head["A"] > per_head["C"]
+
+
+def test_events_markov_rows_are_probabilities(spark, sf_dir):
+    from collections import defaultdict
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import analytics
+
+    rows = analytics.q_events_markov(spark, sf_dir).collect()
+    by_from = defaultdict(float)
+    for r in rows:
+        assert 0.0 < r["p_r"] <= 1.0
+        by_from[r["t_from"]] += r["p_r"]
+    # each source state's outgoing probabilities sum to ~1
+    for s, tot in by_from.items():
+        assert tot == pytest.approx(1.0, abs=1e-4), s
