@@ -95,6 +95,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "table_incremental_view",
     "customers_abc",
     "events_markov",
+    "orders_benford",
+    "events_ab_test",
     # (c) r1-vintage greens - stalest driver signatures
     "window_running_sum",
     "window_rank_dense",

@@ -438,6 +438,91 @@ def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("t_from", "t_to")
 
 
+def q_orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit analysis of order totals — the forensic
+    anomaly screen for financial columns: observed share per leading
+    digit vs the Benford expectation log10(1 + 1/d), with each digit's
+    chi-square contribution. One combiner-friendly groupBy over a
+    per-row digit expression; everything after is a 9-row table."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.substring(
+        F.abs(F.col("o_totalprice")).cast("decimal(18,2)").cast("string"),
+        1,
+        1,
+    ).cast("int")
+    counts = (
+        orders.select(d.alias("digit"))
+        .where(F.col("digit") >= 1)
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    obs = F.col("n") / F.col("total")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(obs, 6).alias("obs_share_r"),
+            F.round(expected, 6).alias("benford_r"),
+            F.round(
+                F.pow(obs - expected, 2) / expected * F.col("total"), 4
+            ).alias("chi2_part_r"),
+        )
+        .orderBy("digit")
+    )
+
+
+def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B z-test on HIGH-VALUE purchase conversion
+    (value > 180 — a rare event, so pooled rates stay inside (0,1) and
+    the z statistic is defined), variant = user_id parity (the
+    deterministic synthetic split): per-variant users and converters
+    from ONE distinct-reduction of the event stream, then the pooled z
+    statistic in closed form — experiment readout as exact counts plus
+    one deterministic expression row."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.select(
+            "user_id",
+            (F.col("user_id") % 2).cast("int").alias("variant"),
+            ((F.col("event_type") == "purchase") & (F.col("value") > 180))
+            .cast("int")
+            .alias("p"),
+        )
+        .groupBy("user_id", "variant")
+        .agg(F.max("p").alias("converted"))
+    )
+    stats = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+    a = stats.where(F.col("variant") == 0).select(
+        F.col("n_users").alias("na"), F.col("n_converted").alias("ca")
+    )
+    b = stats.where(F.col("variant") == 1).select(
+        F.col("n_users").alias("nb"), F.col("n_converted").alias("cb")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    pa = F.col("ca") / F.col("na")
+    pb = F.col("cb") / F.col("nb")
+    pool = (F.col("ca") + F.col("cb")) / (F.col("na") + F.col("nb"))
+    se = F.sqrt(
+        pool * (F.lit(1.0) - pool)
+        * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb"))
+    )
+    return j.select(
+        "na",
+        "ca",
+        "nb",
+        "cb",
+        F.round(pa, 6).alias("rate_a_r"),
+        F.round(pb, 6).alias("rate_b_r"),
+        F.round((pa - pb) / se, 4).alias("z_r"),
+    )
+
+
 QUERIES = {
     "feature_correlations": q_feature_correlations,
     "orders_pareto": q_orders_pareto,
@@ -457,6 +542,8 @@ QUERIES = {
     "table_incremental_view": q_table_incremental_view,
     "customers_abc": q_customers_abc,
     "events_markov": q_events_markov,
+    "orders_benford": q_orders_benford,
+    "events_ab_test": q_events_ab_test,
 }
 
 # --- oracle SQL ---------------------------------------------------------
@@ -974,4 +1061,48 @@ ORACLES["events_markov"] = """
            round(n / CAST(SUM(n) OVER (PARTITION BY t_from) AS DOUBLE), 6)
                AS p_r
     FROM c ORDER BY t_from, t_to
+"""
+
+
+ORACLES["orders_benford"] = """
+    WITH c AS (
+        SELECT CAST(substr(CAST(CAST(abs(o_totalprice) AS DECIMAL(18,2))
+                                AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY 1 HAVING digit >= 1
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT digit, n,
+           round(n / CAST(total AS DOUBLE), 6) AS obs_share_r,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford_r,
+           round(pow(n / CAST(total AS DOUBLE)
+                     - log10(1.0 + 1.0 / digit), 2)
+                 / log10(1.0 + 1.0 / digit) * total, 4) AS chi2_part_r
+    FROM c CROSS JOIN t ORDER BY digit
+"""
+
+ORACLES["events_ab_test"] = """
+    WITH pu AS (
+        SELECT user_id, CAST(user_id % 2 AS INTEGER) AS variant,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 180
+                        THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(converted) AS BIGINT) AS n_converted
+        FROM pu GROUP BY 1
+    ),
+    a AS (SELECT n_users AS na, n_converted AS ca FROM s WHERE variant = 0),
+    b AS (SELECT n_users AS nb, n_converted AS cb FROM s WHERE variant = 1)
+    SELECT na, ca, nb, cb,
+           round(ca / CAST(na AS DOUBLE), 6) AS rate_a_r,
+           round(cb / CAST(nb AS DOUBLE), 6) AS rate_b_r,
+           round((ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE))
+                 / sqrt((ca + cb) / CAST(na + nb AS DOUBLE)
+                        * (1.0 - (ca + cb) / CAST(na + nb AS DOUBLE))
+                        * (1.0 / na + 1.0 / nb)), 4) AS z_r
+    FROM a CROSS JOIN b
 """

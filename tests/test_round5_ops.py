@@ -890,3 +890,28 @@ def test_events_markov_rows_are_probabilities(spark, sf_dir):
     # each source state's outgoing probabilities sum to ~1
     for s, tot in by_from.items():
         assert tot == pytest.approx(1.0, abs=1e-4), s
+
+
+def test_benford_shares_and_chi2(spark, sf_dir):
+    import math
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import analytics
+
+    rows = analytics.q_orders_benford(spark, sf_dir).collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    assert sum(r["obs_share_r"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+    for r in rows:
+        assert r["benford_r"] == pytest.approx(
+            math.log10(1 + 1 / r["digit"]), abs=1e-6
+        )
+        assert r["chi2_part_r"] >= 0
+
+
+def test_ab_test_counts_and_z_sign(spark, sf_dir):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import analytics
+
+    r = analytics.q_events_ab_test(spark, sf_dir).collect()[0]
+    assert 0 < r["ca"] < r["na"] and 0 < r["cb"] < r["nb"]
+    # z sign agrees with the rate difference
+    diff = r["rate_a_r"] - r["rate_b_r"]
+    assert (r["z_r"] > 0) == (diff > 0) or diff == 0
