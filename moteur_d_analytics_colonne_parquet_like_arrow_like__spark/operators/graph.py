@@ -81,3 +81,69 @@ def pagerank(
             )
         )
     return ranks
+
+
+def link_prediction_jaccard(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int | None = None,
+    top_n: int = 20,
+) -> DataFrame:
+    """Common-neighbor link prediction over an undirected edge list
+    (canonical ``src < dst`` rows): for every NON-adjacent node pair
+    sharing at least one neighbor, the Jaccard coefficient
+    ``|N(a) ∩ N(b)| / |N(a) ∪ N(b)|`` — the classic
+    "suppliers that should be connected" recommender. Returns the top
+    ``top_n`` by (jaccard desc, pair asc).
+
+    Plan shape: symmetrize, candidate pairs from the WEDGE join (two
+    edge copies meeting on the shared neighbor — an equi-join on the
+    node key, never a node cross join), common-neighbor counts by
+    groupBy, degrees joined back, existing edges removed by anti-join.
+    Wedge cost is Σ deg(n)² over shared neighbors — ``max_degree`` drops
+    hub nodes from the wedge middle first (the LSH-cap pattern again:
+    a celebrity node contributes deg² candidate pairs and ~zero signal).
+    Exact integer counts; the Jaccard division is the only float.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("n")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    mid = sym.select(F.col("a").alias("n"), F.col("b").alias("leaf"))
+    if max_degree is not None:
+        mid = mid.join(
+            F.broadcast(deg.where(F.col("deg") <= max_degree).select("n")),
+            "n",
+        )
+    l = mid.select(F.col("n"), F.col("leaf").alias("u"))
+    r = mid.select(F.col("n"), F.col("leaf").alias("v"))
+    wedges = (
+        l.join(r, "n")
+        .where(F.col("u") < F.col("v"))
+        .groupBy(F.col("u").alias("a"), F.col("v").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    cand = wedges.join(e, ["a", "b"], "left_anti")
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("deg_b"))
+    out = (
+        cand.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            "deg_a",
+            "deg_b",
+            F.round(
+                F.col("common")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common")),
+                6,
+            ).alias("jaccard_r"),
+        )
+    )
+    return out.orderBy(
+        F.col("jaccard_r").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(top_n)

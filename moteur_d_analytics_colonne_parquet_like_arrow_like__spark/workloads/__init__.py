@@ -97,6 +97,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "events_markov",
     "orders_benford",
     "events_ab_test",
+    "graph_link_prediction",
     # (c) r1-vintage greens - stalest driver signatures
     "window_running_sum",
     "window_rank_dense",

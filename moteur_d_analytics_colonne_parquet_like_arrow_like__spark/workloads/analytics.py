@@ -523,6 +523,33 @@ def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the co-supply graph
+    (operators/graph.link_prediction_jaccard): the top-20 non-adjacent
+    supplier pairs by Jaccard coefficient — wedge-join candidates on the
+    shared neighbor, never a node cross join. Same sparse edge
+    definition as graph_triangles/pagerank."""
+    from ..operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = (
+        li.where(F.col("l_partkey") % 50 == 0)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    a = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sa"))
+    b = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sb"))
+    edges = (
+        a.join(b, "pk")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .where(F.col("_shared") >= 3)
+        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+    )
+    return graph.link_prediction_jaccard(edges, top_n=20)
+
+
 QUERIES = {
     "feature_correlations": q_feature_correlations,
     "orders_pareto": q_orders_pareto,
@@ -544,6 +571,7 @@ QUERIES = {
     "events_markov": q_events_markov,
     "orders_benford": q_orders_benford,
     "events_ab_test": q_events_ab_test,
+    "graph_link_prediction": q_graph_link_prediction,
 }
 
 # --- oracle SQL ---------------------------------------------------------
@@ -1105,4 +1133,37 @@ ORACLES["events_ab_test"] = """
                         * (1.0 - (ca + cb) / CAST(na + nb AS DOUBLE))
                         * (1.0 / na + 1.0 / nb)), 4) AS z_r
     FROM a CROSS JOIN b
+"""
+
+
+ORACLES["graph_link_prediction"] = """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+                WHERE l_partkey % 50 = 0),
+    e AS (
+        SELECT a.l_suppkey AS a, b.l_suppkey AS b
+        FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+        WHERE a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT a AS n, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM sym GROUP BY 1),
+    w AS (
+        SELECT l.b AS u, r.b AS v, CAST(COUNT(*) AS BIGINT) AS common
+        FROM sym l JOIN sym r ON l.a = r.a AND l.b < r.b
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT w.u AS a, w.v AS b, w.common
+        FROM w ANTI JOIN e ON e.a = w.u AND e.b = w.v
+    )
+    SELECT cand.a, cand.b, common,
+           da.deg AS deg_a, db.deg AS deg_b,
+           round(common / CAST(da.deg + db.deg - common AS DOUBLE), 6)
+               AS jaccard_r
+    FROM cand
+    JOIN deg da ON da.n = cand.a
+    JOIN deg db ON db.n = cand.b
+    ORDER BY jaccard_r DESC, a ASC, b ASC
+    LIMIT 20
 """

@@ -915,3 +915,26 @@ def test_ab_test_counts_and_z_sign(spark, sf_dir):
     # z sign agrees with the rate difference
     diff = r["rate_a_r"] - r["rate_b_r"]
     assert (r["z_r"] > 0) == (diff > 0) or diff == 0
+
+
+def test_link_prediction_jaccard_square_graph(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import graph as g
+
+    # Square 1-2-3-4-1: each diagonal pair (1,3) and (2,4) shares BOTH
+    # neighbors -> common=2, deg 2+2 - 2 = 2 -> jaccard 1.0; adjacent
+    # pairs are excluded (they are edges).
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], ["src", "dst"]
+    )
+    out = {
+        (r["a"], r["b"]): (r["common"], r["jaccard_r"])
+        for r in g.link_prediction_jaccard(edges).collect()
+    }
+    assert out == {(1, 3): (2, 1.0), (2, 4): (2, 1.0)}
+
+    # hub cap: star center 0 connected to 1..5 — every leaf pair is a
+    # candidate through the hub; capping max_degree below 5 removes the
+    # hub from the wedge middle and leaves no candidates.
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], ["src", "dst"])
+    assert g.link_prediction_jaccard(star, max_degree=4).collect() == []
+    assert len(g.link_prediction_jaccard(star).collect()) == 10
