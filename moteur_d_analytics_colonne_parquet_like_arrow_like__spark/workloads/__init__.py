@@ -98,6 +98,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "orders_benford",
     "events_ab_test",
     "graph_link_prediction",
+    "price_index_laspeyres",
+    "supplier_gini",
     # (c) r1-vintage greens - stalest driver signatures
     "window_running_sum",
     "window_rank_dense",

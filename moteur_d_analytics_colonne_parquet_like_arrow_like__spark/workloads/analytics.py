@@ -550,6 +550,91 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.link_prediction_jaccard(edges, top_n=20)
 
 
+def q_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index by ship month: for each month, the ratio of
+    what the BASE month's quantity basket would cost at current prices
+    vs base prices — Sum(p_t * q_0) / Sum(p_0 * q_0) over parts present
+    in the base month. The BI/econ index-number staple. Plan: per
+    (month, part) decimal price/quantity aggregates (one
+    combiner-friendly shuffle of the facts), base-month basket broadcast
+    back, two decimal dot products per month."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mp = li.select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("m"),
+        "l_partkey",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("p"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("q"),
+    )
+    per = mp.groupBy("m", "l_partkey").agg(
+        (F.sum("p").cast("double") / F.sum("q").cast("double")).alias(
+            "unit_p"
+        ),
+        F.sum("q").cast("double").alias("qty"),
+    )
+    base_m = per.agg(F.min("m").alias("bm"))
+    base = (
+        per.join(F.broadcast(base_m), per["m"] == F.col("bm"))
+        .select(
+            "l_partkey",
+            F.col("unit_p").alias("p0"),
+            F.col("qty").alias("q0"),
+        )
+    )
+    j = per.join(F.broadcast(base), "l_partkey")
+    num = F.sum(
+        F.round(F.col("unit_p") * F.col("q0"), 9).cast("decimal(28,9)")
+    )
+    den = F.sum(
+        F.round(F.col("p0") * F.col("q0"), 9).cast("decimal(28,9)")
+    )
+    return (
+        j.groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.round(
+                num.cast("double") / den.cast("double"), 6
+            ).alias("index_r"),
+        )
+        .orderBy("m")
+    )
+
+
+def q_supplier_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of supplier revenue concentration — one row:
+    supplier count, decimal total revenue, and the exact rank-weighted
+    Gini ``(2·Sum(i·x_i) ) / (n·Sum(x)) - (n+1)/n`` over revenues sorted
+    ascending (ties broken by supplier key, making the rank — and the
+    statistic — fully deterministic). The facts reduce to per-supplier
+    decimal sums before the single bounded ranking window."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_suppkey").agg(
+        F.sum(F.round("l_extendedprice", 2).cast("decimal(18,2)")).alias(
+            "rev"
+        )
+    )
+    w = Window.orderBy(F.col("rev").asc(), F.col("l_suppkey").asc())
+    ranked = per.withColumn("i", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.round(F.sum("rev").cast("double"), 2).alias("total_rev_r"),
+        F.round(
+            F.lit(2.0)
+            * F.sum(
+                (F.col("i") * F.col("rev")).cast("decimal(28,2)")
+            ).cast("double")
+            / (
+                F.count(F.lit(1))
+                * F.sum("rev").cast("double")
+            )
+            - (F.count(F.lit(1)) + F.lit(1))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("gini_r"),
+    )
+
+
 QUERIES = {
     "feature_correlations": q_feature_correlations,
     "orders_pareto": q_orders_pareto,
@@ -572,6 +657,8 @@ QUERIES = {
     "orders_benford": q_orders_benford,
     "events_ab_test": q_events_ab_test,
     "graph_link_prediction": q_graph_link_prediction,
+    "price_index_laspeyres": q_price_index_laspeyres,
+    "supplier_gini": q_supplier_gini,
 }
 
 # --- oracle SQL ---------------------------------------------------------
@@ -1166,4 +1253,51 @@ ORACLES["graph_link_prediction"] = """
     JOIN deg db ON db.n = cand.b
     ORDER BY jaccard_r DESC, a ASC, b ASC
     LIMIT 20
+"""
+
+
+ORACLES["price_index_laspeyres"] = """
+    WITH per AS (
+        SELECT strftime(l_shipdate, '%Y-%m') AS m, l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS unit_p,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem GROUP BY 1, 2
+    ),
+    bm AS (SELECT MIN(m) AS bm FROM per),
+    base AS (
+        SELECT l_partkey, unit_p AS p0, qty AS q0
+        FROM per JOIN bm ON per.m = bm.bm
+    )
+    SELECT per.m, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           round(
+               CAST(SUM(CAST(round(per.unit_p * base.q0, 9)
+                             AS DECIMAL(28,9))) AS DOUBLE)
+               / CAST(SUM(CAST(round(base.p0 * base.q0, 9)
+                               AS DECIMAL(28,9))) AS DOUBLE), 6)
+               AS index_r
+    FROM per JOIN base USING (l_partkey)
+    GROUP BY per.m ORDER BY per.m
+"""
+
+ORACLES["supplier_gini"] = """
+    WITH per AS (
+        SELECT l_suppkey,
+               SUM(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))) AS rev
+        FROM lineitem GROUP BY 1
+    ),
+    r AS (
+        SELECT rev, ROW_NUMBER() OVER (
+                   ORDER BY rev ASC, l_suppkey ASC) AS i
+        FROM per
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           round(CAST(SUM(rev) AS DOUBLE), 2) AS total_rev_r,
+           round(2.0 * CAST(SUM(CAST(i * rev AS DECIMAL(28,2)))
+                            AS DOUBLE)
+                 / (COUNT(*) * CAST(SUM(rev) AS DOUBLE))
+                 - (COUNT(*) + 1) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS gini_r
+    FROM r
 """

