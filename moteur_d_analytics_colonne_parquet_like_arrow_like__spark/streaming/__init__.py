@@ -488,3 +488,61 @@ def stateful_per_type_counts_tws(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stateful_user_ewma(stream: DataFrame, value_col: str = "value") -> DataFrame:
+    """Streaming EWMA (alpha = 1/2) per user via applyInPandasWithState —
+    the ORDER-SENSITIVE recurrence as streaming state: state carries
+    (n, ewma); each micro-batch sorts its group's rows by (ts, event_id)
+    and folds ``e' = e/2 + x/2`` (first observation seeds the level).
+
+    Order contract: the fold is exact for rows ordered WITHIN the
+    batches it sees (a bounded availableNow replay delivers each user's
+    history in one batch — the gate shape). A production deployment
+    where a user's events can split across micro-batches OUT of event
+    order needs upstream sequencing (watermark-sorted windows or a
+    sequence number) before any order-sensitive stateful fold — that is
+    a property of the recurrence, not this operator; the commutative
+    twin (``stateful_user_running_stats``) has no such contract.
+
+    Python floats are IEEE doubles, halving is exact, and addition is
+    correctly rounded — the streaming fold lands bit-identically on the
+    batch oracle's ``list_reduce``.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("n_events", T.LongType(), False),
+            T.StructField("ewma", T.DoubleType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType(), False),
+            T.StructField("e", T.DoubleType(), False),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, e = state.get if state.exists else (0, 0.0)
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values(["ts", "event_id"])
+        for v in rows[value_col]:
+            x = float(v)
+            e = x if n == 0 else e / 2.0 + x / 2.0
+            n += 1
+        state.update((n, e))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "ewma": [e]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -100,6 +100,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "graph_link_prediction",
     "price_index_laspeyres",
     "supplier_gini",
+    "stream_ewma",
     # (c) r1-vintage greens - stalest driver signatures
     "window_running_sum",
     "window_rank_dense",

@@ -121,9 +121,24 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user EWMA (alpha=1/2) as applyInPandasWithState
+    state — the ORDER-SENSITIVE recurrence the commutative stateful twin
+    cannot express; the bounded availableNow replay delivers each user's
+    history in order, and the Python-float fold lands bit-identically on
+    the batch oracle's list_reduce (see stateful_user_ewma's order
+    contract)."""
+    sdf = S.stateful_user_ewma(S.events_stream(spark, sf_dir))
+    out = S.run_to_memory(sdf, output_mode="update", shuffle_partitions=8)
+    return out.select(
+        "user_id", "n_events", F.round("ewma", 6).alias("ewma_r")
+    ).orderBy("user_id")
+
 QUERIES = {
     "stream_upsert": q_stream_upsert,
     "stream_stateful": q_stream_stateful,
+    "stream_ewma": q_stream_ewma,
     "stream_tumbling_window": q_stream_tumbling,
     "stream_tumbling_append": q_stream_tumbling_append,
     "stream_sliding_window": q_stream_sliding,
@@ -490,4 +505,20 @@ ORACLES["stream_stream_full_join"] = """
        OR (purchase_id IS NULL AND view_ts + INTERVAL 30 MINUTE < w)
        OR (view_id IS NULL AND purchase_ts < w)
     ORDER BY view_id, purchase_id, user_id
+"""
+
+
+ORACLES["stream_ewma"] = """
+    WITH arr AS (
+        SELECT user_id,
+               list_transform(
+                   list_sort(list(struct_pack(ts := ts, eid := event_id,
+                                              v := value))),
+                   p -> p.v) AS vals
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
+           round(list_reduce(vals, (acc, x) -> acc / 2.0 + x / 2.0), 6)
+               AS ewma_r
+    FROM arr ORDER BY user_id
 """
