@@ -94,3 +94,43 @@ def scd2_apply(
         .unionByName(new_open)
         .unionByName(brand_new)
     )
+
+
+def scd2_point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key_cols: list[str],
+    fact_ts_col: str,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time (PIT) join — the read side of SCD2: each fact joins
+    the dimension row that was valid AT the fact's timestamp
+    (``valid_from <= ts < valid_to``, open rows unbounded above). The
+    warehouse staple for "what segment was this customer in when they
+    ordered".
+
+    Because SCD2 intervals are DISJOINT per key by construction
+    (``scd2_apply`` closes a row exactly where the next begins), at most
+    one dimension row matches each fact — so this is a plain keyed
+    equi-join with a residual interval predicate, no dedup window, no
+    as-of ranking. Catalyst shuffles on the dimension key only; the
+    co-partitioned family every other keyed read shares. Column names
+    must be disjoint apart from the keys (rename upstream). Only the
+    inner form is provided: a facts-preserving variant needs the
+    interval predicate INSIDE a left join's condition (see
+    ``joins.asof_join`` for that composition) — an after-filter would
+    silently drop facts whose key has history but no covering interval.
+    """
+    if how != "inner":
+        raise ValueError(
+            "scd2_point_in_time_join supports how='inner'; for a "
+            "facts-preserving lookup use joins.asof_join against "
+            "valid_from with the interval as a residual"
+        )
+    cond = (F.col(valid_from_col) <= F.col(fact_ts_col)) & (
+        F.col(valid_to_col).isNull()
+        | (F.col(fact_ts_col) < F.col(valid_to_col))
+    )
+    return facts.join(history, on=key_cols, how="inner").where(cond)

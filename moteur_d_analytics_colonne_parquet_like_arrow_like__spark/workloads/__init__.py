@@ -101,6 +101,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "price_index_laspeyres",
     "supplier_gini",
     "stream_ewma",
+    "join_scd2_pit",
+    "lineitem_vshape",
     # (c) r1-vintage greens - stalest driver signatures
     "window_running_sum",
     "window_rank_dense",

@@ -635,6 +635,85 @@ def q_supplier_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 point-in-time join (operators/scd.scd2_point_in_time_join):
+    probe dates on both sides of the segment-history change date resolve
+    to the dimension row valid AT that date — even customers probe
+    before the change (original segment), odd ones after (updated
+    segment where one exists). The disjoint-interval contract makes this
+    a plain keyed join + residual, no as-of ranking."""
+    from ..operators import scd
+
+    c = load_table(spark, sf_dir, "customer")
+    current = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2024-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    updates = c.where(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 14 == 0, F.col("c_mktsegment"))
+        .otherwise(
+            F.concat(F.lit("SEG_"), (F.col("c_custkey") % 3).cast("string"))
+        )
+        .alias("segment"),
+        F.lit("2024-06-01").alias("eff"),
+    )
+    history = scd.scd2_apply(
+        current, updates, ["c_custkey"], ["segment"], "eff"
+    )
+    probes = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 2 == 0, F.lit("2024-03-15"))
+        .otherwise(F.lit("2024-08-15"))
+        .alias("probe_date"),
+    )
+    out = scd.scd2_point_in_time_join(
+        probes, history, ["c_custkey"], "probe_date"
+    )
+    return out.select("c_custkey", "probe_date", "segment").orderBy(
+        "c_custkey"
+    )
+
+
+def q_lineitem_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style pattern detection (complex event
+    processing) without the clause Spark lacks: per part, a V-shape is
+    two strictly-falling prices followed by a recovery
+    (p[-3] > p[-2] > p[-1] < p[0]) over the part's shipdate-ordered
+    line items — a lag-chain flag, so the whole pattern engine is one
+    partitioned window. Top-20 parts by V count."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("l_shipdate").asc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    )
+    p1 = F.lag("l_extendedprice", 1).over(w)
+    p2 = F.lag("l_extendedprice", 2).over(w)
+    p3 = F.lag("l_extendedprice", 3).over(w)
+    flagged = li.select(
+        "l_partkey",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("d"),
+        ((p3 > p2) & (p2 > p1) & (p1 < F.col("l_extendedprice")))
+        .cast("int")
+        .alias("v"),
+    )
+    return (
+        flagged.where(F.col("v") == 1)
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vshapes"),
+            F.min("d").alias("first_v_date"),
+        )
+        .orderBy(F.col("n_vshapes").desc(), F.col("l_partkey").asc())
+        .limit(20)
+    )
+
+
 QUERIES = {
     "feature_correlations": q_feature_correlations,
     "orders_pareto": q_orders_pareto,
@@ -659,6 +738,8 @@ QUERIES = {
     "graph_link_prediction": q_graph_link_prediction,
     "price_index_laspeyres": q_price_index_laspeyres,
     "supplier_gini": q_supplier_gini,
+    "join_scd2_pit": q_join_scd2_pit,
+    "lineitem_vshape": q_lineitem_vshape,
 }
 
 # --- oracle SQL ---------------------------------------------------------
@@ -1300,4 +1381,69 @@ ORACLES["supplier_gini"] = """
                  - (COUNT(*) + 1) / CAST(COUNT(*) AS DOUBLE), 6)
                AS gini_r
     FROM r
+"""
+
+
+ORACLES["join_scd2_pit"] = """
+    WITH cur AS (
+        SELECT c_custkey, c_mktsegment AS segment,
+               '2024-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+        FROM customer
+    ),
+    upd AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 14 = 0 THEN c_mktsegment
+                    ELSE 'SEG_' || CAST(c_custkey % 3 AS VARCHAR) END
+                   AS u_seg,
+               '2024-06-01' AS eff
+        FROM customer WHERE c_custkey % 7 = 0
+    ),
+    j AS (
+        SELECT cur.c_custkey, cur.segment, cur.valid_from, cur.valid_to,
+               upd.u_seg, upd.eff
+        FROM cur LEFT JOIN upd USING (c_custkey)
+    ),
+    hist AS (
+        SELECT c_custkey, segment, valid_from, eff AS valid_to
+        FROM j WHERE eff IS NOT NULL AND u_seg IS DISTINCT FROM segment
+        UNION ALL
+        SELECT c_custkey, segment, valid_from, valid_to
+        FROM j WHERE eff IS NULL OR u_seg IS NOT DISTINCT FROM segment
+        UNION ALL
+        SELECT c_custkey, u_seg, eff, NULL
+        FROM j WHERE eff IS NOT NULL AND u_seg IS DISTINCT FROM segment
+    ),
+    probes AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 2 = 0 THEN '2024-03-15'
+                    ELSE '2024-08-15' END AS probe_date
+        FROM customer
+    )
+    SELECT p.c_custkey, p.probe_date, h.segment
+    FROM probes p JOIN hist h ON h.c_custkey = p.c_custkey
+    WHERE h.valid_from <= p.probe_date
+      AND (h.valid_to IS NULL OR p.probe_date < h.valid_to)
+    ORDER BY p.c_custkey
+"""
+
+ORACLES["lineitem_vshape"] = """
+    WITH f AS (
+        SELECT l_partkey, strftime(l_shipdate, '%Y-%m-%d') AS d,
+               CASE WHEN lag(l_extendedprice, 3) OVER w
+                         > lag(l_extendedprice, 2) OVER w
+                     AND lag(l_extendedprice, 2) OVER w
+                         > lag(l_extendedprice, 1) OVER w
+                     AND lag(l_extendedprice, 1) OVER w < l_extendedprice
+                    THEN 1 ELSE 0 END AS v
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_partkey
+                     ORDER BY l_shipdate ASC, l_orderkey ASC,
+                              l_linenumber ASC)
+    )
+    SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_vshapes,
+           MIN(d) AS first_v_date
+    FROM f WHERE v = 1
+    GROUP BY l_partkey
+    ORDER BY n_vshapes DESC, l_partkey ASC
+    LIMIT 20
 """

@@ -976,3 +976,38 @@ def test_gini_known_distributions(spark):
     assert gini([5.0] * 10) == pytest.approx(0.0, abs=1e-9)  # equality
     # one supplier owns everything: G -> (n-1)/n
     assert gini([0.0] * 9 + [100.0]) == pytest.approx(0.9, abs=1e-9)
+
+
+def test_scd2_pit_join_resolves_correct_interval(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import scd
+
+    hist = spark.createDataFrame(
+        [
+            (1, "bronze", "2024-01-01", "2024-06-01"),
+            (1, "gold", "2024-06-01", None),
+            (2, "silver", "2024-01-01", None),
+        ],
+        ["k", "tier", "valid_from", "valid_to"],
+    )
+    probes = spark.createDataFrame(
+        [
+            (1, "2024-03-15"),  # inside the closed interval -> bronze
+            (1, "2024-06-01"),  # boundary: valid_from inclusive -> gold
+            (1, "2023-12-31"),  # before any history -> no row (inner)
+            (2, "2025-01-01"),  # open row -> silver
+        ],
+        ["k", "probe"],
+    )
+    out = {
+        (r["k"], r["probe"]): r["tier"]
+        for r in scd.scd2_point_in_time_join(
+            probes, hist, ["k"], "probe"
+        ).collect()
+    }
+    assert out == {
+        (1, "2024-03-15"): "bronze",
+        (1, "2024-06-01"): "gold",
+        (2, "2025-01-01"): "silver",
+    }
+    with pytest.raises(ValueError, match="inner"):
+        scd.scd2_point_in_time_join(probes, hist, ["k"], "probe", how="left")
