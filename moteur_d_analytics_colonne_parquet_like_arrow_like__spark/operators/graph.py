@@ -147,3 +147,43 @@ def link_prediction_jaccard(
     return out.orderBy(
         F.col("jaccard_r").desc(), F.col("a").asc(), F.col("b").asc()
     ).limit(top_n)
+
+
+def hierarchy_closure(
+    edges: DataFrame,
+    child: str = "child",
+    parent: str = "parent",
+    max_depth: int = 6,
+) -> DataFrame:
+    """Transitive ancestor closure of a forest/DAG edge list — the
+    recursive-CTE workload (org charts, bills of materials, category
+    trees) expressed WITHOUT recursion: ``max_depth`` unrolled
+    level-joins, each joining the previous level's frontier to the edge
+    table on the ancestor key. Returns (node, ancestor, dist) for
+    1 <= dist <= max_depth.
+
+    ``max_depth`` must be >= the hierarchy's actual height (levels past
+    it are empty joins that cost nothing at plan time but truncate
+    SILENTLY if the data is deeper — size it from the domain, e.g.
+    ceil(log_fanout(max_id))). Scale shape: every join keys on the
+    ancestor column (co-partitioned family); level cardinality shrinks
+    geometrically in a balanced hierarchy, so the chain's cost is
+    dominated by level 1 — one pass over the edge table per level at
+    worst, no driver iteration, one Catalyst plan.
+    """
+    if max_depth < 1:
+        raise ValueError(f"max_depth must be >= 1, got {max_depth}")
+    e = edges.select(F.col(child).alias("node"), F.col(parent).alias("anc"))
+    level = e.withColumn("dist", F.lit(1))
+    levels = [level]
+    step = e.select(F.col("node").alias("__c"), F.col("anc").alias("__p"))
+    for _ in range(max_depth - 1):
+        level = (
+            level.join(step, level["anc"] == step["__c"])
+            .select("node", F.col("__p").alias("anc"), (F.col("dist") + 1).alias("dist"))
+        )
+        levels.append(level)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out

@@ -103,6 +103,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "stream_ewma",
     "join_scd2_pit",
     "lineitem_vshape",
+    "part_hierarchy_closure",
     # (c) r1-vintage greens - stalest driver signatures
     "window_running_sum",
     "window_rank_dense",

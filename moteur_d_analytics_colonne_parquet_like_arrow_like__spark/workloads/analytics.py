@@ -714,6 +714,38 @@ def q_lineitem_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_part_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE parity without recursion: the ancestor closure of
+    the derived 10-ary part hierarchy (parent = partkey div 10) via
+    unrolled level-joins (operators/graph.hierarchy_closure) — the org
+    chart / bill-of-materials workload Spark's SQL lacks a RECURSIVE
+    clause for. Summarized per ancestor distance; the oracle runs the
+    genuine WITH RECURSIVE in DuckDB, so the unrolled plan is proven
+    equal to real recursion."""
+    from ..operators import graph
+
+    part = load_table(spark, sf_dir, "part")
+    edges = (
+        part.where(F.col("p_partkey") >= 1)
+        .select(
+            F.col("p_partkey").alias("child"),
+            F.expr("p_partkey div 10").alias("parent"),
+        )
+        .where(F.col("parent") >= 1)
+    )
+    closure = graph.hierarchy_closure(edges, max_depth=6)
+    return (
+        closure.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.countDistinct("anc").cast("bigint").alias("n_ancestors"),
+            F.min("node").cast("bigint").alias("min_node"),
+            F.max("node").cast("bigint").alias("max_node"),
+        )
+        .orderBy("dist")
+    )
+
+
 QUERIES = {
     "feature_correlations": q_feature_correlations,
     "orders_pareto": q_orders_pareto,
@@ -740,6 +772,7 @@ QUERIES = {
     "supplier_gini": q_supplier_gini,
     "join_scd2_pit": q_join_scd2_pit,
     "lineitem_vshape": q_lineitem_vshape,
+    "part_hierarchy_closure": q_part_hierarchy_closure,
 }
 
 # --- oracle SQL ---------------------------------------------------------
@@ -1446,4 +1479,23 @@ ORACLES["lineitem_vshape"] = """
     GROUP BY l_partkey
     ORDER BY n_vshapes DESC, l_partkey ASC
     LIMIT 20
+"""
+
+
+ORACLES["part_hierarchy_closure"] = """
+    WITH RECURSIVE e AS (
+        SELECT p_partkey AS child, p_partkey // 10 AS parent
+        FROM part WHERE p_partkey >= 1 AND p_partkey // 10 >= 1
+    ),
+    clo AS (
+        SELECT child AS node, parent AS anc, 1 AS dist FROM e
+        UNION ALL
+        SELECT clo.node, e.parent, clo.dist + 1
+        FROM clo JOIN e ON e.child = clo.anc
+    )
+    SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT anc) AS BIGINT) AS n_ancestors,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node
+    FROM clo GROUP BY dist ORDER BY dist
 """

@@ -1011,3 +1011,28 @@ def test_scd2_pit_join_resolves_correct_interval(spark):
     }
     with pytest.raises(ValueError, match="inner"):
         scd.scd2_point_in_time_join(probes, hist, ["k"], "probe", how="left")
+
+
+def test_hierarchy_closure_chain_and_depth_guard(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import graph as g
+
+    # chain 1 <- 2 <- 3 <- 4 : ancestors of 4 are 3 (d1), 2 (d2), 1 (d3)
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 2), (4, 3)], ["child", "parent"]
+    )
+    out = {
+        (r["node"], r["anc"]): r["dist"]
+        for r in g.hierarchy_closure(edges, max_depth=6).collect()
+    }
+    assert out == {
+        (2, 1): 1, (3, 2): 1, (4, 3): 1,
+        (3, 1): 2, (4, 2): 2,
+        (4, 1): 3,
+    }
+    # max_depth truncates silently (documented) — depth 1 keeps direct only
+    shallow = g.hierarchy_closure(edges, max_depth=1).collect()
+    assert all(r["dist"] == 1 for r in shallow) and len(shallow) == 3
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_depth"):
+        g.hierarchy_closure(edges, max_depth=0)
