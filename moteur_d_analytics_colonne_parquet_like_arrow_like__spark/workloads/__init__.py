@@ -104,6 +104,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "join_scd2_pit",
     "lineitem_vshape",
     "part_hierarchy_closure",
+    "customers_rfm",
+    "source_vocab_overlap",
     # (c) r1-vintage greens - stalest driver signatures
     "window_running_sum",
     "window_rank_dense",

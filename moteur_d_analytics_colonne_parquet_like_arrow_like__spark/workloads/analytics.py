@@ -746,6 +746,116 @@ def q_part_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quintile(col_df, key, val, asc=True):
+    """Integer-exact quintile per the equidepth rule over distinct values
+    (ties keep together): 1 + (rows_before * 5) div n; descending metrics
+    invert the value upstream so 5 is always "best"."""
+    from pyspark.sql import Window
+
+    counts = col_df.groupBy(F.col(val).alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = counts.withColumn(
+        "cb", F.coalesce(F.sum("c").over(w), F.lit(0)).cast("bigint")
+    )
+    tot = counts.agg(F.sum("c").cast("bigint").alias("n"))
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        F.col("v"), (F.expr("(cb * 5) div n") + F.lit(1)).alias("q")
+    )
+    return col_df.join(F.broadcast(scored), col_df[val] == scored["v"]).select(
+        F.col(key), F.col("q")
+    )
+
+
+def q_customers_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the marketing-analytics staple: per customer,
+    Recency (days since last order, inverted so recent = 5), Frequency
+    (order count), and Monetary (decimal revenue) each scored into
+    integer-exact quintiles by the ties-keep-together equidepth rule,
+    then segment cell counts. The fact table reduces once to one row
+    per customer; each quintile scoring is a distinct-value window
+    bounded by metric cardinality; scores join back by broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("money"),
+    )
+    anchor = per.agg(F.max("last_d").alias("a"))
+    per = per.crossJoin(F.broadcast(anchor)).withColumn(
+        # negative day-gap: larger = more recent, so quintile 5 = best
+        "rec_inv",
+        -F.datediff(F.col("a"), F.col("last_d")).cast("bigint"),
+    )
+    r = _quintile(per.select("o_custkey", "rec_inv"), "o_custkey", "rec_inv")
+    fq = _quintile(per.select("o_custkey", "freq"), "o_custkey", "freq")
+    m = _quintile(per.select("o_custkey", "money"), "o_custkey", "money")
+    rfm = (
+        r.withColumnRenamed("q", "r")
+        .join(fq.withColumnRenamed("q", "f"), "o_custkey")
+        .join(m.withColumnRenamed("q", "m"), "o_custkey")
+    )
+    return (
+        rfm.groupBy("r", "f", "m")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .orderBy("r", "f", "m")
+    )
+
+
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diagnostics: pairwise vocabulary Jaccard between document
+    sources — how much of each source's word inventory the others share
+    (domain-shift signal before mixing). One distinct (source, word)
+    reduction; pair intersections via a self-join on the word key;
+    union sizes by inclusion-exclusion — exact integers plus one
+    division."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.transform(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda w: F.regexp_replace(w, "[^a-z]", ""),
+        ),
+        lambda w: w != "",
+    )
+    sv = (
+        docs.select(F.col("source"), F.explode(toks).alias("w"))
+        .distinct()
+    )
+    sizes = sv.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = sv.select(F.col("source").alias("src_a"), "w")
+    b = sv.select(F.col("source").alias("src_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard_r"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
 QUERIES = {
     "feature_correlations": q_feature_correlations,
     "orders_pareto": q_orders_pareto,
@@ -773,6 +883,8 @@ QUERIES = {
     "join_scd2_pit": q_join_scd2_pit,
     "lineitem_vshape": q_lineitem_vshape,
     "part_hierarchy_closure": q_part_hierarchy_closure,
+    "customers_rfm": q_customers_rfm,
+    "source_vocab_overlap": q_source_vocab_overlap,
 }
 
 # --- oracle SQL ---------------------------------------------------------
@@ -1498,4 +1610,82 @@ ORACLES["part_hierarchy_closure"] = """
            CAST(MIN(node) AS BIGINT) AS min_node,
            CAST(MAX(node) AS BIGINT) AS max_node
     FROM clo GROUP BY dist ORDER BY dist
+"""
+
+
+ORACLES["customers_rfm"] = """
+    WITH per AS (
+        SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_d,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+                    AS DOUBLE) AS money
+        FROM orders GROUP BY 1
+    ),
+    anch AS (SELECT MAX(last_d) AS a FROM per),
+    base AS (
+        SELECT o_custkey,
+               -CAST(date_diff('day', last_d, a) AS BIGINT) AS rec_inv,
+               freq, money
+        FROM per CROSS JOIN anch
+    ),
+    rq AS (
+        SELECT v, 1 + (cb * 5) // n AS q FROM (
+            SELECT v, CAST(COALESCE(SUM(c) OVER (
+                       ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS cb,
+                   CAST(SUM(c) OVER () AS BIGINT) AS n
+            FROM (SELECT rec_inv AS v, COUNT(*) AS c FROM base GROUP BY 1)
+        )
+    ),
+    fqq AS (
+        SELECT v, 1 + (cb * 5) // n AS q FROM (
+            SELECT v, CAST(COALESCE(SUM(c) OVER (
+                       ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS cb,
+                   CAST(SUM(c) OVER () AS BIGINT) AS n
+            FROM (SELECT freq AS v, COUNT(*) AS c FROM base GROUP BY 1)
+        )
+    ),
+    mq AS (
+        SELECT v, 1 + (cb * 5) // n AS q FROM (
+            SELECT v, CAST(COALESCE(SUM(c) OVER (
+                       ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS cb,
+                   CAST(SUM(c) OVER () AS BIGINT) AS n
+            FROM (SELECT money AS v, COUNT(*) AS c FROM base GROUP BY 1)
+        )
+    )
+    SELECT rq.q AS r, fqq.q AS f, mq.q AS m,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM base
+    JOIN rq ON rq.v = base.rec_inv
+    JOIN fqq ON fqq.v = base.freq
+    JOIN mq ON mq.v = base.money
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+ORACLES["source_vocab_overlap"] = """
+    WITH sv AS (
+        SELECT DISTINCT source,
+               unnest(list_filter(list_transform(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   w -> regexp_replace(w, '[^a-z]', '', 'g')),
+                   w -> w <> '')) AS w
+        FROM documents
+    ),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+              FROM sv GROUP BY 1),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM sv a JOIN sv b ON a.w = b.w AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_common,
+           round(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 6)
+               AS jaccard_r
+    FROM inter
+    JOIN sizes sa ON sa.source = inter.src_a
+    JOIN sizes sb ON sb.source = inter.src_b
+    ORDER BY src_a, src_b
 """

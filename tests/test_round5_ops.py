@@ -1036,3 +1036,26 @@ def test_hierarchy_closure_chain_and_depth_guard(spark):
 
     with _pt.raises(ValueError, match="max_depth"):
         g.hierarchy_closure(edges, max_depth=0)
+
+
+def test_rfm_scores_cover_customers_and_quintile_range(spark, sf_dir):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.catalog import load_table
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import analytics
+
+    rows = analytics.q_customers_rfm(spark, sf_dir).collect()
+    assert all(1 <= r["r"] <= 5 and 1 <= r["f"] <= 5 and 1 <= r["m"] <= 5 for r in rows)
+    n_cust = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+
+
+def test_source_vocab_overlap_bounds(spark, sf_dir):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import analytics
+
+    rows = analytics.q_source_vocab_overlap(spark, sf_dir).collect()
+    assert rows, "documents table has multiple sources"
+    for r in rows:
+        assert 0 < r["n_common"] <= min(r["n_a"], r["n_b"])
+        assert 0.0 < r["jaccard_r"] <= 1.0
+        assert r["src_a"] < r["src_b"]  # canonical pairs, no duplicates
