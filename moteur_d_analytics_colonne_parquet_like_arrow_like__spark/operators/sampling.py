@@ -149,7 +149,14 @@ def negative_pairs(
     join silently yields fewer (document your id space or densify
     first). The only shuffles are that narrow id equi-join and nothing
     else; no RNG, no driver state.
+
+    ``k`` must be >= 1: Spark's ``sequence(1, 0)`` counts DOWN ([1, 0]),
+    so k=0 would silently emit two bogus slots per anchor instead of
+    none — rejected loudly instead (mirrors hierarchy_closure's
+    max_depth guard).
     """
+    if k < 1:
+        raise ValueError(f"negative_pairs requires k >= 1, got {k}")
     bound = df.agg(
         (F.max(F.col(id_col)) + F.lit(1)).cast("bigint").alias("__n")
     )

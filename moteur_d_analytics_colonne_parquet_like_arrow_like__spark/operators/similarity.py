@@ -478,11 +478,27 @@ def ivf_sq_topk(
     The codebook (one global scale) comes from the FULL corpus — codes
     must be comparable across buckets, and queries quantize with the same
     scale. Results equal ``sq_int8_topk`` restricted to same-bucket
-    candidates; ties break on corpus id."""
-    import os
+    candidates; ties break on corpus id.
 
-    marker = os.path.join(path, "_IVF_SQ_DONE")
-    if not os.path.exists(marker):
+    Index reuse is keyed on a corpus FINGERPRINT (row count + max id),
+    not on the path alone: if the data behind ``path``'s source corpus
+    changes (regenerated testdata, a different filter), the stale codes
+    and codebook are detected and rebuilt instead of silently reused.
+    The fingerprint travels as a 1-row parquet written through the same
+    Spark filesystem layer as the index itself (no driver-local
+    ``os.path`` assumptions — works on HDFS/object stores too)."""
+    fp_path = path.rstrip("/") + "_fingerprint"
+    fp_now = corpus.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max(F.col(id_col)).cast("bigint").alias("max_id"),
+    ).first()
+    fp_old = None
+    try:
+        r = spark.read.parquet(fp_path).first()
+        fp_old = (r["n"], r["max_id"])
+    except Exception:
+        fp_old = None
+    if fp_old != (fp_now["n"], fp_now["max_id"]):
         stats = sq_int8_stats(corpus, vec_col, dim)
         coded = sq_int8_quantize(corpus, vec_col, stats, "qvec_i8")
         coded.select(
@@ -490,15 +506,16 @@ def ivf_sq_topk(
             F.col("qvec_i8"),
             bucket_id(vec_col, dims).alias("bucket"),
         ).write.mode("overwrite").partitionBy("bucket").parquet(path)
-        stats.write.mode("overwrite").parquet(os.path.join(path, "_codebook"))
-        with open(marker, "w") as f:
-            f.write("ok")
+        stats.write.mode("overwrite").parquet(path.rstrip("/") + "_codebook")
+        spark.createDataFrame(
+            [(int(fp_now["n"]), int(fp_now["max_id"]))], "n bigint, max_id bigint"
+        ).coalesce(1).write.mode("overwrite").parquet(fp_path)
     coded_corpus = spark.read.parquet(path).select(
         F.col(id_col).alias("corpus_id"),
         F.col("qvec_i8").alias("cq"),
         F.col("bucket").cast("int").alias("bucket"),
     )
-    stats = spark.read.parquet(os.path.join(path, "_codebook"))
+    stats = spark.read.parquet(path.rstrip("/") + "_codebook")
     q = sq_int8_quantize(
         queries.select(
             F.col(id_col).alias("query_id"),

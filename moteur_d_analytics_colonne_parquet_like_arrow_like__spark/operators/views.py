@@ -35,35 +35,67 @@ def maintain_agg_view(
 ) -> DataFrame:
     """Apply a ``snapshot_diff`` change set to an ``agg_view``
     materialization: inserts contribute (+1, +new value), deletes
-    (-1, -old value), updates (0, new - old). Groups whose count reaches
-    zero drop out of the view (their sum is exactly zero too — decimal
-    algebra, no float residue). The group column is read from the
-    NEW-side values for inserts/updates and the OLD side for deletes —
-    a change that MOVES a row between groups therefore must be encoded
-    as delete+insert by the differ (which full-outer-joins on the
-    primary key, so a group-column change on the same key shows as an
-    update; for group-stable keys — the usual FK case — updates stay
-    updates).
+    (-1, -old value), group-stable updates (0, new - old). An update
+    whose GROUP column changed (same primary key, row moved between
+    groups — ``snapshot_diff`` classifies it as change_op='update'
+    because it full-outer-joins on the key) is split into its two group
+    contributions: (-1, -old value) to the old group and (+1, +new
+    value) to the new group, so neither group's count or sum goes
+    stale. Groups whose count reaches zero drop out of the view (their
+    sum is exactly zero too — decimal algebra, no float residue).
 
-    Plan shape: one groupBy over the (small) diff, one outer join
-    against the view keyed on the group — never a scan of the base
-    table. At 100 TB the view refresh touches only changed groups.
+    Plan shape: one per-row explode of at most 2 contribution structs,
+    one groupBy over the (small) diff, one outer join against the view
+    keyed on the group — never a scan of the base table. At 100 TB the
+    view refresh touches only changed groups.
     """
     g_new = F.col("new_values").getField(group_col)
     g_old = F.col("old_values").getField(group_col)
     v_new = F.col("new_values").getField(value_col).cast("decimal(18,2)")
     v_old = F.col("old_values").getField(value_col).cast("decimal(18,2)")
     zero = F.lit(0).cast("decimal(18,2)")
+    is_ins = F.col("change_op") == "insert"
+    is_del = F.col("change_op") == "delete"
+    is_upd = F.col("change_op") == "update"
+    moved = is_upd & ~g_new.eqNullSafe(g_old)
+    # NEW-side contribution (inserts, updates; absent for deletes):
+    # a moved update adds a full (+1, +new) to the new group, a stable
+    # update contributes (0, new - old) to its single group.
+    new_side = F.when(
+        is_ins | is_upd,
+        F.struct(
+            g_new.alias("g"),
+            F.when(is_ins | moved, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("dn"),
+            (
+                F.coalesce(v_new, zero)
+                - F.when(is_upd & ~moved, F.coalesce(v_old, zero)).otherwise(
+                    zero
+                )
+            ).alias("dv"),
+        ),
+    )
+    # OLD-side contribution (deletes, moved updates): (-1, -old).
+    old_side = F.when(
+        is_del | moved,
+        F.struct(
+            g_old.alias("g"),
+            F.lit(-1).cast("bigint").alias("dn"),
+            (zero - F.coalesce(v_old, zero)).alias("dv"),
+        ),
+    )
     contrib = diff.select(
-        F.coalesce(g_new, g_old).alias(group_col),
-        F.when(F.col("change_op") == "insert", F.lit(1))
-        .when(F.col("change_op") == "delete", F.lit(-1))
-        .otherwise(F.lit(0))
-        .cast("bigint")
-        .alias("__dn"),
-        (
-            F.coalesce(v_new, zero) - F.coalesce(v_old, zero)
-        ).alias("__dv"),
+        F.explode(
+            F.filter(
+                F.array(new_side, old_side), lambda c: c.isNotNull()
+            )
+        ).alias("__c")
+    ).select(
+        F.col("__c.g").alias(group_col),
+        F.col("__c.dn").alias("__dn"),
+        F.col("__c.dv").alias("__dv"),
     )
     deltas = contrib.groupBy(group_col).agg(
         F.sum("__dn").cast("bigint").alias("__dn"),

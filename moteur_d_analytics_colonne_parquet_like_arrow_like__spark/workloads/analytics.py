@@ -97,7 +97,23 @@ def q_table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = orders.where(F.col("o_orderkey") % 5 != 4)
     path = f"/tmp/snapdiff_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
     t = SnapshotTable(path)
-    if t.latest_version() != 1:
+    ver = t.latest_version()
+    if ver == 0:
+        # A crash between append and merge leaves the fixture at v0;
+        # re-running the old blind `!= 1` guard would re-append base on
+        # top (duplicate keys) before merging. The fixture is ours and
+        # derived, so self-heal: drop the partial state and rebuild.
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        t = SnapshotTable(path)
+        ver = None
+    elif ver not in (None, 1):
+        raise RuntimeError(
+            f"snapdiff fixture at {path} is at unexpected version {ver}; "
+            "delete the directory to rebuild"
+        )
+    if ver is None:
         t.append(base.repartition(8))
         inserts = orders.where(
             (F.col("o_orderkey") % 5 == 4) & (F.col("o_orderkey") % 3 == 0)
