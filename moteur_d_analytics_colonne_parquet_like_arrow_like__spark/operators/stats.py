@@ -226,11 +226,124 @@ def basket_rules(
     ).limit(top_n)
 
 
+def quantile_chunks(
+    df: DataFrame,
+    order_col: str,
+    n_chunks: int = 32,
+    rel_err: float = 0.01,
+    descending: bool = False,
+):
+    """A chunk-key Column for ``two_phase_rank_cumsum``: approximate
+    equi-depth boundary cuts of ``order_col`` (one Greenwald-Khanna pass,
+    driver gets only the ~``n_chunks`` cut literals) folded into an
+    indicator-sum CASE ladder. Properties the two-phase scan needs:
+
+    - pure function of the value (equal values always share a chunk),
+    - monotone along the sort direction (``descending=True`` negates it),
+    - BALANCED: each chunk holds ~rows/``n_chunks`` rows at ANY data
+      distribution or scale — unlike fixed-granularity value bucketing,
+      occupancy does not grow where the distribution concentrates.
+
+    Where the boundaries land does not affect results (any split of a
+    total order yields the same global prefix sums), so the quantile
+    approximation error only perturbs balance, never values.
+    """
+    if n_chunks < 2:
+        return F.lit(0)
+    probs = [i / n_chunks for i in range(1, n_chunks)]
+    cuts = df.select(F.col(order_col).cast("double").alias("__v")).stat.approxQuantile(
+        "__v", probs, rel_err
+    )
+    c = F.lit(0)
+    for cut in sorted(set(float(x) for x in cuts)):
+        c = c + F.when(
+            F.col(order_col).cast("double") > F.lit(cut), 1
+        ).otherwise(0)
+    return (F.lit(0) - c) if descending else c
+
+
+def two_phase_rank_cumsum(
+    df: DataFrame,
+    order_col: str,
+    chunk_col,
+    *,
+    partition_cols: list[str] | tuple = (),
+    tiebreak_cols: list[str] | tuple = (),
+    value_col: str | None = None,
+    descending: bool = False,
+    rn_col: str = "__rn",
+    cum_col: str = "__cum",
+) -> DataFrame:
+    """Distributed global (or per-``partition_cols``) rank + inclusive
+    cumulative sum WITHOUT an unbounded-partition window over the data —
+    the generalized form of ``pack_sequences``' two-phase scan
+    (operators/text.py): a ``Window.orderBy`` with no partition key
+    collapses everything into ONE task; this computes the identical
+    result in parallel.
+
+    Phase 1: rows carry ``chunk_col`` (monotone along the sort order and
+    a pure function of ``order_col`` — see ``quantile_chunks``); local
+    row_number / running sum run per (partition, chunk), every task
+    bounded by chunk occupancy. Phase 2: per-chunk counts/sums — ONE row
+    per chunk — take an exclusive prefix over the chunk axis (a window
+    over the chunk-level AGGREGATE, the documented-safe shape) and
+    broadcast back; global rank = chunk base + local, cum = chunk base
+    sum + local running sum. Bit-identical to the single-task window at
+    any chunking because integer counts and decimal sums reassociate
+    exactly.
+
+    Requires the full sort key (``order_col`` + ``tiebreak_cols``) to be
+    unique per partition group for a deterministic rank, same as any
+    row_number use. Adds ``rn_col`` (bigint) and, when ``value_col`` is
+    given, ``cum_col``.
+    """
+    sort_cols = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc()
+    ]
+    sort_cols += [F.col(c).asc() for c in tiebreak_cols]
+    pc = list(partition_cols)
+    d = df.withColumn("__chunk", chunk_col)
+    w_local = Window.partitionBy(*pc, "__chunk").orderBy(*sort_cols)
+    proj = [F.row_number().over(w_local).alias("__lrn")]
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__cn")]
+    if value_col is not None:
+        w_frame = w_local.rowsBetween(Window.unboundedPreceding, 0)
+        proj.append(F.sum(value_col).over(w_frame).alias("__lcum"))
+        aggs.append(F.sum(value_col).alias("__cs"))
+    local = d.select("*", *proj)
+    tot = d.groupBy(*pc, "__chunk").agg(*aggs)
+    w_ch = (
+        Window.partitionBy(*pc)
+        .orderBy(F.col("__chunk").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base_cols = [
+        F.coalesce(F.sum("__cn").over(w_ch), F.lit(0))
+        .cast("bigint")
+        .alias("__bn")
+    ]
+    drop = ["__chunk", "__lrn", "__bn"]
+    if value_col is not None:
+        base_cols.append(F.sum("__cs").over(w_ch).alias("__bs"))
+        drop += ["__lcum", "__bs"]
+    bases = tot.select(*pc, "__chunk", *base_cols)
+    out = local.join(F.broadcast(bases), [*pc, "__chunk"]).withColumn(
+        rn_col, (F.col("__bn") + F.col("__lrn")).cast("bigint")
+    )
+    if value_col is not None:
+        out = out.withColumn(
+            cum_col,
+            F.col("__lcum") + F.coalesce(F.col("__bs"), F.lit(0)),
+        )
+    return out.drop(*drop)
+
+
 def normalize_scores_per_group(
     df: DataFrame,
     group_col: str,
     score_col: str,
     id_col: str,
+    n_chunks: int = 64,
 ) -> DataFrame:
     """Per-group percentile-rank normalization: each row's score becomes
     its exact within-group percentile ``(rank - 1) / (n - 1)`` (0 for a
@@ -239,25 +352,37 @@ def normalize_scores_per_group(
     scales; rank-normalizing per source makes one global threshold
     meaningful across the mixture.
 
-    One window partitioned by group (a single exchange on the group key,
-    rank + count sharing it); the math is integer rank over integer count
-    — cross-engine exact except the final rounded division. Heavy skew
-    (one giant group) is bounded by that group's size, same as any
-    per-source pass.
+    Scale shape: the obvious ``Window.partitionBy(source)`` is a trap —
+    a handful of sources × billions of docs each means one multi-TB sort
+    task per source. The rank instead rides ``two_phase_rank_cumsum``
+    over score-quantile chunks: every task is bounded by ~rows/
+    ``n_chunks``, the per-source chunk prefix runs over the chunk-level
+    aggregate, and per-group counts broadcast back from their own tiny
+    reduction. Integer rank over integer count — cross-engine exact
+    except the final rounded division, bit-identical to the single-task
+    window at any chunking.
     """
-    w = Window.partitionBy(group_col).orderBy(
-        F.col(score_col).asc(), F.col(id_col).asc()
+    chunk = quantile_chunks(df, score_col, n_chunks=n_chunks)
+    tp = two_phase_rank_cumsum(
+        df,
+        score_col,
+        chunk,
+        partition_cols=[group_col],
+        tiebreak_cols=[id_col],
+        rn_col="__rk",
     )
-    wn = Window.partitionBy(group_col)
-    return df.select(
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__gn")
+    )
+    return tp.join(F.broadcast(counts), group_col).select(
         F.col(id_col),
         F.col(group_col),
         F.col(score_col),
         F.round(
-            F.when(F.count(F.lit(1)).over(wn) > 1,
-                   (F.row_number().over(w) - F.lit(1))
-                   / (F.count(F.lit(1)).over(wn) - F.lit(1)))
-            .otherwise(F.lit(0.0)),
+            F.when(
+                F.col("__gn") > 1,
+                (F.col("__rk") - F.lit(1)) / (F.col("__gn") - F.lit(1)),
+            ).otherwise(F.lit(0.0)),
             6,
         ).alias("pct_r"),
     )

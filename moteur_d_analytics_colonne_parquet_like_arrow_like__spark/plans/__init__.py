@@ -86,3 +86,59 @@ def codegen_spans(df: DataFrame) -> int:
     """Number of WholeStageCodegen spans (wider is better for the hot path)."""
     plan = formatted_plan(df)
     return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan)))
+
+
+def _walk_logical(jnode):
+    yield jnode
+    ch = jnode.children()
+    for i in range(ch.size()):
+        yield from _walk_logical(ch.apply(i))
+
+
+def unsafe_global_windows(
+    df: DataFrame,
+    low_card_cols: tuple[str, ...] = (),
+    chunk_marker: str = "__chunk",
+) -> list[str]:
+    """Window nodes in the optimized logical plan that would collapse a
+    data-proportional relation into one task at scale: an (effectively)
+    global window — empty partition spec, or (when ``low_card_cols``
+    names known fixed-cardinality keys like a document ``source``)
+    partitioned only by those — whose input subtree contains NO
+    Aggregate, i.e. it sorts raw data-proportional rows.
+
+    Two shapes are scale-safe and therefore excluded:
+    - a partition spec referencing a ``__chunk`` key (phase 1 of the
+      two-phase prefix scan, operators/stats.two_phase_rank_cumsum —
+      every task bounded by chunk occupancy);
+    - a window whose subtree contains an Aggregate (it runs over a
+      reduced relation: distinct values, chunk totals, group counts —
+      the documented equidepth/pareto precondition).
+
+    Per-key windows over keys whose cardinality GROWS with the data
+    (user_id, part key...) keep bounded group sizes and are not
+    candidates — only list a key in ``low_card_cols`` when its
+    cardinality is fixed while its groups grow.
+
+    Returns the offending Window nodes' partition specs (empty list ==
+    safe), so tests can assert ``== []`` and failures name the node.
+    """
+    root = df._jdf.queryExecution().optimizedPlan()
+    bad = []
+    for n in _walk_logical(root):
+        if n.nodeName() != "Window":
+            continue
+        spec = n.partitionSpec()
+        exprs = [spec.apply(i).toString() for i in range(spec.size())]
+        if any(chunk_marker in e for e in exprs):
+            continue
+        effectively_global = not exprs or all(
+            any(c in e for c in low_card_cols) for e in exprs
+        )
+        if not effectively_global:
+            continue
+        subtree = list(_walk_logical(n))[1:]
+        if any(m.nodeName() == "Aggregate" for m in subtree):
+            continue
+        bad.append(f"Window(partitionBy=[{' '.join(exprs)}])")
+    return bad

@@ -383,22 +383,32 @@ def q_customers_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     while <= 80%, else C; one row per class with member count and the
     class's exact revenue share. Plan: the fact table reduces to
     per-customer decimal sums (one combiner-friendly shuffle); the
-    ranking window and cumulative share run over the reduced customer
-    table; classes re-aggregate. Cross-engine exact: revenue is decimal,
+    cumulative share then rides the TWO-PHASE distributed prefix sum
+    (operators/stats.two_phase_rank_cumsum over revenue-quantile
+    chunks) — customer count scales with data, so a bare
+    ``Window.orderBy(rev desc)`` would funnel every customer through
+    ONE task; the chunked scan is bit-identical and every task is
+    bounded by ~customers/32. Cross-engine exact: revenue is decimal,
     shares are single divisions of decimal-rooted doubles, and the
     rank tie-breaks on the customer key."""
     orders = load_table(spark, sf_dir, "orders")
-    from pyspark.sql import Window
 
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")).alias("rev")
     )
-    w = Window.orderBy(F.col("rev").desc(), F.col("o_custkey").asc())
     tot = per_cust.agg(F.sum("rev").alias("tot"))
+    chunk = stats.quantile_chunks(per_cust, "rev", n_chunks=32, descending=True)
     ranked = (
-        per_cust.withColumn(
-            "cum", F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        stats.two_phase_rank_cumsum(
+            per_cust,
+            "rev",
+            chunk,
+            tiebreak_cols=["o_custkey"],
+            value_col="rev",
+            descending=True,
+            cum_col="cum",
         )
+        .drop("__rn")
         .crossJoin(F.broadcast(tot))
         .withColumn(
             "__share",
@@ -621,17 +631,22 @@ def q_supplier_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gini ``(2·Sum(i·x_i) ) / (n·Sum(x)) - (n+1)/n`` over revenues sorted
     ascending (ties broken by supplier key, making the rank — and the
     statistic — fully deterministic). The facts reduce to per-supplier
-    decimal sums before the single bounded ranking window."""
-    from pyspark.sql import Window
-
+    decimal sums; the global rank i then rides the two-phase
+    distributed prefix count (operators/stats.two_phase_rank_cumsum
+    over revenue-quantile chunks) — supplier count scales with data,
+    so a bare global ``row_number()`` window would be ONE task; the
+    chunked rank is bit-identical (Sum(i*x_i) decomposes over chunked
+    prefix counts) with every task bounded by ~suppliers/32."""
     li = load_table(spark, sf_dir, "lineitem")
     per = li.groupBy("l_suppkey").agg(
         F.sum(F.round("l_extendedprice", 2).cast("decimal(18,2)")).alias(
             "rev"
         )
     )
-    w = Window.orderBy(F.col("rev").asc(), F.col("l_suppkey").asc())
-    ranked = per.withColumn("i", F.row_number().over(w))
+    chunk = stats.quantile_chunks(per, "rev", n_chunks=32)
+    ranked = stats.two_phase_rank_cumsum(
+        per, "rev", chunk, tiebreak_cols=["l_suppkey"], rn_col="i"
+    )
     return ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
         F.round(F.sum("rev").cast("double"), 2).alias("total_rev_r"),
@@ -765,15 +780,23 @@ def q_part_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _quintile(col_df, key, val, asc=True):
     """Integer-exact quintile per the equidepth rule over distinct values
     (ties keep together): 1 + (rows_before * 5) div n; descending metrics
-    invert the value upstream so 5 is always "best"."""
-    from pyspark.sql import Window
+    invert the value upstream so 5 is always "best".
 
+    The exclusive cumulative count runs over the distinct-VALUE
+    reduction, whose cardinality is bounded for recency (days) and
+    frequency (order counts) but ~#customers for money — so instead of
+    a bare ``Window.orderBy(v)`` (one task at scale) it rides the
+    two-phase distributed prefix sum over value-quantile chunks
+    (operators/stats.two_phase_rank_cumsum): bit-identical, every task
+    bounded by ~values/32."""
     counts = col_df.groupBy(F.col(val).alias("v")).agg(
         F.count(F.lit(1)).alias("c")
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    cum = counts.withColumn(
-        "cb", F.coalesce(F.sum("c").over(w), F.lit(0)).cast("bigint")
+    chunk = stats.quantile_chunks(counts, "v", n_chunks=32)
+    cum = (
+        stats.two_phase_rank_cumsum(counts, "v", chunk, value_col="c")
+        .withColumn("cb", (F.col("__cum") - F.col("c")).cast("bigint"))
+        .drop("__rn", "__cum")
     )
     tot = counts.agg(F.sum("c").cast("bigint").alias("n"))
     scored = cum.crossJoin(F.broadcast(tot)).select(

@@ -216,6 +216,72 @@ def test_sq_int8_topk_broadcasts_queries(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+# --- round-6: no single-task windows over data-proportional tables ------
+
+
+def test_abc_has_no_unsafe_global_window(spark, sf_dir):
+    # customers_abc's cumulative share must ride the two-phase chunked
+    # prefix sum — a bare Window.orderBy(rev desc) over the per-customer
+    # table is ONE task at scale (VERDICT r5 item 1).
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import analytics
+
+    df = analytics.q_customers_abc(spark, sf_dir)
+    assert plans.unsafe_global_windows(df) == []
+
+
+def test_gini_has_no_unsafe_global_window(spark, sf_dir):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import analytics
+
+    df = analytics.q_supplier_gini(spark, sf_dir)
+    assert plans.unsafe_global_windows(df) == []
+
+
+def test_rfm_has_no_unsafe_global_window(spark, sf_dir):
+    # The money quintile's distinct-value table is ~#customers — its
+    # cumulative window must be chunked too.
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import analytics
+
+    df = analytics.q_customers_rfm(spark, sf_dir)
+    assert plans.unsafe_global_windows(df) == []
+
+
+def test_score_normalize_no_per_source_sort_of_raw_docs(spark, sf_dir):
+    # Window.partitionBy(source) over the RAW document table = one
+    # multi-TB sort task per source at scale. 'source' is a known
+    # fixed-cardinality key, so it counts as effectively global here.
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import analytics
+
+    df = analytics.q_pipeline_score_normalize(spark, sf_dir)
+    assert plans.unsafe_global_windows(df, low_card_cols=("source",)) == []
+
+
+def test_unsafe_window_checker_flags_naive_shape(spark, sf_dir):
+    # Sanity: the checker must actually FLAG the pattern it exists to
+    # kill — a global rank window straight over a raw table.
+    from pyspark.sql import Window
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    naive = li.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("l_extendedprice").desc(), F.col("l_orderkey"))
+        ),
+    )
+    assert plans.unsafe_global_windows(naive) != []
+    per_src = li.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("l_orderkey").orderBy("l_extendedprice")
+        ),
+    )
+    # growing-key partitions are fine...
+    assert plans.unsafe_global_windows(per_src) == []
+    # ...unless the key is declared fixed-cardinality.
+    assert plans.unsafe_global_windows(per_src, low_card_cols=("l_orderkey",)) != []
+
+
 def test_fuzzy_match_block_cap_join_broadcasts(spark, sf_dir):
     # The hot-block cap join (right side x its block census) must be a
     # broadcast, and candidate pairing must be an equi hash/merge join on

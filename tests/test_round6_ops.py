@@ -138,6 +138,96 @@ def test_ivf_sq_rebuilds_when_corpus_changes(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, again)) == sorted(map(tuple, reused))
 
 
+# ----------------------------------- two-phase prefix scan bit-exactness
+
+
+def test_two_phase_rank_cumsum_matches_naive_window(spark):
+    # The chunked scan must be BIT-IDENTICAL to the single-task window
+    # it replaces, for any chunking — skewed decimal values, desc order.
+    from pyspark.sql import Window
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import stats
+
+    rows = [
+        (i, ((i * 37) % 13) * 100 + (i % 7))  # heavy value ties + skew
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["k", "raw"]).select(
+        "k", (F.col("raw").cast("decimal(18,2)") / 7).alias("v")
+    )
+    for descending in (False, True):
+        chunk = stats.quantile_chunks(df, "v", n_chunks=8, descending=descending)
+        got = stats.two_phase_rank_cumsum(
+            df,
+            "v",
+            chunk,
+            tiebreak_cols=["k"],
+            value_col="v",
+            descending=descending,
+            rn_col="rn",
+            cum_col="cum",
+        ).select("k", "rn", "cum")
+        w = Window.orderBy(
+            F.col("v").desc() if descending else F.col("v").asc(),
+            F.col("k").asc(),
+        )
+        want = df.select(
+            "k",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.sum("v")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cum"),
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+
+def test_two_phase_partitioned_matches_naive(spark):
+    from pyspark.sql import Window
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import stats
+
+    rows = [(i, f"s{i % 3}", float((i * 31) % 17)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["k", "g", "v"])
+    chunk = stats.quantile_chunks(df, "v", n_chunks=5)
+    got = stats.two_phase_rank_cumsum(
+        df, "v", chunk, partition_cols=["g"], tiebreak_cols=["k"], rn_col="rn"
+    ).select("k", "rn")
+    w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("k").asc())
+    want = df.select("k", F.row_number().over(w).cast("bigint").alias("rn"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_normalize_scores_matches_naive_per_group_rank(spark):
+    from pyspark.sql import Window
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import stats
+
+    rows = [(i, f"src{i % 4}", float((i * 13) % 29) / 7.0) for i in range(200)]
+    rows.append((999, "lonely", 5.0))  # 1-row group -> pct 0
+    df = spark.createDataFrame(rows, ["doc_id", "source", "score"])
+    got = stats.normalize_scores_per_group(df, "source", "score", "doc_id", n_chunks=6)
+    w = Window.partitionBy("source").orderBy(
+        F.col("score").asc(), F.col("doc_id").asc()
+    )
+    wn = Window.partitionBy("source")
+    want = df.select(
+        "doc_id",
+        "source",
+        "score",
+        F.round(
+            F.when(
+                F.count(F.lit(1)).over(wn) > 1,
+                (F.row_number().over(w) - F.lit(1))
+                / (F.count(F.lit(1)).over(wn) - F.lit(1)),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("pct_r"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
 # ------------------------------------------- snapdiff fixture crash-safety
 
 
