@@ -74,8 +74,10 @@ def _cmd_scan(args: argparse.Namespace) -> int:
     return 0
 
 
-def _cmd_query(args: argparse.Namespace) -> int:
-    spark = get_spark("moteur_cli_query")
+def _build_executor(spark, args: argparse.Namespace) -> QueryExecutor:
+    """Assemble the QueryExecutor exactly as the `query` verb does —
+    shared by the CLI entry point and ``compile_query_df`` (the gate's
+    way of proving the flag path compiles correct plans)."""
     if args.path.endswith(".col"):
         # Push the first integer-literal predicate into the .col reader so
         # zone-map page stats skip row groups before decode — the parity
@@ -98,18 +100,44 @@ def _cmd_query(args: argparse.Namespace) -> int:
         qe.set_projection([c.strip() for c in args.select.split(",") if c.strip()])
     for col, op, lit in args.where or []:
         qe.add_filter(Predicate.parse(col, op, lit))
-    if args.groupby:
-        if not args.agg:
-            print("error: --groupby requires --agg", file=sys.stderr)
-            return 2
+    if args.agg:
         qe.set_aggregation(AggFunc(args.agg[0]), args.agg[1])
+    if args.groupby:
         qe.set_group_by(args.groupby)
+    return qe
+
+
+def compile_query_df(spark, argv: list[str]):
+    """Compile a full ``query``-verb argv through the REAL CLI path —
+    argparse flag parsing, op-token validation (``Predicate.parse``,
+    cae/src/cli.cpp:172-180), QueryExecutor assembly — and return the
+    resulting DataFrame instead of printing it. This is what the
+    ``cli_query_compiled`` gate entry runs, putting the last
+    pytest-only surface (SURVEY.md §2.12) under the driver's
+    value-hash check."""
+    args = build_parser().parse_args(argv)
+    if args.cmd != "query":
+        raise ValueError(f"compile_query_df expects a query verb, got {args.cmd!r}")
+    qe = _build_executor(spark, args)
+    if args.groupby:
+        return qe.execute_group_by()
+    if args.agg:
+        return qe.aggregate_df()
+    return qe.execute_query()
+
+
+def _cmd_query(args: argparse.Namespace) -> int:
+    spark = get_spark("moteur_cli_query")
+    if args.groupby and not args.agg:
+        print("error: --groupby requires --agg", file=sys.stderr)
+        return 2
+    qe = _build_executor(spark, args)
+    if args.groupby:
         rows = qe.execute_group_by().collect()
         for r in rows:
             print(f"{r[args.groupby]}\tcount={r['count']}\tsum={r['sum']}\tmin={r['min']}\tmax={r['max']}")
         return 0
     if args.agg:
-        qe.set_aggregation(AggFunc(args.agg[0]), args.agg[1])
         res = qe.execute_aggregate()
         print(f"count={res.count}\tsum={res.sum}\tmin={res.min}\tmax={res.max}")
         return 0

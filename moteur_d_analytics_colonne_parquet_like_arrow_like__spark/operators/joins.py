@@ -312,6 +312,7 @@ def fuzzy_best_match(
     name_col: str,
     max_dist: int = 3,
     block_cap: int = 10_000,
+    n_block_tokens: int = 1,
 ) -> DataFrame:
     """Blocked fuzzy record linkage: for each left row, the best right row
     by Levenshtein distance on ``name_col`` (distance <= ``max_dist``; ties
@@ -320,9 +321,16 @@ def fuzzy_best_match(
     The naive formulation is an O(n·m) similarity cross-join — unusable at
     scale. This is the standard blocking decomposition instead:
 
-    - **block key** = the name's last whitespace token (its head noun /
-      most-discriminating token), so candidate pairs form only inside a
-      block — an equi-join Spark shuffles hash-partitioned like any other.
+    - **block keys** = the name's last ``n_block_tokens`` whitespace
+      tokens (head noun first — its most-discriminating token), so
+      candidate pairs form only inside a block — an equi-join Spark
+      shuffles hash-partitioned like any other. With one token, a typo
+      INSIDE the head noun moves the row to another block and the match
+      is lost (classic blocking recall bound); ``n_block_tokens=2``
+      unions a second pass keyed on the preceding token — each side
+      explodes its distinct tail tokens, pairs sharing ANY of them meet,
+      and duplicate pairs collapse via one distinct before scoring.
+      Cost scales linearly in passes, never pairwise.
     - **length band**: |len(a) - len(b)| > ``max_dist`` can never pass the
       Levenshtein threshold (each edit changes length by <= 1), so the band
       predicate prunes candidates BEFORE the quadratic scorer — pushed into
@@ -335,30 +343,40 @@ def fuzzy_best_match(
 
     ``levenshtein`` runs on the JVM per candidate pair (no Python), and the
     best-match winner is a per-left-id window over block-local candidates.
-    Recall bound: a typo INSIDE the block token moves the row to another
-    block (classic blocking tradeoff) — multi-key blocking unions more
-    passes with other tokens, same plan shape.
     """
-    blk = lambda c: F.element_at(F.split(F.col(c), " "), -1)  # noqa: E731
+    if n_block_tokens < 1:
+        raise ValueError(f"n_block_tokens must be >= 1, got {n_block_tokens}")
+
+    def blks(c):
+        # last n tokens, deduped (repeated tokens must not double-block)
+        return F.array_distinct(
+            F.slice(F.reverse(F.split(F.col(c), " ")), 1, n_block_tokens)
+        )
+
     l = left.select(
         F.col(left_id).alias("left_id"),
         F.col(name_col).alias("name_l"),
-        blk(name_col).alias("__blk"),
+        F.explode(blks(name_col)).alias("__blk"),
         F.length(name_col).alias("__len_l"),
     )
     r = right.select(
         F.col(right_id).alias("right_id"),
         F.col(name_col).alias("name_r"),
-        blk(name_col).alias("__blk"),
+        F.explode(blks(name_col)).alias("__blk"),
         F.length(name_col).alias("__len_r"),
     )
     rc = r.groupBy("__blk").agg(F.count(F.lit(1)).alias("__bn"))
     r = r.join(F.broadcast(rc.where(F.col("__bn") <= block_cap)), "__blk")
-    cand = l.join(
-        r,
-        (l["__blk"] == r["__blk"])
-        & (F.abs(F.col("__len_l") - F.col("__len_r")) <= F.lit(max_dist)),
-    ).withColumn("dist", F.levenshtein("name_l", "name_r"))
+    cand = (
+        l.join(
+            r,
+            (l["__blk"] == r["__blk"])
+            & (F.abs(F.col("__len_l") - F.col("__len_r")) <= F.lit(max_dist)),
+        )
+        .select("left_id", "right_id", "name_l", "name_r")
+        .distinct()
+        .withColumn("dist", F.levenshtein("name_l", "name_r"))
+    )
     scored = cand.where(F.col("dist") <= max_dist)
     w = Window.partitionBy("left_id").orderBy(
         F.col("dist").asc(), F.col("right_id").asc()

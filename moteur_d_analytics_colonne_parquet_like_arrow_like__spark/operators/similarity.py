@@ -467,6 +467,7 @@ def ivf_sq_topk(
     k: int = 5,
     dim: int = 64,
     dims: tuple[int, ...] = DEFAULT_BUCKET_DIMS,
+    probe_flips: int = 0,
 ) -> DataFrame:
     """The production ANN layout, composed: IVF partition pruning (probe
     only the query's sign-bucket directory) over SYMMETRIC int8-quantized
@@ -474,6 +475,15 @@ def ivf_sq_topk(
     FAISS-IVF+SQ8's shape on a data lake: the corpus is written once,
     partitioned by bucket, carrying its quantized codes; a probe reads
     one bucket's files and ranks by integer dot product.
+
+    ``probe_flips=1`` is the recall dial (multi-probe IVF): each query
+    additionally probes the buckets at hamming distance 1 from its own
+    — candidate volume x(1+bits) bucket directories, recall close to
+    exhaustive for hyperplane-straddling neighbors; pairs surfacing via
+    several probes dedup before ranking (same contract as
+    ``lsh_bucketed_topk``). Measure the trade-off with
+    ``recall_report`` — the ``sim_ivf_recall`` gate query reports
+    recall@10 at both settings.
 
     The codebook (one global scale) comes from the FULL corpus — codes
     must be comparable across buckets, and queries quantize with the same
@@ -516,18 +526,36 @@ def ivf_sq_topk(
         F.col("bucket").cast("int").alias("bucket"),
     )
     stats = spark.read.parquet(path.rstrip("/") + "_codebook")
-    q = sq_int8_quantize(
+    qbase = sq_int8_quantize(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col),
-            bucket_id(vec_col, dims).cast("int").alias("bucket"),
+            bucket_id(vec_col, dims).cast("int").alias("__b0"),
         ),
         vec_col,
         stats,
         "qq",
-    ).select("query_id", "qq", "bucket")
-    joined = coded_corpus.join(F.broadcast(q), on=["bucket"]).where(
-        F.col("query_id") != F.col("corpus_id")
+    )
+    if probe_flips == 0:
+        q = qbase.select("query_id", "qq", F.col("__b0").alias("bucket"))
+    elif probe_flips == 1:
+        probes = F.array(
+            F.col("__b0"),
+            *[
+                F.col("__b0").bitwiseXOR(F.lit(1 << i))
+                for i in range(len(dims))
+            ],
+        )
+        q = qbase.select(
+            "query_id", "qq", F.explode(probes).alias("bucket")
+        )
+    else:
+        raise ValueError("probe_flips > 1 not supported (candidate blowup)")
+    joined = (
+        coded_corpus.join(F.broadcast(q), on=["bucket"])
+        .where(F.col("query_id") != F.col("corpus_id"))
+        # a pair can surface via several probes — dedup before ranking
+        .dropDuplicates(["query_id", "corpus_id"])
     )
     prod = F.zip_with(
         F.col("qq"), F.col("cq"), lambda x, y: (x * y).cast("long")

@@ -45,13 +45,16 @@ def q_orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy record linkage: even-keyed parts matched to their
     best odd-keyed near-name (Levenshtein <= 3, blocked on the name's
-    head noun + length band — operators/joins.fuzzy_best_match). The
-    entity-resolution shape of joining two dirty catalogs."""
+    LAST TWO tokens + length band — operators/joins.fuzzy_best_match
+    with the unioned second blocking pass, so a typo inside the head
+    noun no longer loses the match). The entity-resolution shape of
+    joining two dirty catalogs."""
     part = load_table(spark, sf_dir, "part")
     left = part.where(F.col("p_partkey") % 2 == 0)
     right = part.where(F.col("p_partkey") % 2 == 1)
     return joins.fuzzy_best_match(
-        left, right, "p_partkey", "p_partkey", "p_name", max_dist=3
+        left, right, "p_partkey", "p_partkey", "p_name", max_dist=3,
+        n_block_tokens=2,
     ).orderBy("left_id")
 
 
@@ -169,6 +172,48 @@ def q_sim_ivf_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_sq_topk(
         spark, path, emb, queries, "vec_id", "embedding", k=5, dim=64
     ).orderBy("query_id", "rnk")
+
+
+def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the production IVF+SQ layout against the exact
+    cosine baseline at TWO probe settings (probe_flips 0 and 1) — the
+    measured probe-count / recall trade-off dial (VERDICT r5 item 4):
+    multi-probe reads x(1+bits) bucket directories and should close
+    most of the single-probe recall gap. Rankings are gate-proven
+    elsewhere; the report is per-query set intersections over
+    queries x k rows."""
+    import hashlib
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    path = f"/tmp/ivfsq_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    exact = similarity.cosine_topk_exact_baseline(
+        emb, queries, "vec_id", "embedding", k=10
+    )
+    parts = []
+    for flips in (0, 1):
+        approx = similarity.ivf_sq_topk(
+            spark,
+            path,
+            emb,
+            queries,
+            "vec_id",
+            "embedding",
+            k=10,
+            dim=64,
+            probe_flips=flips,
+        )
+        parts.append(
+            similarity.recall_report(approx, exact).withColumn(
+                "probes", F.lit(flips).cast("int")
+            )
+        )
+    return (
+        parts[0]
+        .unionByName(parts[1])
+        .select("probes", "query_id", "hits", "k", "recall_r")
+        .orderBy("probes", "query_id")
+    )
 
 
 def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -904,6 +949,7 @@ QUERIES = {
     "table_snapshot_diff": q_table_snapshot_diff,
     "sim_recall_report": q_sim_recall_report,
     "sim_ivf_sq": q_sim_ivf_sq,
+    "sim_ivf_recall": q_sim_ivf_recall,
     "basket_rules": q_basket_rules,
     "pipeline_score_normalize": q_pipeline_score_normalize,
     "events_ewma": q_events_ewma,
@@ -986,19 +1032,23 @@ ORACLES = {
     "join_fuzzy_match": """
         WITH l AS (
             SELECT p_partkey AS left_id, p_name AS name_l,
-                   string_split(p_name, ' ')[-1] AS blk,
+                   unnest(list_distinct(list_slice(
+                       list_reverse(string_split(p_name, ' ')), 1, 2
+                   ))) AS blk,
                    length(p_name) AS len_l
             FROM part WHERE p_partkey % 2 = 0
         ),
         r AS (
             SELECT p_partkey AS right_id, p_name AS name_r,
-                   string_split(p_name, ' ')[-1] AS blk,
+                   unnest(list_distinct(list_slice(
+                       list_reverse(string_split(p_name, ' ')), 1, 2
+                   ))) AS blk,
                    length(p_name) AS len_r
             FROM part WHERE p_partkey % 2 = 1
         ),
         cand AS (
-            SELECT l.left_id, r.right_id, l.name_l, r.name_r,
-                   levenshtein(l.name_l, r.name_r) AS dist
+            SELECT DISTINCT left_id, right_id, name_l, name_r,
+                   levenshtein(name_l, name_r) AS dist
             FROM l JOIN r
               ON l.blk = r.blk AND abs(l.len_l - r.len_r) <= 3
         ),
@@ -1162,6 +1212,59 @@ ORACLES["sim_ivf_sq"] = f"""
     )
     SELECT query_id, corpus_id, qdot, rnk FROM ranked
     WHERE rnk <= 5 ORDER BY query_id, rnk
+"""
+
+# IVF+SQ recall@10 vs exact cosine at probe_flips 0 and 1 (multi-probe
+# = the query's bucket plus all hamming-distance-1 buckets).
+ORACLES["sim_ivf_recall"] = f"""
+    WITH stats AS (SELECT {_SQ_STATS} FROM embeddings),
+    q AS (
+        SELECT vec_id, [{_SQ_CODES}] AS qv, {_RBUCKET} AS bucket
+        FROM embeddings CROSS JOIN stats
+    ),
+    exact AS (
+        SELECT query_id, corpus_id FROM (
+            SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY round({_RDOT}, 6) DESC, a.vec_id ASC
+                   ) AS rnk
+            FROM embeddings a JOIN embeddings b
+              ON b.vec_id < 10 AND a.vec_id <> b.vec_id
+        ) WHERE rnk <= 10
+    ),
+    approx AS (
+        SELECT probes, query_id, corpus_id FROM (
+            SELECT p.probes, b.vec_id AS query_id, a.vec_id AS corpus_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.probes, b.vec_id
+                       ORDER BY {_SQ_DOT} DESC, a.vec_id ASC
+                   ) AS rnk
+            FROM q a
+            JOIN q b ON b.vec_id < 10 AND a.vec_id <> b.vec_id
+            JOIN (SELECT 0 AS probes UNION ALL SELECT 1) p
+              ON a.bucket = b.bucket
+                 OR (p.probes = 1 AND xor(a.bucket, b.bucket)
+                     IN (1, 2, 4, 8, 16, 32, 64, 128))
+        ) WHERE rnk <= 10
+    ),
+    kk AS (
+        SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k
+        FROM exact GROUP BY 1
+    ),
+    h AS (
+        SELECT x.probes, e.query_id, CAST(COUNT(*) AS BIGINT) AS hits
+        FROM exact e JOIN approx x
+          ON e.query_id = x.query_id AND e.corpus_id = x.corpus_id
+        GROUP BY 1, 2
+    )
+    SELECT p.probes, kk.query_id,
+           CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits, kk.k,
+           round(CAST(COALESCE(h.hits, 0) AS DOUBLE) / kk.k, 6) AS recall_r
+    FROM (SELECT 0 AS probes UNION ALL SELECT 1) p
+    CROSS JOIN kk
+    LEFT JOIN h ON h.probes = p.probes AND h.query_id = kk.query_id
+    ORDER BY p.probes, kk.query_id
 """
 
 

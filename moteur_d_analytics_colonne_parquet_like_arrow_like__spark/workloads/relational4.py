@@ -955,6 +955,44 @@ def q_metadata_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["metadata_scan"] = q_metadata_scan
 
+
+def q_cli_query_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLI `query` verb's flag path as a gate query (cae/src/cli.cpp:
+    172-180 op tokens; --where AND semantics from execution.cpp:163-188):
+    the argv below goes through the REAL argparse + Predicate.parse +
+    QueryExecutor assembly (cli.compile_query_df) and must hash-match the
+    oracle's direct SQL. Aggregating l_quantity keeps every sum an
+    integer-valued double (exactly representable, order-independent), so
+    the group-by path is value-checked, not just count-checked."""
+    from ..cli import compile_query_df
+    from ..sources.catalog import table_path
+
+    return compile_query_df(
+        spark,
+        [
+            "query",
+            table_path(sf_dir, "lineitem"),
+            "--where", "l_quantity", "ge", "30",
+            "--where", "l_linenumber", "le", "4",
+            "--agg", "sum", "l_quantity",
+            "--groupby", "l_returnflag",
+        ],
+    )
+
+
+QUERIES["cli_query_compiled"] = q_cli_query_compiled
+
+ORACLES["cli_query_compiled"] = """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS "count",
+           SUM(l_quantity) AS "sum",
+           MIN(l_quantity) AS "min",
+           MAX(l_quantity) AS "max"
+    FROM lineitem
+    WHERE l_quantity >= 30 AND l_linenumber <= 4
+    GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
 # The oracle derives every field from the DATA (DESCRIBE + full scan);
 # the Spark side derives them from the FOOTER — matching hashes prove the
 # footer tells the truth about the file.

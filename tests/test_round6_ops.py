@@ -228,6 +228,96 @@ def test_normalize_scores_matches_naive_per_group_rank(spark):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
+# ------------------------------------- fuzzy-match second blocking pass
+
+
+def test_fuzzy_second_blocking_pass_recovers_head_noun_typos(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import joins
+
+    # Right names with a typo INSIDE the head noun: single-token blocking
+    # puts them in a different block and loses the match; the second pass
+    # (preceding token) recovers them.
+    left = spark.createDataFrame(
+        [
+            (0, "aged copper widget"),
+            (2, "shiny steel spring"),
+            (4, "matte brass gear"),
+        ],
+        ["id", "name"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, "aged copper widgat"),  # head-noun typo
+            (3, "shiny steel spring"),  # exact (same head noun)
+            (5, "matte brass gea"),  # head-noun deletion
+        ],
+        ["id", "name"],
+    )
+    one = joins.fuzzy_best_match(
+        left, right, "id", "id", "name", max_dist=3, n_block_tokens=1
+    ).collect()
+    two = joins.fuzzy_best_match(
+        left, right, "id", "id", "name", max_dist=3, n_block_tokens=2
+    ).collect()
+    assert {r["left_id"] for r in one} == {2}
+    assert {(r["left_id"], r["right_id"]) for r in two} == {
+        (0, 1),
+        (2, 3),
+        (4, 5),
+    }
+    # A repeated tail token must not produce duplicate best rows.
+    dup = joins.fuzzy_best_match(
+        spark.createDataFrame([(0, "gear gear")], ["id", "name"]),
+        spark.createDataFrame([(1, "gear gear")], ["id", "name"]),
+        "id",
+        "id",
+        "name",
+        max_dist=3,
+        n_block_tokens=2,
+    ).collect()
+    assert [(r["left_id"], r["right_id"], r["dist"]) for r in dup] == [(0, 1, 0)]
+
+
+# ------------------------------------------ basket_rules cap engagement
+
+
+def test_basket_rules_mega_basket_cap_trips(spark):
+    # Adversarial replica where the max_basket_size cap MUST engage: the
+    # sf1 rehearsal's 4.9x ratio was linear only because basket sizes
+    # didn't grow (VERDICT r5 item 5). A mega-basket above the cap is
+    # dropped BEFORE pairing — bounded cost, documented recall loss.
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import stats
+
+    rows = []
+    for b in range(50):  # normal baskets: a 3-item motif
+        for i in (1, 2, 3):
+            rows.append((b, i + (b % 2) * 10))
+    mega_items = list(range(10_000, 10_500))
+    rows += [(999, i) for i in mega_items]  # 500-item mega-basket
+    rows += [(999, 1), (999, 2)]  # motif items also appear in mega
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    out = stats.basket_rules(
+        df,
+        "basket",
+        "item",
+        min_support_count=2,
+        max_basket_size=100,
+        top_n=10_000,
+    ).collect()
+    # Recall loss is exactly the mega-basket's pairs: no pair involves a
+    # mega-only item, and the mega-basket contributes to NO counts.
+    assert out, "normal-basket pairs must survive"
+    assert all(r["item_a"] < 10_000 and r["item_b"] < 10_000 for r in out)
+    # Denominator excludes the dropped basket: 50 kept baskets.
+    motif = [r for r in out if r["item_a"] == 1 and r["item_b"] == 2]
+    assert len(motif) == 1
+    assert motif[0]["co"] == 25  # even baskets only
+    assert motif[0]["support_r"] == pytest.approx(25 / 50, abs=1e-9)
+    # Cost bound: every emitted pair comes from capped baskets, so the
+    # candidate space is at most sum(n_b * (n_b - 1)) over kept baskets.
+    assert len(out) <= sum(3 * 2 for _ in range(50))
+
+
 # ------------------------------------------- snapdiff fixture crash-safety
 
 
