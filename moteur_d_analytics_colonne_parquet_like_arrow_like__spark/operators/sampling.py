@@ -131,6 +131,71 @@ def mixture_sample(
     )
 
 
+def temperature_mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    token_count: Column,
+    alpha: float = 0.7,
+    budget_frac: float = 0.2,
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-based mixture sampling: per-source weights are
+    COMPUTED from the data as ``w_s ∝ tokens_s^alpha`` (the multilingual
+    /multi-source standard — alpha < 1 flattens the natural distribution
+    so small sources are upsampled relative to their share, alpha = 1
+    reproduces it, alpha = 0 gives uniform), then documents survive a
+    deterministic hash-Bernoulli at ``min(1, w_s * budget / tokens_s)``
+    exactly like ``mixture_sample``. Heavy upweighting saturates at
+    keep-everything rather than duplicating.
+
+    Scale shape: identical to ``mixture_sample`` — one per-source token
+    aggregation (a handful of rows; the pow/normalize algebra runs on
+    it), broadcast back, then a stateless per-row hash filter. The
+    corpus is scanned once and never shuffled. Returns kept rows with
+    ``weight_r`` and ``keep_frac_r`` attached.
+    """
+    idc = F.col(id_col)
+    h = stable_hash60(F.concat(F.lit(salt), F.lit(":"), idc.cast("string")))
+    u = (F.pmod(h, F.lit(_U_MOD)) + 1) / F.lit(float(_U_MOD + 1))
+    per_source = (
+        df.select(F.col(source_col).alias("__src"), token_count.alias("__tok"))
+        .groupBy("__src")
+        .agg(F.sum("__tok").cast("bigint").alias("__src_tokens"))
+        .withColumn(
+            "__pw", F.pow(F.col("__src_tokens").cast("double"), F.lit(float(alpha)))
+        )
+    )
+    total = per_source.agg(
+        F.sum("__src_tokens").cast("bigint").alias("__total_tokens"),
+        F.sum("__pw").alias("__pw_sum"),
+    )
+    fracs = per_source.crossJoin(F.broadcast(total)).select(
+        "__src",
+        (F.col("__pw") / F.col("__pw_sum")).alias("__w"),
+        F.when(
+            F.col("__src_tokens") > 0,
+            F.least(
+                F.lit(1.0),
+                (F.col("__pw") / F.col("__pw_sum"))
+                * F.lit(float(budget_frac))
+                * F.col("__total_tokens")
+                / F.col("__src_tokens"),
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("__keep_frac"),
+    )
+    return (
+        df.join(F.broadcast(fracs), df[source_col] == fracs["__src"], "inner")
+        .where(u < F.col("__keep_frac"))
+        .drop("__src")
+        .withColumn("weight_r", F.round(F.col("__w"), 9))
+        .withColumn("keep_frac_r", F.round(F.col("__keep_frac"), 9))
+        .drop("__w", "__keep_frac")
+    )
+
+
 def negative_pairs(
     df: DataFrame, id_col: str, k: int = 4
 ) -> DataFrame:

@@ -418,6 +418,74 @@ def sq_int8_topk(
     )
 
 
+def centroid_drift_report(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str,
+    dim: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group embedding centroids + pairwise centroid cosine — the
+    domain/label-drift screen an embedding pipeline runs before mixing
+    sources or after re-training: groups whose centroids sit close
+    (cosine → 1) are semantically entangled; a centroid that moved is a
+    distribution shift. One row per unordered group pair (a < b) with
+    both member counts and the rounded centroid cosine.
+
+    Scale shape: the centroid is the same k x dim decimal-routed
+    partial-aggregate shape as ``kmeans_update_step`` — map-side combine
+    keeps the shuffle at (groups x dim) cells per task, the corpus is
+    scanned ONCE and never pair-joined; the pairwise cosine runs on the
+    <= groups² centroid rows (tiny). The decimal sums make the means
+    order-independent, so the report is oracle-exact.
+    """
+    from ..functions import as_double_array
+
+    vec = as_double_array(vec_col)
+    sums = [
+        F.sum(F.element_at(vec, i + 1).cast("decimal(28,15)"))
+        .cast("double")
+        .alias(f"__s{i}")
+        for i in range(dim)
+    ]
+    g = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"), *sums
+    )
+    cent = g.select(
+        "g",
+        "n",
+        F.array(*[F.col(f"__s{i}") / F.col("n") for i in range(dim)]).alias(
+            "c"
+        ),
+    )
+    a = cent.select(
+        F.col("g").alias("group_a"), F.col("n").alias("n_a"), F.col("c").alias("__ca")
+    )
+    b = cent.select(
+        F.col("g").alias("group_b"), F.col("n").alias("n_b"), F.col("c").alias("__cb")
+    )
+    j = a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+    dot = F.aggregate(
+        F.zip_with("__ca", "__cb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    return j.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        F.round(dot / (norm("__ca") * norm("__cb")), round_digits).alias(
+            "cos_r"
+        ),
+    ).orderBy("group_a", "group_b")
+
+
 def recall_report(
     approx_topk: DataFrame, exact_topk: DataFrame
 ) -> DataFrame:

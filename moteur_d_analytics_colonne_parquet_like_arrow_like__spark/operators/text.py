@@ -227,6 +227,63 @@ def doc_fingerprints(df: DataFrame, text_col: str, shingle_k: int = 4) -> DataFr
     )
 
 
+def quality_budget_cut(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    token_count,
+    budget_tokens: int | None = None,
+    budget_frac: float | None = None,
+    n_chunks: int = 32,
+) -> DataFrame:
+    """Take-best-tokens curation cut: documents ranked by quality score
+    (descending, ``id_col`` tie-break) are kept while the EXCLUSIVE
+    cumulative token count is still under the budget — i.e. the best
+    docs fill a global token budget and the doc that straddles the
+    boundary is the last one in ("fill the budget", the usual corpus-cut
+    semantics). The budget is either absolute (``budget_tokens``) or a
+    fraction of the corpus's total tokens (``budget_frac``, computed
+    distributively — one broadcast total, no driver collect). Returns
+    kept docs with their token count and the tokens consumed before
+    them.
+
+    Scale shape: the global quality-ordered cumulative sum is exactly
+    the shape that must NOT be a bare ``Window.orderBy`` (one task over
+    the whole corpus); it rides ``stats.two_phase_rank_cumsum`` over
+    score-quantile chunks — every task bounded by ~docs/``n_chunks``,
+    the budget predicate is a per-row comparison after the broadcast of
+    chunk base offsets. Bit-identical to the single-task window.
+    """
+    if (budget_tokens is None) == (budget_frac is None):
+        raise ValueError("set exactly one of budget_tokens / budget_frac")
+    from .stats import quantile_chunks, two_phase_rank_cumsum
+
+    toks = df.select(
+        F.col(id_col), F.col(score_col), token_count.alias("n_tokens")
+    )
+    chunk = quantile_chunks(toks, score_col, n_chunks=n_chunks, descending=True)
+    cum = two_phase_rank_cumsum(
+        toks,
+        score_col,
+        chunk,
+        tiebreak_cols=[id_col],
+        value_col="n_tokens",
+        descending=True,
+        cum_col="__cum",
+    ).withColumn(
+        "cum_before", (F.col("__cum") - F.col("n_tokens")).cast("bigint")
+    )
+    if budget_tokens is not None:
+        kept = cum.where(F.col("cum_before") < F.lit(int(budget_tokens)))
+    else:
+        tot = toks.agg(F.sum("n_tokens").cast("bigint").alias("__tot"))
+        kept = cum.crossJoin(F.broadcast(tot)).where(
+            F.col("cum_before")
+            < F.lit(float(budget_frac)) * F.col("__tot")
+        )
+    return kept.select(id_col, score_col, "n_tokens", "cum_before")
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -219,3 +219,91 @@ def ewma_half(
         F.round(F.element_at(vals, -1), 6).alias("last_r"),
         F.round(ewma, 6).alias("ewma_r"),
     ).orderBy(key_col)
+
+
+def seasonal_profile_anomalies(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    sigma: float = 2.0,
+) -> DataFrame:
+    """Day-of-week seasonal baseline + deviation screen per key — the
+    monitoring pass that separates "Mondays are always like this" from a
+    real anomaly: daily totals reduce the facts once, a per-(key, dow)
+    profile (mean + population stddev over the daily totals) forms the
+    seasonal expectation, and days whose total deviates more than
+    ``sigma`` standard deviations from their own weekday's mean are
+    counted as anomalous. One row per (key, dow): days observed, mean,
+    stddev, anomalous-day count.
+
+    Exactness: daily totals route values through DECIMAL(18,6) (order-
+    independent); the profile moments route the daily totals AND their
+    squares through DECIMAL again, so mean/variance are bit-identical on
+    any engine (single rounded sqrt/divisions at the end). dow is 0 =
+    Sunday .. 6 = Saturday (Spark ``dayofweek - 1`` == DuckDB
+    ``dayofweek``).
+
+    Scale shape: the raw facts are touched ONCE (combiner-friendly
+    (key, day) groupBy); everything after runs on the per-day reduction
+    — profile cells are (keys x 7), the flag pass joins daily totals to
+    their broadcast profile row. No windows anywhere.
+    """
+    daily = df.groupBy(
+        F.col(key_col).alias("k"), F.to_date(ts_col).alias("d")
+    ).agg(
+        # cast the total back to (18,6) so the square below is (37,12) —
+        # inside both engines' 38-digit cap, no implicit rescale
+        F.sum(F.col(value_col).cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("__x_dec")
+    )
+    daily = daily.select(
+        "k",
+        "d",
+        (F.dayofweek("d") - F.lit(1)).cast("int").alias("dow"),
+        F.col("__x_dec").cast("double").alias("x"),
+        F.col("__x_dec"),
+    )
+    prof = daily.groupBy("k", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("__x_dec").alias("__sx"),
+        F.sum(F.col("__x_dec") * F.col("__x_dec")).alias("__sxx"),
+    )
+    prof = prof.select(
+        "k",
+        "dow",
+        "n_days",
+        (F.col("__sx").cast("double") / F.col("n_days")).alias("__mean"),
+        F.sqrt(
+            F.greatest(
+                F.lit(0.0),
+                F.col("__sxx").cast("double") / F.col("n_days")
+                - F.pow(F.col("__sx").cast("double") / F.col("n_days"), 2),
+            )
+        ).alias("__std"),
+    )
+    flagged = (
+        daily.join(F.broadcast(prof), ["k", "dow"])
+        .withColumn(
+            "__anom",
+            (
+                F.abs(F.col("x") - F.col("__mean"))
+                > F.lit(float(sigma)) * F.col("__std")
+            ).cast("int"),
+        )
+        .groupBy("k", "dow")
+        .agg(F.sum("__anom").cast("bigint").alias("n_anomalous"))
+    )
+    return (
+        prof.join(flagged, ["k", "dow"])
+        .select(
+            F.col("k").alias(key_col),
+            "dow",
+            "n_days",
+            F.round("__mean", 6).alias("mean_r"),
+            F.round("__std", 6).alias("std_r"),
+            "n_anomalous",
+        )
+        .orderBy(key_col, "dow")
+    )

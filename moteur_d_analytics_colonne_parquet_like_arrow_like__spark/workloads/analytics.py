@@ -1831,3 +1831,120 @@ ORACLES["source_vocab_overlap"] = """
     JOIN sizes sb ON sb.source = inter.src_b
     ORDER BY src_a, src_b
 """
+
+
+def q_orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per order priority — the BI
+    period-over-period staple: orders reduce once to (priority, month)
+    decimal revenue cells (bounded cardinality), then the growth lag
+    window runs OVER THAT AGGREGATE partitioned by priority — the
+    documented-safe window shape; first months (no prior) are excluded
+    rather than emitted as nulls."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        ),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")).alias("rev"),
+    )
+    w = Window.partitionBy("priority").orderBy("month")
+    g = m.withColumn("prev", F.lag("rev").over(w)).where(
+        F.col("prev").isNotNull()
+    )
+    return g.select(
+        "priority",
+        "month",
+        "n_orders",
+        F.round(F.col("rev").cast("double"), 2).alias("rev_r"),
+        F.round(
+            (F.col("rev").cast("double") - F.col("prev").cast("double"))
+            / F.col("prev").cast("double"),
+            6,
+        ).alias("mom_r"),
+    ).orderBy("priority", "month")
+
+
+QUERIES["orders_mom_growth"] = q_orders_mom_growth
+
+ORACLES["orders_mom_growth"] = """
+    WITH m AS (
+        SELECT o_orderpriority AS priority,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT *, lag(rev) OVER (
+                   PARTITION BY priority ORDER BY month) AS prev
+        FROM m
+    )
+    SELECT priority, month, n_orders,
+           round(CAST(rev AS DOUBLE), 2) AS rev_r,
+           round((CAST(rev AS DOUBLE) - CAST(prev AS DOUBLE))
+                 / CAST(prev AS DOUBLE), 6) AS mom_r
+    FROM g WHERE prev IS NOT NULL
+    ORDER BY priority, month
+"""
+
+
+def q_events_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal baseline + anomaly screen per event type
+    (operators/timeseries.seasonal_profile_anomalies): daily decimal
+    totals reduce the facts once; each weekday's mean/stddev forms the
+    seasonal expectation; days beyond 2 sigma of their own weekday
+    count as anomalous. Separates 'Mondays always spike' from a real
+    incident."""
+    from ..operators import timeseries
+
+    ev = load_table(spark, sf_dir, "events")
+    return timeseries.seasonal_profile_anomalies(
+        ev, "event_type", "ts", "value", sigma=2.0
+    )
+
+
+QUERIES["events_seasonal_dow"] = q_events_seasonal_dow
+
+ORACLES["events_seasonal_dow"] = """
+    WITH daily AS (
+        SELECT event_type AS k, CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                    AS DECIMAL(18,6)) AS x_dec
+        FROM events GROUP BY 1, 2
+    ),
+    dd AS (
+        SELECT k, d, dayofweek(d) AS dow,
+               CAST(x_dec AS DOUBLE) AS x, x_dec
+        FROM daily
+    ),
+    prof AS (
+        SELECT k, dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(x_dec) AS DOUBLE) / COUNT(*) AS mean,
+               sqrt(greatest(CAST(0.0 AS DOUBLE),
+                   CAST(SUM(CAST(x_dec AS DECIMAL(19,6)) * x_dec)
+                        AS DOUBLE) / COUNT(*)
+                   - pow(CAST(SUM(x_dec) AS DOUBLE) / COUNT(*), 2)))
+                   AS std
+        FROM dd GROUP BY 1, 2
+    ),
+    fl AS (
+        SELECT dd.k, dd.dow,
+               CAST(SUM(CASE WHEN abs(dd.x - prof.mean)
+                                  > CAST(2.0 AS DOUBLE) * prof.std
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous
+        FROM dd JOIN prof ON dd.k = prof.k AND dd.dow = prof.dow
+        GROUP BY 1, 2
+    )
+    SELECT prof.k AS event_type, CAST(prof.dow AS INTEGER) AS dow,
+           prof.n_days,
+           round(prof.mean, 6) AS mean_r,
+           round(prof.std, 6) AS std_r,
+           fl.n_anomalous
+    FROM prof JOIN fl ON prof.k = fl.k AND prof.dow = fl.dow
+    ORDER BY event_type, dow
+"""

@@ -2224,3 +2224,128 @@ ORACLES["text_pmi_pairs"] = f"""
     FROM pairs, nd
     ORDER BY c_ab DESC, term_a ASC, term_b ASC LIMIT 15
 """
+
+
+def q_pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture sampling (alpha = 0.7, budget 30% of
+    corpus tokens): per-source weights are COMPUTED as tokens^alpha /
+    sum(tokens^alpha) — the multilingual standard that upsamples small
+    sources — then the same deterministic hash-Bernoulli keep as
+    pipeline_mixture_sample (operators/sampling.temperature_mixture_
+    sample). Per-source mixture report: docs kept, tokens kept, the
+    computed weight, and the keep fraction."""
+    from ..functions import words
+    from ..operators import sampling
+
+    docs = _documents(spark, sf_dir)
+    kept = sampling.temperature_mixture_sample(
+        docs,
+        "doc_id",
+        "source",
+        token_count=F.size(words(F.col("text"))),
+        alpha=0.7,
+        budget_frac=0.3,
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum(F.size(words(F.col("text")))).cast("bigint").alias(
+                "tokens_kept"
+            ),
+            F.max("weight_r").alias("weight_r"),
+            F.max("keep_frac_r").alias("keep_frac_r"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["pipeline_temperature_mix"] = q_pipeline_temperature_mix
+
+# Same _NORM tokenization, same md5 -> u hash family; the weights come
+# from pow(src_tokens, 0.7) normalized over all sources, everything in
+# explicit DOUBLE so both engines compute the identical keep fraction.
+ORACLES["pipeline_temperature_mix"] = f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               len(string_split({_NORM}, ' ')) AS n_tok,
+               (CAST(concat('0x', substr(md5('tmix:' ||
+                    CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                % 999983 + 1) / CAST(999984.0 AS DOUBLE) AS u
+        FROM documents
+    ),
+    per_src AS (
+        SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens,
+               pow(CAST(SUM(n_tok) AS DOUBLE), CAST(0.7 AS DOUBLE)) AS pw
+        FROM toks GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(src_tokens) AS BIGINT) AS total,
+               SUM(pw) AS pw_sum
+        FROM per_src
+    ),
+    fr AS (
+        SELECT source, pw / pw_sum AS w,
+               CASE WHEN src_tokens > 0 THEN
+                   least(CAST(1.0 AS DOUBLE),
+                         (pw / pw_sum) * CAST(0.3 AS DOUBLE)
+                         * total / src_tokens)
+               ELSE CAST(0.0 AS DOUBLE) END AS keep_frac
+        FROM per_src, tot
+    )
+    SELECT t.source,
+           COUNT(*) AS n_docs_kept,
+           CAST(SUM(t.n_tok) AS BIGINT) AS tokens_kept,
+           round(MAX(fr.w), 9) AS weight_r,
+           round(MAX(fr.keep_frac), 9) AS keep_frac_r
+    FROM toks t JOIN fr ON t.source = fr.source
+    WHERE t.u < fr.keep_frac
+    GROUP BY t.source ORDER BY t.source
+"""
+
+
+def q_embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise label-centroid cosine over the embedding corpus
+    (operators/similarity.centroid_drift_report) — the class-separation
+    / domain-drift screen: the corpus reduces ONCE to per-label
+    decimal-exact centroids (k x dim partial-aggregate cells, the
+    kmeans_update shuffle shape); the pairwise report runs on the tiny
+    centroid table."""
+    emb = _embeddings(spark, sf_dir)
+    return similarity.centroid_drift_report(
+        emb.where(F.col("label") < 6), "label", "embedding", dim=64
+    )
+
+
+QUERIES["embedding_label_drift"] = q_embedding_label_drift
+
+# Centroids mirror kmeans_update's decimal routing; the cosine folds the
+# 64 fixed-order products in DOUBLE exactly like the Spark aggregate.
+ORACLES["embedding_label_drift"] = """
+    WITH ex AS (
+        SELECT label, unnest(generate_series(1, 64)) AS i, embedding
+        FROM embeddings WHERE label < 6
+    ),
+    sums AS (
+        SELECT label, i, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+                             AS DECIMAL(28,15))) AS DOUBLE) AS s
+        FROM ex GROUP BY label, i
+    ),
+    cent AS (
+        SELECT label, n, list(s / n ORDER BY i) AS c
+        FROM sums GROUP BY label, n
+    )
+    SELECT a.label AS group_a, b.label AS group_b,
+           a.n AS n_a, b.n AS n_b,
+           round(
+               list_reduce(list_transform(generate_series(1, 64),
+                   i -> a.c[i] * b.c[i]), (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(generate_series(1, 64),
+                       i -> a.c[i] * a.c[i]), (x, y) -> x + y))
+                  * sqrt(list_reduce(list_transform(generate_series(1, 64),
+                         i -> b.c[i] * b.c[i]), (x, y) -> x + y))),
+               6) AS cos_r
+    FROM cent a JOIN cent b ON a.label < b.label
+    ORDER BY group_a, group_b
+"""

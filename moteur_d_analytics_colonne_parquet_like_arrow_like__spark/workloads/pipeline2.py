@@ -414,3 +414,50 @@ ORACLES["bpe_encode"] = r"""
            CAST(SUM(len(string_split(seq, ' '))) AS BIGINT) AS n_tokens
     FROM e2 GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def q_pipeline_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Take-best-tokens curation cut: the corpus's best-quality documents
+    (same q_score as pipeline_score_normalize) fill a global budget of
+    40% of total tokens (operators/text.quality_budget_cut). The global
+    quality-ordered cumulative token sum rides the two-phase chunked
+    prefix scan — the shape a bare Window.orderBy would collapse into
+    one task. Output: kept docs with tokens consumed before each."""
+    docs = _documents(spark, sf_dir)
+    scored = text.quality_features(
+        docs.select("doc_id", "text"), "text"
+    ).select("doc_id", "text", F.round("q_score", 6).alias("q6"))
+    from ..functions import words
+
+    out = text.quality_budget_cut(
+        scored,
+        "doc_id",
+        "q6",
+        token_count=F.size(words(F.col("text"))).cast("bigint"),
+        budget_frac=0.4,
+    )
+    return out.orderBy("doc_id")
+
+
+QUERIES["pipeline_quality_cut"] = q_pipeline_quality_cut
+
+ORACLES["pipeline_quality_cut"] = f"""
+    WITH {_QSCORE},
+    toks AS (
+        SELECT qs.doc_id, round(qs.q_score, 6) AS q6,
+               CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tokens
+        FROM qs JOIN documents d ON d.doc_id = qs.doc_id
+    ),
+    cum AS (
+        SELECT doc_id, q6, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY q6 DESC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_before
+        FROM toks
+    )
+    SELECT doc_id, q6, n_tokens, cum_before
+    FROM cum, (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM toks)
+    WHERE cum_before < CAST(0.4 AS DOUBLE) * tot
+    ORDER BY doc_id
+"""

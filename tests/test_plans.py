@@ -255,6 +255,15 @@ def test_score_normalize_no_per_source_sort_of_raw_docs(spark, sf_dir):
     assert plans.unsafe_global_windows(df, low_card_cols=("source",)) == []
 
 
+def test_quality_cut_has_no_unsafe_global_window(spark, sf_dir):
+    # The best-docs-fill-a-token-budget cut is a global quality-ordered
+    # cumsum over the raw corpus — it must ride the chunked scan.
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import pipeline2
+
+    df = pipeline2.QUERIES["pipeline_quality_cut"](spark, sf_dir)
+    assert plans.unsafe_global_windows(df) == []
+
+
 def test_unsafe_window_checker_flags_naive_shape(spark, sf_dir):
     # Sanity: the checker must actually FLAG the pattern it exists to
     # kill — a global rank window straight over a raw table.

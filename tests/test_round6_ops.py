@@ -318,6 +318,115 @@ def test_basket_rules_mega_basket_cap_trips(spark):
     assert len(out) <= sum(3 * 2 for _ in range(50))
 
 
+# ----------------------------------------------- round-6 new operators
+
+
+def test_temperature_mixture_alpha_limits(spark):
+    # alpha=1 reproduces natural shares (keep_frac == budget for all);
+    # alpha=0 gives uniform weights (small sources upsampled, possibly
+    # saturating at keep-everything).
+    rows = [(i, "big" if i < 90 else "small", "w " * 10) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    tok = F.lit(10).cast("bigint")
+    nat = sampling.temperature_mixture_sample(
+        df, "doc_id", "source", tok, alpha=1.0, budget_frac=0.5
+    )
+    fr = {
+        r["source"]: r["keep_frac_r"]
+        for r in nat.select("source", "keep_frac_r").distinct().collect()
+    }
+    assert fr["big"] == pytest.approx(0.5, abs=1e-9)
+    assert fr["small"] == pytest.approx(0.5, abs=1e-9)
+    uni = sampling.temperature_mixture_sample(
+        df, "doc_id", "source", tok, alpha=0.0, budget_frac=0.5
+    )
+    fu = {
+        r["source"]: (r["weight_r"], r["keep_frac_r"])
+        for r in uni.select("source", "weight_r", "keep_frac_r").distinct().collect()
+    }
+    assert fu["big"][0] == pytest.approx(0.5, abs=1e-9)
+    # uniform weight over a 10-doc source with half-corpus budget: wants
+    # 0.5*0.5*1000 = 250 tokens of an available 100 -> saturates at 1.
+    assert fu["small"][1] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_quality_budget_cut_matches_naive_window(spark):
+    from pyspark.sql import Window
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import text as tx
+
+    rows = [(i, float((i * 37) % 11), 5 + i % 7) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "q", "n_tok"])
+    got = tx.quality_budget_cut(
+        df, "doc_id", "q", F.col("n_tok").cast("bigint"), budget_tokens=500
+    )
+    w = Window.orderBy(F.col("q").desc(), F.col("doc_id").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    want = (
+        df.withColumn(
+            "cum_before",
+            F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("bigint"),
+        )
+        .where(F.col("cum_before") < 500)
+        .select("doc_id", "q", F.col("n_tok").cast("bigint").alias("n_tokens"), "cum_before")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    with pytest.raises(ValueError, match="exactly one"):
+        tx.quality_budget_cut(df, "doc_id", "q", F.col("n_tok"))
+
+
+def test_centroid_drift_known_cosine(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import (
+        similarity as s,
+    )
+
+    # group 0 along +x, group 1 along +y (orthogonal), group 2 along +x
+    # again (parallel to 0) in a 4-dim space padded to dim=4.
+    rows = [
+        (0, 0, [2.0, 0.0, 0.0, 0.0]),
+        (1, 0, [4.0, 0.0, 0.0, 0.0]),
+        (2, 1, [0.0, 3.0, 0.0, 0.0]),
+        (3, 2, [5.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "id long, label int, embedding array<double>")
+    out = {
+        (r["group_a"], r["group_b"]): (r["n_a"], r["n_b"], r["cos_r"])
+        for r in s.centroid_drift_report(df, "label", "embedding", dim=4).collect()
+    }
+    assert out[(0, 1)] == (2, 1, 0.0)
+    assert out[(0, 2)] == (2, 1, 1.0)
+    assert out[(1, 2)] == (1, 1, 0.0)
+
+
+def test_seasonal_profile_flags_spike_day(spark):
+    import datetime
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import (
+        timeseries,
+    )
+
+    # 5 Mondays at 10 and one at 100: the spike's deviation/std is
+    # sqrt(n-1) = sqrt(5) ≈ 2.24 > 2 sigma (with n=5 it would be exactly
+    # 2.0 and the strict > would not trip — chosen deliberately).
+    # Tuesdays constant -> std 0, no anomalies.
+    base = datetime.datetime(2024, 1, 1, 12)  # a Monday
+    rows = []
+    for wk in range(6):
+        rows.append(("m", base + datetime.timedelta(weeks=wk), 100.0 if wk == 5 else 10.0))
+        rows.append(("m", base + datetime.timedelta(weeks=wk, days=1), 7.0))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = {
+        r["dow"]: (r["n_days"], r["mean_r"], r["n_anomalous"])
+        for r in timeseries.seasonal_profile_anomalies(
+            df, "k", "ts", "value", sigma=2.0
+        ).collect()
+    }
+    assert out[1][0] == 6 and out[1][1] == pytest.approx(25.0)
+    assert out[1][2] == 1  # the spike Monday
+    assert out[2] == (6, 7.0, 0)  # constant Tuesdays: std 0, nothing out
+
+
 # ------------------------------------------- snapdiff fixture crash-safety
 
 
