@@ -51,67 +51,24 @@ _MODULES = [
     streaming_ops,
 ]
 
-# Round-5 verification priority (the driver samples the first ~50 entries of
-# all_queries()): (a) the five events queries whose latest driver green
-# predates the round-4 events-loader fix; (b) the two queries registered
-# this round; (c) every remaining query last driver-verified in round 1 —
-# after this round's sample, no registry entry's newest driver signature
-# should predate round 2; then (d)-(f) by ascending freshness.
+# Round-6 verification priority (the driver samples the first ~50 entries of
+# all_queries()): (a) queries registered or behavior-changed THIS round —
+# they have no (or a stale) driver signature for the current code; (b) the
+# r1-vintage remainder (the 27 entries round 5's sample didn't reach);
+# (c) the r2-vintage backlog — after this round's sample, no entry's newest
+# driver signature should predate r2 and most of r2 should be consumed;
+# then (d)-(e) by ascending freshness. VERDICT r5 item 2.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # (a) pre-loader-fix stale greens - the five whose latest driver green
-    #     predates the r3->r4 events-loader fix (VERDICT r4 item 1)
-    "date_arithmetic",
-    "pivot_event_types",
-    "incremental_agg",
-    "join_range",
-    "events_time_pruned",
-    # (b) registered this round, never driver-sampled
-    "kmeans_iterate",
-    "metadata_scan",
-    "dedup_semantic",
-    "events_gap_fill",
-    "events_anomaly_mad",
-    "events_winsorize",
-    "text_unigram_lm",
-    "text_token_entropy",
-    "dedup_keep_best",
-    "feature_correlations",
-    "orders_pareto",
-    "join_fuzzy_match",
-    "sim_topk_int8",
-    "feature_bucketize",
-    "table_snapshot_diff",
-    "bpe_train",
-    "sim_recall_report",
-    "sim_ivf_sq",
-    "bpe_encode",
-    "basket_rules",
-    "pipeline_score_normalize",
-    "events_ewma",
-    "pipeline_negative_pairs",
-    "table_schema_evolution",
-    "events_top_paths",
-    "join_plan_advisor",
-    "table_incremental_view",
-    "customers_abc",
-    "events_markov",
-    "orders_benford",
-    "events_ab_test",
-    "graph_link_prediction",
-    "price_index_laspeyres",
-    "supplier_gini",
-    "stream_ewma",
-    "join_scd2_pit",
-    "lineitem_vshape",
-    "part_hierarchy_closure",
-    "customers_rfm",
-    "source_vocab_overlap",
-    # (c) r1-vintage greens - stalest driver signatures
-    "window_running_sum",
-    "window_rank_dense",
-    "sort_order_by",
-    "set_ops",
-    "distinct_pairs",
+    # (a) new or output-changed in round 6, need fresh driver signatures
+    "sim_ivf_recall",
+    "cli_query_compiled",
+    "pipeline_temperature_mix",
+    "pipeline_quality_cut",
+    "embedding_label_drift",
+    "orders_mom_growth",
+    "events_seasonal_dow",
+    "join_fuzzy_match",  # 2-token blocking changed its output
+    # (b) r1-vintage greens the r5 sample didn't reach - stalest first
     "agg_count_distinct",
     "agg_rollup",
     "agg_cube",
