@@ -187,3 +187,56 @@ def hierarchy_closure(
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly drop every
+    node whose degree fell below ``k`` (removing a node lowers its
+    neighbors' degrees, so peeling cascades) for a FIXED ``rounds``
+    count. The k-core is the unique maximal subgraph of min-degree >= k
+    and peeling is confluent, so once the rounds suffice to converge the
+    result is exactly it — and because the round count is fixed (no
+    driver-side convergence poll), an oracle replaying the same rounds
+    is equal BY CONSTRUCTION even pre-convergence. Returns surviving
+    nodes with their in-core degree.
+
+    Input contract: undirected edges as canonical (src < dst) pairs,
+    deduped. Each round is one degree aggregation (union of endpoints,
+    combiner-friendly) + two semi-joins; ``localCheckpoint`` cuts the
+    lineage per round (the pagerank pattern — without it the unrolled
+    plan re-derives the edge list 3^rounds times). At 100 TB each round
+    shuffles on node ids only; ``rounds`` is the dial a production run
+    sizes from the degeneracy ladder (peeling removes whole "shells",
+    converging in a handful of rounds on real graphs — assert
+    convergence by comparing rounds vs rounds+1, as the unit test does).
+    """
+    if k < 1:
+        raise ValueError(f"kcore requires k >= 1, got {k}")
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .union(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        keep = deg.where(F.col("c") >= k).select("n")
+        e = (
+            e.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        .orderBy("node")
+    )

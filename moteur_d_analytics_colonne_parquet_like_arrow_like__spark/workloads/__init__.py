@@ -67,6 +67,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "embedding_label_drift",
     "orders_mom_growth",
     "events_seasonal_dow",
+    "supplier_kcore",
+    "events_latency_bands",
+    "orders_open_backlog",
     "join_fuzzy_match",  # 2-token blocking changed its output
     # (b) r1-vintage greens the r5 sample didn't reach - stalest first
     "agg_count_distinct",

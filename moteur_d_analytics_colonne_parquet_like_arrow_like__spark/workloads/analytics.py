@@ -1948,3 +1948,146 @@ ORACLES["events_seasonal_dow"] = """
     FROM prof JOIN fl ON prof.k = fl.k AND prof.dow = fl.dow
     ORDER BY event_type, dow
 """
+
+
+def q_events_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95 value bands per (event_type, week) — the SLO
+    percentile dashboard: Spark's exact `percentile` (linear
+    interpolation, identical definition to DuckDB's quantile_cont)
+    over groups whose size is bounded by the week's traffic per type.
+    No cross-row float sums — percentiles interpolate between two
+    order statistics, so the result is cross-engine exact."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias(
+                "week"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_r"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95_r"),
+        )
+        .orderBy("event_type", "week")
+    )
+
+
+QUERIES["events_latency_bands"] = q_events_latency_bands
+
+ORACLES["events_latency_bands"] = """
+    SELECT event_type,
+           strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(quantile_cont(value, 0.5), 6) AS p50_r,
+           round(quantile_cont(value, 0.95), 6) AS p95_r
+    FROM events
+    GROUP BY 1, 2 ORDER BY event_type, week
+"""
+
+
+def q_orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog: an order opens at o_orderdate and
+    closes when its last lineitem ships; backlog(day) = cumulative
+    opened - cumulative closed, evaluated on the calendar of both
+    event kinds. The facts reduce to per-day open/close counts
+    (bounded by the date range — a few thousand rows at any SF), so
+    the two running sums are the documented-safe window-over-aggregate
+    shape. Monthly summary keeps the output compact: end-of-month
+    backlog + month's opens/closes."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    opened = orders.groupBy(
+        F.to_date("o_orderdate").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_open"))
+    closed = (
+        li.groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_close"))
+    )
+    days = (
+        opened.join(closed, "d", "full_outer")
+        .select(
+            "d",
+            F.coalesce("n_open", F.lit(0)).alias("n_open"),
+            F.coalesce("n_close", F.lit(0)).alias("n_close"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    daily = days.withColumn(
+        "backlog", (F.sum("n_open").over(w) - F.sum("n_close").over(w)).cast("bigint")
+    )
+    mw = Window.partitionBy(F.date_format("d", "yyyy-MM")).orderBy(
+        F.col("d").desc()
+    )
+    return (
+        daily.withColumn("__rk", F.row_number().over(mw))
+        .where(F.col("__rk") == 1)
+        .select(
+            F.date_format("d", "yyyy-MM").alias("month"),
+            F.col("backlog").alias("eom_backlog"),
+        )
+        .join(
+            days.groupBy(F.date_format("d", "yyyy-MM").alias("month")).agg(
+                F.sum("n_open").cast("bigint").alias("n_opened"),
+                F.sum("n_close").cast("bigint").alias("n_closed"),
+            ),
+            "month",
+        )
+        .orderBy("month")
+    )
+
+
+QUERIES["orders_open_backlog"] = q_orders_open_backlog
+
+ORACLES["orders_open_backlog"] = """
+    WITH opened AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n_open
+        FROM orders GROUP BY 1
+    ),
+    closed AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS n_close FROM (
+            SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS d
+            FROM lineitem GROUP BY 1
+        ) GROUP BY d
+    ),
+    days AS (
+        SELECT COALESCE(o.d, c.d) AS d,
+               COALESCE(o.n_open, 0) AS n_open,
+               COALESCE(c.n_close, 0) AS n_close
+        FROM opened o FULL OUTER JOIN closed c ON o.d = c.d
+    ),
+    daily AS (
+        SELECT d,
+               CAST(SUM(n_open) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - SUM(n_close) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS backlog,
+               strftime(d, '%Y-%m') AS month
+        FROM days
+    ),
+    eom AS (
+        SELECT month, backlog AS eom_backlog FROM (
+            SELECT month, backlog,
+                   ROW_NUMBER() OVER (PARTITION BY month ORDER BY d DESC)
+                       AS rk
+            FROM daily
+        ) WHERE rk = 1
+    ),
+    msum AS (
+        SELECT strftime(d, '%Y-%m') AS month,
+               CAST(SUM(n_open) AS BIGINT) AS n_opened,
+               CAST(SUM(n_close) AS BIGINT) AS n_closed
+        FROM days GROUP BY 1
+    )
+    SELECT eom.month AS month, eom.eom_backlog, msum.n_opened,
+           msum.n_closed
+    FROM eom JOIN msum ON eom.month = msum.month
+    ORDER BY eom.month
+"""

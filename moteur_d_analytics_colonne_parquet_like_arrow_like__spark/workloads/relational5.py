@@ -1946,3 +1946,71 @@ ORACLES["events_rolling_active"] = """
     FROM dau JOIN wau ON dau.d = wau.td
     ORDER BY day
 """
+
+
+def q_supplier_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-supply similarity graph (same sparse edge
+    derivation as graph_triangles): iterative peeling over a FIXED 8
+    rounds (operators/graph.kcore) — nodes below degree 3 drop, their
+    removal cascades, and the fixed round count means the DuckDB oracle
+    replays the identical computation round-for-round (the 8-vs-9-round
+    convergence check lives in pytest). The densely-connected supplier
+    community a risk analysis would flag."""
+    from ..operators import graph
+
+    li = _t(spark, sf_dir, "lineitem")
+    ps = (
+        li.where(F.col("l_partkey") % 50 == 0)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    a = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sa"))
+    b = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sb"))
+    edges = (
+        a.join(b, "pk")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .where(F.col("_shared") >= 3)
+        .select("sa", "sb")
+    )
+    return graph.kcore(edges, k=3, rounds=8, src="sa", dst="sb")
+
+
+QUERIES["supplier_kcore"] = q_supplier_kcore
+
+# 8 peeling rounds unrolled as chained CTEs — identical to the Spark
+# loop by construction; extra rounds past convergence are no-ops.
+_KCORE_ROUNDS = "".join(
+    f""",
+    e{i} AS MATERIALIZED (
+        SELECT e.a, e.b FROM e{i - 1} e
+        JOIN d{i - 1} da ON da.n = e.a AND da.c >= 3
+        JOIN d{i - 1} db ON db.n = e.b AND db.c >= 3
+    ),
+    d{i} AS MATERIALIZED (
+        SELECT n, COUNT(*) AS c FROM (
+            SELECT a AS n FROM e{i}
+            UNION ALL SELECT b AS n FROM e{i}) u{i}
+        GROUP BY n
+    )"""
+    for i in range(1, 9)
+)
+
+ORACLES["supplier_kcore"] = f"""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+                WHERE l_partkey % 50 = 0),
+    e0 AS MATERIALIZED (
+        SELECT a.l_suppkey AS a, b.l_suppkey AS b
+        FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+        WHERE a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    d0 AS MATERIALIZED (
+        SELECT n, COUNT(*) AS c FROM (
+            SELECT a AS n FROM e0 UNION ALL SELECT b AS n FROM e0) u0
+        GROUP BY n
+    ){_KCORE_ROUNDS}
+    SELECT n AS node, CAST(c AS BIGINT) AS core_degree
+    FROM d8 ORDER BY node
+"""

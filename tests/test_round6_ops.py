@@ -427,6 +427,62 @@ def test_seasonal_profile_flags_spike_day(spark):
     assert out[2] == (6, 7.0, 0)  # constant Tuesdays: std 0, nothing out
 
 
+# ----------------------------------------------------------- k-core
+
+
+def test_kcore_known_graph(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import graph
+
+    # 4-clique {1,2,3,4} (each degree 3) + chain 4-5-6 hanging off it:
+    # the 3-core is exactly the clique; peeling 5 first drops 6 next
+    # (cascade), which is what the rounds iterate.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)],
+        ["src", "dst"],
+    )
+    out = {
+        r["node"]: r["core_degree"]
+        for r in graph.kcore(edges, k=3, rounds=4).collect()
+    }
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    # 2-core: the chain still peels (6 has degree 1, then 5 does).
+    out2 = {
+        r["node"]: r["core_degree"]
+        for r in graph.kcore(edges, k=2, rounds=4).collect()
+    }
+    assert out2 == {1: 3, 2: 3, 3: 3, 4: 3}
+    with pytest.raises(ValueError, match="k >= 1"):
+        graph.kcore(edges, k=0)
+
+
+def test_supplier_kcore_rounds_converged(spark, sf_dir):
+    # The gate query runs a FIXED 8 rounds; prove 8 suffices on real
+    # data by comparing against 9 rounds (peeling is confluent, so
+    # equality == convergence).
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import graph
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = (
+        li.where(F.col("l_partkey") % 50 == 0)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    a = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sa"))
+    b = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sb"))
+    edges = (
+        a.join(b, "pk")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .where(F.col("_shared") >= 3)
+        .select("sa", "sb")
+    )
+    r8 = sorted(map(tuple, graph.kcore(edges, 3, rounds=8, src="sa", dst="sb").collect()))
+    r9 = sorted(map(tuple, graph.kcore(edges, 3, rounds=9, src="sa", dst="sb").collect()))
+    assert r8 == r9
+
+
 # ------------------------------------------- snapdiff fixture crash-safety
 
 
