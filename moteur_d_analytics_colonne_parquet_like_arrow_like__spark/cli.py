@@ -233,6 +233,19 @@ def _cmd_snapshot(args: argparse.Namespace) -> int:
         res = t.vacuum(keep_versions=args.keep_versions)
         print(json.dumps(res))
         return 0
+    if args.action == "delete":
+        # merge-on-read DELETE: commits an equality-delete key file,
+        # rewrites nothing (snapshots.delete_where)
+        if not args.keys or not args.where:
+            raise ValueError("delete needs --keys col[,col...] and --where")
+        keys = [c.strip() for c in args.keys.split(",")]
+        col, op, lit = args.where[0]
+        pred = Predicate.parse(col, op, lit).to_column()
+        for col, op, lit in args.where[1:]:
+            pred = pred & Predicate.parse(col, op, lit).to_column()
+        v = t.delete_where(get_spark("moteur_cli_snapshot"), keys, pred)
+        print(f"committed merge-on-read delete as version {v}")
+        return 0
     if args.action == "diff":
         from pyspark.sql import functions as F
 
@@ -335,7 +348,8 @@ def build_parser() -> argparse.ArgumentParser:
         "snapshot", help="snapshot-table history/read/compact/vacuum/diff"
     )
     sn.add_argument(
-        "action", choices=["history", "read", "compact", "vacuum", "diff"]
+        "action",
+        choices=["history", "read", "compact", "vacuum", "diff", "delete"],
     )
     sn.add_argument("path")
     sn.add_argument("--version", type=int, default=None)
@@ -346,7 +360,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="diff target version (--version is the base)",
     )
     sn.add_argument(
-        "--keys", default=None, help="diff key columns, comma-separated"
+        "--keys",
+        default=None,
+        help="diff/delete key columns, comma-separated",
+    )
+    sn.add_argument(
+        "--where",
+        nargs=3,
+        action="append",
+        metavar=("COL", "OP", "LIT"),
+        help="delete predicate(s), ANDed (op: eq ne lt le gt ge)",
     )
     sn.add_argument("--target-files", type=int, default=1)
     sn.add_argument(

@@ -56,7 +56,13 @@ class SnapshotTable:
         with open(self._manifest_path(version)) as f:
             return json.load(f)
 
-    def _commit(self, files: list[str], schema_json: str, parent: int | None) -> int:
+    def _commit(
+        self,
+        files: list[str],
+        schema_json: str,
+        parent: int | None,
+        delete_files: list[dict] | None = None,
+    ) -> int:
         version = (parent + 1) if parent is not None else 0
         manifest = {
             "version": version,
@@ -65,6 +71,12 @@ class SnapshotTable:
             "schema": schema_json,
             "files": sorted(files),
         }
+        if delete_files:
+            # merge-on-read equality deletes (Iceberg-v2 style): each
+            # entry = {"file": <key parquet>, "keys": [...], "applies_to":
+            # [data files present when the delete committed]} — sequencing
+            # lives in applies_to, so later appends are unaffected.
+            manifest["delete_files"] = delete_files
         tmp = self._manifest_path(version) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
@@ -147,11 +159,17 @@ class SnapshotTable:
                 )
                 schema_json = widened.json()
             prev_files = m["files"]
+            prev_dvs = m.get("delete_files")
         else:
             prev_files = []
+            prev_dvs = None
         tag = f"c{(parent + 1) if parent is not None else 0}_{os.getpid()}"
         files = self._write_parts(df, tag)
-        return self._commit(prev_files + files, schema_json, parent)
+        # delete files carry forward untouched: their applies_to sets
+        # exclude the files appended here, so new rows never anti-join
+        return self._commit(
+            prev_files + files, schema_json, parent, delete_files=prev_dvs
+        )
 
     def overwrite(self, df: DataFrame) -> int:
         """Commit a new version containing ONLY the new files. Old versions
@@ -163,7 +181,15 @@ class SnapshotTable:
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Read a version (default: latest) from its manifest's file list —
-        no directory listing, stable against concurrent commits."""
+        no directory listing, stable against concurrent commits.
+
+        Merge-on-read: if the manifest carries ``delete_files`` (equality
+        deletes committed by ``delete_where`` — no data rewrite), each
+        delete's key set is LEFT-ANTI-joined onto exactly the data files
+        it ``applies_to`` — files appended AFTER the delete are read
+        untouched, so re-inserting a deleted key behaves correctly
+        (Iceberg v2 sequencing, expressed as explicit file sets). The
+        delete key tables are tiny and broadcast."""
         from pyspark.sql import types as T
 
         if version is None:
@@ -172,10 +198,42 @@ class SnapshotTable:
             raise FileNotFoundError(f"no committed version at {self.path}")
         m = self._read_manifest(version)
         schema = T.StructType.fromJson(json.loads(m["schema"]))
-        paths = [os.path.join(self.path, f) for f in m["files"]]
-        if not paths:
+        if not m["files"]:
             return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(*paths)
+        return _read_files_with_dvs(
+            spark, self.path, m["files"], schema, m.get("delete_files", [])
+        )
+
+    def delete_where(
+        self, spark: SparkSession, keys: list[str], predicate
+    ) -> int:
+        """Merge-on-read DELETE: write only the matching rows' KEYS as an
+        equality-delete file and commit a manifest that carries the data
+        files UNCHANGED — O(deleted keys) write instead of copy-on-write's
+        rewrite of every touched file. ``read`` applies the deletes as
+        broadcast anti-joins scoped to the files present now
+        (``applies_to``); ``compact`` purges them physically; ``merge``
+        keeps them scoped to the files it doesn't rewrite. The trade is
+        the lakehouse MOR trade: cheap deletes, slightly heavier reads
+        until the next compaction."""
+        parent = self.latest_version()
+        if parent is None:
+            raise FileNotFoundError(f"nothing to delete from at {self.path}")
+        m = self._read_manifest(parent)
+        delkeys = (
+            self.read(spark, parent)
+            .where(predicate)
+            .select(*keys)
+            .distinct()
+            .coalesce(1)
+        )
+        tag = f"d{parent + 1}_{os.getpid()}"
+        files = self._write_parts(delkeys, tag)
+        entries = m.get("delete_files", []) + [
+            {"file": f, "keys": list(keys), "applies_to": m["files"]}
+            for f in files
+        ]
+        return self._commit(m["files"], m["schema"], parent, delete_files=entries)
 
     def history(self) -> list[dict]:
         return [self._read_manifest(v) for v in self._versions()]
@@ -274,8 +332,15 @@ class SnapshotTable:
         # millions of files — and (b) the touched-row rewrite is a
         # distributed semi join, not a giant IN-list expression.
         marker = self.path.rstrip("/") + "/"
-        cur = self.read(spark, parent).withColumn(
-            "__rel", F.substring_index(F.input_file_name(), marker, -1)
+        from pyspark.sql import types as T
+
+        cur = _read_files_with_dvs(
+            spark,
+            self.path,
+            m["files"],
+            T.StructType.fromJson(json.loads(m["schema"])),
+            m.get("delete_files", []),
+            rel_from_marker=marker,
         )
         src_keys = source.select(*keys).distinct()
         touched_files = (
@@ -298,7 +363,18 @@ class SnapshotTable:
 
         tag = f"merge{parent + 1}_{os.getpid()}"
         files = self._write_parts(merged, tag)
-        return self._commit(untouched + files, m["schema"], parent)
+        # Equality deletes stay scoped to the files NOT rewritten (the
+        # rewrite already applied them via read); entries whose scope
+        # emptied drop out.
+        kept_dvs = []
+        for d in m.get("delete_files", []):
+            scope = [f for f in d["applies_to"] if f in set(untouched)]
+            if scope:
+                kept_dvs.append({**d, "applies_to": scope})
+        return self._commit(
+            untouched + files, m["schema"], parent,
+            delete_files=kept_dvs or None,
+        )
 
     def vacuum(self, keep_versions: int = 1) -> dict:
         """Retention: drop all but the newest ``keep_versions`` manifests,
@@ -312,10 +388,15 @@ class SnapshotTable:
         drop, keep = versions[:-keep_versions], versions[-keep_versions:]
         referenced: set[str] = set()
         for v in keep:
-            referenced.update(self._read_manifest(v)["files"])
+            mk = self._read_manifest(v)
+            referenced.update(mk["files"])
+            referenced.update(d["file"] for d in mk.get("delete_files", []))
         removed_files = 0
         for v in drop:
-            for f in self._read_manifest(v)["files"]:
+            md = self._read_manifest(v)
+            for f in md["files"] + [
+                d["file"] for d in md.get("delete_files", [])
+            ]:
                 if f not in referenced:
                     full = os.path.join(self.path, f)
                     if os.path.exists(full):
@@ -333,6 +414,62 @@ class SnapshotTable:
 
                     shutil.rmtree(full)
         return {"dropped_versions": drop, "removed_files": removed_files}
+
+
+def _read_files_with_dvs(
+    spark: SparkSession,
+    table_path: str,
+    files: list[str],
+    schema,
+    dvs: list[dict],
+    rel_from_marker: str | None = None,
+) -> DataFrame:
+    """Read a set of manifest-relative data files applying the equality-
+    delete entries that cover them: files group by WHICH deletes apply
+    (sequencing lives in each entry's ``applies_to``), each group
+    anti-joins its (broadcast, tiny) delete-key tables once, groups
+    union back.
+
+    ``rel_from_marker``: when set, a ``__rel`` column (the manifest-
+    relative file name) is attached DIRECTLY above each scan, before
+    any delete anti-join — ``input_file_name()`` binds to exactly one
+    source there, which Spark requires (``merge`` needs this)."""
+    from pyspark.sql import functions as F
+
+    def _scan(fl: list[str]) -> DataFrame:
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(table_path, f) for f in fl]
+        )
+        if rel_from_marker is not None:
+            df = df.withColumn(
+                "__rel",
+                F.substring_index(F.input_file_name(), rel_from_marker, -1),
+            )
+        return df
+
+    if not files:
+        out = spark.createDataFrame([], schema)
+        if rel_from_marker is not None:
+            out = out.withColumn("__rel", F.lit(None).cast("string"))
+        return out
+    if not dvs:
+        return _scan(files)
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        key = tuple(i for i, d in enumerate(dvs) if f in set(d["applies_to"]))
+        groups.setdefault(key, []).append(f)
+    parts = []
+    for dkey, fl in groups.items():
+        df = _scan(fl)
+        for i in dkey:
+            d = dvs[i]
+            delkeys = spark.read.parquet(os.path.join(table_path, d["file"]))
+            df = df.join(F.broadcast(delkeys), d["keys"], "left_anti")
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def snapshot_diff(
@@ -368,21 +505,32 @@ def snapshot_diff(
     mf = table._read_manifest(v_from)
     mt = table._read_manifest(v_to)
     from_files, to_files = set(mf["files"]), set(mt["files"])
-    only_f = sorted(from_files - to_files)
-    only_t = sorted(to_files - from_files)
+    dvs_f = mf.get("delete_files", [])
+    dvs_t = mt.get("delete_files", [])
+
+    # Merge-on-read awareness: a delete_where commit changes NO data
+    # files, so the file prune alone would see nothing. A shared file
+    # whose applicable equality-delete set differs between the versions
+    # is logically changed — it joins the scan on both sides, each side
+    # read through its OWN version's deletes.
+    def _dv_key(dvs: list[dict], f: str) -> tuple:
+        return tuple(
+            sorted(d["file"] for d in dvs if f in set(d["applies_to"]))
+        )
+
+    dv_changed = {
+        f
+        for f in from_files & to_files
+        if _dv_key(dvs_f, f) != _dv_key(dvs_t, f)
+    }
+    only_f = sorted((from_files - to_files) | dv_changed)
+    only_t = sorted((to_files - from_files) | dv_changed)
 
     schema_t = T.StructType.fromJson(json.loads(mt["schema"]))
     schema_f = T.StructType.fromJson(json.loads(mf["schema"]))
 
-    def _read(files: list[str], schema: T.StructType) -> DataFrame:
-        if not files:
-            return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(
-            *[os.path.join(table.path, f) for f in files]
-        )
-
-    old = _read(only_f, schema_f)
-    new = _read(only_t, schema_t)
+    old = _read_files_with_dvs(spark, table.path, only_f, schema_f, dvs_f)
+    new = _read_files_with_dvs(spark, table.path, only_t, schema_t, dvs_t)
     val_cols = [f.name for f in schema_t.fields if f.name not in keys]
     for f in schema_t.fields:  # additive evolution: old side lacks new cols
         if f.name not in old.columns:

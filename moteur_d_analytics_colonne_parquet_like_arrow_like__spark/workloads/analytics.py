@@ -2091,3 +2091,60 @@ ORACLES["orders_open_backlog"] = """
     FROM eom JOIN msum ON eom.month = msum.month
     ORDER BY eom.month
 """
+
+
+def q_table_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read equality deletes (sources/snapshots.delete_where —
+    Iceberg-v2 style): v0 = the orders projection, v1 = DELETE of every
+    key%7==3 row committed as a KEY FILE ONLY (pytest asserts the data
+    file list is byte-identical to v0's), v2 = an append that
+    RE-INSERTS a third of the deleted keys at a shifted price — the
+    sequencing check: delete entries scope to the files present when
+    they committed, so re-inserted rows read back. The oracle computes
+    the same final state straight from orders."""
+    import hashlib
+    import shutil
+
+    from ..sources.snapshots import SnapshotTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price_r"),
+    )
+    path = f"/tmp/snapdv_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    t = SnapshotTable(path)
+    ver = t.latest_version()
+    if ver in (0, 1):  # crash-left partial build: rebuild from scratch
+        shutil.rmtree(path, ignore_errors=True)
+        t = SnapshotTable(path)
+        ver = None
+    elif ver not in (None, 2):
+        raise RuntimeError(
+            f"snapdv fixture at {path} is at unexpected version {ver}; "
+            "delete the directory to rebuild"
+        )
+    if ver is None:
+        t.append(orders.repartition(8))
+        t.delete_where(
+            spark, ["o_orderkey"], F.col("o_orderkey") % 7 == 3
+        )
+        reinserts = orders.where(
+            (F.col("o_orderkey") % 7 == 3) & (F.col("o_orderkey") % 3 == 0)
+        ).withColumn("price_r", F.round(F.col("price_r") + 10, 2))
+        t.append(reinserts.repartition(2))
+    return t.read(spark).orderBy("o_orderkey")
+
+
+QUERIES["table_delete_vectors"] = q_table_delete_vectors
+
+ORACLES["table_delete_vectors"] = """
+    SELECT o_orderkey, o_orderstatus,
+           round(o_totalprice, 2) AS price_r
+    FROM orders WHERE o_orderkey % 7 <> 3
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus,
+           round(round(o_totalprice, 2) + 10, 2) AS price_r
+    FROM orders WHERE o_orderkey % 7 = 3 AND o_orderkey % 3 = 0
+    ORDER BY o_orderkey
+"""

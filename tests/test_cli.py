@@ -165,6 +165,30 @@ def test_snapshot_verb(spark, tmp_path, capsys):
     assert "rows=9" in capsys.readouterr().out
 
 
+def test_snapshot_delete_verb(spark, tmp_path, capsys):
+    # merge-on-read DELETE from the CLI: equality-delete commit, no data
+    # rewrite; errors cleanly without --keys/--where.
+    from pyspark.sql import functions as F
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.snapshots import (
+        SnapshotTable,
+    )
+
+    path = str(tmp_path / "snapdel")
+    t = SnapshotTable(path)
+    t.append(spark.range(10).select(F.col("id")))
+    rc = cli.main(
+        ["snapshot", "delete", path, "--keys", "id", "--where", "id", "ge", "7"]
+    )
+    assert rc == 0
+    assert "version 1" in capsys.readouterr().out
+    assert t._read_manifest(1)["files"] == t._read_manifest(0)["files"]
+    assert sorted(r["id"] for r in t.read(spark).collect()) == list(range(7))
+    rc = cli.main(["snapshot", "delete", path, "--keys", "id"])
+    assert rc == 1
+    assert "error:" in capsys.readouterr().err
+
+
 def test_sql_verb_col_views(spark, tmp_path, capsys):
     """--table accepts single .col files AND directories of them (stream
     sink output), read through the row-group-parallel data source."""

@@ -483,6 +483,82 @@ def test_supplier_kcore_rounds_converged(spark, sf_dir):
     assert r8 == r9
 
 
+# ------------------------------------- merge-on-read equality deletes
+
+
+def _dv_table(spark, tmp_path):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.snapshots import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(str(tmp_path / "dv"))
+    base = spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i)) for i in range(100)], ["k", "g", "x"]
+    )
+    t.append(base.repartition(4))
+    return t, base
+
+
+def test_delete_where_writes_no_data_files(spark, tmp_path):
+    t, _ = _dv_table(spark, tmp_path)
+    m0 = t._read_manifest(0)
+    t.delete_where(spark, ["k"], F.col("k") % 5 == 0)
+    m1 = t._read_manifest(1)
+    assert m1["files"] == m0["files"]  # MOR: zero data rewrite
+    assert len(m1["delete_files"]) == 1
+    got = sorted(r["k"] for r in t.read(spark).collect())
+    assert got == [i for i in range(100) if i % 5 != 0]
+
+
+def test_delete_then_append_reinserts_key(spark, tmp_path):
+    t, _ = _dv_table(spark, tmp_path)
+    t.delete_where(spark, ["k"], F.col("k") < 10)
+    t.append(spark.createDataFrame([(3, "new", 99.0)], ["k", "g", "x"]))
+    rows = {r["k"]: r["g"] for r in t.read(spark).collect()}
+    assert 3 in rows and rows[3] == "new"  # sequencing: new file unaffected
+    assert 4 not in rows
+
+
+def test_compact_purges_delete_vectors(spark, tmp_path):
+    t, _ = _dv_table(spark, tmp_path)
+    t.delete_where(spark, ["k"], F.col("k") % 2 == 0)
+    before = sorted(r["k"] for r in t.read(spark).collect())
+    v = t.compact(spark)
+    m = t._read_manifest(v)
+    assert "delete_files" not in m
+    assert sorted(r["k"] for r in t.read(spark).collect()) == before
+
+
+def test_merge_keeps_deletes_scoped_to_untouched_files(spark, tmp_path):
+    t, _ = _dv_table(spark, tmp_path)
+    t.delete_where(spark, ["k"], F.col("k") % 10 == 7)  # 7,17,...,97 gone
+    src = spark.createDataFrame([(1, "upd", -1.0)], ["k", "g", "x"])
+    t.merge(spark, src, keys=["k"])
+    rows = {r["k"]: r["g"] for r in t.read(spark).collect()}
+    assert rows[1] == "upd"
+    assert all(k % 10 != 7 for k in rows)  # untouched-file deletes survive
+
+
+def test_snapshot_diff_sees_mor_delete(spark, tmp_path):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.snapshots import (
+        snapshot_diff,
+    )
+
+    t, _ = _dv_table(spark, tmp_path)
+    t.delete_where(spark, ["k"], F.col("k") % 25 == 0)
+    d = snapshot_diff(t, spark, 0, 1, keys=["k"]).collect()
+    ops = {(r["change_op"], r["k"]) for r in d}
+    assert ops == {("delete", 0), ("delete", 25), ("delete", 50), ("delete", 75)}
+
+
+def test_vacuum_keeps_referenced_delete_files(spark, tmp_path):
+    t, _ = _dv_table(spark, tmp_path)
+    t.delete_where(spark, ["k"], F.col("k") % 5 == 0)
+    want = sorted(r["k"] for r in t.read(spark).collect())
+    t.vacuum(keep_versions=1)
+    assert sorted(r["k"] for r in t.read(spark).collect()) == want
+
+
 # ------------------------------------------- snapdiff fixture crash-safety
 
 
