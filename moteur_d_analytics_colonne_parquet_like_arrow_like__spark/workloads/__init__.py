@@ -71,6 +71,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "events_latency_bands",
     "orders_open_backlog",
     "table_delete_vectors",
+    "agg_bitmap_distinct",
+    "stream_windowed_topk",
     "join_fuzzy_match",  # 2-token blocking changed its output
     # (b) r1-vintage greens the r5 sample didn't reach - stalest first
     "agg_count_distinct",

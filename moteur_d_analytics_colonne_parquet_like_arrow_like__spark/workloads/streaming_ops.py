@@ -522,3 +522,53 @@ ORACLES["stream_ewma"] = """
                AS ewma_r
     FROM arr ORDER BY user_id
 """
+
+
+def q_stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per hourly tumbling window, computed the way a
+    streaming dashboard actually does it: the windowed counts run
+    through the REAL streaming engine (state store, watermark,
+    availableNow micro-batch into the memory sink), and the rank is a
+    bounded batch window over the emitted per-window aggregate — the
+    publish step after every trigger. Ties break on event_type; the
+    oracle replays count + rank in batch SQL."""
+    from pyspark.sql import Window
+
+    sdf = S.tumbling_window_agg(
+        S.events_stream(spark, sf_dir), width="1 hour"
+    )
+    res = S.run_to_memory(
+        sdf,
+        output_mode="update",
+        shuffle_partitions=4,
+        no_data_batches=False,
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        res.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("window_start", "event_type", "n_events", "rnk")
+        .orderBy("window_start", "rnk")
+    )
+
+
+QUERIES["stream_windowed_topk"] = q_stream_windowed_topk
+
+ORACLES["stream_windowed_topk"] = """
+    WITH wcounts AS (
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n_events DESC, event_type ASC) AS rnk
+        FROM wcounts
+    )
+    SELECT window_start, event_type, n_events, rnk
+    FROM r WHERE rnk <= 3 ORDER BY window_start, rnk
+"""

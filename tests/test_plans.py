@@ -264,6 +264,18 @@ def test_quality_cut_has_no_unsafe_global_window(spark, sf_dir):
     assert plans.unsafe_global_windows(df) == []
 
 
+def test_bitmap_distinct_avoids_expand(spark, sf_dir):
+    # The bitmap strategy's point: exact distinct WITHOUT the Expand
+    # node count-distinct planning inserts (which multiplies shuffle
+    # rows); both aggregation levels must still be partial+final.
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import relational6
+
+    df = relational6.QUERIES["agg_bitmap_distinct"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "Expand" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
 def test_unsafe_window_checker_flags_naive_shape(spark, sf_dir):
     # Sanity: the checker must actually FLAG the pattern it exists to
     # kill — a global rank window straight over a raw table.
