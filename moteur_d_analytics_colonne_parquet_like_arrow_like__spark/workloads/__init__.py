@@ -73,6 +73,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "table_delete_vectors",
     "agg_bitmap_distinct",
     "stream_windowed_topk",
+    "events_ab_cuped",
+    "customers_cohort_ltv",
     "join_fuzzy_match",  # 2-token blocking changed its output
     # (b) r1-vintage greens the r5 sample didn't reach - stalest first
     "agg_count_distinct",

@@ -2148,3 +2148,211 @@ ORACLES["table_delete_vectors"] = """
     FROM orders WHERE o_orderkey % 7 = 3 AND o_orderkey % 3 = 0
     ORDER BY o_orderkey
 """
+
+
+def q_events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM'13 — the
+    experimentation-platform standard): pre-period user activity X
+    (value sum before Jan 16) is the covariate for the post-period
+    metric Y; theta = cov(X,Y)/var(X) from POOLED moments, and the
+    per-variant adjusted mean is mean_Y - theta * (mean_X_variant -
+    mean_X_global). The variance-reduction factor is the squared
+    X-Y correlation — derived from the same moments, no second pass.
+    Exactness: per-user X/Y route through DECIMAL, every cross-moment
+    (Sum xy, Sum x^2, ...) accumulates in DECIMAL too, so the final
+    doubles are bit-identical on any engine. Plan: facts reduce ONCE
+    to per-user rows; moments are one combiner-friendly aggregate; no
+    window, no second scan."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("ts") < cut, F.col("value")).cast(
+                    "decimal(18,6)"
+                )
+            ),
+            F.lit(0).cast("decimal(18,6)"),
+        )
+        .cast("decimal(18,6)")
+        .alias("x"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("ts") >= cut, F.col("value")).cast(
+                    "decimal(18,6)"
+                )
+            ),
+            F.lit(0).cast("decimal(18,6)"),
+        )
+        .cast("decimal(18,6)")
+        .alias("y"),
+    ).withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    wide = F.col("x").cast("decimal(19,6)")
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(wide * F.col("y")).alias("sxy"),
+        F.sum(wide * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(19,6)") * F.col("y")).alias("syy"),
+    ).select(
+        *[
+            F.col(c).cast("double").alias(c)
+            for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
+        ]
+    )
+    per_variant = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("x").cast("double").alias("vx"),
+        F.sum("y").cast("double").alias("vy"),
+    )
+    p = F.broadcast(pooled)
+    j = per_variant.crossJoin(p)
+    mean_x_g = F.col("sx") / F.col("n")
+    cov = F.col("sxy") / F.col("n") - (F.col("sx") / F.col("n")) * (
+        F.col("sy") / F.col("n")
+    )
+    var_x = F.col("sxx") / F.col("n") - F.pow(F.col("sx") / F.col("n"), 2)
+    var_y = F.col("syy") / F.col("n") - F.pow(F.col("sy") / F.col("n"), 2)
+    theta = cov / var_x
+    mean_y_v = F.col("vy") / F.col("n_users")
+    mean_x_v = F.col("vx") / F.col("n_users")
+    return j.select(
+        "variant",
+        "n_users",
+        F.round(mean_y_v, 6).alias("mean_y_r"),
+        F.round(mean_y_v - theta * (mean_x_v - mean_x_g), 6).alias(
+            "mean_y_adj_r"
+        ),
+        F.round(theta, 6).alias("theta_r"),
+        F.round(cov * cov / (var_x * var_y), 6).alias("var_reduction_r"),
+    ).orderBy("variant")
+
+
+QUERIES["events_ab_cuped"] = q_events_ab_cuped
+
+ORACLES["events_ab_cuped"] = """
+    WITH pu AS (
+        SELECT user_id,
+               CAST(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                   THEN CAST(value AS DECIMAL(18,6)) END), 0)
+                   AS DECIMAL(18,6)) AS x,
+               CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                   THEN CAST(value AS DECIMAL(18,6)) END), 0)
+                   AS DECIMAL(18,6)) AS y,
+               CAST(user_id % 2 AS INTEGER) AS variant
+        FROM events GROUP BY user_id
+    ),
+    pooled AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(19,6)) * y) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x AS DECIMAL(19,6)) * x) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(19,6)) * y) AS DOUBLE) AS syy
+        FROM pu
+    ),
+    pv AS (
+        SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(x) AS DOUBLE) AS vx,
+               CAST(SUM(y) AS DOUBLE) AS vy
+        FROM pu GROUP BY variant
+    )
+    SELECT variant, n_users,
+           round(vy / n_users, 6) AS mean_y_r,
+           round(vy / n_users
+                 - ((sxy / n - (sx / n) * (sy / n))
+                    / (sxx / n - pow(sx / n, 2)))
+                   * (vx / n_users - sx / n), 6) AS mean_y_adj_r,
+           round((sxy / n - (sx / n) * (sy / n))
+                 / (sxx / n - pow(sx / n, 2)), 6) AS theta_r,
+           round(pow(sxy / n - (sx / n) * (sy / n), 2)
+                 / ((sxx / n - pow(sx / n, 2))
+                    * (syy / n - pow(sy / n, 2))), 6) AS var_reduction_r
+    FROM pv CROSS JOIN pooled
+    ORDER BY variant
+"""
+
+
+def q_customers_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves — the subscription/commerce staple: customers
+    cohort by FIRST-order month; each cohort's cumulative decimal
+    revenue accrues over month-age. The facts reduce to (cohort, age)
+    revenue cells (bounded by months x months at any SF); the running
+    sum is the documented-safe window over that aggregate, partitioned
+    per cohort. Month arithmetic stays in integer year*12+month space —
+    no date interval ambiguity across engines."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    mo = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint")
+    per = orders.select(
+        "o_custkey",
+        mo.alias("__mo"),
+        F.round("o_totalprice", 2).cast("decimal(18,2)").alias("__rev"),
+    )
+    first = per.groupBy("o_custkey").agg(F.min("__mo").alias("__first_mo"))
+    cells = (
+        per.join(first, "o_custkey")
+        .groupBy(
+            F.col("__first_mo").alias("__c0"),
+            (F.col("__mo") - F.col("__first_mo")).alias("age_months"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("__rev").alias("__rev"),
+        )
+    )
+    w = (
+        Window.partitionBy("__c0")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cohort_str = F.concat_ws(
+        "-",
+        F.expr("(__c0 - 1) div 12").cast("string"),
+        F.lpad(((F.col("__c0") - 1) % 12 + 1).cast("string"), 2, "0"),
+    )
+    return (
+        cells.withColumn("__cum", F.sum("__rev").over(w))
+        .select(
+            cohort_str.alias("cohort"),
+            F.col("age_months").cast("bigint").alias("age_months"),
+            "n_orders",
+            F.round(F.col("__cum").cast("double"), 2).alias("cum_rev_r"),
+        )
+        .orderBy("cohort", "age_months")
+    )
+
+
+QUERIES["customers_cohort_ltv"] = q_customers_cohort_ltv
+
+ORACLES["customers_cohort_ltv"] = """
+    WITH per AS (
+        SELECT o_custkey,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                   AS mo,
+               CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS rev
+        FROM orders
+    ),
+    first AS (
+        SELECT o_custkey, MIN(mo) AS first_mo FROM per GROUP BY 1
+    ),
+    cells AS (
+        SELECT first.first_mo AS c0, per.mo - first.first_mo AS age_months,
+               CAST(COUNT(*) AS BIGINT) AS n_orders, SUM(rev) AS rev
+        FROM per JOIN first USING (o_custkey)
+        GROUP BY 1, 2
+    )
+    SELECT concat((c0 - 1) // 12, '-',
+                  lpad(CAST((c0 - 1) % 12 + 1 AS VARCHAR), 2, '0'))
+               AS cohort,
+           CAST(age_months AS BIGINT) AS age_months,
+           n_orders,
+           round(CAST(SUM(rev) OVER (
+               PARTITION BY c0 ORDER BY age_months
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE), 2) AS cum_rev_r
+    FROM cells
+    ORDER BY cohort, age_months
+"""
