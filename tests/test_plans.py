@@ -264,6 +264,20 @@ def test_quality_cut_has_no_unsafe_global_window(spark, sf_dir):
     assert plans.unsafe_global_windows(df) == []
 
 
+def test_round6_windowed_queries_are_scale_safe(spark, sf_dir):
+    # Every round-6 windowed addition must run its windows over bounded
+    # aggregates (calendar cells, cohort cells, monthly cells) — never
+    # raw data-proportional rows.
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import analytics
+
+    for q in (
+        analytics.q_orders_mom_growth,
+        analytics.q_orders_open_backlog,
+        analytics.q_customers_cohort_ltv,
+    ):
+        assert plans.unsafe_global_windows(q(spark, sf_dir)) == [], q.__name__
+
+
 def test_bitmap_distinct_avoids_expand(spark, sf_dir):
     # The bitmap strategy's point: exact distinct WITHOUT the Expand
     # node count-distinct planning inserts (which multiplies shuffle
