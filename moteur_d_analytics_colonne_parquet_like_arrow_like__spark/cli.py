@@ -118,6 +118,9 @@ def compile_query_df(spark, argv: list[str]):
     args = build_parser().parse_args(argv)
     if args.cmd != "query":
         raise ValueError(f"compile_query_df expects a query verb, got {args.cmd!r}")
+    if args.groupby and not args.agg:
+        # same contract as the CLI verb (which prints this and exits 2)
+        raise ValueError("--groupby requires --agg")
     qe = _build_executor(spark, args)
     if args.groupby:
         return qe.execute_group_by()

@@ -189,6 +189,40 @@ def hierarchy_closure(
     return out
 
 
+def co_supply_edges(
+    lineitem: DataFrame,
+    part_modulus: int = 50,
+    min_shared: int = 3,
+) -> DataFrame:
+    """The repo's shared supplier co-supply similarity graph: canonical
+    (sa < sb) supplier pairs that co-supply >= ``min_shared`` of a
+    1/``part_modulus`` part sample. The sampling + threshold keep the
+    network SPARSE at every scale factor (the raw co-supply graph
+    saturates toward a complete graph as SF grows, degenerating every
+    downstream algorithm). Single source of truth for graph_triangles /
+    pagerank / graph_link_prediction / supplier_kcore and their DuckDB
+    oracles' ps/edges CTEs — change it here and there together.
+
+    Plan: distinct (part, supplier) once (combiner-friendly), pair via
+    a self-join ON THE PART KEY (bounded per part by its supplier
+    count), threshold on the pair aggregate."""
+    ps = (
+        lineitem.where(F.col("l_partkey") % part_modulus == 0)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    a = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sa"))
+    b = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sb"))
+    return (
+        a.join(b, "pk")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .where(F.col("_shared") >= min_shared)
+        .select("sa", "sb")
+    )
+
+
 def kcore(
     edges: DataFrame,
     k: int,

@@ -558,25 +558,32 @@ def ivf_sq_topk(
     scale. Results equal ``sq_int8_topk`` restricted to same-bucket
     candidates; ties break on corpus id.
 
-    Index reuse is keyed on a corpus FINGERPRINT (row count + max id),
-    not on the path alone: if the data behind ``path``'s source corpus
-    changes (regenerated testdata, a different filter), the stale codes
-    and codebook are detected and rebuilt instead of silently reused.
-    The fingerprint travels as a 1-row parquet written through the same
-    Spark filesystem layer as the index itself (no driver-local
-    ``os.path`` assumptions — works on HDFS/object stores too)."""
+    Index reuse is keyed on a corpus FINGERPRINT — row count, max id,
+    and an order-independent CONTENT sum (the per-row murmur hash of
+    (id, vector) summed) — not on the path alone: if the data behind
+    ``path``'s source corpus changes (regenerated testdata, a different
+    filter, same-cardinality vector edits), the stale codes and
+    codebook are detected and rebuilt instead of silently reused. One
+    cheap aggregation pass; the fingerprint travels as a 1-row parquet
+    written through the same Spark filesystem layer as the index itself
+    (no driver-local ``os.path`` assumptions — works on HDFS/object
+    stores too)."""
     fp_path = path.rstrip("/") + "_fingerprint"
-    fp_now = corpus.agg(
+    fp_now_row = corpus.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.max(F.col(id_col)).cast("bigint").alias("max_id"),
+        F.sum(F.hash(F.col(id_col), F.col(vec_col)).cast("bigint"))
+        .cast("bigint")
+        .alias("content"),
     ).first()
+    fp_now = (fp_now_row["n"], fp_now_row["max_id"], fp_now_row["content"])
     fp_old = None
     try:
         r = spark.read.parquet(fp_path).first()
-        fp_old = (r["n"], r["max_id"])
+        fp_old = (r["n"], r["max_id"], r["content"])
     except Exception:
         fp_old = None
-    if fp_old != (fp_now["n"], fp_now["max_id"]):
+    if fp_old != fp_now:
         stats = sq_int8_stats(corpus, vec_col, dim)
         coded = sq_int8_quantize(corpus, vec_col, stats, "qvec_i8")
         coded.select(
@@ -586,7 +593,8 @@ def ivf_sq_topk(
         ).write.mode("overwrite").partitionBy("bucket").parquet(path)
         stats.write.mode("overwrite").parquet(path.rstrip("/") + "_codebook")
         spark.createDataFrame(
-            [(int(fp_now["n"]), int(fp_now["max_id"]))], "n bigint, max_id bigint"
+            [(int(fp_now[0]), int(fp_now[1]), int(fp_now[2]))],
+            "n bigint, max_id bigint, content bigint",
         ).coalesce(1).write.mode("overwrite").parquet(fp_path)
     coded_corpus = spark.read.parquet(path).select(
         F.col(id_col).alias("corpus_id"),

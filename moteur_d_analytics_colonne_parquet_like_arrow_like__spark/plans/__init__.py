@@ -95,50 +95,89 @@ def _walk_logical(jnode):
         yield from _walk_logical(ch.apply(i))
 
 
+def _attr_names(jexpr_seq) -> set[str]:
+    """Base attribute names referenced by a Seq[Expression] (the
+    ``name#exprId`` tokens of the expressions' string forms)."""
+    names: set[str] = set()
+    for i in range(jexpr_seq.size()):
+        s = jexpr_seq.apply(i).toString()
+        names.update(re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", s))
+    return names
+
+
+def _out_names(jexpr_seq) -> set[str]:
+    """One OUTPUT name per expression in a Seq[Expression]: a plain
+    attribute's own name, or the alias of ``expr AS alias#id`` (the
+    last ``name#id`` token in the string form)."""
+    names: set[str] = set()
+    for i in range(jexpr_seq.size()):
+        s = jexpr_seq.apply(i).toString()
+        m = re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", s)
+        if m:
+            names.add(m[-1])
+    return names
+
+
 def unsafe_global_windows(
     df: DataFrame,
     low_card_cols: tuple[str, ...] = (),
+    bounded_cols: tuple[str, ...] = (),
     chunk_marker: str = "__chunk",
 ) -> list[str]:
     """Window nodes in the optimized logical plan that would collapse a
     data-proportional relation into one task at scale: an (effectively)
     global window — empty partition spec, or (when ``low_card_cols``
     names known fixed-cardinality keys like a document ``source``)
-    partitioned only by those — whose input subtree contains NO
-    Aggregate, i.e. it sorts raw data-proportional rows.
+    partitioned only by those — whose input is not a provably bounded
+    reduction.
 
-    Two shapes are scale-safe and therefore excluded:
-    - a partition spec referencing a ``__chunk`` key (phase 1 of the
-      two-phase prefix scan, operators/stats.two_phase_rank_cumsum —
-      every task bounded by chunk occupancy);
-    - a window whose subtree contains an Aggregate (it runs over a
-      reduced relation: distinct values, chunk totals, group counts —
-      the documented equidepth/pareto precondition).
+    An effectively-global window is accepted ONLY when its subtree
+    contains an Aggregate whose (non-empty) grouping keys are drawn
+    from ``chunk_marker`` | ``bounded_cols`` — i.e. it runs over chunk
+    totals (phase 2 of operators/stats.two_phase_rank_cumsum) or over
+    cells the CALLER declares bounded (calendar days/months, dow,
+    rounded value grids...). A window straight over a per-KEY aggregate
+    (per-customer revenue, per-supplier sums — cardinality grows with
+    the data) is flagged even though an Aggregate sits below it: that
+    is exactly the correct-but-single-task shape this checker exists to
+    ban. Aggregates with EMPTY grouping (broadcast stats rows) never
+    qualify as the reduction.
 
+    A partition spec referencing the chunk key (phase 1 of the
+    two-phase scan — tasks bounded by chunk occupancy) is always safe.
     Per-key windows over keys whose cardinality GROWS with the data
     (user_id, part key...) keep bounded group sizes and are not
     candidates — only list a key in ``low_card_cols`` when its
-    cardinality is fixed while its groups grow.
+    cardinality is fixed while its groups grow. Name matching is on
+    exact attribute names (``name#id``), never substrings.
 
     Returns the offending Window nodes' partition specs (empty list ==
     safe), so tests can assert ``== []`` and failures name the node.
     """
+    # grouping by a declared fixed-cardinality key is bounded too
+    # (cells = low_card x chunks/bounded), so it joins the accept set
+    ok_grouping = set(bounded_cols) | set(low_card_cols) | {chunk_marker}
     root = df._jdf.queryExecution().optimizedPlan()
     bad = []
     for n in _walk_logical(root):
         if n.nodeName() != "Window":
             continue
-        spec = n.partitionSpec()
-        exprs = [spec.apply(i).toString() for i in range(spec.size())]
-        if any(chunk_marker in e for e in exprs):
+        spec_names = _attr_names(n.partitionSpec())
+        if chunk_marker in spec_names:
             continue
-        effectively_global = not exprs or all(
-            any(c in e for c in low_card_cols) for e in exprs
+        effectively_global = not spec_names or spec_names <= set(
+            low_card_cols
         )
         if not effectively_global:
             continue
-        subtree = list(_walk_logical(n))[1:]
-        if any(m.nodeName() == "Aggregate" for m in subtree):
-            continue
-        bad.append(f"Window(partitionBy=[{' '.join(exprs)}])")
+        reduced = False
+        for m in list(_walk_logical(n))[1:]:
+            if m.nodeName() != "Aggregate":
+                continue
+            g = _out_names(m.groupingExpressions())
+            if g and g <= ok_grouping:
+                reduced = True
+                break
+        if not reduced:
+            bad.append(f"Window(partitionBy=[{sorted(spec_names)}])")
     return bad

@@ -367,8 +367,9 @@ class SnapshotTable:
         # rewrite already applied them via read); entries whose scope
         # emptied drop out.
         kept_dvs = []
+        untouched_set = set(untouched)
         for d in m.get("delete_files", []):
-            scope = [f for f in d["applies_to"] if f in set(untouched)]
+            scope = [f for f in d["applies_to"] if f in untouched_set]
             if scope:
                 kept_dvs.append({**d, "applies_to": scope})
         return self._commit(
@@ -454,9 +455,10 @@ def _read_files_with_dvs(
         return out
     if not dvs:
         return _scan(files)
+    applies = [set(d["applies_to"]) for d in dvs]
     groups: dict[tuple, list[str]] = {}
     for f in files:
-        key = tuple(i for i, d in enumerate(dvs) if f in set(d["applies_to"]))
+        key = tuple(i for i, a in enumerate(applies) if f in a)
         groups.setdefault(key, []).append(f)
     parts = []
     for dkey, fl in groups.items():
@@ -513,15 +515,16 @@ def snapshot_diff(
     # whose applicable equality-delete set differs between the versions
     # is logically changed — it joins the scan on both sides, each side
     # read through its OWN version's deletes.
-    def _dv_key(dvs: list[dict], f: str) -> tuple:
-        return tuple(
-            sorted(d["file"] for d in dvs if f in set(d["applies_to"]))
-        )
+    ap_f = [(d["file"], set(d["applies_to"])) for d in dvs_f]
+    ap_t = [(d["file"], set(d["applies_to"])) for d in dvs_t]
+
+    def _dv_key(ap: list, f: str) -> tuple:
+        return tuple(sorted(name for name, a in ap if f in a))
 
     dv_changed = {
         f
         for f in from_files & to_files
-        if _dv_key(dvs_f, f) != _dv_key(dvs_t, f)
+        if _dv_key(ap_f, f) != _dv_key(ap_t, f)
     }
     only_f = sorted((from_files - to_files) | dv_changed)
     only_t = sorted((to_files - from_files) | dv_changed)

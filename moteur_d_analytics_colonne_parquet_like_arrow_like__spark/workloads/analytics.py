@@ -603,20 +603,8 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph
 
     li = load_table(spark, sf_dir, "lineitem")
-    ps = (
-        li.where(F.col("l_partkey") % 50 == 0)
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
-    a = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sa"))
-    b = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sb"))
-    edges = (
-        a.join(b, "pk")
-        .where(F.col("sa") < F.col("sb"))
-        .groupBy("sa", "sb")
-        .agg(F.count(F.lit(1)).alias("_shared"))
-        .where(F.col("_shared") >= 3)
-        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+    edges = graph.co_supply_edges(li).select(
+        F.col("sa").alias("src"), F.col("sb").alias("dst")
     )
     return graph.link_prediction_jaccard(edges, top_n=20)
 

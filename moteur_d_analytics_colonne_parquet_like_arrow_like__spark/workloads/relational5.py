@@ -1002,26 +1002,13 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two shuffle joins on edge endpoints; at 100 TB the standard
     refinement is degree-ordering the edges first so high-degree hubs
     sit on the probe side."""
+    from ..operators.graph import co_supply_edges
+
     li = _t(spark, sf_dir, "lineitem")
-    # sampled parts + a >=3-shared-parts edge threshold keep the network
-    # SPARSE at every scale factor (the raw co-supply graph saturates
-    # into a near-complete graph as SF grows, which makes triangle
-    # counting degenerate)
-    ps = (
-        li.where(F.col("l_partkey") % 50 == 0)
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
-    a = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sa"))
-    b = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sb"))
-    edges = (
-        a.join(b, "pk")
-        .where(F.col("sa") < F.col("sb"))
-        .groupBy("sa", "sb")
-        .agg(F.count(F.lit(1)).alias("_shared"))
-        .where(F.col("_shared") >= 3)
-        .select("sa", "sb")
-    )
+    # the shared sparse co-supply network (sampling + threshold keep it
+    # sparse at every SF) — operators/graph.co_supply_edges, the single
+    # source of truth for this derivation
+    edges = co_supply_edges(li)
     e1 = edges.select(F.col("sa").alias("x"), F.col("sb").alias("y"))
     e2 = edges.select(F.col("sa").alias("y"), F.col("sb").alias("z"))
     e3 = edges.select(F.col("sa").alias("x"), F.col("sb").alias("z"))
@@ -1283,22 +1270,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle order cannot change the double result (repo oracle rule)."""
     from ..operators import graph
 
+    from ..operators.graph import co_supply_edges
+
     li = _t(spark, sf_dir, "lineitem")
-    ps = (
-        li.where(F.col("l_partkey") % 50 == 0)
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
-    a = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sa"))
-    b = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sb"))
-    und = (
-        a.join(b, "pk")
-        .where(F.col("sa") < F.col("sb"))
-        .groupBy("sa", "sb")
-        .agg(F.count(F.lit(1)).alias("_shared"))
-        .where(F.col("_shared") >= 3)
-        .select("sa", "sb")
-    )
+    und = co_supply_edges(li)
     edges = und.select(F.col("sa").alias("src"), F.col("sb").alias("dst")).union(
         und.select(F.col("sb").alias("src"), F.col("sa").alias("dst"))
     )
@@ -1959,21 +1934,7 @@ def q_supplier_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph
 
     li = _t(spark, sf_dir, "lineitem")
-    ps = (
-        li.where(F.col("l_partkey") % 50 == 0)
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
-    a = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sa"))
-    b = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sb"))
-    edges = (
-        a.join(b, "pk")
-        .where(F.col("sa") < F.col("sb"))
-        .groupBy("sa", "sb")
-        .agg(F.count(F.lit(1)).alias("_shared"))
-        .where(F.col("_shared") >= 3)
-        .select("sa", "sb")
-    )
+    edges = graph.co_supply_edges(li)
     return graph.kcore(edges, k=3, rounds=8, src="sa", dst="sb")
 
 

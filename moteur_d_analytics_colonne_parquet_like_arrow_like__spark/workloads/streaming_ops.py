@@ -543,11 +543,19 @@ def q_stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shuffle_partitions=4,
         no_data_batches=False,
     )
+    # Update mode appends one sink row per state UPDATE: a multi-batch
+    # replay (directory of part files, maxFilesPerTrigger) would leave
+    # partial-count rows next to final ones. Collapse to the final
+    # state first — counts only grow, so max == last (the same dedup
+    # stream_stateful_multibatch does).
+    final = res.groupBy("window_start", "event_type").agg(
+        F.max("n_events").alias("n_events")
+    )
     w = Window.partitionBy("window_start").orderBy(
         F.col("n_events").desc(), F.col("event_type").asc()
     )
     return (
-        res.withColumn("rnk", F.row_number().over(w))
+        final.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 3)
         .select("window_start", "event_type", "n_events", "rnk")
         .orderBy("window_start", "rnk")

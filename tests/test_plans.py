@@ -267,15 +267,20 @@ def test_quality_cut_has_no_unsafe_global_window(spark, sf_dir):
 def test_round6_windowed_queries_are_scale_safe(spark, sf_dir):
     # Every round-6 windowed addition must run its windows over bounded
     # aggregates (calendar cells, cohort cells, monthly cells) — never
-    # raw data-proportional rows.
+    # raw data-proportional rows. The backlog's global running sum
+    # declares its day grid bounded; the others' windows are
+    # partitioned by growing or fixed keys and need no declaration.
     from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import analytics
 
-    for q in (
-        analytics.q_orders_mom_growth,
-        analytics.q_orders_open_backlog,
-        analytics.q_customers_cohort_ltv,
+    for q, bounded in (
+        (analytics.q_orders_mom_growth, ()),
+        (analytics.q_orders_open_backlog, ("d",)),
+        (analytics.q_customers_cohort_ltv, ()),
     ):
-        assert plans.unsafe_global_windows(q(spark, sf_dir)) == [], q.__name__
+        assert (
+            plans.unsafe_global_windows(q(spark, sf_dir), bounded_cols=bounded)
+            == []
+        ), q.__name__
 
 
 def test_bitmap_distinct_avoids_expand(spark, sf_dir):
@@ -315,6 +320,37 @@ def test_unsafe_window_checker_flags_naive_shape(spark, sf_dir):
     assert plans.unsafe_global_windows(per_src) == []
     # ...unless the key is declared fixed-cardinality.
     assert plans.unsafe_global_windows(per_src, low_card_cols=("l_orderkey",)) != []
+    # The shape this round was built to ban: a global window over a
+    # per-KEY aggregate — the Aggregate below must NOT excuse it,
+    # because per-key cardinality grows with the data (the pre-rewrite
+    # customers_abc/supplier_gini shape).
+    per_key = li.groupBy("l_orderkey").agg(F.sum("l_extendedprice").alias("rev"))
+    naive_agg = per_key.withColumn(
+        "cum",
+        F.sum("rev").over(
+            Window.orderBy(F.col("rev").desc(), F.col("l_orderkey")).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    assert plans.unsafe_global_windows(naive_agg) != []
+    # ...while a window over a CHUNK-grouped aggregate (phase 2 of the
+    # two-phase scan) is the accepted reduction.
+    chunk_tot = per_key.withColumn(
+        "__chunk", (F.col("rev") / 1000).cast("bigint")
+    ).groupBy("__chunk").agg(F.sum("rev").alias("t"))
+    phase2 = chunk_tot.withColumn(
+        "base", F.sum("t").over(Window.orderBy("__chunk"))
+    )
+    assert plans.unsafe_global_windows(phase2) == []
+    # substring traps: 'resource_id' must not match low-card 'source'
+    per_res = li.selectExpr("l_orderkey as resource_id", "l_extendedprice").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("resource_id").orderBy("l_extendedprice")
+        ),
+    )
+    assert plans.unsafe_global_windows(per_res, low_card_cols=("source",)) == []
 
 
 def test_fuzzy_match_block_cap_join_broadcasts(spark, sf_dir):

@@ -138,6 +138,35 @@ def test_ivf_sq_rebuilds_when_corpus_changes(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, again)) == sorted(map(tuple, reused))
 
 
+def test_ivf_sq_rebuilds_on_vector_change_same_ids(spark, sf_dir, tmp_path):
+    # The content-blind trap: same row count, same id space, DIFFERENT
+    # vectors (regenerated embeddings). The content term of the
+    # fingerprint must catch it.
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import (
+        similarity as s,
+    )
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.catalog import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfsq_content")
+    s.ivf_sq_topk(
+        spark, path, emb, emb.where(F.col("vec_id") < 3), "vec_id",
+        "embedding", k=3, dim=64,
+    ).collect()
+    mut = emb.withColumn("embedding", F.reverse("embedding"))
+    mq = mut.where(F.col("vec_id") < 3)
+    got = s.ivf_sq_topk(
+        spark, path, mut, mq, "vec_id", "embedding", k=3, dim=64
+    ).collect()
+    fresh = s.ivf_sq_topk(
+        spark, str(tmp_path / "ivfsq_content_fresh"), mut, mq, "vec_id",
+        "embedding", k=3, dim=64,
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, fresh))
+
+
 # ----------------------------------- two-phase prefix scan bit-exactness
 
 
@@ -463,21 +492,7 @@ def test_supplier_kcore_rounds_converged(spark, sf_dir):
     from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.catalog import load_table
 
     li = load_table(spark, sf_dir, "lineitem")
-    ps = (
-        li.where(F.col("l_partkey") % 50 == 0)
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
-    a = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sa"))
-    b = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sb"))
-    edges = (
-        a.join(b, "pk")
-        .where(F.col("sa") < F.col("sb"))
-        .groupBy("sa", "sb")
-        .agg(F.count(F.lit(1)).alias("_shared"))
-        .where(F.col("_shared") >= 3)
-        .select("sa", "sb")
-    )
+    edges = graph.co_supply_edges(li)
     r8 = sorted(map(tuple, graph.kcore(edges, 3, rounds=8, src="sa", dst="sb").collect()))
     r9 = sorted(map(tuple, graph.kcore(edges, 3, rounds=9, src="sa", dst="sb").collect()))
     assert r8 == r9

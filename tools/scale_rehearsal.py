@@ -349,8 +349,20 @@ def main() -> int:
             f"x{report[name]['ratio']}  rows {rows_small}->{rows_big}",
             flush=True,
         )
+    # merge into an existing report rather than clobbering it: a --only
+    # re-run of one query must not discard the other recorded rows
+    merged = {"copies": COPIES, "queries": {}}
+    if only is not None and os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                prior = json.load(f)
+            if prior.get("copies") == COPIES:
+                merged["queries"].update(prior.get("queries", {}))
+        except (json.JSONDecodeError, OSError):
+            pass
+    merged["queries"].update(report)
     with open(out_path, "w") as f:
-        json.dump({"copies": COPIES, "queries": report}, f, indent=1)
+        json.dump(merged, f, indent=1)
     spark.stop()
     return 0
 
