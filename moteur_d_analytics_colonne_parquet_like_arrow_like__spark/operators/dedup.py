@@ -137,6 +137,113 @@ def minhash_signatures(
     )
 
 
+def _band_entries(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """Explode a signature table into its LSH (band, key) entries —
+    shared by the self-pair and ingest-probe variants so both block on
+    the identical keys."""
+    rows_per_band = num_hashes // bands
+    return sig.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.col("signature")[b * rows_per_band + r].cast(
+                                    "string"
+                                )
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", "bk.band", "bk.key")
+
+
+def minhash_lsh_ingest_pairs(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+    log_dropped: bool = False,
+) -> DataFrame:
+    """Incremental-ingest near-dup screen: every INCOMING document is
+    probed against the EXISTING corpus via the same MinHash-LSH banding
+    as ``minhash_lsh_pairs`` — the production ingest shape, where a new
+    batch dedups against a 100 TB corpus WITHOUT re-pairing the corpus
+    with itself. Returns (corpus_id, new_id, est_jaccard >= threshold).
+
+    Scale shape: the corpus side is banded once (in production,
+    persisted and partitioned by (band, key) — the LSH index); the
+    incoming batch bands and equi-joins on the bucket key, so work is
+    |incoming bands| x bucket occupancy, independent of corpus self-
+    pair count. ``max_bucket_size`` caps HOT CORPUS buckets (boilerplate
+    keys) exactly like the self-pair variant; candidates dedup before
+    the signature-agreement scorer."""
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must divide evenly into bands")
+    sig_c = minhash_signatures(
+        corpus, id_col, text_col, num_hashes, shingle_k
+    ).cache()
+    sig_n = minhash_signatures(
+        incoming, id_col, text_col, num_hashes, shingle_k
+    ).cache()
+    bc = cap_bucket_size(
+        _band_entries(sig_c, id_col, num_hashes, bands),
+        ["band", "key"],
+        max_bucket_size,
+        log_dropped,
+    )
+    bn = _band_entries(sig_n, id_col, num_hashes, bands)
+    candidates = (
+        bc.alias("c")
+        .join(
+            bn.alias("n"),
+            (F.col("c.band") == F.col("n.band"))
+            & (F.col("c.key") == F.col("n.key")),
+        )
+        .select(
+            F.col("c.__id").alias("corpus_id"),
+            F.col("n.__id").alias("new_id"),
+        )
+        .distinct()
+    )
+    sa = sig_c.select(
+        F.col(id_col).alias("corpus_id"), F.col("signature").alias("sig_a")
+    )
+    sb = sig_n.select(
+        F.col(id_col).alias("new_id"), F.col("signature").alias("sig_b")
+    )
+    est = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("sig_b"),
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(float(num_hashes))
+    return (
+        candidates.join(sa, "corpus_id")
+        .join(sb, "new_id")
+        .select("corpus_id", "new_id", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -160,31 +267,9 @@ def minhash_lsh_pairs(
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must divide evenly into bands")
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).cache()
 
-    band_entries = sig.select(
-        F.col(id_col).alias("__id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "-",
-                            *[
-                                F.col("signature")[b * rows_per_band + r].cast(
-                                    "string"
-                                )
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("__id", "bk.band", "bk.key")
+    band_entries = _band_entries(sig, id_col, num_hashes, bands)
     band_entries = cap_bucket_size(
         band_entries, ["band", "key"], max_bucket_size, log_dropped
     )

@@ -2349,3 +2349,64 @@ ORACLES["embedding_label_drift"] = """
     FROM cent a JOIN cent b ON a.label < b.label
     ORDER BY group_a, group_b
 """
+
+
+def q_dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest near-dup screen (operators/dedup.
+    minhash_lsh_ingest_pairs): an incoming batch (every 10th doc) probes
+    the EXISTING corpus through the same MinHash-LSH banding as
+    dedup_minhash_lsh — the production ingest shape: new data dedups
+    against a 100 TB corpus without re-pairing the corpus with itself.
+    One asymmetric bucket join; signatures are per-doc functions, so
+    the oracle computes them once and filters membership."""
+    docs = _documents(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    incoming = docs.where(F.col("doc_id") % 10 == 0)
+    return dedup.minhash_lsh_ingest_pairs(
+        corpus,
+        incoming,
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        shingle_k=3,
+        threshold=0.5,
+    ).orderBy("corpus_id", "new_id")
+
+
+QUERIES["dedup_incremental_ingest"] = q_dedup_incremental_ingest
+
+
+def _minhash_ingest_oracle() -> str:
+    nh, bands = 16, 4
+    rpb = nh // bands
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, concat_ws('-', {cols}) AS key FROM sig".format(
+            b=b,
+            cols=", ".join(f"mh{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    eq_sum = " + ".join(
+        f"CAST((sa.mh{i} = sb.mh{i}) AS INT)" for i in range(nh)
+    )
+    return f"""
+        WITH {_shingle_cte(3)},
+        {_minhash_sig_sql(nh)},
+        bands AS ({band_selects}),
+        bc AS (SELECT * FROM bands WHERE doc_id % 10 <> 0),
+        bn AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
+        cand AS (
+            SELECT DISTINCT c.doc_id AS corpus_id, n.doc_id AS new_id
+            FROM bc c JOIN bn n ON c.band = n.band AND c.key = n.key
+        )
+        SELECT corpus_id, new_id, ({eq_sum}) / 16.0 AS est_jaccard
+        FROM cand
+        JOIN sig sa ON sa.doc_id = corpus_id
+        JOIN sig sb ON sb.doc_id = new_id
+        WHERE ({eq_sum}) / 16.0 >= 0.5
+        ORDER BY corpus_id, new_id
+    """
+
+
+ORACLES["dedup_incremental_ingest"] = _minhash_ingest_oracle()

@@ -167,6 +167,33 @@ def test_ivf_sq_rebuilds_on_vector_change_same_ids(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, got)) == sorted(map(tuple, fresh))
 
 
+# ------------------------------------------- incremental-ingest dedup
+
+
+def test_minhash_ingest_probes_only_cross_pairs(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base), (3, "completely different words here entirely")],
+        ["doc_id", "text"],
+    )
+    incoming = spark.createDataFrame(
+        [(100, base), (101, "nothing shared with anyone at all truly")],
+        ["doc_id", "text"],
+    )
+    out = dedup.minhash_lsh_ingest_pairs(
+        corpus, incoming, "doc_id", "text", num_hashes=16, bands=4,
+        shingle_k=3, threshold=0.5,
+    ).collect()
+    pairs = {(r["corpus_id"], r["new_id"]) for r in out}
+    # the duplicate incoming doc matches BOTH corpus copies; corpus
+    # docs 1-2 (exact dups of each other) never pair with each other
+    assert pairs == {(1, 100), (2, 100)}
+    for r in out:
+        assert r["est_jaccard"] == 1.0
+
+
 # ----------------------------------- two-phase prefix scan bit-exactness
 
 
