@@ -51,6 +51,12 @@ TARGETS = [
     "customers_rfm",
     "supplier_gini",
     "part_hierarchy_closure",
+    # round-6 heavy additions
+    "pipeline_quality_cut",
+    "supplier_kcore",
+    "dedup_incremental_ingest",
+    "agg_bitmap_distinct",
+    "stream_windowed_topk",
 ]
 
 # Queries whose construction itself executes jobs (streaming runs,
@@ -63,6 +69,9 @@ EAGER = {
     "customers_abc",
     "customers_rfm",
     "supplier_gini",
+    "pipeline_quality_cut",
+    "supplier_kcore",
+    "stream_windowed_topk",
 }
 
 # (table, [(col, shift_base)], text_col) — shift_base scales each copy's
