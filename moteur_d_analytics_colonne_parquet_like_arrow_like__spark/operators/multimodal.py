@@ -98,8 +98,11 @@ def generate_real_media(
       byte_len 54 + row_stride*height
     - id % 3 == 1 → PCM16 mono WAV @8 kHz, (id%50+1)*80 frames →
       duration_ms (id%50+1)*10, byte_len 44 + 160*(id%50+1)
-    - id % 3 == 2 → fake MP4 (12-byte ftyp box + (id%200) filler bytes);
-      no video codec, exercises the fallback path
+    - id % 3 == 2 → VALID minimal MP4 (ftyp + moov(mvhd + trak(tkhd)) +
+      mdat of (id%200) bytes): width (id%16+1)*16, height (id%9+1)*16,
+      duration_ms (id%60+1)*500, byte_len 240 + (id%200). The decode
+      stage reads these from the real atoms; only the CODEC layer
+      (frame pixels) stays out of scope.
     """
     base = spark.range(0, n, 1, partitions or 8)
 
@@ -115,8 +118,11 @@ def generate_real_media(
                     blob = wav_bytes((mid % 50 + 1) * 80)
                     kind, mime = "audio", "audio/wav"
                 else:
-                    blob = b"\x00\x00\x00\x18ftypmp42" + bytes(
-                        (mid * 11 + i) % 256 for i in range(mid % 200)
+                    blob = mp4_bytes(
+                        (mid % 16 + 1) * 16,
+                        (mid % 9 + 1) * 16,
+                        (mid % 60 + 1) * 500,
+                        filler=mid % 200,
                     )
                     kind, mime = "video", "video/mp4"
                 rows.append((mid, kind, blob, mime, len(blob)))
@@ -179,6 +185,93 @@ def png_bytes(width: int, height: int) -> bytes:
     )
 
 
+#: identity transformation matrix every ISO-BMFF header carries
+_MP4_UNITY = struct.pack(
+    ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+)
+
+
+def mp4_bytes(
+    width: int, height: int, duration_ms: int, filler: int = 0
+) -> bytes:
+    """Minimal VALID ISO-BMFF (MP4): ftyp + moov(mvhd + trak(tkhd)) +
+    an mdat of ``filler`` deterministic payload bytes. mvhd carries a
+    1000-unit timescale so duration is in ms; tkhd carries width/height
+    as 16.16 fixed point — exactly the fields a real probe (ffprobe)
+    reads first."""
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    ftyp = box(b"ftyp", b"mp42" + struct.pack(">I", 0))
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">IIIII", 0, 0, 0, 1000, duration_ms)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 8
+        + _MP4_UNITY
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">IIIII", 3, 0, 0, 1, 0)  # flags=3 (enabled), track 1
+        + struct.pack(">I", duration_ms)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + _MP4_UNITY
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    mdat = box(b"mdat", bytes((i * 31 + 7) % 256 for i in range(filler)))
+    return ftyp + moov + mdat
+
+
+def _parse_mp4(blob: bytes) -> tuple[int | None, int | None, int | None] | None:
+    """Top-level ISO-BMFF box walk: mvhd → duration (timescale-scaled to
+    ms), tkhd → width/height (16.16 fixed point). Returns None when no
+    usable moov metadata exists (truncated/fake headers fall through to
+    the stub path)."""
+    w = h = dur = None
+    pos = 0
+    while pos + 8 <= len(blob):
+        (size,) = struct.unpack_from(">I", blob, pos)
+        tag = blob[pos + 4 : pos + 8]
+        if size < 8:
+            break
+        if tag == b"moov":
+            cpos, cend = pos + 8, min(pos + size, len(blob))
+            while cpos + 8 <= cend:
+                (csize,) = struct.unpack_from(">I", blob, cpos)
+                ctag = blob[cpos + 4 : cpos + 8]
+                if csize < 8:
+                    break
+                if ctag == b"mvhd" and cpos + 8 + 20 <= cend:
+                    timescale, duration = struct.unpack_from(
+                        ">II", blob, cpos + 8 + 12
+                    )
+                    if timescale:
+                        dur = duration * 1000 // timescale
+                elif ctag == b"trak":
+                    tpos, tend = cpos + 8, min(cpos + csize, cend)
+                    while tpos + 8 <= tend:
+                        (tsize,) = struct.unpack_from(">I", blob, tpos)
+                        ttag = blob[tpos + 4 : tpos + 8]
+                        if tsize < 8:
+                            break
+                        if ttag == b"tkhd" and tpos + 8 + 84 <= tend:
+                            w16, h16 = struct.unpack_from(
+                                ">II", blob, tpos + 8 + 76
+                            )
+                            w, h = w16 >> 16, h16 >> 16
+                        tpos += tsize
+                cpos += csize
+        pos += size
+    if w is None and h is None and dur is None:
+        return None
+    return w, h, dur
+
+
 def parse_container(blob: bytes) -> tuple[int | None, int | None, int | None] | None:
     """(width, height, duration_ms) from real container headers, or None if
     the format is not recognized. WAV duration comes from an actual chunk
@@ -204,6 +297,8 @@ def parse_container(blob: bytes) -> tuple[int | None, int | None, int | None] | 
             pos += 8 + size + (size & 1)  # chunks are word-aligned
         if rate and block_align and data_len is not None:
             return None, None, data_len * 1000 // (block_align * rate)
+    if len(blob) >= 12 and blob[4:8] == b"ftyp":
+        return _parse_mp4(blob)
     return None
 
 

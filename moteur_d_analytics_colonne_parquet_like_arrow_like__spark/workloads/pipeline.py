@@ -797,10 +797,10 @@ ORACLES = {
                 CASE id % 3
                     WHEN 0 THEN 54 + ((3 * ((id % 31 + 1) * 4) + 3) // 4 * 4) * ((id % 23 + 1) * 4)
                     WHEN 1 THEN 44 + 160 * (id % 50 + 1)
-                    ELSE 12 + (id % 200) END AS byte_len,
-                CASE id % 3 WHEN 0 THEN (id % 31 + 1) * 4 WHEN 2 THEN 16 END AS width,
-                CASE id % 3 WHEN 0 THEN (id % 23 + 1) * 4 WHEN 2 THEN 16 END AS height,
-                CASE id % 3 WHEN 1 THEN (id % 50 + 1) * 10 WHEN 2 THEN 240 END AS duration_ms
+                    ELSE 240 + (id % 200) END AS byte_len,
+                CASE id % 3 WHEN 0 THEN (id % 31 + 1) * 4 WHEN 2 THEN (id % 16 + 1) * 16 END AS width,
+                CASE id % 3 WHEN 0 THEN (id % 23 + 1) * 4 WHEN 2 THEN (id % 9 + 1) * 16 END AS height,
+                CASE id % 3 WHEN 1 THEN (id % 50 + 1) * 10 WHEN 2 THEN (id % 60 + 1) * 500 END AS duration_ms
             FROM range(0, 300) t(id))
         SELECT kind, COUNT(*) AS n,
                CAST(SUM(byte_len) AS BIGINT) AS total_bytes,

@@ -196,8 +196,9 @@ def test_real_container_roundtrip():
 
 def test_real_media_decode_parses_headers(spark):
     """decode_media on generate_real_media recovers the analytic metadata
-    by parsing actual container bytes; WAV/BMP rows satisfy
-    require_real_codec (only fake-MP4 video needs the fallback)."""
+    by parsing actual container bytes — BMP/WAV AND (round 6) real
+    minimal MP4 atoms; every row now satisfies require_real_codec (only
+    the codec/pixel layer stays out of scope)."""
     media = multimodal.generate_real_media(spark, 30)
     rows = {r["media_id"]: r for r in multimodal.decode_media(media).collect()}
     for mid, r in rows.items():
@@ -208,8 +209,11 @@ def test_real_media_decode_parses_headers(spark):
         elif mid % 3 == 1:
             assert r["width"] is None and r["height"] is None
             assert r["duration_ms"] == (mid % 50 + 1) * 10
-    real_only = media.where(F.col("kind") != "video")
-    assert multimodal.decode_media(real_only, require_real_codec=True).count() == 20
+        else:
+            assert r["width"] == (mid % 16 + 1) * 16
+            assert r["height"] == (mid % 9 + 1) * 16
+            assert r["duration_ms"] == (mid % 60 + 1) * 500
+    assert multimodal.decode_media(media, require_real_codec=True).count() == 30
 
 
 def test_duplicate_clusters_components(spark):
