@@ -76,6 +76,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "events_ab_cuped",
     "customers_cohort_ltv",
     "dedup_incremental_ingest",
+    "events_bursts",
+    "events_entropy_profile",
     "join_fuzzy_match",  # 2-token blocking changed its output
     # (b) r1-vintage greens the r5 sample didn't reach - stalest first
     "agg_count_distinct",

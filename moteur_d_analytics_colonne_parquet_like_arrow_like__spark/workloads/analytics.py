@@ -2344,3 +2344,146 @@ ORACLES["customers_cohort_ltv"] = """
     FROM cells
     ORDER BY cohort, age_months
 """
+
+
+def q_events_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection via gaps-and-islands: per event type, maximal runs
+    of consecutive BUSY hours (hourly count above the type's own mean —
+    self-normalizing across SFs), summarized as burst count, longest
+    burst, and total busy hours. The islands trick (hour_index minus
+    row_number over busy hours) runs per type over the CALENDAR-bounded
+    hourly aggregate — the facts are touched once; everything after is
+    hours x types cells."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
+        .cast("bigint")
+        .alias("h"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    means = hourly.groupBy("event_type").agg(
+        (F.sum("c") / F.count(F.lit(1))).alias("__mean")
+    )
+    busy = hourly.join(F.broadcast(means), "event_type").where(
+        F.col("c") > F.col("__mean")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    islands = busy.withColumn(
+        "__island", F.col("h") - F.row_number().over(w)
+    )
+    bursts = islands.groupBy("event_type", "__island").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__len")
+    )
+    return (
+        bursts.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bursts"),
+            F.max("__len").alias("longest_burst_hours"),
+            F.sum("__len").cast("bigint").alias("busy_hours"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["events_bursts"] = q_events_bursts
+
+ORACLES["events_bursts"] = """
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS h,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    means AS (
+        SELECT event_type, SUM(c) / CAST(COUNT(*) AS DOUBLE) AS m
+        FROM hourly GROUP BY 1
+    ),
+    busy AS (
+        SELECT h.event_type, h.h
+        FROM hourly h JOIN means USING (event_type)
+        WHERE h.c > means.m
+    ),
+    isl AS (
+        SELECT event_type, h,
+               h - ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY h) AS island
+        FROM busy
+    ),
+    bursts AS (
+        SELECT event_type, island, CAST(COUNT(*) AS BIGINT) AS len
+        FROM isl GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_bursts,
+           MAX(len) AS longest_burst_hours,
+           CAST(SUM(len) AS BIGINT) AS busy_hours
+    FROM bursts GROUP BY 1 ORDER BY event_type
+"""
+
+
+def q_events_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity histogram: each user's event-type Shannon
+    entropy (exact counts, natural log), bucketed into 0.02-nat bands (the observed spread is a ~0.16-nat range around ln(n_types)).
+    The fold runs over the user's SORTED per-type count list so the
+    float additions happen in one deterministic order on both engines
+    (the events_ewma rule). Facts reduce once to (user, type) cells;
+    per-user lists are bounded by the type alphabet."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    per_user = ut.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.array_sort(F.collect_list(F.struct("event_type", "c"))).alias(
+            "__cs"
+        ),
+    )
+    # H = ln(n) - (sum c*ln(c)) / n, folded in sorted-type order
+    clnc = F.aggregate(
+        F.col("__cs"),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + s.getField("c").cast("double")
+        * F.log(s.getField("c").cast("double")),
+    )
+    h = F.log(F.col("n").cast("double")) - clnc / F.col("n")
+    bucketed = per_user.select(
+        F.floor(h / F.lit(0.02)).cast("bigint").alias("entropy_band")
+    )
+    return (
+        bucketed.groupBy("entropy_band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("entropy_band")
+    )
+
+
+QUERIES["events_entropy_profile"] = q_events_entropy_profile
+
+ORACLES["events_entropy_profile"] = """
+    WITH ut AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    pu AS (
+        SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+               list_sort(list(struct_pack(event_type := event_type,
+                                          c := c))) AS cs
+        FROM ut GROUP BY user_id
+    ),
+    hv AS (
+        SELECT user_id,
+               ln(CAST(n AS DOUBLE))
+               - list_reduce(
+                     list_prepend(CAST(0.0 AS DOUBLE),
+                         list_transform(cs,
+                             s -> CAST(s.c AS DOUBLE)
+                                  * ln(CAST(s.c AS DOUBLE)))),
+                     (x, y) -> x + y) / n AS h
+        FROM pu
+    )
+    SELECT CAST(floor(h / 0.02) AS BIGINT) AS entropy_band,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM hv GROUP BY 1 ORDER BY entropy_band
+"""
