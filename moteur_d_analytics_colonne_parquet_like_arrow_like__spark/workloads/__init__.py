@@ -78,6 +78,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "dedup_incremental_ingest",
     "events_bursts",
     "events_entropy_profile",
+    "market_hhi",
+    "orders_mix_independence",
     "join_fuzzy_match",  # 2-token blocking changed its output
     # (b) r1-vintage greens the r5 sample didn't reach - stalest first
     "agg_count_distinct",

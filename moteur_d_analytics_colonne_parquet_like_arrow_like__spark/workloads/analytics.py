@@ -2487,3 +2487,136 @@ ORACLES["events_entropy_profile"] = """
            CAST(COUNT(*) AS BIGINT) AS n_users
     FROM hv GROUP BY 1 ORDER BY entropy_band
 """
+
+
+def q_market_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman market concentration per part type: brands'
+    revenue shares squared and summed, the antitrust/portfolio
+    concentration index (complements supplier_gini's rank-based view).
+    Exactness: HHI = Sum(rev_b^2) / (Sum rev_b)^2 — the numerator sums
+    DECIMAL squares (order-free), so no float accumulates across rows;
+    the two final squarings/divisions are single double ops. Plan: one
+    broadcast part join, one (type, brand) decimal reduction; everything
+    after runs on the bounded type x brand cells."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    tb = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_type", "p_brand")),
+            li["l_partkey"] == part["p_partkey"],
+        )
+        .groupBy("p_type", "p_brand")
+        .agg(
+            F.sum(
+                F.round("l_extendedprice", 2).cast("decimal(18,2)")
+            )
+            .cast("decimal(18,2)")
+            .alias("rev")
+        )
+    )
+    agg = tb.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_brands"),
+        F.sum("rev").alias("__tot"),
+        F.sum(F.col("rev").cast("decimal(19,2)") * F.col("rev")).alias(
+            "__sq"
+        ),
+    )
+    return agg.select(
+        "p_type",
+        "n_brands",
+        F.round(F.col("__tot").cast("double"), 2).alias("total_rev_r"),
+        F.round(
+            F.col("__sq").cast("double")
+            / F.pow(F.col("__tot").cast("double"), 2)
+            * 10000,
+            3,
+        ).alias("hhi_r"),
+    ).orderBy("p_type")
+
+
+QUERIES["market_hhi"] = q_market_hhi
+
+ORACLES["market_hhi"] = """
+    WITH tb AS (
+        SELECT p.p_type, p.p_brand,
+               CAST(SUM(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS rev
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    )
+    SELECT p_type,
+           CAST(COUNT(*) AS BIGINT) AS n_brands,
+           round(CAST(SUM(rev) AS DOUBLE), 2) AS total_rev_r,
+           round(CAST(SUM(CAST(rev AS DECIMAL(19,2)) * rev) AS DOUBLE)
+                 / pow(CAST(SUM(rev) AS DOUBLE), 2) * 10000, 3) AS hhi_r
+    FROM tb GROUP BY p_type ORDER BY p_type
+"""
+
+
+def q_orders_mix_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way chi-square independence report: is order PRIORITY
+    distributed independently of order STATUS? One row per contingency
+    cell with observed count, expected count under independence
+    (row_total x col_total / n), and the cell's chi-square contribution
+    — cell-level output, so no float statistic ever sums across rows
+    (the reader sums the exact decimal-roundable contributions). Facts
+    reduce once to the bounded priority x status table; margins
+    broadcast back."""
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    rowm = cells.groupBy("priority").agg(
+        F.sum("n_obs").cast("bigint").alias("__r")
+    )
+    colm = cells.groupBy("status").agg(
+        F.sum("n_obs").cast("bigint").alias("__c")
+    )
+    tot = cells.agg(F.sum("n_obs").cast("bigint").alias("__n"))
+    j = (
+        cells.join(F.broadcast(rowm), "priority")
+        .join(F.broadcast(colm), "status")
+        .crossJoin(F.broadcast(tot))
+    )
+    exp = (
+        F.col("__r").cast("double")
+        * F.col("__c").cast("double")
+        / F.col("__n")
+    )
+    return j.select(
+        "priority",
+        "status",
+        "n_obs",
+        F.round(exp, 4).alias("expected_r"),
+        F.round(F.pow(F.col("n_obs") - exp, 2) / exp, 6).alias(
+            "chi2_contrib_r"
+        ),
+    ).orderBy("priority", "status")
+
+
+QUERIES["orders_mix_independence"] = q_orders_mix_independence
+
+ORACLES["orders_mix_independence"] = """
+    WITH cells AS (
+        SELECT o_orderpriority AS priority, o_orderstatus AS status,
+               CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM orders GROUP BY 1, 2
+    ),
+    rowm AS (SELECT priority, CAST(SUM(n_obs) AS BIGINT) AS r
+             FROM cells GROUP BY 1),
+    colm AS (SELECT status, CAST(SUM(n_obs) AS BIGINT) AS c
+             FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM cells)
+    SELECT cells.priority, cells.status, cells.n_obs,
+           round(CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / n, 4)
+               AS expected_r,
+           round(pow(cells.n_obs - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / n, 2)
+                 / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / n), 6)
+               AS chi2_contrib_r
+    FROM cells
+    JOIN rowm USING (priority)
+    JOIN colm USING (status)
+    CROSS JOIN tot
+    ORDER BY priority, status
+"""
