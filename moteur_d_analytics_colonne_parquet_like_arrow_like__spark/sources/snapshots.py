@@ -225,13 +225,15 @@ class SnapshotTable:
             .where(predicate)
             .select(*keys)
             .distinct()
-            .coalesce(1)
         )
         tag = f"d{parent + 1}_{os.getpid()}"
+        # One entry per COMMIT carrying all its part files — the key set
+        # writes with whatever parallelism the predicate scan had (a
+        # billion-key delete must not funnel through one task), and the
+        # reader anti-joins the union once per entry, not once per file.
         files = self._write_parts(delkeys, tag)
         entries = m.get("delete_files", []) + [
-            {"file": f, "keys": list(keys), "applies_to": m["files"]}
-            for f in files
+            {"files": files, "keys": list(keys), "applies_to": m["files"]}
         ]
         return self._commit(m["files"], m["schema"], parent, delete_files=entries)
 
@@ -391,13 +393,17 @@ class SnapshotTable:
         for v in keep:
             mk = self._read_manifest(v)
             referenced.update(mk["files"])
-            referenced.update(d["file"] for d in mk.get("delete_files", []))
+            for d in mk.get("delete_files", []):
+                referenced.update(d.get("files", [d.get("file")]))
         removed_files = 0
         for v in drop:
             md = self._read_manifest(v)
-            for f in md["files"] + [
-                d["file"] for d in md.get("delete_files", [])
-            ]:
+            dvf = [
+                f
+                for d in md.get("delete_files", [])
+                for f in d.get("files", [d.get("file")])
+            ]
+            for f in md["files"] + dvf:
                 if f not in referenced:
                     full = os.path.join(self.path, f)
                     if os.path.exists(full):
@@ -465,7 +471,10 @@ def _read_files_with_dvs(
         df = _scan(fl)
         for i in dkey:
             d = dvs[i]
-            delkeys = spark.read.parquet(os.path.join(table_path, d["file"]))
+            dfiles = d.get("files", [d["file"]] if "file" in d else [])
+            delkeys = spark.read.parquet(
+                *[os.path.join(table_path, f) for f in dfiles]
+            )
             df = df.join(F.broadcast(delkeys), d["keys"], "left_anti")
         parts.append(df)
     out = parts[0]
@@ -515,8 +524,14 @@ def snapshot_diff(
     # whose applicable equality-delete set differs between the versions
     # is logically changed — it joins the scan on both sides, each side
     # read through its OWN version's deletes.
-    ap_f = [(d["file"], set(d["applies_to"])) for d in dvs_f]
-    ap_t = [(d["file"], set(d["applies_to"])) for d in dvs_t]
+    ap_f = [
+        (tuple(d.get("files", [d.get("file")])), set(d["applies_to"]))
+        for d in dvs_f
+    ]
+    ap_t = [
+        (tuple(d.get("files", [d.get("file")])), set(d["applies_to"]))
+        for d in dvs_t
+    ]
 
     def _dv_key(ap: list, f: str) -> tuple:
         return tuple(sorted(name for name, a in ap if f in a))
