@@ -80,6 +80,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "events_entropy_profile",
     "market_hhi",
     "orders_mix_independence",
+    "pipeline_pit_features",
     "join_fuzzy_match",  # 2-token blocking changed its output
     # (b) r1-vintage greens the r5 sample didn't reach - stalest first
     "agg_count_distinct",

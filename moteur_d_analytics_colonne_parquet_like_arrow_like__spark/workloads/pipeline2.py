@@ -461,3 +461,95 @@ ORACLES["pipeline_quality_cut"] = f"""
     WHERE cum_before < CAST(0.4 AS DOUBLE) * tot
     ORDER BY doc_id
 """
+
+
+def q_pipeline_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct training-set assembly — the feature-store
+    pattern that prevents label leakage: each label row (a 1-in-97
+    event sample) joins the per-user cumulative feature snapshot as of
+    the day STRICTLY BEFORE the label's day, never same-day or later
+    state. Features are per-(user, day) running totals over the
+    calendar-bounded daily aggregate; the as-of resolution ranks each
+    label's preceding feature days (bounded by the date range) and
+    keeps the latest. Labels with no prior history drop out (inner),
+    exactly like a leakage-safe trainer would."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    feats = daily.select(
+        "user_id",
+        "day",
+        F.sum("n").over(w).cast("bigint").alias("cum_events"),
+        F.sum("v").over(w).alias("__cum_v"),
+    )
+    labels = ev.where(F.col("event_id") % 97 == 0).select(
+        "event_id", "user_id", F.to_date("ts").alias("label_day")
+    )
+    j = labels.join(feats, "user_id").where(
+        F.col("day") < F.col("label_day")
+    )
+    wr = Window.partitionBy("event_id").orderBy(F.col("day").desc())
+    return (
+        j.withColumn("__rk", F.row_number().over(wr))
+        .where(F.col("__rk") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("label_day").cast("string").alias("label_day"),
+            F.col("day").cast("string").alias("feature_day"),
+            "cum_events",
+            F.round(F.col("__cum_v").cast("double"), 6).alias("cum_value_r"),
+        )
+        .orderBy("event_id")
+    )
+
+
+QUERIES["pipeline_pit_features"] = q_pipeline_pit_features
+
+ORACLES["pipeline_pit_features"] = """
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(value AS DECIMAL(18,6))) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    feats AS (
+        SELECT user_id, day,
+               CAST(SUM(n) OVER (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_events,
+               SUM(v) OVER (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum_v
+        FROM daily
+    ),
+    labels AS (
+        SELECT event_id, user_id, CAST(ts AS DATE) AS label_day
+        FROM events WHERE event_id % 97 = 0
+    ),
+    ranked AS (
+        SELECT l.event_id, l.user_id, l.label_day, f.day AS feature_day,
+               f.cum_events, f.cum_v,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l.event_id ORDER BY f.day DESC) AS rk
+        FROM labels l
+        JOIN feats f ON f.user_id = l.user_id AND f.day < l.label_day
+    )
+    SELECT event_id, user_id,
+           CAST(label_day AS VARCHAR) AS label_day,
+           CAST(feature_day AS VARCHAR) AS feature_day,
+           cum_events,
+           round(CAST(cum_v AS DOUBLE), 6) AS cum_value_r
+    FROM ranked WHERE rk = 1 ORDER BY event_id
+"""
