@@ -212,6 +212,80 @@ def winnow_fingerprints(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 4,
+    window: int = 4,
+    threshold: float = 0.8,
+    max_fp_freq: int | None = None,
+) -> DataFrame:
+    """Directional containment dedup over winnowing fingerprints: doc A
+    is (near-)CONTAINED in doc B when |fps(A) ∩ fps(B)| / |fps(A)| >=
+    ``threshold`` — the prefix/quote/subset-duplicate detector that
+    symmetric Jaccard misses (a short doc fully quoted inside a long
+    one has low Jaccard but containment 1.0). Winnowing's guarantee
+    makes the fingerprint intersection track shared substrings of
+    length >= window + k - 1.
+
+    Scale shape: the pair space comes from an INVERTED INDEX over the
+    exploded fingerprints (equi-join on the fingerprint value, bounded
+    per fingerprint by its document frequency) — never all-pairs;
+    ``max_fp_freq`` drops boilerplate fingerprints shared by more than
+    that many docs (the MinHash hot-bucket cap, same trade: bounded
+    cost, documented recall loss on mega-common substrings). Returns
+    (contained_id, container_id, shared_fps, containment_r).
+    """
+    fps_df = winnow_fingerprints(
+        df.select(F.col(id_col), F.col(text_col)), text_col, shingle_k, window
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.col("n_winnow_fps").alias("__n"),
+        F.transform(
+            F.split(F.col("winnow_fps"), ","), lambda x: x.cast("bigint")
+        ).alias("__fps"),
+    ).where(F.col("__n") > 0).cache()  # referenced 4x (self-join + sizes):
+    # without the cache the O(shingles x window) fingerprint stage
+    # recomputes per reference
+    inv = fps_df.select("__id", F.explode("__fps").alias("__f"))
+    if max_fp_freq is not None:
+        # broadcast the HOT set (tiny — boilerplate fingerprints), never
+        # the keep set (~all distinct fingerprints)
+        hot = (
+            inv.groupBy("__f")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_fp_freq)
+            .select("__f")
+        )
+        inv = inv.join(F.broadcast(hot), "__f", "left_anti")
+    a, b = inv.alias("a"), inv.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.__f") == F.col("b.__f"))
+            & (F.col("a.__id") != F.col("b.__id")),
+        )
+        .groupBy(
+            F.col("a.__id").alias("contained_id"),
+            F.col("b.__id").alias("container_id"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
+    )
+    sizes = fps_df.select(
+        F.col("__id").alias("contained_id"), F.col("__n").alias("__na")
+    )
+    return (
+        shared.join(sizes, "contained_id")
+        .withColumn(
+            "containment_r",
+            F.round(F.col("shared_fps") / F.col("__na"), 6),
+        )
+        .where(F.col("containment_r") >= F.lit(float(threshold)))
+        .select("contained_id", "container_id", "shared_fps", "containment_r")
+    )
+
+
 def doc_fingerprints(df: DataFrame, text_col: str, shingle_k: int = 4) -> DataFrame:
     """Content fingerprints: full-text stable hash (exact-dup key) + min/max
     shingle hash (a 2-element winnowing sketch: stable under small edits at

@@ -81,6 +81,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "market_hhi",
     "orders_mix_independence",
     "pipeline_pit_features",
+    "dedup_containment",
     "join_fuzzy_match",  # 2-token blocking changed its output
     # (b) r1-vintage greens the r5 sample didn't reach - stalest first
     "agg_count_distinct",

@@ -2410,3 +2410,68 @@ def _minhash_ingest_oracle() -> str:
 
 
 ORACLES["dedup_incremental_ingest"] = _minhash_ingest_oracle()
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment dedup (operators/text.containment_pairs):
+    docs whose winnowing fingerprints are >= 80% contained in another
+    doc's — catches prefix/quote/subset duplicates symmetric Jaccard
+    misses. Candidates ride an inverted fingerprint index with a
+    hot-fingerprint cap (df > 50 dropped before pairing; the
+    denominator stays each doc's FULL fingerprint count, so the
+    documented recall loss is a doc that leans on boilerplate)."""
+    # 1-in-3 doc sample keeps the gate fast (the fingerprint stage is
+    # the repo's heaviest per-row expression); repartition spreads it
+    # across cores exactly like q_text_winnow documents.
+    docs = _documents(spark, sf_dir).where(
+        F.col("doc_id") % 3 == 0
+    ).repartition(32)
+    return text.containment_pairs(
+        docs, "doc_id", "text", shingle_k=4, window=4,
+        threshold=0.8, max_fp_freq=50,
+    ).orderBy("contained_id", "container_id")
+
+
+QUERIES["dedup_containment"] = q_dedup_containment
+
+# Same winnow CTEs as text_winnow (k=4, window=4), then the inverted-
+# index pairing with the df>50 hot-fingerprint drop mirrored; the
+# containment denominator is the doc's FULL fingerprint count.
+ORACLES["dedup_containment"] = f"""
+    WITH docs AS (SELECT doc_id, {_NORM} AS norm FROM documents
+                  WHERE doc_id % 3 = 0),
+    w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM docs),
+    hs AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, greatest(len(words) - 3, 0)),
+                   i -> {_H31.format(s="array_to_string(words[i:i+3], ' ')")}
+               ) AS hashes
+        FROM w
+    ),
+    fp AS MATERIALIZED (
+        SELECT doc_id,
+               list_sort(list_distinct(list_transform(
+                   generate_series(1, greatest(len(hashes) - 3, 0)),
+                   i -> list_min(hashes[i:i+3])
+               ))) AS fps
+        FROM hs
+    ),
+    inv0 AS MATERIALIZED (SELECT doc_id, unnest(fps) AS f FROM fp),
+    hot AS (SELECT f FROM inv0 GROUP BY f HAVING COUNT(*) > 50),
+    inv AS MATERIALIZED (
+        SELECT * FROM inv0 WHERE f NOT IN (SELECT f FROM hot)),
+    pairs AS (
+        SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+               CAST(COUNT(*) AS BIGINT) AS shared_fps
+        FROM inv a JOIN inv b
+          ON a.f = b.f AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, len(fps) AS n FROM fp WHERE len(fps) > 0)
+    SELECT contained_id, container_id, shared_fps,
+           round(shared_fps / CAST(n AS DOUBLE), 6) AS containment_r
+    FROM pairs JOIN sz ON sz.doc_id = contained_id
+    WHERE round(shared_fps / CAST(n AS DOUBLE), 6) >= 0.8
+    ORDER BY contained_id, container_id
+"""

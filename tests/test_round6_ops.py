@@ -167,6 +167,31 @@ def test_ivf_sq_rebuilds_on_vector_change_same_ids(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, got)) == sorted(map(tuple, fresh))
 
 
+# -------------------------------------------------- containment dedup
+
+
+def test_containment_catches_prefix_dup_jaccard_misses(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import text as tx
+
+    short = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(6))  # 18 words
+    long = short + " " + " ".join(f"filler{i} extra{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally unrelated words " * 8)],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["contained_id"], r["container_id"]): r["containment_r"]
+        for r in tx.containment_pairs(
+            df, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    # the short doc is fully contained in the long one; the reverse
+    # direction and the unrelated doc must not appear
+    assert out.get((1, 2)) == 1.0
+    assert (2, 1) not in out
+    assert all(3 not in pair for pair in out)
+
+
 # ------------------------------------------- incremental-ingest dedup
 
 
