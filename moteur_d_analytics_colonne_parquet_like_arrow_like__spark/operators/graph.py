@@ -223,6 +223,53 @@ def co_supply_edges(
     )
 
 
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Multi-source breadth-first hop distances over an undirected edge
+    list: every node reachable from ANY source within ``max_hops`` hops,
+    with its minimum hop count (0 for the sources themselves) — the
+    blast-radius / influence-sphere query (recursive-CTE territory)
+    expressed as ``max_hops`` frontier expansions.
+
+    Each round joins the CURRENT frontier (nodes first reached in the
+    previous round — already-visited nodes are anti-joined away, so the
+    frontier never re-expands settled territory) against the symmetrized
+    edge list on the node key, then min-dedups the candidates. BFS
+    frontiers are the textbook monotone fixpoint: a node's distance is
+    final the round it first appears, so fixed rounds == exact distances
+    for everything within ``max_hops`` (and an oracle replaying the same
+    rounds matches by construction). At 100 TB each round shuffles on
+    node ids only, frontier-sized not graph-sized; ``localCheckpoint``
+    cuts the unrolled lineage like pagerank/kcore.
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    visited = sources.select(F.col(node).alias("n")).distinct().withColumn(
+        "dist", F.lit(0)
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["n"] == sym["u"])
+            .select(F.col("v").alias("n"))
+            .distinct()
+            .join(visited.select("n"), "n", "left_anti")
+            .withColumn("dist", F.lit(hop))
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.select(F.col("n").alias(node), "dist")
+
+
 def kcore(
     edges: DataFrame,
     k: int,

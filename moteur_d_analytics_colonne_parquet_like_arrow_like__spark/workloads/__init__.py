@@ -32,6 +32,7 @@ from . import (
     relational4,
     relational5,
     relational6,
+    relational7,
     pipeline2,
     streaming_ops,
 )
@@ -44,6 +45,7 @@ _MODULES = [
     relational4,
     relational5,
     relational6,
+    relational7,
     analytics,
     python_surface,
     pipeline,
@@ -60,6 +62,11 @@ _MODULES = [
 # then (d)-(e) by ascending freshness. VERDICT r5 item 2.
 _VERIFY_FIRST: tuple[str, ...] = (
     # (a) new or output-changed in round 6, need fresh driver signatures
+    "orders_reconciliation",
+    "events_acf",
+    "orders_changepoint",
+    "graph_bfs_distance",
+    "customers_survival_km",
     "sim_ivf_recall",
     "cli_query_compiled",
     "pipeline_temperature_mix",

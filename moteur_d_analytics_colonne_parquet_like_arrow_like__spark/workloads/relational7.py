@@ -1,0 +1,594 @@
+"""Seventh relational workload: audit reconciliation, time-series
+diagnostics (autocorrelation, changepoint), survival analysis, and
+multi-source graph distances.
+
+These extend the reference's analytic surface (reference: ABSENT —
+extension surface) with the diagnostics layer a warehouse team runs on
+top of the scans/aggregates the reference provides. Determinism rules
+follow workloads/__init__: every cross-engine float is either an exact
+integer ratio divided as DOUBLE then rounded, or a DECIMAL-routed sum;
+ACF/changepoint avoid float accumulation entirely by n-scaling the
+mean-centered series into BIGINT arithmetic (dev_t = n*x_t - S is the
+exact integer n-multiple of x_t - mean, and the scale factors cancel in
+every reported ratio).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..operators import graph
+from ..sources.catalog import load_table
+
+
+def q_orders_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-entry audit: recompute each order's total from its line
+    items (sum of extendedprice*(1-discount)*(1+tax), the TPC-H charge
+    formula, DECIMAL(18,4)-routed per row so partial-agg order cannot
+    drift) and reconcile against the order header's o_totalprice. Per
+    order status: how many orders reconcile within $1, how many have no
+    lines at all, and the size of the drift. The header-vs-detail join
+    keys both sides on the order key — co-partitioned, no broadcast
+    needed, and at 100 TB it is the classic fact-to-fact same-key merge
+    join. Facts reduce to one row per order before touching the header.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    charge = (
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+    ).cast("decimal(18,4)")
+    per_order = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.sum(charge).cast("decimal(18,4)").alias("computed")
+    )
+    j = orders.join(
+        per_order, orders["o_orderkey"] == per_order["okey"], "left"
+    ).select(
+        "o_orderstatus",
+        F.col("computed").isNull().cast("int").alias("no_lines"),
+        F.abs(
+            F.coalesce(F.col("computed"), F.lit(0).cast("decimal(18,4)"))
+            - F.col("o_totalprice").cast("decimal(18,4)")
+        ).alias("absdiff"),
+    )
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("no_lines").cast("bigint").alias("n_no_lines"),
+            F.sum(
+                (F.col("absdiff") < F.lit(1.0)).cast("int")
+            ).cast("bigint").alias("n_reconciled"),
+            F.round(
+                F.sum("absdiff").cast("double") / F.count(F.lit(1)), 2
+            ).alias("avg_absdiff_r"),
+            F.round(F.max("absdiff").cast("double"), 2).alias(
+                "max_absdiff_r"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def _hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-type hourly count series as (event_type, hidx, x): facts
+    reduce ONCE to (type, hour) cells, hours become integer indices
+    (epoch//3600 — no interval arithmetic to diverge between engines),
+    and the grid densifies every type onto the shared global span with
+    zero-filled silent hours. Grid size = types x span hours — calendar-
+    bounded, never data-proportional."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+        .cast("bigint")
+        .alias("hidx"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    span = hourly.agg(
+        F.min("hidx").alias("h0"), F.max("hidx").alias("h1")
+    )
+    grid = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("hidx"),
+        )
+    )
+    return grid.join(hourly, ["event_type", "hidx"], "left").select(
+        "event_type", "hidx", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+    )
+
+
+def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of each event type's hourly count series
+    at lags 1..12 — the seasonality/burstiness diagnostic behind
+    forecasting and anomaly baselines. Exact integer math throughout:
+    dev_t = n*x_t - S (the n-scaled mean-centered value, a BIGINT), so
+    acf_k = sum(dev_t * dev_{t-k}) / sum(dev_t^2) — the n^2 scale
+    cancels and both sums are exact integers; the only float is the
+    final DOUBLE division, rounded to 6. Lag alignment is a self-join
+    on the integer hour index (no window), and every relation after the
+    first aggregate is calendar-bounded (types x hours)."""
+    series = _hourly_series(spark, sf_dir)
+    st = series.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    d = series.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "hidx",
+        (F.col("n") * F.col("x") - F.col("s")).alias("dev"),
+    )
+    den = d.groupBy("event_type").agg(
+        F.sum(F.col("dev") * F.col("dev")).cast("bigint").alias("den")
+    )
+    lagged = d.select(
+        "event_type",
+        F.col("dev").alias("dev_lag"),
+        F.explode(F.sequence(F.lit(1), F.lit(12))).alias("lag"),
+        F.col("hidx").alias("h_base"),
+    ).withColumn("hidx", F.col("h_base") + F.col("lag"))
+    num = (
+        d.join(lagged, ["event_type", "hidx"])
+        .groupBy("event_type", "lag")
+        .agg(F.sum(F.col("dev") * F.col("dev_lag")).cast("bigint").alias("num"))
+    )
+    return (
+        num.join(F.broadcast(den), "event_type")
+        .select(
+            "event_type",
+            "lag",
+            F.round(
+                F.col("num").cast("double") / F.col("den").cast("double"), 6
+            ).alias("acf_r"),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+def q_orders_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint detection per order priority: the binary-segmentation
+    first split of the daily order-count series — the day index t that
+    maximizes |mean(first t days) - mean(rest)| — plus the CUSUM range
+    (max - min of the cumulative mean-centered sum, Page's drift
+    statistic). All candidate statistics are exact n-scaled integers:
+    shift(t) ~ S1*(n-t) - (S-S1)*t over the common denominator
+    t*(n-t), so the argmax ranks exact rationals compared as rounded
+    DOUBLEs with the earliest day as tie-break. The facts reduce once
+    to (priority, day) cells; every window below runs over that
+    calendar-bounded aggregate (the documented-safe shape)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    span = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = (
+        daily.select("o_orderpriority")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "o_orderpriority",
+            F.col("d0"),
+            F.explode(
+                F.sequence(F.lit(0), F.datediff(F.col("d1"), F.col("d0")))
+            ).alias("t"),
+        )
+    )
+    series = (
+        grid.withColumn("d", F.date_add(F.col("d0"), F.col("t")))
+        .join(daily, ["o_orderpriority", "d"], "left")
+        .select(
+            "o_orderpriority",
+            "t",
+            "d",
+            F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+        )
+    )
+    st = series.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    w_cum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = series.withColumn(
+        "s1", F.sum("x").over(w_cum).cast("bigint")
+    ).join(F.broadcast(st), "o_orderpriority")
+    # split AFTER day index t: before = t+1 days, after = n-t-1 days
+    cand = cum.where(F.col("t") < F.col("n") - 1).select(
+        "o_orderpriority",
+        "d",
+        "n",
+        "s",
+        "s1",
+        (F.col("t") + 1).alias("nb"),
+        (F.col("n") - F.col("t") - 1).alias("na"),
+        # CUSUM value scaled by n: n*S1_t - (t+1)*S
+        (
+            F.col("n") * F.col("s1") - (F.col("t") + 1) * F.col("s")
+        ).alias("cusum_sc"),
+    )
+    shift_r = F.round(
+        F.abs(
+            F.col("s1").cast("double") / F.col("nb").cast("double")
+            - (F.col("s") - F.col("s1")).cast("double")
+            / F.col("na").cast("double")
+        ),
+        6,
+    )
+    ranked = cand.withColumn("shift_r", shift_r)
+    w_best = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("shift_r").desc(), F.col("d").asc()
+    )
+    cusum = cand.groupBy("o_orderpriority").agg(
+        F.round(
+            (F.max("cusum_sc") - F.min("cusum_sc")).cast("double")
+            / F.first("n").cast("double"),
+            6,
+        ).alias("cusum_range_r")
+    )
+    return (
+        ranked.withColumn("rk", F.row_number().over(w_best))
+        .where(F.col("rk") == 1)
+        .join(F.broadcast(cusum), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.date_format("d", "yyyy-MM-dd").alias("split_date"),
+            F.round(
+                F.col("s1").cast("double") / F.col("nb").cast("double"), 6
+            ).alias("mean_before_r"),
+            F.round(
+                (F.col("s") - F.col("s1")).cast("double")
+                / F.col("na").cast("double"),
+                6,
+            ).alias("mean_after_r"),
+            "shift_r",
+            "cusum_range_r",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances over the co-supply graph: every
+    supplier within 3 hops of a seed set (s_suppkey % 50 == 0), with
+    its minimum hop count (operators/graph.bfs_distances). The blast-
+    radius query: frontier expansions shuffle on node ids only and the
+    anti-join keeps each round frontier-sized, not graph-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    edges = graph.co_supply_edges(li)
+    sources = supp.where(F.col("s_suppkey") % 50 == 0).select(
+        F.col("s_suppkey").alias("node")
+    )
+    out = graph.bfs_distances(
+        edges, sources, max_hops=3, src="sa", dst="sb"
+    )
+    return out.select(
+        F.col("node").cast("bigint"), F.col("dist").cast("int")
+    ).orderBy("node")
+
+
+def q_customers_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier risk-set table for time-to-second-order: per gap
+    duration (days between a customer's first and second order; right-
+    censored at the corpus end for single-order customers), the number
+    at risk, events, censorings, and the exact discrete hazard d/n —
+    the survival curve's constructive core without a cross-row float
+    product. The per-customer ordering window partitions on the
+    customer key (data-proportional key, bounded group size); the risk
+    sets come from one exclusive prefix sum over the duration-level
+    aggregate, whose cardinality the calendar bounds."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    firsts = (
+        orders.select(
+            "o_custkey",
+            F.to_date("o_orderdate").alias("d"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 2)
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("d"))).alias("d1"),
+            F.min(F.when(F.col("rn") == 2, F.col("d"))).alias("d2"),
+        )
+    )
+    horizon = orders.agg(F.max(F.to_date("o_orderdate")).alias("dmax"))
+    subj = firsts.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("d2").isNotNull(), F.datediff(F.col("d2"), F.col("d1"))
+        )
+        .otherwise(F.datediff(F.col("dmax"), F.col("d1")))
+        .alias("dur_days"),
+        F.col("d2").isNotNull().cast("int").alias("event"),
+    )
+    cells = subj.groupBy("dur_days").agg(
+        F.sum("event").cast("bigint").alias("n_events"),
+        F.sum(1 - F.col("event")).cast("bigint").alias("n_censored"),
+    )
+    total = subj.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    w_prior = (
+        Window.orderBy("dur_days")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            (
+                F.col("n_total")
+                - F.coalesce(
+                    F.sum(F.col("n_events") + F.col("n_censored")).over(
+                        w_prior
+                    ),
+                    F.lit(0),
+                )
+            ).cast("bigint"),
+        )
+        .select(
+            "dur_days",
+            "n_risk",
+            "n_events",
+            "n_censored",
+            F.round(
+                F.col("n_events").cast("double")
+                / F.col("n_risk").cast("double"),
+                6,
+            ).alias("hazard_r"),
+        )
+        .orderBy("dur_days")
+    )
+
+
+QUERIES = {
+    "orders_reconciliation": q_orders_reconciliation,
+    "events_acf": q_events_acf,
+    "orders_changepoint": q_orders_changepoint,
+    "graph_bfs_distance": q_graph_bfs_distance,
+    "customers_survival_km": q_customers_survival_km,
+}
+
+# Shared SQL fragments for the co-supply graph (single-sourced in
+# operators/graph.co_supply_edges; mirrored by the kcore/triangles oracles).
+_CO_SUPPLY_SQL = """
+        ps AS MATERIALIZED (
+            SELECT DISTINCT l_partkey AS pk, l_suppkey AS s
+            FROM lineitem WHERE l_partkey % 50 = 0
+        ),
+        e AS MATERIALIZED (
+            SELECT a.s AS sa, b.s AS sb
+            FROM ps a JOIN ps b ON a.pk = b.pk AND a.s < b.s
+            GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        ),
+        sym AS MATERIALIZED (
+            SELECT sa AS u, sb AS v FROM e
+            UNION ALL
+            SELECT sb AS u, sa AS v FROM e
+        )
+"""
+
+ORACLES = {
+    "orders_reconciliation": """
+        WITH per_order AS (
+            SELECT l_orderkey AS okey,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 * (1 + l_tax) AS DECIMAL(18,4)))
+                        AS DECIMAL(18,4)) AS computed
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        j AS (
+            SELECT o.o_orderstatus,
+                   CASE WHEN p.computed IS NULL THEN 1 ELSE 0 END
+                       AS no_lines,
+                   abs(COALESCE(p.computed, CAST(0 AS DECIMAL(18,4)))
+                       - CAST(o.o_totalprice AS DECIMAL(18,4))) AS absdiff
+            FROM orders o LEFT JOIN per_order p ON o.o_orderkey = p.okey
+        )
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(no_lines) AS BIGINT) AS n_no_lines,
+               CAST(SUM(CASE WHEN absdiff < 1.0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_reconciled,
+               round(CAST(SUM(absdiff) AS DOUBLE) / COUNT(*), 2)
+                   AS avg_absdiff_r,
+               round(CAST(MAX(absdiff) AS DOUBLE), 2) AS max_absdiff_r
+        FROM j GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "events_acf": """
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT)
+                       AS hidx,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        span AS (SELECT MIN(hidx) AS h0, MAX(hidx) AS h1 FROM hourly),
+        grid AS (
+            SELECT t.event_type, unnest(generate_series(h0, h1)) AS hidx
+            FROM (SELECT DISTINCT event_type FROM hourly) t, span
+        ),
+        series AS (
+            SELECT g.event_type, g.hidx, COALESCE(h.x, 0) AS x
+            FROM grid g LEFT JOIN hourly h
+              ON h.event_type = g.event_type AND h.hidx = g.hidx
+        ),
+        st AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s
+            FROM series GROUP BY event_type
+        ),
+        d AS (
+            SELECT se.event_type, se.hidx, st.n * se.x - st.s AS dev
+            FROM series se JOIN st USING (event_type)
+        ),
+        den AS (
+            SELECT event_type, CAST(SUM(dev * dev) AS BIGINT) AS den
+            FROM d GROUP BY event_type
+        ),
+        num AS (
+            SELECT a.event_type, l.lag,
+                   CAST(SUM(a.dev * b.dev) AS BIGINT) AS num
+            FROM d a
+            CROSS JOIN (SELECT unnest(generate_series(1, 12)) AS lag) l
+            JOIN d b ON b.event_type = a.event_type
+                    AND b.hidx + l.lag = a.hidx
+            GROUP BY a.event_type, l.lag
+        )
+        SELECT n.event_type, n.lag,
+               round(CAST(n.num AS DOUBLE) / CAST(dn.den AS DOUBLE), 6)
+                   AS acf_r
+        FROM num n JOIN den dn USING (event_type)
+        ORDER BY event_type, lag
+    """,
+    "orders_changepoint": """
+        WITH daily AS (
+            SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM orders GROUP BY 1, 2
+        ),
+        span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+        grid AS (
+            SELECT p.o_orderpriority, s.d0,
+                   unnest(generate_series(0, datediff('day', s.d0, s.d1)))
+                       AS t
+            FROM (SELECT DISTINCT o_orderpriority FROM daily) p, span s
+        ),
+        series AS (
+            SELECT g.o_orderpriority, g.t, g.d0 + g.t * INTERVAL 1 DAY
+                       AS d,
+                   COALESCE(dl.x, 0) AS x
+            FROM grid g LEFT JOIN daily dl
+              ON dl.o_orderpriority = g.o_orderpriority
+             AND dl.d = g.d0 + g.t * INTERVAL 1 DAY
+        ),
+        st AS (
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s
+            FROM series GROUP BY o_orderpriority
+        ),
+        cum AS (
+            SELECT se.o_orderpriority, se.t, se.d, st.n, st.s,
+                   CAST(SUM(se.x) OVER (
+                       PARTITION BY se.o_orderpriority ORDER BY se.t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS s1
+            FROM series se JOIN st USING (o_orderpriority)
+        ),
+        cand AS (
+            SELECT o_orderpriority, d, n, s, s1,
+                   t + 1 AS nb, n - t - 1 AS na,
+                   n * s1 - (t + 1) * s AS cusum_sc,
+                   round(abs(CAST(s1 AS DOUBLE) / CAST(t + 1 AS DOUBLE)
+                             - CAST(s - s1 AS DOUBLE)
+                               / CAST(n - t - 1 AS DOUBLE)), 6)
+                       AS shift_r
+            FROM cum WHERE t < n - 1
+        ),
+        best AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY shift_r DESC, d ASC) AS rk
+            FROM cand
+        ),
+        cs AS (
+            SELECT o_orderpriority,
+                   round(CAST(MAX(cusum_sc) - MIN(cusum_sc) AS DOUBLE)
+                         / CAST(ANY_VALUE(n) AS DOUBLE), 6)
+                       AS cusum_range_r
+            FROM cand GROUP BY o_orderpriority
+        )
+        SELECT b.o_orderpriority,
+               strftime(b.d, '%Y-%m-%d') AS split_date,
+               round(CAST(b.s1 AS DOUBLE) / CAST(b.nb AS DOUBLE), 6)
+                   AS mean_before_r,
+               round(CAST(b.s - b.s1 AS DOUBLE) / CAST(b.na AS DOUBLE), 6)
+                   AS mean_after_r,
+               b.shift_r, cs.cusum_range_r
+        FROM best b JOIN cs USING (o_orderpriority)
+        WHERE b.rk = 1 ORDER BY b.o_orderpriority
+    """,
+    "graph_bfs_distance": f"""
+        WITH {_CO_SUPPLY_SQL},
+        v0 AS MATERIALIZED (
+            SELECT DISTINCT s_suppkey AS n FROM supplier
+            WHERE s_suppkey % 50 = 0
+        ),
+        f1 AS MATERIALIZED (
+            SELECT DISTINCT sym.v AS n FROM v0 JOIN sym ON sym.u = v0.n
+            WHERE sym.v NOT IN (SELECT n FROM v0)
+        ),
+        f2 AS MATERIALIZED (
+            SELECT DISTINCT sym.v AS n FROM f1 JOIN sym ON sym.u = f1.n
+            WHERE sym.v NOT IN (SELECT n FROM v0)
+              AND sym.v NOT IN (SELECT n FROM f1)
+        ),
+        f3 AS MATERIALIZED (
+            SELECT DISTINCT sym.v AS n FROM f2 JOIN sym ON sym.u = f2.n
+            WHERE sym.v NOT IN (SELECT n FROM v0)
+              AND sym.v NOT IN (SELECT n FROM f1)
+              AND sym.v NOT IN (SELECT n FROM f2)
+        )
+        SELECT CAST(n AS BIGINT) AS node, CAST(0 AS INTEGER) AS dist
+        FROM v0
+        UNION ALL
+        SELECT CAST(n AS BIGINT), CAST(1 AS INTEGER) FROM f1
+        UNION ALL
+        SELECT CAST(n AS BIGINT), CAST(2 AS INTEGER) FROM f2
+        UNION ALL
+        SELECT CAST(n AS BIGINT), CAST(3 AS INTEGER) FROM f3
+        ORDER BY node
+    """,
+    "customers_survival_km": """
+        WITH ranked AS (
+            SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+            FROM orders
+        ),
+        firsts AS (
+            SELECT o_custkey,
+                   MIN(CASE WHEN rn = 1 THEN d END) AS d1,
+                   MIN(CASE WHEN rn = 2 THEN d END) AS d2
+            FROM ranked WHERE rn <= 2 GROUP BY o_custkey
+        ),
+        horizon AS (
+            SELECT MAX(CAST(o_orderdate AS DATE)) AS dmax FROM orders
+        ),
+        subj AS (
+            SELECT CASE WHEN f.d2 IS NOT NULL
+                        THEN datediff('day', f.d1, f.d2)
+                        ELSE datediff('day', f.d1, h.dmax) END AS dur_days,
+                   CASE WHEN f.d2 IS NOT NULL THEN 1 ELSE 0 END AS event
+            FROM firsts f, horizon h
+        ),
+        cells AS (
+            SELECT dur_days,
+                   CAST(SUM(event) AS BIGINT) AS n_events,
+                   CAST(SUM(1 - event) AS BIGINT) AS n_censored
+            FROM subj GROUP BY dur_days
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM subj)
+        SELECT c.dur_days,
+               CAST(t.n_total - COALESCE(SUM(c.n_events + c.n_censored)
+                   OVER (ORDER BY c.dur_days
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS BIGINT) AS n_risk,
+               c.n_events, c.n_censored,
+               round(CAST(c.n_events AS DOUBLE)
+                     / CAST(t.n_total - COALESCE(SUM(c.n_events
+                         + c.n_censored) OVER (ORDER BY c.dur_days
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS DOUBLE), 6) AS hazard_r
+        FROM cells c, tot t
+        ORDER BY c.dur_days
+    """,
+}

@@ -364,3 +364,40 @@ def test_fuzzy_match_block_cap_join_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round6b_windowed_queries_are_scale_safe(spark, sf_dir):
+    # The changepoint's running sum / argmax windows partition on the
+    # priority (fixed cardinality) but run over the calendar-bounded
+    # (priority, day-index) grid aggregate; the survival risk-set prefix
+    # is a global window over the duration-level aggregate (durations
+    # are calendar-bounded). Both must declare their bounded cells and
+    # come back clean.
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import relational7
+
+    for q, low, bounded in (
+        (
+            relational7.q_orders_changepoint,
+            ("o_orderpriority",),
+            ("d", "t"),
+        ),
+        (relational7.q_customers_survival_km, (), ("dur_days",)),
+    ):
+        assert (
+            plans.unsafe_global_windows(
+                q(spark, sf_dir), low_card_cols=low, bounded_cols=bounded
+            )
+            == []
+        ), q.__name__
+
+
+def test_bfs_and_acf_plans_have_no_cartesian(spark, sf_dir):
+    # BFS rounds are equi-joins on node ids; ACF's lag alignment is an
+    # equi-join on (type, hour-index). Neither may degenerate into a
+    # nested-loop pairing (the broadcast of the 1-row span/stat relations
+    # is the only acceptable nested-loop source).
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import relational7
+
+    for q in (relational7.q_graph_bfs_distance, relational7.q_events_acf):
+        plan = plans.formatted_plan(q(spark, sf_dir))
+        assert "CartesianProduct" not in plan, q.__name__

@@ -1,0 +1,126 @@
+"""Round-6 continuation tests: multi-source BFS distances, the n-scaled
+integer ACF/changepoint math (independently re-derived in numpy floats),
+Kaplan-Meier risk-set invariants, and the header-vs-detail
+reconciliation audit."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import graph
+from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import relational7
+
+
+# ------------------------------------------------------- bfs_distances
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["src", "dst"])
+
+
+def _sources(spark, nodes):
+    return spark.createDataFrame([(n,) for n in nodes], ["node"])
+
+
+def test_bfs_path_graph_min_hops(spark):
+    # path 1-2-3-4-5 plus isolated 9; undirected expansion both ways
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    out = graph.bfs_distances(e, _sources(spark, [1, 9]), max_hops=2)
+    got = {r["node"]: r["dist"] for r in out.collect()}
+    assert got == {1: 0, 9: 0, 2: 1, 3: 2}
+
+
+def test_bfs_two_sources_take_min_distance(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    out = graph.bfs_distances(e, _sources(spark, [1, 5]), max_hops=3)
+    got = {r["node"]: r["dist"] for r in out.collect()}
+    # node 3 is 2 hops from EITHER end, never 3
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_bfs_zero_hops_and_validation(spark):
+    e = _edges(spark, [(1, 2)])
+    out = graph.bfs_distances(e, _sources(spark, [1]), max_hops=0)
+    assert [(r["node"], r["dist"]) for r in out.collect()] == [(1, 0)]
+    with pytest.raises(ValueError):
+        graph.bfs_distances(e, _sources(spark, [1]), max_hops=-1)
+
+
+# ------------------------------------- ACF / changepoint vs numpy floats
+
+
+def test_events_acf_matches_numpy(spark, sf_dir):
+    got = relational7.q_events_acf(spark, sf_dir).toPandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    hidx = (ev["ts"].values.astype("datetime64[h]").astype("int64"))
+    df = pd.DataFrame({"t": ev["event_type"], "h": hidx})
+    h0, h1 = df["h"].min(), df["h"].max()
+    for etype, g in df.groupby("t"):
+        counts = np.zeros(h1 - h0 + 1)
+        for h, c in g.groupby("h").size().items():
+            counts[h - h0] = c
+        dev = counts - counts.mean()
+        den = float((dev * dev).sum())
+        sub = got[got["event_type"] == etype]
+        for lag in range(1, 13):
+            want = float((dev[lag:] * dev[:-lag]).sum()) / den
+            have = float(sub[sub["lag"] == lag]["acf_r"].iloc[0])
+            assert abs(have - want) < 1e-6, (etype, lag)
+
+
+def test_orders_changepoint_matches_numpy(spark, sf_dir):
+    got = relational7.q_orders_changepoint(spark, sf_dir).toPandas()
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    d = orders["o_orderdate"].values.astype("datetime64[D]")
+    d0, d1 = d.min(), d.max()
+    n = int((d1 - d0).astype(int)) + 1
+    for prio, g in orders.groupby("o_orderpriority"):
+        counts = np.zeros(n)
+        idx = (g["o_orderdate"].values.astype("datetime64[D]") - d0).astype(int)
+        for i in idx:
+            counts[i] += 1
+        cum = counts.cumsum()
+        s = cum[-1]
+        t = np.arange(0, n - 1)
+        shift = np.abs(cum[:-1] / (t + 1) - (s - cum[:-1]) / (n - t - 1))
+        shift_r = np.round(shift, 6)
+        best = int(np.argmax(shift_r))  # argmax takes FIRST max = earliest
+        row = got[got["o_orderpriority"] == prio].iloc[0]
+        assert row["split_date"] == str(d0 + best), prio
+        assert abs(row["shift_r"] - shift_r[best]) < 1e-9, prio
+        # CUSUM range: cum_t - (t+1)*mean over all days
+        cusum = cum - (np.arange(1, n + 1)) * (s / n)
+        want_rng = float(cusum.max() - cusum.min())
+        assert abs(row["cusum_range_r"] - want_rng) < 1e-5, prio
+
+
+# --------------------------------------------- survival / reconciliation
+
+
+def test_survival_km_invariants(spark, sf_dir):
+    out = relational7.q_customers_survival_km(spark, sf_dir).toPandas()
+    n_customers = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert int(out["n_risk"].iloc[0]) == n_customers
+    # risk set shrinks by exactly the subjects leaving at each duration
+    leaving = (out["n_events"] + out["n_censored"]).values
+    assert (out["n_risk"].values[1:]
+            == out["n_risk"].values[:-1] - leaving[:-1]).all()
+    assert int(leaving.sum()) == n_customers
+    assert ((out["hazard_r"] >= 0) & (out["hazard_r"] <= 1)).all()
+
+
+def test_reconciliation_partitions_orders(spark, sf_dir):
+    out = relational7.q_orders_reconciliation(spark, sf_dir).toPandas()
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert int(out["n_orders"].sum()) == n_orders
+    assert (out["n_reconciled"] <= out["n_orders"]).all()
+    assert (out["n_no_lines"] <= out["n_orders"]).all()
+    assert (out["max_absdiff_r"] >= out["avg_absdiff_r"] - 0.01).all()
