@@ -63,6 +63,7 @@ _MODULES = [
 _VERIFY_FIRST: tuple[str, ...] = (
     # (a) new or output-changed in round 6, need fresh driver signatures
     "orders_reconciliation",
+    "pipeline_shard_plan",
     "events_acf",
     "orders_changepoint",
     "graph_bfs_distance",

@@ -553,3 +553,74 @@ ORACLES["pipeline_pit_features"] = """
            round(CAST(cum_v AS DOUBLE), 6) AS cum_value_r
     FROM ranked WHERE rk = 1 ORDER BY event_id
 """
+
+
+def q_pipeline_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced output-shard planning: lay the corpus end-to-end in
+    deterministic pseudo-shuffle order (stable_hash60 of the doc id — the
+    reproducible IID shuffle a training run wants) and assign each
+    document to the shard where its first token falls
+    (exclusive-cumsum div budget). The global cumulative token sum rides
+    ``stats.two_phase_rank_cumsum`` over hash-prefix chunks (the top
+    8 bits of the 60-bit key: a pure, monotone, uniform chunking — no
+    quantile pass needed for a uniform hash), so no single-task window
+    touches the corpus. Output: one row per planned shard with its doc
+    and token counts — the writer manifest a 100 TB tokenization job
+    partitions its work by."""
+    from ..functions import stable_hash60, words
+    from ..operators.stats import two_phase_rank_cumsum
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.size(words(F.col("text"))).cast("bigint").alias("n_tokens"),
+        stable_hash60(
+            F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))
+        ).alias("skey"),
+    )
+    cum = two_phase_rank_cumsum(
+        docs,
+        "skey",
+        F.expr("skey div 4503599627370496"),  # 2^52: top-8-bit chunk
+        tiebreak_cols=["doc_id"],
+        value_col="n_tokens",
+        cum_col="__cum",
+    )
+    return (
+        cum.withColumn(
+            "shard",
+            F.expr("(__cum - n_tokens) div 2048").cast("bigint"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+        )
+        .orderBy("shard")
+    )
+
+
+QUERIES["pipeline_shard_plan"] = q_pipeline_shard_plan
+
+# The oracle IS the naive single-window cumsum the two-phase scan must
+# equal, in the same md5-derived shuffle order.
+ORACLES["pipeline_shard_plan"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tokens,
+               CAST(concat('0x', substr(md5('shard:'
+                    || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS skey
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   ORDER BY skey, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum
+        FROM toks
+    )
+    SELECT (cum - n_tokens) // 2048 AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total
+    FROM c GROUP BY 1 ORDER BY shard
+"""

@@ -401,3 +401,12 @@ def test_bfs_and_acf_plans_have_no_cartesian(spark, sf_dir):
     for q in (relational7.q_graph_bfs_distance, relational7.q_events_acf):
         plan = plans.formatted_plan(q(spark, sf_dir))
         assert "CartesianProduct" not in plan, q.__name__
+
+
+def test_shard_plan_rides_the_chunked_scan(spark, sf_dir):
+    # The corpus-global cumulative token sum must ride the two-phase
+    # chunked scan — never a bare Window.orderBy over the documents.
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import pipeline2
+
+    df = pipeline2.QUERIES["pipeline_shard_plan"](spark, sf_dir)
+    assert plans.unsafe_global_windows(df) == []

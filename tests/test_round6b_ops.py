@@ -124,3 +124,34 @@ def test_reconciliation_partitions_orders(spark, sf_dir):
     assert (out["n_reconciled"] <= out["n_orders"]).all()
     assert (out["n_no_lines"] <= out["n_orders"]).all()
     assert (out["max_absdiff_r"] >= out["avg_absdiff_r"] - 0.01).all()
+
+
+# ------------------------------------------------------------ shard plan
+
+
+def test_shard_plan_partitions_corpus(spark, sf_dir):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.functions import words
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import pipeline2
+
+    out = pipeline2.q_pipeline_shard_plan(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tot = docs.select(
+        F.sum(F.size(words(F.col("text"))).cast("bigint")).alias("t")
+    ).collect()[0]["t"]
+    n_docs = docs.count()
+    # every doc lands in exactly one shard; every token is attributed
+    assert int(out["n_docs"].sum()) == n_docs
+    assert int(out["tokens_total"].sum()) == int(tot)
+    # shard ids are contiguous from 0 (no empty shard can exist: a shard
+    # id only appears when some doc's first token falls inside it, and
+    # the exclusive cumsum sweeps every budget boundary in order)
+    assert list(out["shard"]) == list(range(len(out)))
+    # sized to the budget: the last shard starts where the last doc's
+    # first token falls, so the count is at most ceil(tot/2048) and at
+    # least that of the corpus minus one straddling doc
+    max_doc = docs.select(
+        F.max(F.size(words(F.col("text"))).cast("bigint")).alias("m")
+    ).collect()[0]["m"]
+    hi = (int(tot) + 2048 - 1) // 2048
+    lo = (int(tot) - int(max_doc)) // 2048 + 1
+    assert lo <= len(out) <= hi
