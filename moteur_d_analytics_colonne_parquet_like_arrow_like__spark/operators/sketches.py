@@ -115,3 +115,52 @@ def heavy_hitters_exact(
         .where(F.col("exact_cnt") * support_denom > F.col("_n"))
         .select(item_col, "exact_cnt", F.col("_n").alias("n_total"))
     )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    k: int = 64,
+    salt: str = "kmv:",
+) -> DataFrame:
+    """Per-group KMV (k-minimum-values / bottom-k theta) sketch: the ``k``
+    smallest stable 60-bit hashes of the group's distinct keys (Beyer et
+    al., "On Synopses for Distinct-Value Estimation Under Multiset
+    Operations", SIGMOD 2007 — the theta-sketch family's constructive
+    core). Unlike HLL, KMV sketches support INTERSECTION estimates, and
+    min-k is distributive: bottom-k(bottom-k(A) ∪ bottom-k(B)) ==
+    bottom-k(A ∪ B), so persisted sketches merge exactly.
+
+    Scale shape: one distinct on (group, hash) — combiner-friendly —
+    then the bottom-k rank filter plans as WindowGroupLimit (Spark 3.5+
+    pushes the per-group limit MAP-SIDE, so each task ships at most k
+    rows per group, never the key stream; asserted in tests). Every
+    hash is the repo's md5 family, so sketches, estimates, and merges
+    are bit-identical in DuckDB SQL.
+
+    Returns (group..., h, rn) with rn = 1..k ascending by hash.
+    """
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError(f"kmv_sketch requires k >= 2, got {k}")
+    h = stable_hash60(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    distinct = df.select(*group_cols, h.alias("h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy(F.col("h").asc())
+    return distinct.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k
+    )
+
+
+# 2^60: the hash-space size that normalizes a KMV threshold to (0, 1].
+KMV_SPACE = float(1 << 60)
+
+
+def kmv_estimate(n_sk: Column, u_k: Column, k: int) -> Column:
+    """Distinct-count estimate from a KMV sketch summary: exact when the
+    group had fewer than ``k`` distinct keys (the sketch IS the set),
+    else the classic (k-1) / normalized-k-th-minimum estimator."""
+    return F.when(n_sk < k, n_sk.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(KMV_SPACE) / u_k.cast("double")
+    )

@@ -64,6 +64,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # (a) new or output-changed in round 6, need fresh driver signatures
     "orders_reconciliation",
     "pipeline_shard_plan",
+    "sketch_kmv_setops",
     "events_acf",
     "orders_changepoint",
     "graph_bfs_distance",

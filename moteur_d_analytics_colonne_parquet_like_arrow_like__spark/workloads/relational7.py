@@ -592,3 +592,170 @@ ORACLES = {
         ORDER BY c.dur_days
     """,
 }
+
+
+def q_sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k / theta-style) sketch set operations: estimate the
+    customer-set UNION and INTERSECTION of each adjacent month pair from
+    64-hash sketches — the set algebra HLL cannot do (HLL unions but
+    never intersects) — next to the exact answers, so the estimator's
+    error is visible in the gate output. Sketches merge exactly
+    (min-k is distributive), the bottom-k rank filter plans map-side
+    (WindowGroupLimit), and every estimate is a deterministic function
+    of the md5 hash family, so the DuckDB oracle reproduces the
+    estimates bit-for-bit (operators/sketches.kmv_sketch)."""
+    from ..operators import sketches
+
+    K = 64
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.trunc("o_orderdate", "month").alias("m"), "o_custkey"
+    ).distinct()
+    sk = sketches.kmv_sketch(base, ["m"], "o_custkey", k=K)
+    months = base.select("m").distinct()
+    pairs = months.select(F.col("m").alias("ma")).join(
+        months.select(F.add_months("m", -1).alias("ma")), "ma"
+    )
+    tagged = (
+        sk.join(pairs, sk["m"] == pairs["ma"])
+        .select("ma", "h", F.lit(1).alias("tag"))
+        .unionByName(
+            sk.join(pairs, F.add_months(sk["m"], -1) == pairs["ma"])
+            .select("ma", "h", F.lit(2).alias("tag"))
+        )
+    )
+    mg0 = tagged.groupBy("ma", "h").agg(
+        F.sum("tag").cast("bigint").alias("tag")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("ma").orderBy(F.col("h").asc())
+    mg = mg0.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= K)
+    ps = mg.groupBy("ma").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_m"),
+        F.max("h").cast("bigint").alias("u_k"),
+        F.sum((F.col("tag") == 3).cast("int")).cast("bigint").alias("kp"),
+    )
+    cnt = base.groupBy("m").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    inter = (
+        base.select(F.col("m").alias("ma"), "o_custkey")
+        .join(
+            base.select(
+                F.add_months("m", -1).alias("ma"), "o_custkey"
+            ),
+            ["ma", "o_custkey"],
+        )
+        .groupBy("ma")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    est = sketches.kmv_estimate(F.col("n_m"), F.col("u_k"), K)
+    return (
+        ps.join(cnt.select(F.col("m").alias("ma"), F.col("n").alias("n_a")), "ma")
+        .join(
+            cnt.select(
+                F.add_months("m", -1).alias("ma"), F.col("n").alias("n_b")
+            ),
+            "ma",
+        )
+        .join(inter, "ma", "left")
+        .select(
+            F.date_format("ma", "yyyy-MM").alias("month"),
+            "n_a",
+            "n_b",
+            (
+                F.col("n_a") + F.col("n_b") - F.coalesce(F.col("x"), F.lit(0))
+            ).cast("bigint").alias("exact_union"),
+            F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias(
+                "exact_inter"
+            ),
+            F.round(est, 4).alias("est_union_r"),
+            F.round(
+                F.col("kp").cast("double") / F.col("n_m").cast("double")
+                * est,
+                4,
+            ).alias("est_inter_r"),
+        )
+        .orderBy("month")
+    )
+
+
+QUERIES["sketch_kmv_setops"] = q_sketch_kmv_setops
+
+ORACLES["sketch_kmv_setops"] = """
+    WITH base AS (
+        SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE)
+                   AS m, o_custkey
+        FROM orders
+    ),
+    hs AS (
+        SELECT m,
+               CAST(concat('0x', substr(md5('kmv:'
+                    || CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM base
+    ),
+    sk AS (
+        SELECT m, h FROM (
+            SELECT m, h, row_number() OVER (
+                       PARTITION BY m ORDER BY h) AS rn
+            FROM hs
+        ) WHERE rn <= 64
+    ),
+    months AS (SELECT DISTINCT m FROM base),
+    pairs AS (
+        SELECT a.m AS ma FROM months a
+        JOIN months b ON b.m = a.m + INTERVAL 1 MONTH
+    ),
+    tagged AS (
+        SELECT p.ma, s.h, 1 AS tag
+        FROM sk s JOIN pairs p ON p.ma = s.m
+        UNION ALL
+        SELECT p.ma, s.h, 2 AS tag
+        FROM sk s JOIN pairs p ON p.ma = s.m - INTERVAL 1 MONTH
+    ),
+    mg0 AS (
+        SELECT ma, h, CAST(SUM(tag) AS BIGINT) AS tag
+        FROM tagged GROUP BY ma, h
+    ),
+    mg AS (
+        SELECT ma, h, tag FROM (
+            SELECT ma, h, tag, row_number() OVER (
+                       PARTITION BY ma ORDER BY h) AS rn
+            FROM mg0
+        ) WHERE rn <= 64
+    ),
+    ps AS (
+        SELECT ma, CAST(COUNT(*) AS BIGINT) AS n_m,
+               CAST(MAX(h) AS BIGINT) AS u_k,
+               CAST(SUM(CASE WHEN tag = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS kp
+        FROM mg GROUP BY ma
+    ),
+    cnt AS (
+        SELECT m, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY m
+    ),
+    inter AS (
+        SELECT a.m AS ma, CAST(COUNT(*) AS BIGINT) AS x
+        FROM base a JOIN base b
+          ON b.o_custkey = a.o_custkey AND b.m = a.m + INTERVAL 1 MONTH
+        GROUP BY a.m
+    )
+    SELECT strftime(p.ma, '%Y-%m') AS month,
+           ca.n AS n_a, cb.n AS n_b,
+           CAST(ca.n + cb.n - COALESCE(i.x, 0) AS BIGINT) AS exact_union,
+           CAST(COALESCE(i.x, 0) AS BIGINT) AS exact_inter,
+           round(CASE WHEN ps.n_m < 64 THEN CAST(ps.n_m AS DOUBLE)
+                      ELSE 63.0 * 1152921504606846976.0
+                           / CAST(ps.u_k AS DOUBLE) END, 4)
+               AS est_union_r,
+           round(CAST(ps.kp AS DOUBLE) / CAST(ps.n_m AS DOUBLE)
+                 * (CASE WHEN ps.n_m < 64 THEN CAST(ps.n_m AS DOUBLE)
+                         ELSE 63.0 * 1152921504606846976.0
+                              / CAST(ps.u_k AS DOUBLE) END), 4)
+               AS est_inter_r
+    FROM pairs p
+    JOIN ps ON ps.ma = p.ma
+    JOIN cnt ca ON ca.m = p.ma
+    JOIN cnt cb ON cb.m = p.ma + INTERVAL 1 MONTH
+    LEFT JOIN inter i ON i.ma = p.ma
+    ORDER BY month
+"""

@@ -155,3 +155,55 @@ def test_shard_plan_partitions_corpus(spark, sf_dir):
     hi = (int(tot) + 2048 - 1) // 2048
     lo = (int(tot) - int(max_doc)) // 2048 + 1
     assert lo <= len(out) <= hi
+
+
+# ------------------------------------------------------------ KMV sketch
+
+
+def test_kmv_sketch_exact_regime_and_validation(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [("g", i) for i in range(10)] + [("h", i) for i in range(5, 25)],
+        ["grp", "k"],
+    )
+    sk = sketches.kmv_sketch(df, ["grp"], "k", k=64)
+    # below k: the sketch IS the distinct set
+    got = sk.groupBy("grp").count().toPandas().set_index("grp")["count"]
+    assert int(got["g"]) == 10 and int(got["h"]) == 20
+    with pytest.raises(ValueError):
+        sketches.kmv_sketch(df, ["grp"], "k", k=1)
+
+
+def test_kmv_estimator_within_relative_error(spark):
+    # 5000 distinct keys, k=64 -> expected relative standard error
+    # ~ 1/sqrt(k-2) ~ 12.7%; assert within 4 sigma (deterministic data,
+    # this pins the estimator implementation, not luck)
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import sketches
+
+    n = 5000
+    df = spark.createDataFrame([("g", i) for i in range(n)], ["grp", "k"])
+    sk = sketches.kmv_sketch(df, ["grp"], "k", k=64)
+    summ = sk.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_sk"), F.max("h").alias("u_k")
+    )
+    est = summ.select(
+        sketches.kmv_estimate(F.col("n_sk"), F.col("u_k"), 64).alias("e")
+    ).collect()[0]["e"]
+    assert abs(est - n) / n < 4 / (62**0.5)
+
+
+def test_kmv_bottom_k_plans_map_side(spark, sf_dir):
+    # The rank filter must plan as WindowGroupLimit so each task ships at
+    # most k rows per group before the shuffle — the property that makes
+    # the sketch build scale.
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import sketches
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.plans import formatted_plan
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.trunc("o_orderdate", "month").alias("m"), "o_custkey"
+    )
+    sk = sketches.kmv_sketch(base, ["m"], "o_custkey", k=64)
+    assert "WindowGroupLimit" in formatted_plan(sk)
