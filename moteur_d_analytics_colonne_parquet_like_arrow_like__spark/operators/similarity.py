@@ -646,3 +646,146 @@ def ivf_sq_topk(
         .where(F.col("rnk") <= k)
         .select("query_id", "corpus_id", "qdot", "rnk")
     )
+
+
+def _pq_subdist(vec, cw, s: int, sub: int) -> Column:
+    """Exact integer L2^2 between subspace ``s`` of two int8 code arrays
+    (dims s*sub+1 .. (s+1)*sub, 1-based): an explicit sum of element_at
+    squared differences — all BIGINT, bit-stable on any engine, and flat
+    (no lambda machinery) so a 32-subspace plan stays codegen-friendly."""
+    terms = None
+    for d in range(sub):
+        i = s * sub + d + 1
+        diff = (
+            F.element_at(vec, i).cast("long")
+            - F.element_at(cw, i).cast("long")
+        )
+        t = diff * diff
+        terms = t if terms is None else terms + t
+    return terms
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    dim: int = 64,
+    m: int = 32,
+    n_codes: int = 64,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance (ADC) scoring —
+    the remaining rung of the FAISS compression ladder after SQ8
+    (``sq_int8_topk``) and IVF (``ivf_sq_topk``): split each int8 vector
+    into ``m`` subspaces, represent each subspace by the id of its
+    nearest codeword, and score a query against a corpus vector as the
+    SUM of per-subspace distances looked up from the query's
+    precomputed m x n_codes table (Jegou, Douze, Schmid, "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+    Everything is exact integer arithmetic on the shared SQ8 codes, so
+    encoding, distance tables, and the ADC ranking are bit-identical
+    cross-engine: the codebook is a deterministic hash-sample of
+    ``n_codes`` corpus vectors (k-means++-style seeding without the
+    refinement rounds — the Lloyd loop in ``kmeans_iterate`` is the
+    upgrade path), and argmin ties break on the lowest codeword id via
+    a composite ``dist*100 + j`` min.
+
+    Scale shape: the codebook is a TakeOrderedAndProject (n_codes rows)
+    broadcast everywhere; encoding joins each corpus row against the
+    broadcast codebook and min-reduces the m composites per row group —
+    map-side combinable on the unique corpus id, so the shuffle ships
+    one m-code row per vector, never the candidate pairs; queries carry
+    their distance tables as n_codes-sorted arrays; the only other
+    shuffle is the final per-query top-k rank (WindowGroupLimit,
+    map-side partial). Deliberately NOT the one-row collected-codebook
+    fold: inlining n_codes x m fold expressions into a single
+    projection explodes Catalyst's expression tree (measured: the
+    m=32 x 64-codeword variant never finished planning)."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    if n_codes < 2 or n_codes > 99:
+        raise ValueError(f"n_codes must be in [2, 99], got {n_codes}")
+    sub = dim // m
+    stats = sq_int8_stats(corpus, vec_col, dim)
+    c = sq_int8_quantize(
+        corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col)),
+        vec_col,
+        stats,
+        "cq",
+    ).select("corpus_id", "cq")
+    q = sq_int8_quantize(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        vec_col,
+        stats,
+        "qq",
+    ).select("query_id", "qq")
+    from ..functions import stable_hash60
+
+    cb = (
+        c.withColumn(
+            "h",
+            stable_hash60(
+                F.concat(F.lit("pq:"), F.col("corpus_id").cast("string"))
+            ),
+        )
+        .orderBy(F.col("h").asc(), F.col("corpus_id").asc())
+        .limit(n_codes)
+    )
+    w_cb = Window.orderBy(F.col("h").asc(), F.col("corpus_id").asc())
+    cb = cb.withColumn("j", F.row_number().over(w_cb)).select(
+        "j", F.col("cq").alias("cw")
+    )
+    # encode: corpus x broadcast codebook, min composite per subspace
+    enc = c.join(F.broadcast(cb)).select(
+        "corpus_id",
+        *[
+            (_pq_subdist(F.col("cq"), F.col("cw"), s, sub) * 100 + F.col("j"))
+            .alias(f"comp{s}")
+            for s in range(m)
+        ],
+    )
+    codes = enc.groupBy("corpus_id").agg(
+        *[
+            (F.min(f"comp{s}") % 100).cast("int").alias(f"c{s}")
+            for s in range(m)
+        ]
+    )
+    # query ADC tables: one (query, j) row per codeword, then j-sorted
+    # arrays so element_at(dt_s, code) is the table lookup
+    dt_rows = q.join(F.broadcast(cb)).select(
+        "query_id",
+        "j",
+        *[
+            _pq_subdist(F.col("qq"), F.col("cw"), s, sub).alias(f"d{s}")
+            for s in range(m)
+        ],
+    )
+    qdt = dt_rows.groupBy("query_id").agg(
+        *[
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("j", F.col(f"d{s}").alias("d")))
+                ),
+                lambda e: e["d"],
+            ).alias(f"dt{s}")
+            for s in range(m)
+        ]
+    )
+    adc = None
+    for s in range(m):
+        term = F.element_at(F.col(f"dt{s}"), F.col(f"c{s}"))
+        adc = term if adc is None else adc + term
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("corpus_id").asc()
+    )
+    return (
+        codes.join(
+            F.broadcast(qdt), F.col("query_id") != F.col("corpus_id")
+        )
+        .withColumn("adc", adc.cast("long"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "adc", "rnk")
+    )

@@ -65,6 +65,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "orders_reconciliation",
     "pipeline_shard_plan",
     "sketch_kmv_setops",
+    "sim_pq_adc",
     "events_acf",
     "orders_changepoint",
     "graph_bfs_distance",

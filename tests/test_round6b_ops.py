@@ -207,3 +207,79 @@ def test_kmv_bottom_k_plans_map_side(spark, sf_dir):
     )
     sk = sketches.kmv_sketch(base, ["m"], "o_custkey", k=64)
     assert "WindowGroupLimit" in formatted_plan(sk)
+
+
+# ---------------------------------------------------------------- PQ/ADC
+
+
+def test_pq_validation(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import similarity
+
+    df = spark.createDataFrame([(1, [1.0] * 64)], ["vec_id", "embedding"])
+    with pytest.raises(ValueError):
+        similarity.pq_topk(df, df, "vec_id", "embedding", dim=64, m=7)
+    with pytest.raises(ValueError):
+        similarity.pq_topk(df, df, "vec_id", "embedding", n_codes=1)
+    with pytest.raises(ValueError):
+        similarity.pq_topk(df, df, "vec_id", "embedding", n_codes=100)
+
+
+def test_pq_adc_exact_for_codebook_members(spark):
+    # For a codebook member, every subspace code points at a codeword
+    # whose subvector EQUALS its own, so the ADC table-sum collapses to
+    # the exact int8 L2^2 — quantization error is zero by construction.
+    import hashlib
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import similarity
+
+    rng = np.random.RandomState(7)
+    n, dim, m, K = 30, 8, 4, 4
+    V = rng.uniform(-1, 1, size=(n, dim))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(n)],
+        ["vec_id", "embedding"],
+    )
+    q = df.where(F.col("vec_id") == 0)
+    out = similarity.pq_topk(
+        df, q, "vec_id", "embedding", k=n - 1, dim=dim, m=m, n_codes=K
+    ).toPandas()
+    # replicate the hash sample to find the codebook members
+    hs = sorted(
+        (int(hashlib.md5(f"pq:{i}".encode()).hexdigest()[:15], 16), i)
+        for i in range(n)
+    )
+    members = [i for _, i in hs[:K]]
+    g = np.abs(V).max()
+    Q = np.round(V * 127.0 / g)
+    for mem in members:
+        if mem == 0:
+            continue
+        want = int(((Q[0] - Q[mem]) ** 2).sum())
+        have = int(out[out["corpus_id"] == mem]["adc"].iloc[0])
+        assert have == want, mem
+
+
+def test_pq_recall_floor_on_testdata(spark, sf_dir):
+    # Deterministic data + deterministic codebook: this pins the
+    # m=32 x 64 configuration's measured recall, not luck.
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 10)
+    pq = similarity.pq_topk(
+        emb, qs, "vec_id", "embedding", k=5, dim=64, m=32, n_codes=64
+    ).toPandas()
+    pdf = emb.toPandas()
+    V = np.stack(pdf["embedding"].values).astype(np.float64)
+    g = np.abs(V).max()
+    Q = np.round(V * 127.0 / g)
+    ids = pdf["vec_id"].values
+    recalls = []
+    for qid in range(10):
+        qi = np.where(ids == qid)[0][0]
+        d = ((Q - Q[qi]) ** 2).sum(axis=1)
+        d[qi] = 1e18
+        exact5 = set(ids[np.lexsort((ids, d))[:5]])
+        got5 = set(pq[pq["query_id"] == qid]["corpus_id"])
+        recalls.append(len(exact5 & got5) / 5)
+    assert sum(recalls) / len(recalls) >= 0.6
