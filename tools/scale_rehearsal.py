@@ -57,6 +57,16 @@ TARGETS = [
     "dedup_incremental_ingest",
     "agg_bitmap_distinct",
     "stream_windowed_topk",
+    # round-6 continuation: session-2 additions (sim_pq_adc is excluded —
+    # the embeddings corpus is the same 500 rows at every SF, so a replica
+    # ratio would measure nothing)
+    "graph_bfs_distance",
+    "events_acf",
+    "orders_changepoint",
+    "customers_survival_km",
+    "sketch_kmv_setops",
+    "pipeline_shard_plan",
+    "orders_reconciliation",
 ]
 
 # Queries whose construction itself executes jobs (streaming runs,
@@ -72,6 +82,8 @@ EAGER = {
     "pipeline_quality_cut",
     "supplier_kcore",
     "stream_windowed_topk",
+    # bfs_distances localCheckpoints each frontier eagerly at plan build
+    "graph_bfs_distance",
 }
 
 # (table, [(col, shift_base)], text_col) — shift_base scales each copy's
