@@ -345,6 +345,64 @@ def foreach_batch_upsert(
     )
 
 
+def foreach_batch_kmv_merge(
+    stream: DataFrame,
+    path: str,
+    group_cols: list[str],
+    key_col: str,
+    k: int = 64,
+) -> None:
+    """Streaming distinct-count maintenance via mergeable KMV sketches:
+    each micro-batch builds its per-group bottom-``k`` sketch
+    (operators/sketches.kmv_sketch) and merges it into the persisted
+    sketch table — union, distinct, re-bottom-k, atomic staging swap.
+
+    The state is groups x k hashes — bounded regardless of stream
+    volume, with NO raw keys retained (the privacy-friendly property of
+    hash sketches). Because min-k is distributive, the maintained
+    sketch EQUALS the one built over all data at once — any batch
+    split, any arrival order — and a replayed batch merges to the
+    identical table (union-distinct absorbs duplicates), upgrading
+    at-least-once delivery to exactly-once sketch state. At 100 TB the
+    per-batch cost is the batch's own distinct + a groups*k-row read —
+    table size never enters."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from ..operators.sketches import kmv_sketch
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        sk = kmv_sketch(batch, group_cols, key_col, k=k).select(
+            *group_cols, "h"
+        )
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            sk = sk.union(sp.read.parquet(path).select(*group_cols, "h"))
+        w = Window.partitionBy(*group_cols).orderBy(F.col("h").asc())
+        merged = (
+            sk.distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+        )
+        staging = path + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(staging, path)
+
+    (
+        stream.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join("/tmp", f"ckpt_kmv_{uuid.uuid4().hex[:8]}"),
+        )
+        .start()
+        .awaitTermination()
+    )
+
+
 def stateful_user_running_stats(
     stream: DataFrame,
     timeout_minutes: int | None = None,

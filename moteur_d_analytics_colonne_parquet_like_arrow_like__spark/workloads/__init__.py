@@ -66,6 +66,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "pipeline_shard_plan",
     "sketch_kmv_setops",
     "sim_pq_adc",
+    "stream_kmv_distinct",
     "events_acf",
     "orders_changepoint",
     "graph_bfs_distance",

@@ -580,3 +580,98 @@ ORACLES["stream_windowed_topk"] = """
     SELECT window_start, event_type, n_events, rnk
     FROM r WHERE rnk <= 3 ORDER BY window_start, rnk
 """
+
+
+def q_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user maintenance on a stream WITHOUT retaining keys:
+    8 real micro-batches (the multibatch fixture) each merge their
+    per-type KMV sketch into a persisted sketch table via foreachBatch
+    (streaming/foreach_batch_kmv_merge) — bounded types x 64-hash state.
+    Min-k distributivity makes the maintained sketch equal the batch-
+    built one, so the oracle recomputes sketch AND estimate straight
+    from the events table, batch-free; the exact distinct count rides
+    along so the estimator's error is visible in the gate output."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..sources.catalog import load_table
+
+    path8 = f"/tmp/events_8files_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    if not os.path.exists(os.path.join(path8, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").repartition(8).write.mode(
+            "overwrite"
+        ).parquet(path8)
+    sk_path = f"/tmp/kmv_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    if os.path.exists(sk_path):
+        shutil.rmtree(sk_path)  # fresh maintenance run each time
+    batch_schema = spark.read.parquet(path8).schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path8)
+        .select("event_type", "user_id")
+    )
+    S.foreach_batch_kmv_merge(
+        stream, sk_path, ["event_type"], "user_id", k=64
+    )
+    sk = spark.read.parquet(sk_path)
+    summ = sk.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sk"),
+        F.max("h").cast("bigint").alias("u_k"),
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_exact"))
+    )
+    from ..operators.sketches import kmv_estimate
+
+    return (
+        summ.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            "n_sk",
+            "u_k",
+            F.round(
+                kmv_estimate(F.col("n_sk"), F.col("u_k"), 64), 4
+            ).alias("est_r"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["stream_kmv_distinct"] = q_stream_kmv_distinct
+
+ORACLES["stream_kmv_distinct"] = """
+    WITH hs AS (
+        SELECT DISTINCT event_type,
+               CAST(concat('0x', substr(md5('kmv:'
+                    || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM events
+    ),
+    sk AS (
+        SELECT event_type, h FROM (
+            SELECT event_type, h, row_number() OVER (
+                       PARTITION BY event_type ORDER BY h) AS rn
+            FROM hs
+        ) WHERE rn <= 64
+    ),
+    summ AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sk,
+               CAST(MAX(h) AS BIGINT) AS u_k
+        FROM sk GROUP BY event_type
+    ),
+    exact AS (
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM events GROUP BY event_type
+    )
+    SELECT s.event_type, e.n_exact, s.n_sk, s.u_k,
+           round(CASE WHEN s.n_sk < 64 THEN CAST(s.n_sk AS DOUBLE)
+                      ELSE 63.0 * 1152921504606846976.0
+                           / CAST(s.u_k AS DOUBLE) END, 4) AS est_r
+    FROM summ s JOIN exact e USING (event_type)
+    ORDER BY s.event_type
+"""
