@@ -67,6 +67,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "sketch_kmv_setops",
     "sim_pq_adc",
     "stream_kmv_distinct",
+    "orders_forecast_backtest",
+    "parts_xyz_classes",
     "events_acf",
     "orders_changepoint",
     "graph_bfs_distance",

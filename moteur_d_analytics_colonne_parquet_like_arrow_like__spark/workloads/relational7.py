@@ -759,3 +759,235 @@ ORACLES["sketch_kmv_setops"] = """
     LEFT JOIN inter i ON i.ma = p.ma
     ORDER BY month
 """
+
+
+def q_orders_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward backtest of the seasonal-naive forecaster (predict
+    each day's order count with the count 7 days earlier) against the
+    naive-1 baseline (yesterday's count) — the forecast-accuracy report
+    every demand-planning pipeline starts from. Per priority: MAE of
+    both models over the evaluation span and their ratio (the MASE
+    shape: < 1 means weekly seasonality beats persistence). Counts are
+    integers, so both MAEs are exact integer sums; the only floats are
+    the final divisions, rounded to 6. Facts reduce once to the
+    calendar-bounded daily cells; lag alignment is a self-join on the
+    integer day index — no windows at all."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    span = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = (
+        daily.select("o_orderpriority")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "o_orderpriority",
+            F.explode(
+                F.sequence(F.lit(0), F.datediff(F.col("d1"), F.col("d0")))
+            ).alias("t"),
+            F.col("d0"),
+        )
+    )
+    series = (
+        grid.withColumn("d", F.date_add(F.col("d0"), F.col("t")))
+        .join(daily, ["o_orderpriority", "d"], "left")
+        .select(
+            "o_orderpriority", "t", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+        )
+    )
+    lag7 = series.select(
+        "o_orderpriority",
+        (F.col("t") + 7).alias("t"),
+        F.col("x").alias("x_7"),
+    )
+    lag1 = series.select(
+        "o_orderpriority",
+        (F.col("t") + 1).alias("t"),
+        F.col("x").alias("x_1"),
+    )
+    # evaluation span: days with BOTH forecasts defined (t >= 7)
+    j = series.join(lag7, ["o_orderpriority", "t"]).join(
+        lag1, ["o_orderpriority", "t"]
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval_days"),
+            F.sum(F.abs(F.col("x") - F.col("x_7")))
+            .cast("bigint")
+            .alias("abs_err_seasonal"),
+            F.sum(F.abs(F.col("x") - F.col("x_1")))
+            .cast("bigint")
+            .alias("abs_err_naive1"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_eval_days",
+            F.round(
+                F.col("abs_err_seasonal").cast("double")
+                / F.col("n_eval_days").cast("double"),
+                6,
+            ).alias("mae_seasonal_r"),
+            F.round(
+                F.col("abs_err_naive1").cast("double")
+                / F.col("n_eval_days").cast("double"),
+                6,
+            ).alias("mae_naive1_r"),
+            F.round(
+                F.col("abs_err_seasonal").cast("double")
+                / F.col("abs_err_naive1").cast("double"),
+                6,
+            ).alias("mase_r"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_parts_xyz_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classification (the companion of the ABC
+    revenue classes): each part's weekly-demand coefficient of
+    variation over the FULL calendar span, bucketed X (steadiest,
+    cv^2 < 14) / Y (middle, cv^2 < 18) / Z (most erratic) — thresholds
+    calibrated to this corpus's sparse weekly demand (median cv^2 ~ 16;
+    the textbook 0.25/1.0 cuts assume dense consumer demand and would
+    put every part in Z). The zero-week
+    trick keeps it grid-free: sum and sum-of-squares over a dense
+    weekly grid equal those over the OBSERVED weeks (zeros contribute
+    nothing), and the week count is the global span constant — so
+    cv^2 = (n*sum(x^2) - S^2) / S^2 needs only the per-part observed
+    cells plus one broadcast scalar, all exact BIGINT. No windows, no
+    grid explosion, one shuffle on the part key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    weekly = li.groupBy(
+        "l_partkey",
+        F.date_trunc("week", F.col("l_shipdate")).alias("w"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("x"))
+    nweeks = (
+        weekly.agg(
+            (
+                F.floor(
+                    F.datediff(
+                        F.max(F.to_date("w")), F.min(F.to_date("w"))
+                    )
+                    / 7
+                )
+                + 1
+            )
+            .cast("bigint")
+            .alias("n")
+        )
+    )
+    per_part = weekly.groupBy("l_partkey").agg(
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s2"),
+    )
+    cv2 = (
+        per_part.crossJoin(F.broadcast(nweeks))
+        .withColumn(
+            "cv2_r",
+            F.round(
+                (
+                    F.col("n") * F.col("s2") - F.col("s") * F.col("s")
+                ).cast("double")
+                / (F.col("s") * F.col("s")).cast("double"),
+                6,
+            ),
+        )
+        .withColumn(
+            "xyz",
+            F.when(F.col("cv2_r") < 14.0, "X")
+            .when(F.col("cv2_r") < 18.0, "Y")
+            .otherwise("Z"),
+        )
+    )
+    return (
+        cv2.groupBy("xyz")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.round(
+                F.sum(F.col("cv2_r").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_cv2_r"),
+        )
+        .orderBy("xyz")
+    )
+
+
+QUERIES["orders_forecast_backtest"] = q_orders_forecast_backtest
+QUERIES["parts_xyz_classes"] = q_parts_xyz_classes
+
+ORACLES["orders_forecast_backtest"] = """
+    WITH daily AS (
+        SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1, 2
+    ),
+    span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+    grid AS (
+        SELECT p.o_orderpriority, s.d0,
+               unnest(generate_series(0, datediff('day', s.d0, s.d1)))
+                   AS t
+        FROM (SELECT DISTINCT o_orderpriority FROM daily) p, span s
+    ),
+    series AS (
+        SELECT g.o_orderpriority, g.t, COALESCE(dl.x, 0) AS x
+        FROM grid g LEFT JOIN daily dl
+          ON dl.o_orderpriority = g.o_orderpriority
+         AND dl.d = g.d0 + g.t * INTERVAL 1 DAY
+    ),
+    j AS (
+        SELECT a.o_orderpriority, a.t, a.x, b.x AS x_7, c.x AS x_1
+        FROM series a
+        JOIN series b ON b.o_orderpriority = a.o_orderpriority
+                     AND b.t = a.t - 7
+        JOIN series c ON c.o_orderpriority = a.o_orderpriority
+                     AND c.t = a.t - 1
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_days,
+           round(CAST(SUM(abs(x - x_7)) AS DOUBLE) / COUNT(*), 6)
+               AS mae_seasonal_r,
+           round(CAST(SUM(abs(x - x_1)) AS DOUBLE) / COUNT(*), 6)
+               AS mae_naive1_r,
+           round(CAST(SUM(abs(x - x_7)) AS DOUBLE)
+                 / CAST(SUM(abs(x - x_1)) AS DOUBLE), 6) AS mase_r
+    FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority
+""" 
+
+ORACLES["parts_xyz_classes"] = """
+    WITH weekly AS (
+        SELECT l_partkey, date_trunc('week', l_shipdate) AS w,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x
+        FROM lineitem GROUP BY 1, 2
+    ),
+    nw AS (
+        SELECT CAST(datediff('day', MIN(CAST(w AS DATE)),
+                             MAX(CAST(w AS DATE))) // 7 + 1 AS BIGINT)
+                   AS n
+        FROM weekly
+    ),
+    pp AS (
+        SELECT l_partkey, CAST(SUM(x) AS BIGINT) AS s,
+               CAST(SUM(x * x) AS BIGINT) AS s2
+        FROM weekly GROUP BY l_partkey
+    ),
+    cv AS (
+        SELECT p.l_partkey,
+               round(CAST(nw.n * p.s2 - p.s * p.s AS DOUBLE)
+                     / CAST(p.s * p.s AS DOUBLE), 6) AS cv2_r
+        FROM pp p CROSS JOIN nw
+    ),
+    cls AS (
+        SELECT CASE WHEN cv2_r < 14.0 THEN 'X'
+                    WHEN cv2_r < 18.0 THEN 'Y'
+                    ELSE 'Z' END AS xyz,
+               cv2_r
+        FROM cv
+    )
+    SELECT xyz, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           round(CAST(SUM(CAST(cv2_r AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_cv2_r
+    FROM cls GROUP BY xyz ORDER BY xyz
+"""

@@ -320,3 +320,55 @@ def test_stream_kmv_equals_batch_built_sketch(spark, sf_dir):
         .collect()
     )
     assert maintained == batch_built and len(maintained) > 0
+
+
+# ------------------------------------------ forecast backtest / XYZ
+
+
+def test_forecast_backtest_matches_numpy(spark, sf_dir):
+    got = relational7.q_orders_forecast_backtest(spark, sf_dir).toPandas()
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    d = orders["o_orderdate"].values.astype("datetime64[D]")
+    d0, d1 = d.min(), d.max()
+    n = int((d1 - d0).astype(int)) + 1
+    for prio, g in orders.groupby("o_orderpriority"):
+        counts = np.zeros(n, dtype=np.int64)
+        for i in (g["o_orderdate"].values.astype("datetime64[D]") - d0).astype(int):
+            counts[i] += 1
+        e7 = np.abs(counts[7:] - counts[:-7])
+        e1 = np.abs(counts[7:] - counts[6:-1])
+        row = got[got["o_orderpriority"] == prio].iloc[0]
+        assert int(row["n_eval_days"]) == n - 7
+        assert abs(row["mae_seasonal_r"] - e7.mean()) < 1e-6
+        assert abs(row["mae_naive1_r"] - e1.mean()) < 1e-6
+        assert abs(row["mase_r"] - e7.sum() / e1.sum()) < 1e-6
+
+
+def test_xyz_grid_free_identity_and_partition(spark, sf_dir):
+    # The zero-week trick: cv^2 from observed cells + the global week
+    # count must equal the dense-grid moments. Verified in pandas on the
+    # full fixture, plus: the classes partition the part set.
+    out = relational7.q_parts_xyz_classes(spark, sf_dir).toPandas()
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    n_parts = li["l_partkey"].nunique()
+    assert int(out["n_parts"].sum()) == n_parts
+    # Monday-anchored weeks (Spark/DuckDB date_trunc semantics — numpy's
+    # datetime64[W] is Thursday-anchored at the 1970 epoch and disagrees)
+    li["w"] = (
+        pd.to_datetime(li["l_shipdate"]).dt.to_period("W").dt.start_time
+    )
+    weekly = li.groupby(["l_partkey", "w"])["l_quantity"].sum()
+    weeks = weekly.index.get_level_values("w")
+    n = int((weeks.max() - weeks.min()).days // 7) + 1
+    # dense-grid cv^2 for every part, classified with the same cuts
+    cls = {"X": 0, "Y": 0, "Z": 0}
+    for pk, g in weekly.groupby(level=0):
+        x = np.zeros(n)
+        idx = ((g.index.get_level_values("w") - weeks.min()).days // 7).astype(int)
+        x[idx] = g.values
+        cv2 = round(x.var() / (x.mean() ** 2), 6)
+        cls["X" if cv2 < 14 else ("Y" if cv2 < 18 else "Z")] += 1
+    got = dict(zip(out["xyz"], out["n_parts"]))
+    assert {k: int(v) for k, v in got.items()} == {
+        k: v for k, v in cls.items() if v > 0
+    }
