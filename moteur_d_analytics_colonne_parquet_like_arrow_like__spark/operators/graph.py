@@ -258,14 +258,18 @@ def bfs_distances(
     )
     frontier = visited
     for hop in range(1, max_hops + 1):
+        # checkpoint the FRONTIER (not the union): it is read twice —
+        # as the next round's probe side and inside visited — and
+        # without the cut each round would re-derive every prior join
         nxt = (
             frontier.join(sym, frontier["n"] == sym["u"])
             .select(F.col("v").alias("n"))
             .distinct()
             .join(visited.select("n"), "n", "left_anti")
             .withColumn("dist", F.lit(hop))
+            .localCheckpoint(eager=True)
         )
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited.select(F.col("n").alias(node), "dist")
 

@@ -69,6 +69,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "stream_kmv_distinct",
     "orders_forecast_backtest",
     "parts_xyz_classes",
+    "sql_recursive_cte",
+    "sql_lateral_topk",
     "events_acf",
     "orders_changepoint",
     "graph_bfs_distance",

@@ -782,10 +782,13 @@ def q_part_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive-CTE parity without recursion: the ancestor closure of
     the derived 10-ary part hierarchy (parent = partkey div 10) via
     unrolled level-joins (operators/graph.hierarchy_closure) — the org
-    chart / bill-of-materials workload Spark's SQL lacks a RECURSIVE
-    clause for. Summarized per ancestor distance; the oracle runs the
-    genuine WITH RECURSIVE in DuckDB, so the unrolled plan is proven
-    equal to real recursion."""
+    chart / bill-of-materials workload. Spark 4.1 gained a genuine WITH
+    RECURSIVE, gate-checked as this query's execution-surface twin
+    ``sql_recursive_cte`` (relational7); the unrolled form stays the
+    known-depth scale strategy (each level one co-partitioned join
+    Catalyst can reorder). Summarized per ancestor distance; the oracle
+    runs the genuine WITH RECURSIVE in DuckDB, so the unrolled plan is
+    proven equal to real recursion."""
     from ..operators import graph
 
     part = load_table(spark, sf_dir, "part")

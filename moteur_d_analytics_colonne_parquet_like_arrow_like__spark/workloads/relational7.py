@@ -991,3 +991,104 @@ ORACLES["parts_xyz_classes"] = """
                  / COUNT(*), 6) AS avg_cv2_r
     FROM cls GROUP BY xyz ORDER BY xyz
 """
+
+
+def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.1's WITH RECURSIVE on the gate: the part-hierarchy
+    ancestor closure through GENUINE recursive SQL — the execution-
+    surface twin of ``part_hierarchy_closure`` (which proves the same
+    result via unrolled level-joins, the pre-4.x idiom). Both hash-match
+    the same DuckDB recursion, so the two strategies are proven
+    interchangeable; at scale the unrolled form still wins when the
+    depth is known (each level is one co-partitioned join Catalyst can
+    reorder), while the recursive form handles unknown depth."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_rcte")
+    return spark.sql(
+        """
+        WITH RECURSIVE clo AS (
+            SELECT p_partkey AS node, p_partkey div 10 AS anc, 1 AS dist
+            FROM part_rcte
+            WHERE p_partkey >= 1 AND p_partkey div 10 >= 1
+            UNION ALL
+            SELECT clo.node, e.p_partkey div 10, clo.dist + 1
+            FROM clo JOIN part_rcte e ON e.p_partkey = clo.anc
+            WHERE e.p_partkey div 10 >= 1
+        )
+        SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COUNT(DISTINCT anc) AS BIGINT) AS n_ancestors,
+               CAST(MIN(node) AS BIGINT) AS min_node,
+               CAST(MAX(node) AS BIGINT) AS max_node
+        FROM clo GROUP BY dist ORDER BY dist
+        """
+    )
+
+
+def q_sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery on the gate: each sampled order's
+    single highest-price line item via a per-row LATERAL top-1 — the
+    SQL-surface form of the dependent join (Spark plans it as a
+    rewritten join + per-key limit, not a per-row re-scan; the
+    DataFrame twin is window_topk_per_group). Ties break on the line
+    number for a total order."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_lat"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_lat"
+    )
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, t.l_linenumber,
+               round(t.l_extendedprice, 2) AS price_r
+        FROM orders_lat o,
+        LATERAL (
+            SELECT l_linenumber, l_extendedprice
+            FROM lineitem_lat li
+            WHERE li.l_orderkey = o.o_orderkey
+            ORDER BY l_extendedprice DESC, l_linenumber ASC
+            LIMIT 1
+        ) t
+        WHERE o.o_orderkey % 101 = 0
+        ORDER BY o.o_orderkey
+        """
+    )
+
+
+QUERIES["sql_recursive_cte"] = q_sql_recursive_cte
+QUERIES["sql_lateral_topk"] = q_sql_lateral_topk
+
+# Same recursion as part_hierarchy_closure's oracle: the two Spark
+# strategies (genuine recursion here, unrolled joins there) must both
+# equal DuckDB's recursive evaluation.
+ORACLES["sql_recursive_cte"] = """
+    WITH RECURSIVE e AS (
+        SELECT p_partkey AS child, p_partkey // 10 AS parent
+        FROM part WHERE p_partkey >= 1 AND p_partkey // 10 >= 1
+    ),
+    clo AS (
+        SELECT child AS node, parent AS anc, 1 AS dist FROM e
+        UNION ALL
+        SELECT clo.node, e.parent, clo.dist + 1
+        FROM clo JOIN e ON e.child = clo.anc
+    )
+    SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT anc) AS BIGINT) AS n_ancestors,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node
+    FROM clo GROUP BY dist ORDER BY dist
+"""
+
+ORACLES["sql_lateral_topk"] = """
+    SELECT o.o_orderkey, t.l_linenumber,
+           round(t.l_extendedprice, 2) AS price_r
+    FROM orders o,
+    LATERAL (
+        SELECT l_linenumber, l_extendedprice
+        FROM lineitem li
+        WHERE li.l_orderkey = o.o_orderkey
+        ORDER BY l_extendedprice DESC, l_linenumber ASC
+        LIMIT 1
+    ) t
+    WHERE o.o_orderkey % 101 = 0
+    ORDER BY o.o_orderkey
+"""

@@ -410,3 +410,26 @@ def test_shard_plan_rides_the_chunked_scan(spark, sf_dir):
 
     df = pipeline2.QUERIES["pipeline_shard_plan"](spark, sf_dir)
     assert plans.unsafe_global_windows(df) == []
+
+
+def test_lateral_topk_plans_as_join_not_per_row_scan(spark, sf_dir):
+    # Spark must rewrite the LATERAL correlated subquery into a join +
+    # per-key limit — a per-row nested re-scan of lineitem would show up
+    # as a cartesian/nested-loop pairing of the two tables.
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import relational7
+
+    plan = plans.formatted_plan(
+        relational7.q_sql_lateral_topk(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_recursive_cte_matches_unrolled_closure(spark, sf_dir):
+    # The genuine WITH RECURSIVE and the unrolled level-join chain are
+    # two strategies for the same closure — frame equality, in Spark.
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import analytics, relational7
+
+    a = relational7.q_sql_recursive_cte(spark, sf_dir).collect()
+    b = analytics.q_part_hierarchy_closure(spark, sf_dir).collect()
+    assert a == b and len(a) > 0
