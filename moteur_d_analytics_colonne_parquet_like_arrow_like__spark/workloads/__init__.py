@@ -71,6 +71,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "parts_xyz_classes",
     "sql_recursive_cte",
     "sql_lateral_topk",
+    "dedup_ppjoin",
     "events_acf",
     "orders_changepoint",
     "graph_bfs_distance",

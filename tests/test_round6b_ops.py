@@ -372,3 +372,65 @@ def test_xyz_grid_free_identity_and_partition(spark, sf_dir):
     assert {k: int(v) for k, v in got.items()} == {
         k: v for k, v in cls.items() if v > 0
     }
+
+
+# ---------------------------------------------------------------- PPJoin
+
+
+def test_ppjoin_exact_recall_vs_bruteforce(spark, sf_dir):
+    # Prefix filtering must lose NOTHING: the pair set equals the brute
+    # all-pairs Jaccard >= t set, computed here in pandas over the same
+    # shingle definition.
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = (
+        dedup.ppjoin_pairs(docs, "doc_id", "text", threshold_pct=60)
+        .select("id_a", "id_b", "inter", "union_n")
+        .toPandas()
+    )
+    pdf = docs.toPandas()
+    import re
+
+    def shingles(text):
+        w = re.sub(r"\s+", " ", (text or "")).strip().lower().split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sets = {r.doc_id: shingles(r.text) for r in pdf.itertuples()}
+    ids = sorted(sets)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if 100 * inter >= 60 * (len(sa) + len(sb) - inter):
+                want.add((a, b))
+    assert set(zip(got["id_a"], got["id_b"])) == want and len(want) > 0
+
+
+def test_ppjoin_validation_and_prefix_prunes(spark, sf_dir):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import dedup
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.functions import word_shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError):
+        dedup.ppjoin_pairs(docs, "doc_id", "text", threshold_pct=0)
+    with pytest.raises(ValueError):
+        dedup.ppjoin_pairs(docs, "doc_id", "text", threshold_pct=100)
+    # the prefix block must be a strict subset of the share-any-shingle
+    # candidate space (the pruning that makes the join scale)
+    toks = docs.select(
+        F.col("doc_id").alias("d"),
+        F.explode(word_shingles(F.col("text"), k=3)).alias("tok"),
+    )
+    any_pairs = (
+        toks.join(toks.withColumnRenamed("d", "d2"), "tok")
+        .where(F.col("d") < F.col("d2"))
+        .select("d", "d2")
+        .distinct()
+        .count()
+    )
+    found = dedup.ppjoin_pairs(docs, "doc_id", "text", threshold_pct=60).count()
+    assert found < any_pairs
