@@ -72,6 +72,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "sql_recursive_cte",
     "sql_lateral_topk",
     "dedup_ppjoin",
+    "multimodal_frame_plan",
     "events_acf",
     "orders_changepoint",
     "graph_bfs_distance",

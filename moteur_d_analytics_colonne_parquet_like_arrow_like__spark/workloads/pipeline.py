@@ -2475,3 +2475,53 @@ ORACLES["dedup_containment"] = f"""
     WHERE round(shared_fps / CAST(n AS DOUBLE), 6) >= 0.8
     ORDER BY contained_id, container_id
 """
+
+
+def q_multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic frame-sampling schedule driven by PARSED container
+    metadata: decode the real MP4 atoms (duration from mvhd's 1000-unit
+    timescale), then plan 4 evenly spaced sample frames per video at a
+    25 fps read assumption — ts_ms = (i * duration_ms) div 4 and
+    frame_no = (ts_ms * 25) div 1000, all integer arithmetic. This is
+    the work manifest a cluster-scale frame extractor partitions by
+    (the codec/pixel layer is the stub boundary; the schedule is real
+    and rides the parsed bytes). The oracle recomputes the same
+    schedule from generate_real_media's analytic duration formula, so
+    a parser regression breaks the hash."""
+    media = multimodal.generate_real_media(spark, 300)
+    feats = multimodal.decode_media(media).where(F.col("kind") == "video")
+    return (
+        feats.select(
+            "media_id",
+            "duration_ms",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("frame_idx"),
+        )
+        .select(
+            "media_id",
+            "frame_idx",
+            F.expr("(frame_idx * duration_ms) div 4")
+            .cast("bigint")
+            .alias("ts_ms"),
+            F.expr("((frame_idx * duration_ms) div 4 * 25) div 1000")
+            .cast("bigint")
+            .alias("frame_no"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+QUERIES["multimodal_frame_plan"] = q_multimodal_frame_plan
+
+ORACLES["multimodal_frame_plan"] = """
+    WITH ids AS (SELECT unnest(generate_series(0, 299)) AS id),
+    vids AS (
+        SELECT id, (id % 60 + 1) * 500 AS dur FROM ids WHERE id % 3 = 2
+    ),
+    fr AS (
+        SELECT id, unnest(generate_series(0, 3)) AS i, dur FROM vids
+    )
+    SELECT id AS media_id, CAST(i AS INTEGER) AS frame_idx,
+           CAST((i * dur) // 4 AS BIGINT) AS ts_ms,
+           CAST(((i * dur) // 4 * 25) // 1000 AS BIGINT) AS frame_no
+    FROM fr ORDER BY media_id, frame_idx
+"""
