@@ -22,6 +22,7 @@ Schema is pinned by the first commit and checked on append.
 from __future__ import annotations
 
 import json
+import re
 import os
 import time
 
@@ -33,21 +34,41 @@ class ConcurrentCommitError(RuntimeError):
     concurrency): re-read and retry the operation."""
 
 
+_REF_NAME = re.compile(r"[A-Za-z0-9_\-]{1,64}")
+
+
 class SnapshotTable:
-    def __init__(self, path: str):
+    def __init__(self, path: str, ref: str = "main"):
+        """``ref`` selects the version line: "main" is the table's root
+        manifest directory (the historical layout, fully
+        back-compatible); any other name reads/commits manifests under
+        ``refs/<ref>/`` — a BRANCH (Iceberg/Nessie-style named ref).
+        Branches share the immutable ``data/`` parts with main and each
+        other; only the manifest lines diverge, so branching is O(one
+        manifest), not a copy."""
+        if ref != "main" and not _REF_NAME.fullmatch(ref):
+            raise ValueError(f"invalid ref name {ref!r}")
         self.path = path
+        self.ref = ref
         self.data_dir = os.path.join(path, "data")
 
     # ------------------------------------------------------------- internals
 
+    def _refs_dir(self) -> str:
+        return os.path.join(self.path, "refs", self.ref)
+
+    def _manifest_dir(self) -> str:
+        return self.path if self.ref == "main" else self._refs_dir()
+
     def _manifest_path(self, version: int) -> str:
-        return os.path.join(self.path, f"v{version}.manifest.json")
+        return os.path.join(self._manifest_dir(), f"v{version}.manifest.json")
 
     def _versions(self) -> list[int]:
-        if not os.path.isdir(self.path):
+        d = self._manifest_dir()
+        if not os.path.isdir(d):
             return []
         out = []
-        for f in os.listdir(self.path):
+        for f in os.listdir(d):
             if f.startswith("v") and f.endswith(".manifest.json"):
                 out.append(int(f[1:].split(".")[0]))
         return sorted(out)
@@ -64,6 +85,7 @@ class SnapshotTable:
         delete_files: list[dict] | None = None,
     ) -> int:
         version = (parent + 1) if parent is not None else 0
+        os.makedirs(self._manifest_dir(), exist_ok=True)
         manifest = {
             "version": version,
             "parent": parent,
@@ -98,7 +120,11 @@ class SnapshotTable:
 
     def _write_parts(self, df: DataFrame, tag: str) -> list[str]:
         """Write df as immutable parts into data/<tag>/ and return the
-        parquet file names relative to the table root."""
+        parquet file names relative to the table root. Branch writes
+        prefix the tag with the ref so two refs committing the same
+        version number in one process cannot collide."""
+        if self.ref != "main":
+            tag = f"{self.ref}__{tag}"
         out_dir = os.path.join(self.data_dir, tag)
         df.write.mode("error").parquet(out_dir)
         return [
@@ -236,6 +262,99 @@ class SnapshotTable:
             {"files": files, "keys": list(keys), "applies_to": m["files"]}
         ]
         return self._commit(m["files"], m["schema"], parent, delete_files=entries)
+
+    def create_branch(
+        self, name: str, from_version: int | None = None
+    ) -> "SnapshotTable":
+        """Create branch ``name`` at ``from_version`` (default: this
+        ref's head): ONE new manifest under refs/<name>/ that carries
+        the source version's files, schema, and delete files verbatim,
+        plus a ``branched_from`` provenance record. Data is shared —
+        branching a petabyte table writes one JSON file. The branch
+        then evolves independently through the normal append / merge /
+        delete_where / compact API; the atomic hard-link commit makes
+        racing create_branch calls safe (one wins, the loser gets
+        ConcurrentCommitError)."""
+        if name == "main" or not _REF_NAME.fullmatch(name):
+            raise ValueError(f"invalid branch name {name!r}")
+        src_version = (
+            from_version if from_version is not None else self.latest_version()
+        )
+        if src_version is None:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        m = self._read_manifest(src_version)
+        br = SnapshotTable(self.path, ref=name)
+        if br.latest_version() is not None:
+            raise ValueError(f"branch {name!r} already exists")
+        os.makedirs(br._manifest_dir(), exist_ok=True)
+        manifest = {
+            "version": 0,
+            "parent": None,
+            "committed_at_unix": int(time.time()),
+            "schema": m["schema"],
+            "files": m["files"],
+            "branched_from": {"ref": self.ref, "version": src_version},
+        }
+        if m.get("delete_files"):
+            manifest["delete_files"] = m["delete_files"]
+        tmp = br._manifest_path(0) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        try:
+            os.link(tmp, br._manifest_path(0))
+        except FileExistsError:
+            os.remove(tmp)
+            raise ConcurrentCommitError(
+                f"branch {name!r} was created by another writer"
+            ) from None
+        os.remove(tmp)
+        return br
+
+    def branches(self) -> list[str]:
+        """Names of all branches (refs other than main)."""
+        d = os.path.join(self.path, "refs")
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            n for n in os.listdir(d)
+            if os.path.isdir(os.path.join(d, n))
+        )
+
+    def tag_version(self, name: str, version: int | None = None) -> int:
+        """Pin an IMMUTABLE named tag at ``version`` (default: this
+        ref's head) — the audit/release pointer: a tag can never move,
+        so re-tagging an existing name raises. Stored as one JSON under
+        tags/ with the same atomic hard-link commit."""
+        if not _REF_NAME.fullmatch(name):
+            raise ValueError(f"invalid tag name {name!r}")
+        v = version if version is not None else self.latest_version()
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        self._read_manifest(v)  # must exist on this ref
+        tdir = os.path.join(self.path, "tags")
+        os.makedirs(tdir, exist_ok=True)
+        tpath = os.path.join(tdir, f"{name}.json")
+        tmp = tpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"ref": self.ref, "version": v}, f)
+        try:
+            os.link(tmp, tpath)
+        except FileExistsError:
+            os.remove(tmp)
+            raise ValueError(f"tag {name!r} already exists (tags are immutable)") from None
+        os.remove(tmp)
+        return v
+
+    def read_tag(self, spark: SparkSession, name: str) -> DataFrame:
+        """Read the snapshot a tag pins, whatever ref it was taken on."""
+        tpath = os.path.join(self.path, "tags", f"{name}.json")
+        if not os.path.exists(tpath):
+            raise FileNotFoundError(f"no tag {name!r} at {self.path}")
+        with open(tpath) as f:
+            t = json.load(f)
+        return SnapshotTable(self.path, ref=t["ref"]).read(
+            spark, t["version"]
+        )
 
     def history(self) -> list[dict]:
         return [self._read_manifest(v) for v in self._versions()]

@@ -73,6 +73,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "sql_lateral_topk",
     "dedup_ppjoin",
     "multimodal_frame_plan",
+    "table_branches",
     "events_acf",
     "orders_changepoint",
     "graph_bfs_distance",

@@ -1161,3 +1161,86 @@ def _ppjoin_oracle() -> str:
 
 
 ORACLES["dedup_ppjoin"] = _ppjoin_oracle()
+
+
+def q_table_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse branch/tag refs on the gate (sources/snapshots.py):
+    main evolves v0 (keys % 7 == 0) -> v1 (+ % 7 == 1) -> v2 (+ % 7 ==
+    3); branch "exp" forks at v1 and appends % 7 == 2; tag "prelaunch"
+    pins v1 immutably. Branching writes ONE manifest — data parts are
+    shared — and each ref's head proves isolation: main never sees the
+    branch's rows, the branch never sees main's post-fork append, the
+    tag never moves. The fixture builds into a temp dir and renames
+    atomically (crash-safe); any divergent prior state rebuilds."""
+    import hashlib
+    import shutil
+
+    from ..sources.snapshots import SnapshotTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    path = f"/tmp/branches_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+
+    def _is_complete(p: str) -> bool:
+        t = SnapshotTable(p)
+        return (
+            t.latest_version() == 2
+            and t.branches() == ["exp"]
+            and SnapshotTable(p, ref="exp").latest_version() == 1
+            and os.path.exists(os.path.join(p, "tags", "prelaunch.json"))
+        )
+
+    import os
+
+    if os.path.exists(path) and not _is_complete(path):
+        shutil.rmtree(path, ignore_errors=True)
+    if not os.path.exists(path):
+        build = path + ".build"
+        shutil.rmtree(build, ignore_errors=True)
+        t = SnapshotTable(build)
+        t.append(orders.where(F.col("o_orderkey") % 7 == 0).repartition(4))
+        t.append(orders.where(F.col("o_orderkey") % 7 == 1).repartition(4))
+        t.tag_version("prelaunch", 1)
+        exp = t.create_branch("exp")
+        exp.append(orders.where(F.col("o_orderkey") % 7 == 2).repartition(4))
+        t.append(orders.where(F.col("o_orderkey") % 7 == 3).repartition(4))
+        os.rename(build, path)
+    t = SnapshotTable(path)
+    exp = SnapshotTable(path, ref="exp")
+    refs = [
+        ("exp", exp.read(spark)),
+        ("main", t.read(spark)),
+        ("tag:prelaunch", t.read_tag(spark, "prelaunch")),
+    ]
+    u = None
+    for name, df in refs:
+        part = df.select(F.lit(name).alias("ref"), "o_orderkey")
+        u = part if u is None else u.unionByName(part)
+    return (
+        u.groupBy("ref")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("ref")
+    )
+
+
+QUERIES["table_branches"] = q_table_branches
+
+ORACLES["table_branches"] = """
+    WITH sel AS (
+        SELECT 'exp' AS ref, o_orderkey FROM orders
+        WHERE o_orderkey % 7 IN (0, 1, 2)
+        UNION ALL
+        SELECT 'main', o_orderkey FROM orders
+        WHERE o_orderkey % 7 IN (0, 1, 3)
+        UNION ALL
+        SELECT 'tag:prelaunch', o_orderkey FROM orders
+        WHERE o_orderkey % 7 IN (0, 1)
+    )
+    SELECT ref, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM sel GROUP BY ref ORDER BY ref
+"""

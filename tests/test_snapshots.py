@@ -255,3 +255,81 @@ def test_concurrent_commit_conflict_detected(spark, tmp_path):
         t._commit(files, t._read_manifest(0)["schema"], parent=0)
     # the winner's manifest is intact
     assert other.read(spark, 1).count() == 6
+
+
+# ------------------------------------------------------- branches / tags
+
+
+def _k(spark, lo, hi):
+    return spark.range(lo, hi).withColumnRenamed("id", "k")
+
+
+def test_branch_isolation_and_shared_history(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "br"))
+    t.append(_k(spark, 0, 10))
+    t.append(_k(spark, 10, 20))
+    exp = t.create_branch("exp")
+    exp.append(_k(spark, 100, 105))
+    t.append(_k(spark, 20, 25))
+    # branch sees fork-point history + its own rows, never main's later
+    assert sorted(r.k for r in exp.read(spark).collect()) == list(
+        range(20)
+    ) + list(range(100, 105))
+    # main never sees the branch's rows
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(25))
+    # branch v0 IS the fork-point snapshot (time travel on the branch)
+    assert sorted(r.k for r in exp.read(spark, 0).collect()) == list(range(20))
+    assert t.branches() == ["exp"]
+    # branching is one manifest, data shared: the branch's v0 file list
+    # equals main v1's
+    assert exp._read_manifest(0)["files"] == t._read_manifest(1)["files"]
+    assert exp._read_manifest(0)["branched_from"] == {
+        "ref": "main",
+        "version": 1,
+    }
+
+
+def test_branch_mor_delete_stays_on_branch(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "brd"))
+    t.append(_k(spark, 0, 10))
+    exp = t.create_branch("exp")
+    exp.delete_where(spark, ["k"], F.col("k") < 4)
+    assert sorted(r.k for r in exp.read(spark).collect()) == list(range(4, 10))
+    assert t.read(spark).count() == 10
+
+
+def test_branch_validation_and_duplicates(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "brv"))
+    with pytest.raises(FileNotFoundError):
+        t.create_branch("exp")  # nothing committed yet
+    t.append(_k(spark, 0, 3))
+    with pytest.raises(ValueError):
+        t.create_branch("main")
+    with pytest.raises(ValueError):
+        t.create_branch("bad name")
+    with pytest.raises(ValueError):
+        SnapshotTable(str(tmp_path / "brv"), ref="bad/../name")
+    t.create_branch("exp")
+    with pytest.raises(ValueError):
+        t.create_branch("exp")
+
+
+def test_tags_are_immutable_pointers(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tg"))
+    t.append(_k(spark, 0, 5))
+    t.append(_k(spark, 5, 9))
+    t.tag_version("rel", 0)
+    t.append(_k(spark, 9, 12))
+    assert sorted(r.k for r in t.read_tag(spark, "rel").collect()) == list(
+        range(5)
+    )
+    with pytest.raises(ValueError):
+        t.tag_version("rel", 2)  # tags never move
+    with pytest.raises(FileNotFoundError):
+        t.read_tag(spark, "nope")
+    # a tag taken ON a branch resolves through the branch's line
+    exp = t.create_branch("exp")
+    exp.append(_k(spark, 50, 52))
+    exp.tag_version("exp-head")
+    got = sorted(r.k for r in t.read_tag(spark, "exp-head").collect())
+    assert got == list(range(12)) + [50, 51]
