@@ -201,7 +201,7 @@ def _cmd_snapshot(args: argparse.Namespace) -> int:
     stats, compact the current version, or vacuum old ones."""
     from .sources.snapshots import SnapshotTable
 
-    t = SnapshotTable(args.path)
+    t = SnapshotTable(args.path, ref=args.ref)
     if args.action == "history":
         for m in t.history():
             print(
@@ -283,6 +283,26 @@ def _cmd_snapshot(args: argparse.Namespace) -> int:
         print(json.dumps({"changes": counts}))
         d.orderBy("change_op", *keys).show(args.limit, truncate=False)
         return 0
+    if args.action == "branch":
+        if not args.name:
+            raise ValueError("branch needs --name")
+        br = t.create_branch(args.name, from_version=args.version)
+        print(
+            f"created branch {args.name!r} from {t.ref}@"
+            f"{br._read_manifest(0)['branched_from']['version']}"
+        )
+        return 0
+    if args.action == "branches":
+        for b in t.branches():
+            head = SnapshotTable(args.path, ref=b).latest_version()
+            print(json.dumps({"branch": b, "head": head}))
+        return 0
+    if args.action == "tag":
+        if not args.name:
+            raise ValueError("tag needs --name")
+        v = t.tag_version(args.name, version=args.version)
+        print(f"tagged {t.ref}@{v} as {args.name!r}")
+        return 0
     raise ValueError(f"unknown snapshot action {args.action!r}")
 
 
@@ -352,7 +372,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sn.add_argument(
         "action",
-        choices=["history", "read", "compact", "vacuum", "diff", "delete"],
+        choices=[
+            "history", "read", "compact", "vacuum", "diff", "delete",
+            "branch", "branches", "tag",
+        ],
     )
     sn.add_argument("path")
     sn.add_argument("--version", type=int, default=None)
@@ -381,6 +404,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="comma-separated columns: compact clustered on their Morton key",
     )
     sn.add_argument("--keep-versions", type=int, default=1)
+    sn.add_argument(
+        "--ref",
+        default="main",
+        help="branch to operate on (default: main)",
+    )
+    sn.add_argument("--name", default=None, help="branch/tag name")
     sn.add_argument("--limit", type=int, default=20)
     sn.set_defaults(fn=_cmd_snapshot)
     return p

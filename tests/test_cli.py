@@ -257,3 +257,28 @@ def test_cli_snapshot_diff(spark, tmp_path, capsys):
         )
         == 1
     )
+
+
+def test_cli_snapshot_branch_and_tag_verbs(spark, tmp_path, capsys):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark import cli
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.snapshots import (
+        SnapshotTable,
+    )
+
+    path = str(tmp_path / "brt")
+    t = SnapshotTable(path)
+    t.append(spark.range(0, 5).withColumnRenamed("id", "k"))
+    t.append(spark.range(5, 8).withColumnRenamed("id", "k"))
+
+    assert cli.main(["snapshot", "branch", path, "--name", "exp"]) == 0
+    assert "created branch 'exp' from main@1" in capsys.readouterr().out
+    assert cli.main(["snapshot", "tag", path, "--name", "rel", "--version", "0"]) == 0
+    assert "tagged main@0 as 'rel'" in capsys.readouterr().out
+    assert cli.main(["snapshot", "branches", path]) == 0
+    assert '"branch": "exp"' in capsys.readouterr().out
+    # history routed through --ref reads the branch's line
+    assert cli.main(["snapshot", "history", path, "--ref", "exp"]) == 0
+    out = capsys.readouterr().out
+    assert '"version": 0' in out
+    # error surfaces: duplicate branch exits nonzero via main()'s handler
+    assert cli.main(["snapshot", "branch", path, "--name", "exp"]) == 1
