@@ -74,6 +74,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "dedup_ppjoin",
     "multimodal_frame_plan",
     "table_branches",
+    "sql_variant_extract",
     "events_acf",
     "orders_changepoint",
     "graph_bfs_distance",

@@ -1244,3 +1244,51 @@ ORACLES["table_branches"] = """
            CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
     FROM sel GROUP BY ref ORDER BY ref
 """
+
+
+def q_sql_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's VARIANT type on the gate: the events payload parses
+    ONCE into a VARIANT column (the open-schema semi-structured type
+    that replaces string-JSON re-parsing on hot paths — binary-encoded,
+    shredding-ready), fields extract with typed paths via variant_get,
+    and the numbers aggregate per event type. The string-JSON twin is
+    ``json_extract``; this is the engine-native representation a 100 TB
+    semi-structured pipeline would actually store."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint").alias(
+            "k"
+        ),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+            F.sum((F.col("k") > 50).cast("int")).cast("bigint").alias(
+                "n_over_50"
+            ),
+            F.min("k").cast("bigint").alias("k_min"),
+            F.max("k").cast("bigint").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["sql_variant_extract"] = q_sql_variant_extract
+
+ORACLES["sql_variant_extract"] = """
+    WITH v AS (
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS k_sum,
+           CAST(SUM(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_over_50,
+           CAST(MIN(k) AS BIGINT) AS k_min,
+           CAST(MAX(k) AS BIGINT) AS k_max
+    FROM v GROUP BY event_type ORDER BY event_type
+"""

@@ -67,6 +67,13 @@ TARGETS = [
     "sketch_kmv_setops",
     "pipeline_shard_plan",
     "orders_reconciliation",
+    # second continuation batch (multimodal_frame_plan and table_branches
+    # are fixed-size/fixture queries; sim_pq_adc excluded as before)
+    "dedup_ppjoin",
+    "parts_xyz_classes",
+    "orders_forecast_backtest",
+    "sql_recursive_cte",
+    "sql_lateral_topk",
 ]
 
 # Queries whose construction itself executes jobs (streaming runs,
