@@ -310,6 +310,45 @@ class SnapshotTable:
         os.remove(tmp)
         return br
 
+    def promote_branch(
+        self, spark: SparkSession, name: str, keys: list[str]
+    ) -> int:
+        """Merge branch ``name``'s NET delta back into this ref — the
+        experiment-promotion step of branch-based data engineering.
+        The delta is the CDC between the branch's fork-point snapshot
+        (its v0) and its head, computed by ``snapshot_diff`` over the
+        branch's own manifest line (file-pruned: only files the branch
+        actually wrote or dropped are scanned); inserts/updates upsert
+        and deletes delete through the copy-on-write ``merge``, so only
+        the keys the branch changed touch this ref's files. Keys the
+        branch never touched merge cleanly even if this ref advanced
+        since the fork; a conflicting same-key change is last-writer-
+        wins by promotion order (the Nessie-style simple-ref model —
+        detect-and-fail belongs to a rebase layer above this).
+        Returns the new version on this ref."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        br = SnapshotTable(self.path, ref=name)
+        head = br.latest_version()
+        if head is None:
+            raise FileNotFoundError(f"no branch {name!r} at {self.path}")
+        if head == 0:
+            raise ValueError(f"branch {name!r} has no commits to promote")
+        diff = snapshot_diff(br, spark, 0, head, keys)
+        schema = T.StructType.fromJson(
+            json.loads(br._read_manifest(head)["schema"])
+        )
+        non_keys = [f.name for f in schema.fields if f.name not in keys]
+        src_df = diff.select(
+            *keys,
+            *[F.col(f"new_values.{c}").alias(c) for c in non_keys],
+            (F.col("change_op") == "delete").alias("__promote_del"),
+        )
+        return self.merge(
+            spark, src_df, keys=keys, delete_col="__promote_del"
+        )
+
     def branches(self) -> list[str]:
         """Names of all branches (refs other than main)."""
         d = os.path.join(self.path, "refs")

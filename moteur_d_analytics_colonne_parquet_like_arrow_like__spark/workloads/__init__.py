@@ -75,6 +75,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "multimodal_frame_plan",
     "table_branches",
     "sql_variant_extract",
+    "table_branch_promote",
     "events_acf",
     "orders_changepoint",
     "graph_bfs_distance",

@@ -1292,3 +1292,74 @@ ORACLES["sql_variant_extract"] = """
            CAST(MAX(k) AS BIGINT) AS k_max
     FROM v GROUP BY event_type ORDER BY event_type
 """
+
+
+def q_table_branch_promote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch promotion on the gate: branch "fix" forks main (keys
+    % 5 == 0), appends % 5 == 1 and merge-on-read-deletes % 25 == 0,
+    then ``promote_branch`` merges the branch's NET CDC delta back —
+    only the keys the branch changed touch main's files (copy-on-write
+    merge over the file-pruned snapshot_diff). Output proves both the
+    promoted head (inserts landed, deletes applied) and that main's
+    pre-promotion v0 still time-travels intact."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..sources.snapshots import SnapshotTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    path = f"/tmp/brpromote_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+
+    def _is_complete(p: str) -> bool:
+        return (
+            SnapshotTable(p).latest_version() == 1
+            and SnapshotTable(p, ref="fix").latest_version() == 2
+        )
+
+    if os.path.exists(path) and not _is_complete(path):
+        shutil.rmtree(path, ignore_errors=True)
+    if not os.path.exists(path):
+        build = path + ".build"
+        shutil.rmtree(build, ignore_errors=True)
+        t = SnapshotTable(build)
+        t.append(orders.where(F.col("o_orderkey") % 5 == 0).repartition(4))
+        br = t.create_branch("fix")
+        br.append(orders.where(F.col("o_orderkey") % 5 == 1).repartition(4))
+        br.delete_where(spark, ["o_orderkey"], F.col("o_orderkey") % 25 == 0)
+        t.promote_branch(spark, "fix", keys=["o_orderkey"])
+        os.rename(build, path)
+    t = SnapshotTable(path)
+    refs = [
+        ("head", t.read(spark)),
+        ("v0", t.read(spark, 0)),
+    ]
+    u = None
+    for name, df in refs:
+        part = df.select(F.lit(name).alias("state"), "o_orderkey")
+        u = part if u is None else u.unionByName(part)
+    return (
+        u.groupBy("state")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("state")
+    )
+
+
+QUERIES["table_branch_promote"] = q_table_branch_promote
+
+ORACLES["table_branch_promote"] = """
+    WITH sel AS (
+        SELECT 'head' AS state, o_orderkey FROM orders
+        WHERE (o_orderkey % 5 IN (0, 1)) AND o_orderkey % 25 <> 0
+        UNION ALL
+        SELECT 'v0', o_orderkey FROM orders WHERE o_orderkey % 5 = 0
+    )
+    SELECT state, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM sel GROUP BY state ORDER BY state
+"""

@@ -333,3 +333,31 @@ def test_tags_are_immutable_pointers(spark, tmp_path):
     exp.tag_version("exp-head")
     got = sorted(r.k for r in t.read_tag(spark, "exp-head").collect())
     assert got == list(range(12)) + [50, 51]
+
+
+def test_promote_branch_applies_net_delta(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "pr"))
+    t.append(
+        _k(spark, 0, 10).withColumn("v", F.col("k") * 2)
+    )
+    br = t.create_branch("fix")
+    br.append(_k(spark, 100, 103).withColumn("v", F.col("k") * 2))
+    br.delete_where(spark, ["k"], F.col("k") < 3)
+    v = t.promote_branch(spark, "fix", keys=["k"])
+    assert v == 1
+    got = sorted(r.k for r in t.read(spark).collect())
+    assert got == list(range(3, 10)) + [100, 101, 102]
+    # time travel on main survives the promotion
+    assert t.read(spark, 0).count() == 10
+    # the branch itself is untouched by its own promotion
+    assert SnapshotTable(str(tmp_path / "pr"), ref="fix").latest_version() == 2
+
+
+def test_promote_branch_validation(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "prv"))
+    t.append(_k(spark, 0, 3))
+    with pytest.raises(FileNotFoundError):
+        t.promote_branch(spark, "nope", keys=["k"])
+    t.create_branch("empty")
+    with pytest.raises(ValueError):
+        t.promote_branch(spark, "empty", keys=["k"])  # nothing to promote
