@@ -931,10 +931,14 @@ def ppjoin_pairs(
 
     from ..functions import word_shingles
 
+    # cached: five consumers (df, sizes, rank join, both intersection
+    # sides) shuffle this relation on different keys — without the cache
+    # the corpus shingle explode re-runs for each (module convention,
+    # same as minhash_lsh_pairs)
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(F.col(text_col), k=shingle_k)).alias("tok"),
-    )
+    ).cache()
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     sz = toks.groupBy("doc").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     w = Window.partitionBy("doc").orderBy(F.col("df").asc(), F.col("tok").asc())

@@ -25,6 +25,7 @@ import json
 import re
 import os
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -32,6 +33,24 @@ from pyspark.sql import DataFrame, SparkSession
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed the same version first (optimistic
     concurrency): re-read and retry the operation."""
+
+
+def _atomic_link_commit(payload: dict, final_path: str, err_msg: str) -> None:
+    """Publish ``payload`` as JSON at ``final_path`` via a UNIQUE temp
+    file + exclusive hard link. The temp name carries pid + uuid: a
+    fixed shared ``<final>.tmp`` lets two racing writers truncate each
+    other's scratch file, so the winner can publish the LOSER's bytes
+    and the loser crashes with FileNotFoundError instead of the
+    documented ConcurrentCommitError."""
+    tmp = f"{final_path}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1)
+    try:
+        os.link(tmp, final_path)
+    except FileExistsError:
+        os.remove(tmp)
+        raise ConcurrentCommitError(err_msg) from None
+    os.remove(tmp)
 
 
 _REF_NAME = re.compile(r"[A-Za-z0-9_\-]{1,64}")
@@ -99,23 +118,17 @@ class SnapshotTable:
             # [data files present when the delete committed]} — sequencing
             # lives in applies_to, so later appends are unaffected.
             manifest["delete_files"] = delete_files
-        tmp = self._manifest_path(version) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1)
         # Exclusive link is the atomic commit: readers list only
         # *.manifest.json, and two writers racing for the same version
-        # cannot both win — the loser gets FileExistsError (optimistic
-        # concurrency, the Delta/Iceberg commit rule) instead of silently
-        # overwriting the other's manifest.
-        try:
-            os.link(tmp, self._manifest_path(version))
-        except FileExistsError:
-            os.remove(tmp)
-            raise ConcurrentCommitError(
-                f"version {version} was committed by another writer; "
-                "re-read the table and retry"
-            ) from None
-        os.remove(tmp)
+        # cannot both win — the loser gets ConcurrentCommitError
+        # (optimistic concurrency, the Delta/Iceberg commit rule)
+        # instead of silently overwriting the other's manifest.
+        _atomic_link_commit(
+            manifest,
+            self._manifest_path(version),
+            f"version {version} was committed by another writer; "
+            "re-read the table and retry",
+        )
         return version
 
     def _write_parts(self, df: DataFrame, tag: str) -> list[str]:
@@ -297,17 +310,11 @@ class SnapshotTable:
         }
         if m.get("delete_files"):
             manifest["delete_files"] = m["delete_files"]
-        tmp = br._manifest_path(0) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1)
-        try:
-            os.link(tmp, br._manifest_path(0))
-        except FileExistsError:
-            os.remove(tmp)
-            raise ConcurrentCommitError(
-                f"branch {name!r} was created by another writer"
-            ) from None
-        os.remove(tmp)
+        _atomic_link_commit(
+            manifest,
+            br._manifest_path(0),
+            f"branch {name!r} was created by another writer",
+        )
         return br
 
     def promote_branch(
@@ -373,15 +380,14 @@ class SnapshotTable:
         tdir = os.path.join(self.path, "tags")
         os.makedirs(tdir, exist_ok=True)
         tpath = os.path.join(tdir, f"{name}.json")
-        tmp = tpath + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"ref": self.ref, "version": v}, f)
         try:
-            os.link(tmp, tpath)
-        except FileExistsError:
-            os.remove(tmp)
-            raise ValueError(f"tag {name!r} already exists (tags are immutable)") from None
-        os.remove(tmp)
+            _atomic_link_commit(
+                {"ref": self.ref, "version": v},
+                tpath,
+                f"tag {name!r} already exists (tags are immutable)",
+            )
+        except ConcurrentCommitError as e:
+            raise ValueError(str(e)) from None
         return v
 
     def read_tag(self, spark: SparkSession, name: str) -> DataFrame:
@@ -538,21 +544,48 @@ class SnapshotTable:
         )
 
     def vacuum(self, keep_versions: int = 1) -> dict:
-        """Retention: drop all but the newest ``keep_versions`` manifests,
-        then delete data files no surviving manifest references. This is
-        the ONLY operation that destroys time travel — never automatic,
-        and safe against readers of surviving versions because their
-        manifests (and files) are untouched."""
+        """Retention: drop all but the newest ``keep_versions`` manifests
+        ON THIS REF, then delete data files no surviving manifest
+        references. This is the ONLY operation that destroys time
+        travel — never automatic, and safe against readers of surviving
+        versions because their manifests (and files) are untouched.
+
+        Ref safety: data parts are SHARED across refs (branching copies
+        a file list, not files), so the referenced set is computed over
+        EVERY manifest of EVERY ref except the ones this vacuum drops —
+        vacuuming main never deletes a fork point a branch still reads,
+        and vacuuming a branch never deletes files main still lists.
+        Tag-pinned versions on this ref are never dropped (tags are
+        immutable audit pointers; delete the tag file first if you
+        truly want its snapshot gone)."""
         if keep_versions < 1:
             raise ValueError("keep_versions must be >= 1")
         versions = self._versions()
-        drop, keep = versions[:-keep_versions], versions[-keep_versions:]
+        drop = versions[:-keep_versions]
+        # tags pin versions immutably: never drop a tagged manifest
+        tdir = os.path.join(self.path, "tags")
+        pinned: set[int] = set()
+        if os.path.isdir(tdir):
+            for fn in os.listdir(tdir):
+                if fn.endswith(".json"):
+                    with open(os.path.join(tdir, fn)) as f:
+                        tg = json.load(f)
+                    if tg.get("ref", "main") == self.ref:
+                        pinned.add(tg["version"])
+        drop = [v for v in drop if v not in pinned]
+        dropping = {(self.ref, v) for v in drop}
+        # referenced = every file listed by ANY surviving manifest on ANY
+        # ref — branches/tags share data parts, so survival is global
         referenced: set[str] = set()
-        for v in keep:
-            mk = self._read_manifest(v)
-            referenced.update(mk["files"])
-            for d in mk.get("delete_files", []):
-                referenced.update(d.get("files", [d.get("file")]))
+        for ref in ["main", *self.branches()]:
+            t = self if ref == self.ref else SnapshotTable(self.path, ref=ref)
+            for v in t._versions():
+                if (ref, v) in dropping:
+                    continue
+                mk = t._read_manifest(v)
+                referenced.update(mk["files"])
+                for d in mk.get("delete_files", []):
+                    referenced.update(d.get("files", [d.get("file")]))
         removed_files = 0
         for v in drop:
             md = self._read_manifest(v)

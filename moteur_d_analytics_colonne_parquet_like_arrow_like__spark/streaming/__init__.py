@@ -236,6 +236,35 @@ def run_to_memory(
     return spark.table(name)
 
 
+def _recover_swap(path: str) -> None:
+    """Heal a crash inside ``_publish_swap``: if the live dir is missing
+    but the displaced previous state survives, restore it. Safe to call
+    before every merge — the displaced dir only exists inside the swap
+    window."""
+    old = path + ".old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+
+
+def _publish_swap(staging: str, path: str) -> None:
+    """Replace the state dir at ``path`` with ``staging`` without a
+    destroy-then-rename window: the previous state is DISPLACED (rename
+    to ``<path>.old``), the new state renamed in, then the displaced
+    dir dropped. A crash at any point leaves either the old state
+    restorable (``_recover_swap``) or the new state live — never
+    nothing. (rmtree(path) followed by rename(staging, path) has a
+    window where the accumulated state is simply gone; a restart would
+    silently rebuild from one batch.)"""
+    import shutil
+
+    old = path + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def foreach_batch_upsert(
     stream: DataFrame,
     path: str,
@@ -284,6 +313,7 @@ def foreach_batch_upsert(
 
     def merge_full(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        _recover_swap(path)
         cols = output_cols or batch.columns
         current = batch.select(*cols).withColumn("__src", F.lit(1))
         if os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -295,9 +325,7 @@ def foreach_batch_upsert(
             )
         staging = path + ".staging"
         rank1(current).write.mode("overwrite").parquet(staging)
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.rename(staging, path)
+        _publish_swap(staging, path)
 
     def merge_bucketed(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -374,6 +402,7 @@ def foreach_batch_kmv_merge(
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         sp = batch.sparkSession
+        _recover_swap(path)
         sk = kmv_sketch(batch, group_cols, key_col, k=k).select(
             *group_cols, "h"
         )
@@ -387,9 +416,7 @@ def foreach_batch_kmv_merge(
         )
         staging = path + ".staging"
         merged.write.mode("overwrite").parquet(staging)
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.rename(staging, path)
+        _publish_swap(staging, path)
 
     (
         stream.writeStream.foreachBatch(merge)

@@ -361,3 +361,39 @@ def test_promote_branch_validation(spark, tmp_path):
     t.create_branch("empty")
     with pytest.raises(ValueError):
         t.promote_branch(spark, "empty", keys=["k"])  # nothing to promote
+
+
+def test_vacuum_preserves_files_shared_with_branches(spark, tmp_path):
+    # branching shares data parts; vacuuming ONE ref must not delete
+    # files any other ref's surviving manifests still list
+    path = str(tmp_path / "vb")
+    t = SnapshotTable(path)
+    t.append(_k(spark, 0, 10))                       # main v0: files F0
+    exp = t.create_branch("exp")                     # exp v0 lists F0
+    exp.append(_k(spark, 100, 103))                  # exp v1
+    # branch rewrites everything, then vacuums its own history
+    exp.compact(spark)
+    exp.vacuum(keep_versions=1)
+    # main's only version still lists F0 — must read intact
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(10))
+    # mirror direction: main compacts + vacuums; branch still reads
+    t.append(_k(spark, 10, 12))
+    t.compact(spark)
+    t.vacuum(keep_versions=1)
+    assert sorted(r.k for r in exp.read(spark).collect()) == list(
+        range(10)
+    ) + [100, 101, 102]
+
+
+def test_vacuum_never_drops_tag_pinned_versions(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    t = SnapshotTable(path)
+    t.append(_k(spark, 0, 5))
+    t.tag_version("rel", 0)
+    t.overwrite(_k(spark, 50, 53))
+    res = t.vacuum(keep_versions=1)
+    assert 0 not in res["dropped_versions"]
+    # the tag still resolves after retention
+    assert sorted(r.k for r in t.read_tag(spark, "rel").collect()) == list(
+        range(5)
+    )

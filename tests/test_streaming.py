@@ -261,3 +261,32 @@ def test_stream_stream_full_join_emits_both_null_sides(spark, sf_dir):
     left_pairs = {(r["view_id"], r["purchase_id"]) for r in left}
     full_pairs = {(r["view_id"], r["purchase_id"]) for r in rows}
     assert left_pairs <= full_pairs
+
+
+def test_publish_swap_recovers_displaced_state(tmp_path):
+    # crash window: state displaced to .old but new state not yet in
+    # place — _recover_swap must restore it; and a clean swap must
+    # leave only the new state
+    import os
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.streaming import (
+        _publish_swap,
+        _recover_swap,
+    )
+
+    path = str(tmp_path / "state")
+    os.makedirs(path)
+    open(os.path.join(path, "_SUCCESS"), "w").write("v1")
+    # simulate the crash: displaced old state, live dir missing
+    os.rename(path, path + ".old")
+    _recover_swap(path)
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert not os.path.exists(path + ".old")
+    # clean swap replaces content and leaves no residue
+    staging = str(tmp_path / "staging")
+    os.makedirs(staging)
+    open(os.path.join(staging, "_SUCCESS"), "w").write("v2")
+    _publish_swap(staging, path)
+    assert open(os.path.join(path, "_SUCCESS")).read() == "v2"
+    assert not os.path.exists(staging)
+    assert not os.path.exists(path + ".old")
