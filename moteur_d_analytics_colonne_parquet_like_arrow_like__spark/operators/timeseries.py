@@ -307,3 +307,66 @@ def seasonal_profile_anomalies(
         )
         .orderBy(key_col, "dow")
     )
+
+
+def holt_half(
+    observed: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    forecast_steps: int = 7,
+) -> DataFrame:
+    """Holt double-exponential smoothing with alpha = beta = 1/2 per
+    key: level AND trend state, the next rung after ``ewma_half`` (an
+    EWMA tracks a level but lags any sustained slope; Holt's trend term
+    closes that lag and yields an h-step-ahead forecast l + h*b).
+
+    Recurrence (state initialized to (l=x_1, b=0)):
+        l_t = x_t/2 + (l_{t-1} + b_{t-1})/2
+        b_t = (l_t - l_{t-1})/2 + b_{t-1}/2
+
+    Same determinism contract as ``ewma_half``: a SEQUENTIAL FOLD over
+    the per-key ordered array with a struct (level, trend) accumulator
+    — operation order fixed by definition, each step two IEEE-exact
+    halvings plus correctly-rounded adds, bit-identical in any engine
+    with a left fold (DuckDB: ``list_reduce`` over
+    ``struct_pack(l, b)`` elements, first element as the seed). Window
+    functions cannot express it (each output depends on the previous
+    OUTPUT pair). Scale shape: one groupBy(key) over the already-
+    reduced per-step series; the fold is a per-row expression.
+
+    Returns (key, n_points, level_r, trend_r, forecast_r) with
+    forecast_r = level + forecast_steps * trend, rounded to 6.
+    """
+    pts = observed.groupBy(F.col(key_col).alias("key")).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("o"), F.col(value_col).alias("v")
+                )
+            )
+        ).alias("__pts")
+    )
+    vals = F.transform(F.col("__pts"), lambda p: p["v"].cast("double"))
+
+    def _step(acc, x):
+        new_l = x / F.lit(2.0) + (acc["l"] + acc["b"]) / F.lit(2.0)
+        new_b = (new_l - acc["l"]) / F.lit(2.0) + acc["b"] / F.lit(2.0)
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    st = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.struct(
+            F.element_at(vals, 1).alias("l"), F.lit(0.0).alias("b")
+        ),
+        _step,
+    )
+    return pts.select(
+        F.col("key").alias(key_col),
+        F.size(F.col("__pts")).cast("bigint").alias("n_points"),
+        F.round(st["l"], 6).alias("level_r"),
+        F.round(st["b"], 6).alias("trend_r"),
+        F.round(
+            st["l"] + F.lit(float(forecast_steps)) * st["b"], 6
+        ).alias("forecast_r"),
+    ).orderBy(key_col)

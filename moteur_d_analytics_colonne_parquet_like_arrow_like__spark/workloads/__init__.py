@@ -76,6 +76,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "table_branches",
     "sql_variant_extract",
     "table_branch_promote",
+    "events_holt",
     "events_acf",
     "orders_changepoint",
     "graph_bfs_distance",

@@ -1363,3 +1363,64 @@ ORACLES["table_branch_promote"] = """
            CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
     FROM sel GROUP BY state ORDER BY state
 """
+
+
+def q_events_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt level+trend smoothing per user over daily mean values
+    (operators/timeseries.holt_half) — the trend-aware successor of
+    events_ewma with a 7-step-ahead forecast; the recurrence runs as a
+    deterministic sequential fold with a struct accumulator, which no
+    window function can express."""
+    from ..operators import timeseries
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    return timeseries.holt_half(
+        daily, "user_id", "day", "m", forecast_steps=7
+    )
+
+
+QUERIES["events_holt"] = q_events_holt
+
+ORACLES["events_holt"] = """
+    WITH RECURSIVE d AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+                   AS m
+        FROM events WHERE user_id < 30 GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT user_id, m,
+               row_number() OVER (PARTITION BY user_id ORDER BY day) AS i
+        FROM d
+    ),
+    np AS (SELECT user_id, CAST(MAX(i) AS BIGINT) AS n FROM idx GROUP BY 1),
+    -- the Holt fold as genuine recursion: DuckDB's list_reduce mutates a
+    -- struct accumulator field-by-field (the b expression would see the
+    -- step's NEW l), so the recurrence runs as a recursive CTE where
+    -- r.l / r.b are frame-stable
+    rec AS (
+        SELECT user_id, 1 AS i, m AS l, CAST(0.0 AS DOUBLE) AS b
+        FROM idx WHERE i = 1
+        UNION ALL
+        SELECT r.user_id, r.i + 1,
+               x.m / 2.0 + (r.l + r.b) / 2.0,
+               (x.m / 2.0 + (r.l + r.b) / 2.0 - r.l) / 2.0 + r.b / 2.0
+        FROM rec r JOIN idx x
+          ON x.user_id = r.user_id AND x.i = r.i + 1
+    )
+    SELECT r.user_id, np.n AS n_points,
+           round(r.l, 6) AS level_r,
+           round(r.b, 6) AS trend_r,
+           round(r.l + 7.0 * r.b, 6) AS forecast_r
+    FROM rec r JOIN np USING (user_id)
+    WHERE r.i = np.n
+    ORDER BY r.user_id
+"""

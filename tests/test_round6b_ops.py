@@ -434,3 +434,41 @@ def test_ppjoin_validation_and_prefix_prunes(spark, sf_dir):
     )
     found = dedup.ppjoin_pairs(docs, "doc_id", "text", threshold_pct=60).count()
     assert found < any_pairs
+
+
+# --------------------------------------------------------------- Holt
+
+
+def test_holt_matches_python_reference(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import timeseries
+
+    xs = [10.0, 12.0, 13.0, 11.0, 14.0]
+    df = spark.createDataFrame(
+        [("g", i, x) for i, x in enumerate(xs)], ["k", "t", "v"]
+    )
+    out = timeseries.holt_half(df, "k", "t", "v", forecast_steps=3).collect()[0]
+    l, b = xs[0], 0.0
+    for x in xs[1:]:
+        nl = x / 2.0 + (l + b) / 2.0
+        nb = (nl - l) / 2.0 + b / 2.0
+        l, b = nl, nb
+    assert abs(out["level_r"] - round(l, 6)) < 1e-9
+    assert abs(out["trend_r"] - round(b, 6)) < 1e-9
+    assert abs(out["forecast_r"] - round(l + 3 * b, 6)) < 1e-9
+    # a single point: level = the point, trend 0
+    one = spark.createDataFrame([("g", 0, 5.0)], ["k", "t", "v"])
+    r = timeseries.holt_half(one, "k", "t", "v").collect()[0]
+    assert (r["level_r"], r["trend_r"]) == (5.0, 0.0)
+
+
+def test_holt_tracks_linear_trend_exactly_in_the_limit(spark):
+    # on a long pure-linear series the trend state converges to the
+    # true slope and the h-step forecast to the true next values
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import timeseries
+
+    df = spark.createDataFrame(
+        [("g", i, 100.0 + 3.0 * i) for i in range(60)], ["k", "t", "v"]
+    )
+    out = timeseries.holt_half(df, "k", "t", "v", forecast_steps=5).collect()[0]
+    assert abs(out["trend_r"] - 3.0) < 1e-3
+    assert abs(out["forecast_r"] - (100.0 + 3.0 * 59 + 5 * 3.0)) < 1e-2
