@@ -77,6 +77,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "sql_variant_extract",
     "table_branch_promote",
     "events_holt",
+    "parts_abc_xyz_matrix",
     "events_acf",
     "orders_changepoint",
     "graph_bfs_distance",

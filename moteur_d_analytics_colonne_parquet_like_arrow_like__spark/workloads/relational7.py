@@ -1424,3 +1424,157 @@ ORACLES["events_holt"] = """
     WHERE r.i = np.n
     ORDER BY r.user_id
 """
+
+
+def q_parts_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ABC x XYZ inventory-planning matrix: every part classified on
+    BOTH axes — revenue contribution (A = the parts filling the top 50%
+    of cumulative revenue, B to 80%, C the tail; global cumulative share
+    on the two-phase chunked scan, never a single-task window) and
+    demand variability (the X/Y/Z weekly-cv^2 classes of
+    parts_xyz_classes) — then the 9-cell census with per-cell revenue
+    share. The AX cell (high-value, steady) is what a planner stocks;
+    CZ (low-value, erratic) is what they make to order."""
+    from ..operators.stats import quantile_chunks, two_phase_rank_cumsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round("l_extendedprice", 2).cast("decimal(18,2)")
+        ).alias("rev")
+    )
+    chunk = quantile_chunks(rev, "rev", n_chunks=32, descending=True)
+    ranked = two_phase_rank_cumsum(
+        rev,
+        "rev",
+        chunk,
+        tiebreak_cols=["l_partkey"],
+        value_col="rev",
+        descending=True,
+        cum_col="__cum",
+    )
+    tot = rev.agg(F.sum("rev").alias("tot"))
+    abc = (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__share",
+            F.col("__cum").cast("double") / F.col("tot").cast("double"),
+        )
+        .withColumn(
+            "abc",
+            F.when(F.col("__share") <= 0.5, "A")
+            .when(F.col("__share") <= 0.8, "B")
+            .otherwise("C"),
+        )
+        .select("l_partkey", "rev", "abc")
+    )
+    weekly = li.groupBy(
+        "l_partkey", F.date_trunc("week", F.col("l_shipdate")).alias("w")
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("x"))
+    nweeks = weekly.agg(
+        (
+            F.floor(
+                F.datediff(F.max(F.to_date("w")), F.min(F.to_date("w"))) / 7
+            )
+            + 1
+        )
+        .cast("bigint")
+        .alias("n")
+    )
+    xyz = (
+        weekly.groupBy("l_partkey")
+        .agg(
+            F.sum("x").cast("bigint").alias("s"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s2"),
+        )
+        .crossJoin(F.broadcast(nweeks))
+        .withColumn(
+            "cv2_r",
+            F.round(
+                (
+                    F.col("n") * F.col("s2") - F.col("s") * F.col("s")
+                ).cast("double")
+                / (F.col("s") * F.col("s")).cast("double"),
+                6,
+            ),
+        )
+        .withColumn(
+            "xyz",
+            F.when(F.col("cv2_r") < 14.0, "X")
+            .when(F.col("cv2_r") < 18.0, "Y")
+            .otherwise("Z"),
+        )
+        .select("l_partkey", "xyz")
+    )
+    return (
+        abc.join(xyz, "l_partkey")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("abc", "xyz")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.round(
+                F.sum("rev").cast("double") / F.first("tot").cast("double"),
+                6,
+            ).alias("rev_share_r"),
+        )
+        .orderBy("abc", "xyz")
+    )
+
+
+QUERIES["parts_abc_xyz_matrix"] = q_parts_abc_xyz_matrix
+
+ORACLES["parts_abc_xyz_matrix"] = """
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS rev
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(rev) AS tot FROM rev),
+    abc AS (
+        SELECT l_partkey, rev,
+               CASE WHEN CAST(SUM(rev) OVER (
+                             ORDER BY rev DESC, l_partkey ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS DOUBLE)
+                         / CAST(t.tot AS DOUBLE) <= 0.5 THEN 'A'
+                    WHEN CAST(SUM(rev) OVER (
+                             ORDER BY rev DESC, l_partkey ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS DOUBLE)
+                         / CAST(t.tot AS DOUBLE) <= 0.8 THEN 'B'
+                    ELSE 'C' END AS abc
+        FROM rev CROSS JOIN tot t
+    ),
+    weekly AS (
+        SELECT l_partkey, date_trunc('week', l_shipdate) AS w,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x
+        FROM lineitem GROUP BY 1, 2
+    ),
+    nw AS (
+        SELECT CAST(datediff('day', MIN(CAST(w AS DATE)),
+                             MAX(CAST(w AS DATE))) // 7 + 1 AS BIGINT)
+                   AS n
+        FROM weekly
+    ),
+    xyz AS (
+        SELECT p.l_partkey,
+               CASE WHEN round(CAST(nw.n * p.s2 - p.s * p.s AS DOUBLE)
+                         / CAST(p.s * p.s AS DOUBLE), 6) < 14.0 THEN 'X'
+                    WHEN round(CAST(nw.n * p.s2 - p.s * p.s AS DOUBLE)
+                         / CAST(p.s * p.s AS DOUBLE), 6) < 18.0 THEN 'Y'
+                    ELSE 'Z' END AS xyz
+        FROM (
+            SELECT l_partkey, CAST(SUM(x) AS BIGINT) AS s,
+                   CAST(SUM(x * x) AS BIGINT) AS s2
+            FROM weekly GROUP BY l_partkey
+        ) p CROSS JOIN nw
+    )
+    SELECT a.abc, x.xyz, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           round(CAST(SUM(a.rev) AS DOUBLE) / CAST(ANY_VALUE(t.tot)
+                 AS DOUBLE), 6) AS rev_share_r
+    FROM abc a
+    JOIN xyz x ON x.l_partkey = a.l_partkey
+    CROSS JOIN tot t
+    GROUP BY a.abc, x.xyz ORDER BY a.abc, x.xyz
+"""

@@ -433,3 +433,12 @@ def test_recursive_cte_matches_unrolled_closure(spark, sf_dir):
     a = relational7.q_sql_recursive_cte(spark, sf_dir).collect()
     b = analytics.q_part_hierarchy_closure(spark, sf_dir).collect()
     assert a == b and len(a) > 0
+
+
+def test_abc_xyz_matrix_is_window_safe(spark, sf_dir):
+    # the ABC cumulative share must ride the chunked scan — parts are
+    # data-proportional, so a bare Window.orderBy would be one task
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import relational7
+
+    df = relational7.QUERIES["parts_abc_xyz_matrix"](spark, sf_dir)
+    assert plans.unsafe_global_windows(df) == []

@@ -472,3 +472,16 @@ def test_holt_tracks_linear_trend_exactly_in_the_limit(spark):
     out = timeseries.holt_half(df, "k", "t", "v", forecast_steps=5).collect()[0]
     assert abs(out["trend_r"] - 3.0) < 1e-3
     assert abs(out["forecast_r"] - (100.0 + 3.0 * 59 + 5 * 3.0)) < 1e-2
+
+
+def test_abc_xyz_matrix_census_consistency(spark, sf_dir):
+    out = relational7.q_parts_abc_xyz_matrix(spark, sf_dir).toPandas()
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    assert int(out["n_parts"].sum()) == li["l_partkey"].nunique()
+    # revenue shares partition the total
+    assert abs(out["rev_share_r"].sum() - 1.0) < 1e-4
+    # the per-axis censuses agree with the standalone XYZ query
+    xyz = relational7.q_parts_xyz_classes(spark, sf_dir).toPandas()
+    got_by_xyz = out.groupby("xyz")["n_parts"].sum()
+    for cls, n in zip(xyz["xyz"], xyz["n_parts"]):
+        assert int(got_by_xyz[cls]) == int(n), cls
