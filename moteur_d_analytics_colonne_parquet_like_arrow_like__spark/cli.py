@@ -303,6 +303,14 @@ def _cmd_snapshot(args: argparse.Namespace) -> int:
         v = t.tag_version(args.name, version=args.version)
         print(f"tagged {t.ref}@{v} as {args.name!r}")
         return 0
+    if args.action == "rollback":
+        # RESTORE: new head re-pointing at --version's manifest; the bad
+        # versions stay time-travelable (snapshots.rollback)
+        if args.version is None:
+            raise ValueError("rollback needs --version")
+        v = t.rollback(args.version)
+        print(f"rolled {t.ref} back to v{args.version} as version {v}")
+        return 0
     raise ValueError(f"unknown snapshot action {args.action!r}")
 
 
@@ -374,7 +382,7 @@ def build_parser() -> argparse.ArgumentParser:
         "action",
         choices=[
             "history", "read", "compact", "vacuum", "diff", "delete",
-            "branch", "branches", "tag",
+            "branch", "branches", "tag", "rollback",
         ],
     )
     sn.add_argument("path")

@@ -276,6 +276,29 @@ class SnapshotTable:
         ]
         return self._commit(m["files"], m["schema"], parent, delete_files=entries)
 
+    def rollback(self, version: int) -> int:
+        """RESTORE: commit a NEW head whose content equals an earlier
+        ``version`` — the Iceberg/Delta rollback verb. Nothing is deleted
+        or rewritten: the new manifest re-points at the old version's
+        files, schema, and delete-file entries verbatim, so the bad
+        versions stay time-travelable, ``vacuum`` keeps the restored
+        files referenced (its referenced set spans every surviving
+        manifest), and rolling back a petabyte table writes one JSON
+        file. Returns the new head version."""
+        vs = self._versions()
+        if version not in vs:
+            raise ValueError(
+                f"cannot rollback to v{version}: versions present are {vs}"
+            )
+        head = vs[-1]
+        m = self._read_manifest(version)
+        return self._commit(
+            m["files"],
+            m["schema"],
+            head,
+            delete_files=m.get("delete_files"),
+        )
+
     def create_branch(
         self, name: str, from_version: int | None = None
     ) -> "SnapshotTable":

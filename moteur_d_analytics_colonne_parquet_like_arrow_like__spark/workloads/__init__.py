@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import (
     analytics,
+    geospatial,
     parity,
     pipeline,
     python_surface,
@@ -33,6 +34,7 @@ from . import (
     relational5,
     relational6,
     relational7,
+    relational8,
     pipeline2,
     streaming_ops,
 )
@@ -46,6 +48,8 @@ _MODULES = [
     relational5,
     relational6,
     relational7,
+    relational8,
+    geospatial,
     analytics,
     python_surface,
     pipeline,
@@ -61,6 +65,17 @@ _MODULES = [
 # driver signature should predate r2 and most of r2 should be consumed;
 # then (d)-(e) by ascending freshness. VERDICT r5 item 2.
 _VERIFY_FIRST: tuple[str, ...] = (
+    # (a0) continuation-3 additions — newest, zero driver signatures yet
+    "geo_cell_density",
+    "geo_nearest_supplier",
+    "geo_bbox_contains",
+    "geo_geohash_encode",
+    "events_attribution_shapley",
+    "orders_rolling_median",
+    "text_rake_keywords",
+    "join_bloom_pruned",
+    "table_rollback",
+    "events_stl_decompose",
     # (a) new or output-changed in round 6, need fresh driver signatures
     "orders_reconciliation",
     "pipeline_shard_plan",

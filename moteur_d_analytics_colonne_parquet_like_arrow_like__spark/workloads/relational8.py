@@ -1,0 +1,515 @@
+"""Eighth relational workload: exact Shapley-value attribution, rolling
+medians, RAKE keyword extraction, runtime-bloom-pruned joins, snapshot
+rollback, and a seasonal-trend decomposition.
+
+These extend the reference's analytic surface (reference: ABSENT —
+extension surface). Determinism rules follow workloads/__init__: every
+cross-engine number is either BIGINT end to end (Shapley numerators are
+kept as exact 24ths; the decomposition's remainder is an exact integer
+numerator over an integer denominator), a DECIMAL-routed sum, or one
+final integer-over-integer division rounded identically in both
+engines. Weekday indexing uses epoch-day % 7 — never engine week
+anchors (they disagree).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources.catalog import load_table
+
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+# --------------------------------------------------------------- Shapley
+
+#: Touch channels (non-conversion event types), alphabetical -> bit index.
+_CHANNELS = [("click", 0), ("error", 1), ("signup", 2), ("view", 3)]
+
+#: 24 * |S|!(n-1-|S|)!/n! for n=4 — the Shapley coalition weights as
+#: exact 24ths: |S| = 0 -> 6/24, 1 -> 2/24, 2 -> 2/24, 3 -> 6/24.
+_W24 = {0: 6, 1: 2, 2: 2, 3: 6}
+
+
+def q_events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value conversion attribution over the four touch
+    channels (click/error/signup/view; purchase is the conversion).
+    The characteristic function v(S) counts converters whose entire
+    touch set fits inside coalition S, and each channel's Shapley value
+    is the weighted sum of its marginal gains v(S+c) - v(S) over the 8
+    coalitions not containing it. Everything past the first reduction
+    is CONSTANT-size: facts reduce ONCE to (user, 4-bit touch mask,
+    converted) rows, then to at most 16 (mask, converter-count) cells —
+    the 16-coalition subset-sum join, the 4x8 marginal-gain join, and
+    the factorial weights all run on fixed-cardinality tables, so the
+    100 TB cost is one user-keyed aggregate. Numerators stay exact
+    BIGINT 24ths (n=4 makes every weight a /24 rational); the only
+    float is the final display division. Users who converted with no
+    touches sit in mask 0 and cancel out of every marginal (Shapley's
+    null-player axiom, for free)."""
+    ev = load_table(spark, sf_dir, "events")
+    bit = F.lit(0)
+    for name, idx in _CHANNELS:
+        bit = F.when(F.col("event_type") == name, F.lit(1 << idx)).otherwise(
+            bit
+        )
+    per_user = ev.select(
+        "user_id",
+        bit.alias("bit"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_conv"),
+    ).groupBy("user_id").agg(
+        F.coalesce(F.sum_distinct("bit"), F.lit(0)).cast("int").alias("mask"),
+        F.max("is_conv").alias("conv"),
+    )
+    tset = per_user.groupBy("mask").agg(
+        F.sum("conv").cast("bigint").alias("conv_n")
+    )
+    masks = spark.range(16).select(F.col("id").cast("int").alias("S"))
+    v = (
+        masks.join(
+            F.broadcast(tset),
+            masks["S"].bitwiseOR(tset["mask"]) == masks["S"],
+            "left",
+        )
+        .groupBy("S")
+        .agg(F.coalesce(F.sum("conv_n"), F.lit(0)).cast("bigint").alias("v"))
+    )
+    w24 = (
+        F.when(F.bit_count(F.col("S")) == 0, F.lit(_W24[0]))
+        .when(F.bit_count(F.col("S")) == 1, F.lit(_W24[1]))
+        .when(F.bit_count(F.col("S")) == 2, F.lit(_W24[2]))
+        .otherwise(F.lit(_W24[3]))
+    )
+    channels = spark.createDataFrame(
+        [(name, idx) for name, idx in _CHANNELS], "channel string, c int"
+    )
+    v_s = v.select(F.col("S"), F.col("v").alias("v_s"))
+    v_sc = v.select(F.col("S").alias("S2"), F.col("v").alias("v_sc"))
+    gains = (
+        channels.join(
+            F.broadcast(v_s),
+            F.expr("(S & shiftleft(1, c)) = 0"),
+        )
+        .join(
+            F.broadcast(v_sc),
+            F.expr("S2 = (S | shiftleft(1, c))"),
+        )
+        .select(
+            "channel",
+            (w24 * (F.col("v_sc") - F.col("v_s"))).alias("g24"),
+        )
+    )
+    return (
+        gains.groupBy("channel")
+        .agg(F.sum("g24").cast("bigint").alias("phi24"))
+        .select(
+            "channel",
+            "phi24",
+            F.round(F.col("phi24") / 24.0, 4).alias("phi_r"),
+        )
+        .orderBy("channel")
+    )
+
+
+QUERIES["events_attribution_shapley"] = q_events_attribution_shapley
+
+ORACLES["events_attribution_shapley"] = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(coalesce(sum(DISTINCT CASE event_type
+             WHEN 'click' THEN 1 WHEN 'error' THEN 2
+             WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END), 0)
+           AS INTEGER) AS mask,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+), tset AS (
+  SELECT mask, CAST(sum(conv) AS BIGINT) AS conv_n
+  FROM per_user GROUP BY mask
+), v AS MATERIALIZED (
+  SELECT m.S, CAST(coalesce(sum(t.conv_n), 0) AS BIGINT) AS v
+  FROM (SELECT CAST(S AS INTEGER) AS S FROM range(0, 16) r(S)) m
+  LEFT JOIN tset t ON (m.S | t.mask) = m.S
+  GROUP BY m.S
+), ch AS (
+  SELECT * FROM (VALUES ('click', 0), ('error', 1),
+                        ('signup', 2), ('view', 3)) c(channel, c)
+), gains AS (
+  SELECT ch.channel,
+         (CASE bit_count(vs.S) WHEN 0 THEN 6 WHEN 1 THEN 2
+                               WHEN 2 THEN 2 ELSE 6 END)
+         * (vsc.v - vs.v) AS g24
+  FROM ch
+  JOIN v vs  ON (vs.S & (1 << ch.c)) = 0
+  JOIN v vsc ON vsc.S = (vs.S | (1 << ch.c))
+)
+SELECT channel, CAST(sum(g24) AS BIGINT) AS phi24,
+       round(CAST(sum(g24) AS BIGINT) / 24.0, 4) AS phi_r
+FROM gains GROUP BY channel ORDER BY channel
+"""
+
+
+# -------------------------------------------------------- rolling median
+
+def q_orders_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 7-day rolling LOWER median of daily order revenue per
+    priority. Facts reduce ONCE to (priority, day, revenue-cents) —
+    5 priorities x a calendar-bounded day count — and the rolling
+    window runs over that bounded aggregate only (the accepted window
+    shape; never over raw orders). The median is selected, not
+    averaged: revenue routes through DECIMAL to integer cents, the
+    7-row frame collects into a sorted array, and the lower-median
+    element (1-based index (n+1) div 2) comes out exactly — no float
+    crosses rows in either engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.select(
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("d"),
+        "o_totalprice",
+    ).groupBy("o_orderpriority", "d").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    arr = F.sort_array(F.collect_list("rev_cents").over(w))
+    with_med = daily.select(
+        "o_orderpriority",
+        "d",
+        "rev_cents",
+        F.element_at(
+            arr, ((F.size(arr) + 1) / 2).cast("int")
+        ).alias("med_cents"),
+        F.size(arr).cast("int").alias("n_days"),
+    )
+    return with_med.select(
+        "o_orderpriority",
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        "rev_cents",
+        "med_cents",
+        "n_days",
+        F.round(F.col("med_cents") / 100.0, 2).alias("med_r"),
+    ).orderBy("o_orderpriority", "d")
+
+
+QUERIES["orders_rolling_median"] = q_orders_rolling_median
+
+ORACLES["orders_rolling_median"] = """
+WITH daily AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)
+), win AS (
+  SELECT o_orderpriority, d, rev_cents,
+         list_sort(list(rev_cents) OVER (
+           PARTITION BY o_orderpriority ORDER BY d
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS l
+  FROM daily
+)
+SELECT o_orderpriority, strftime(d, '%Y-%m-%d') AS d, rev_cents,
+       CAST(l[(len(l) + 1) // 2] AS BIGINT) AS med_cents,
+       CAST(len(l) AS INTEGER) AS n_days,
+       round(CAST(l[(len(l) + 1) // 2] AS BIGINT) / 100.0, 2) AS med_r
+FROM win
+ORDER BY o_orderpriority, d
+"""
+
+
+# ------------------------------------------------------------------ RAKE
+
+_RAKE_STOP = (
+    "a|the|of|and|to|in|is|for|on|with|as|by|at|an|be|this|that|it|from|"
+    "or|are|was"
+)
+
+
+def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword scoring (Rose et al. 2010) as a pure expression
+    tree: lowercase text splits into candidate phrases at stopwords and
+    punctuation, each word occurrence accumulates frequency and degree
+    (degree += its phrase's word count, the classic co-occurrence
+    proxy), and score(w) = degree(w)/freq(w). Two explodes + one
+    aggregate keyed by word — vocabulary-bounded, map-side combinable,
+    no Python in the path. Counts are exact integers; the score is one
+    final integer/integer division rounded identically in both
+    engines. Top-25 words by (score, freq, word)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", " ")
+    t = F.regexp_replace(t, f"\\b({_RAKE_STOP})\\b", "|")
+    phrases = docs.select(
+        F.explode(F.split(t, "\\|")).alias("phrase")
+    ).where(F.trim(F.col("phrase")) != "")
+    words = phrases.select(
+        F.split(F.trim(F.col("phrase")), " +").alias("ws")
+    ).select(
+        F.size(F.col("ws")).alias("plen"),
+        F.explode(F.col("ws")).alias("word"),
+    ).where(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("plen").cast("bigint").alias("degree"),
+        )
+        .select(
+            "word",
+            "freq",
+            "degree",
+            F.round(F.col("degree") / F.col("freq"), 4).alias("score_r"),
+        )
+        .orderBy(F.desc("score_r"), F.desc("freq"), "word")
+        .limit(25)
+    )
+
+
+QUERIES["text_rake_keywords"] = q_text_rake_keywords
+
+ORACLES["text_rake_keywords"] = rf"""
+WITH norm AS (
+  SELECT regexp_replace(
+           regexp_replace(lower(text), '[^a-z]+', ' ', 'g'),
+           '\b({_RAKE_STOP})\b', '|', 'g') AS t
+  FROM documents
+), phrases AS (
+  SELECT trim(p) AS phrase
+  FROM norm, unnest(string_split_regex(t, '\|')) u(p)
+  WHERE trim(p) <> ''
+), pw AS (
+  SELECT len(string_split_regex(phrase, ' +')) AS plen, w AS word
+  FROM phrases, unnest(string_split_regex(phrase, ' +')) u(w)
+  WHERE w <> ''
+)
+SELECT word, CAST(count(*) AS BIGINT) AS freq,
+       CAST(sum(plen) AS BIGINT) AS degree,
+       round(CAST(sum(plen) AS BIGINT) * 1.0 / count(*), 4) AS score_r
+FROM pw GROUP BY word
+ORDER BY score_r DESC, freq DESC, word
+LIMIT 25
+"""
+
+
+# ------------------------------------------------- runtime-bloom join
+
+def q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The runtime-bloom-filter join shape: a selective dimension-side
+    filter (urgent 1996 orders) merge-joins the fact table on the order
+    key. At 100 TB Spark's runtime bloom filter (AQE's semi-join
+    reduction, spark.sql.optimizer.runtime.bloomFilter.*) builds a
+    bloom from the filtered creation side and injects a
+    might_contain() predicate INTO the fact scan, so most lineitem rows
+    die before the shuffle instead of after it. The gate query keeps
+    the session confs untouched (correctness never depends on the
+    filter); tests/test_plans.py re-plans this same builder under the
+    bloom confs and asserts bloom_filter_might_contain lands in the
+    fact-side plan with identical results."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sel = orders.where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.to_date("o_orderdate") <= F.lit("1996-12-31"))
+    )
+    j = li.join(
+        sel.hint("merge"), li["l_orderkey"] == sel["o_orderkey"]
+    )
+    return (
+        j.groupBy(F.month("o_orderdate").cast("int").alias("mon"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,4)")
+                ).cast("double"),
+                2,
+            ).alias("revenue_r"),
+        )
+        .orderBy("mon")
+    )
+
+
+QUERIES["join_bloom_pruned"] = q_join_bloom_pruned
+
+ORACLES["join_bloom_pruned"] = """
+SELECT CAST(month(o_orderdate) AS INTEGER) AS mon,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue_r
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) <= DATE '1996-12-31'
+GROUP BY month(o_orderdate)
+ORDER BY mon
+"""
+
+
+# ------------------------------------------------------- table rollback
+
+def q_table_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot RESTORE on the gate (sources/snapshots.py): the table
+    evolves v0 (keys %5==0) -> v1 (+ %5==1) -> v2 (merge-on-read delete
+    of %10==6) -> v3 = rollback(1). The rollback writes ONE manifest
+    re-pointing at v1's files — nothing is copied, deleted versions
+    stay time-travelable — and the output proves it: all four versions
+    read back with v3 exactly matching v1 while v2's delete remains
+    visible at v2. The fixture builds into a temp dir and renames
+    atomically (crash-safe); any divergent prior state rebuilds."""
+    from ..sources.snapshots import SnapshotTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    path = f"/tmp/rollback_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+
+    def _is_complete(p: str) -> bool:
+        return SnapshotTable(p).latest_version() == 3
+
+    if os.path.exists(path) and not _is_complete(path):
+        shutil.rmtree(path, ignore_errors=True)
+    if not os.path.exists(path):
+        build = path + ".build"
+        shutil.rmtree(build, ignore_errors=True)
+        t = SnapshotTable(build)
+        t.append(orders.where(F.col("o_orderkey") % 5 == 0).repartition(4))
+        t.append(orders.where(F.col("o_orderkey") % 5 == 1).repartition(4))
+        t.delete_where(
+            spark, ["o_orderkey"], F.col("o_orderkey") % 10 == 6
+        )
+        t.rollback(1)
+        os.rename(build, path)
+    t = SnapshotTable(path)
+    u = None
+    for v in range(4):
+        part = t.read(spark, v).select(
+            F.lit(v).cast("int").alias("version"), "o_orderkey"
+        )
+        u = part if u is None else u.unionByName(part)
+    return (
+        u.groupBy("version")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("version")
+    )
+
+
+QUERIES["table_rollback"] = q_table_rollback
+
+ORACLES["table_rollback"] = """
+WITH sel AS (
+  SELECT 0 AS version, o_orderkey FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT 1, o_orderkey FROM orders WHERE o_orderkey % 5 IN (0, 1)
+  UNION ALL
+  SELECT 2, o_orderkey FROM orders
+  WHERE o_orderkey % 5 IN (0, 1) AND o_orderkey % 10 <> 6
+  UNION ALL
+  SELECT 3, o_orderkey FROM orders WHERE o_orderkey % 5 IN (0, 1)
+)
+SELECT CAST(version AS INTEGER) AS version,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM sel GROUP BY version ORDER BY version
+"""
+
+
+# ------------------------------------------- seasonal decomposition
+
+def q_events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-trend decomposition of the daily events value series
+    (the moving-average core of STL): trend = centered 7-day mean,
+    seasonal = per-weekday mean of the detrended series, remainder =
+    what's left. Facts reduce ONCE to calendar-bounded daily micro-unit
+    totals; every window runs over that bounded aggregate. The
+    arithmetic is EXACT integer throughout: daily totals route through
+    DECIMAL to BIGINT micros, detrended values are scaled x7
+    (detr = 7*v - sum7, dodging the /7), the seasonal mean stays a
+    (numerator, denominator) pair, and the remainder ships as the exact
+    integer numerator rem_num = s_den*detr - s_num over denominator
+    7e6*s_den — floats appear only in display-rounded single
+    divisions. Weekday = epoch-day % 7 (engine week anchors disagree;
+    epoch arithmetic doesn't). Only days with a full 7-day window
+    decompose."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(F.to_date("ts").alias("d"), "value").groupBy("d").agg(
+        (F.sum(F.col("value").cast("decimal(18,6)")) * 1000000)
+        .cast("bigint")
+        .alias("v_mic")
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    trended = daily.select(
+        "d",
+        "v_mic",
+        F.sum("v_mic").over(w).alias("sum7"),
+        F.count(F.lit(1)).over(w).alias("n7"),
+        (F.datediff(F.col("d"), F.lit("1970-01-01")) % 7).alias("dow"),
+    ).where(F.col("n7") == 7)
+    detr = trended.withColumn(
+        "detr_mic", F.lit(7) * F.col("v_mic") - F.col("sum7")
+    )
+    seas = detr.groupBy("dow").agg(
+        F.sum("detr_mic").cast("bigint").alias("s_num"),
+        F.count(F.lit(1)).cast("bigint").alias("s_den"),
+    )
+    out = detr.join(F.broadcast(seas), "dow")
+    return out.select(
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        F.col("dow").cast("int").alias("dow"),
+        "v_mic",
+        (F.col("s_den") * F.col("detr_mic") - F.col("s_num"))
+        .cast("bigint")
+        .alias("rem_num"),
+        "s_den",
+        F.round(F.col("v_mic") / 1000000.0, 4).alias("v_r"),
+        F.round(F.col("sum7") / 7000000.0, 4).alias("trend_r"),
+        F.round(F.col("s_num") / (F.col("s_den") * 7000000.0), 4).alias(
+            "seas_r"
+        ),
+    ).orderBy("d")
+
+
+QUERIES["events_stl_decompose"] = q_events_stl_decompose
+
+ORACLES["events_stl_decompose"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+           AS v_mic
+  FROM events GROUP BY CAST(ts AS DATE)
+), trended AS (
+  SELECT d, v_mic,
+         sum(v_mic) OVER w AS sum7,
+         count(*) OVER w AS n7,
+         (d - DATE '1970-01-01') % 7 AS dow
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), detr AS (
+  SELECT *, 7 * v_mic - sum7 AS detr_mic FROM trended WHERE n7 = 7
+), seas AS (
+  SELECT dow, CAST(sum(detr_mic) AS BIGINT) AS s_num,
+         CAST(count(*) AS BIGINT) AS s_den
+  FROM detr GROUP BY dow
+)
+SELECT strftime(detr.d, '%Y-%m-%d') AS d,
+       CAST(detr.dow AS INTEGER) AS dow, v_mic,
+       CAST(s_den * detr_mic - s_num AS BIGINT) AS rem_num,
+       s_den,
+       round(v_mic / 1000000.0, 4) AS v_r,
+       round(sum7 / 7000000.0, 4) AS trend_r,
+       round(s_num / (s_den * 7000000.0), 4) AS seas_r
+FROM detr JOIN seas ON detr.dow = seas.dow
+ORDER BY detr.d
+"""

@@ -282,3 +282,24 @@ def test_cli_snapshot_branch_and_tag_verbs(spark, tmp_path, capsys):
     assert '"version": 0' in out
     # error surfaces: duplicate branch exits nonzero via main()'s handler
     assert cli.main(["snapshot", "branch", path, "--name", "exp"]) == 1
+
+
+def test_snapshot_rollback_verb(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.snapshots import (
+        SnapshotTable,
+    )
+
+    path = str(tmp_path / "snap_rb")
+    t = SnapshotTable(path)
+    t.append(spark.range(0, 5).select(F.col("id")))
+    t.append(spark.range(5, 9).select(F.col("id")))
+    assert cli.main(["snapshot", "rollback", path, "--version", "0"]) == 0
+    assert "as version 2" in capsys.readouterr().out
+    assert t.latest_version() == 2
+    assert t.read(spark).count() == 5
+    assert t.read(spark, 1).count() == 9
+    # missing --version is a usage error
+    assert cli.main(["snapshot", "rollback", path]) == 1
+    assert "rollback needs --version" in capsys.readouterr().err

@@ -442,3 +442,88 @@ def test_abc_xyz_matrix_is_window_safe(spark, sf_dir):
 
     df = relational7.QUERIES["parts_abc_xyz_matrix"](spark, sf_dir)
     assert plans.unsafe_global_windows(df) == []
+
+
+# --- round-6 continuation 3 ---------------------------------------------
+
+
+def test_rolling_median_window_over_bounded_daily_agg(spark, sf_dir):
+    # the 7-row frame runs over (priority x calendar-day) cells —
+    # priority is fixed-cardinality so it counts as effectively global,
+    # and the day grid is the declared bounded reduction beneath it
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import relational8
+
+    df = relational8.q_orders_rolling_median(spark, sf_dir)
+    assert (
+        plans.unsafe_global_windows(
+            df, low_card_cols=("o_orderpriority",), bounded_cols=("d",)
+        )
+        == []
+    )
+
+
+def test_stl_windows_over_bounded_daily_agg(spark, sf_dir):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import relational8
+
+    df = relational8.q_events_stl_decompose(spark, sf_dir)
+    assert plans.unsafe_global_windows(df, bounded_cols=("d",)) == []
+
+
+def test_shapley_reduces_before_coalition_joins(spark, sf_dir):
+    # the only data-proportional work is the per-user aggregate; the
+    # coalition machinery joins 16-row tables via broadcast — no
+    # cartesian, no sort-merge exchange of raw events
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import relational8
+
+    df = relational8.q_events_attribution_shapley(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
+
+
+def test_bloom_filter_injects_under_at_scale_confs(spark, sf_dir):
+    # At 100 TB the filtered creation side exceeds the broadcast
+    # threshold, which is exactly when InjectRuntimeFilter fires;
+    # simulate that regime (broadcast off, application-side scan
+    # threshold 0) and assert the bloom creation aggregate AND the
+    # might_contain probe both land in the optimized plan, with
+    # results identical to the conf-free gate run.
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import relational8
+
+    c = spark.conf
+    saved = {
+        k: c.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        baseline = relational8.q_join_bloom_pruned(spark, sf_dir).collect()
+        c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        c.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        df = relational8.q_join_bloom_pruned(spark, sf_dir)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt and "might_contain" in opt
+        assert df.collect() == baseline
+    finally:
+        for k, v in saved.items():
+            c.set(k, v)
+
+
+def test_geo_nearest_broadcasts_bucketed_suppliers(spark, sf_dir):
+    # blocking join: the supplier cell index broadcasts; the customer
+    # side never cross-joins the supplier table
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import geospatial
+
+    df = geospatial.q_geo_nearest_supplier(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

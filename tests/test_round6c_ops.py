@@ -1,0 +1,312 @@
+"""Round-6 continuation-3 operators: geospatial family, exact Shapley
+attribution, rolling median, RAKE, snapshot rollback, STL decomposition.
+
+Each gate query gets an independent re-derivation (pandas/numpy brute
+force at sf0.001) so a Spark-side logic bug cannot hide behind an
+oracle authored from the same reading of the algorithm.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import (
+    geospatial,
+    relational8,
+)
+
+
+def _pdf(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet").toPandas()
+
+
+# ------------------------------------------------------------ geospatial
+
+
+def _coords(key, lat_p, lon_p):
+    return (key * lat_p) % 120001 - 60000, (key * lon_p) % 360001 - 180000
+
+
+def test_geo_nearest_matches_bruteforce_blocking(spark, sf_dir):
+    # Re-derive the full blocking semantics in pure Python: for every
+    # customer, candidates = suppliers in the 9-cell neighbourhood
+    # (wrapped longitude ring), nearest = min (dist2, suppkey).
+    cust = _pdf(spark, sf_dir, "customer")
+    supp = _pdf(spark, sf_dir, "supplier")
+    scell = {}
+    for k in supp["s_suppkey"]:
+        la, lo = _coords(int(k), 7907, 104717)
+        cell = (min((la + 60000) // 30000, 3), (lo + 180000) // 30000 % 12)
+        scell.setdefault(cell, []).append((int(k), la, lo))
+    best = {}
+    for k in cust["c_custkey"]:
+        la, lo = _coords(int(k), 7919, 104729)
+        row = min((la + 60000) // 30000, 3)
+        col = (lo + 180000) // 30000 % 12
+        cands = []
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                if 0 <= row + dr <= 3:
+                    cands += scell.get((row + dr, (col + dc) % 12), [])
+        if not cands:
+            continue
+        scored = []
+        for sk, sla, slo in cands:
+            adlon = abs(lo - slo)
+            d2 = (la - sla) ** 2 + min(adlon, 360000 - adlon) ** 2
+            scored.append((d2, sk))
+        best[int(k)] = min(scored)
+    expect = {}
+    for d2, sk in best.values():
+        n, mn, mx, sm = expect.get(sk, (0, None, None, 0))
+        expect[sk] = (
+            n + 1,
+            d2 if mn is None else min(mn, d2),
+            d2 if mx is None else max(mx, d2),
+            sm + d2,
+        )
+    got = {
+        r["nearest_suppkey"]: (
+            r["n_customers"],
+            r["min_dist2"],
+            r["max_dist2"],
+            r["sum_dist2"],
+        )
+        for r in geospatial.q_geo_nearest_supplier(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_geo_cell_density_total_conserved(spark, sf_dir):
+    rows = geospatial.q_geo_cell_density(spark, sf_dir).collect()
+    n_cust = len(_pdf(spark, sf_dir, "customer"))
+    # top-25 cells of a 13x37 grid over 150 customers at sf0.001: the
+    # grid must never invent or lose anyone (<= total), and cell ids
+    # must be consistent with their (row, col) factorization.
+    assert sum(r["n_customers"] for r in rows) <= n_cust
+    for r in rows:
+        assert r["cell_id"] == r["cell_row"] * 37 + r["cell_col"]
+        assert 0 <= r["cell_row"] <= 12 and 0 <= r["cell_col"] <= 36
+
+
+def test_geo_bbox_counts_match_pandas(spark, sf_dir):
+    cust = _pdf(spark, sf_dir, "customer")
+    pts = [
+        _coords(int(k), 7919, 104729) for k in cust["c_custkey"]
+    ]
+    got = {
+        r["r_regionkey"]: r["n_inside"]
+        for r in geospatial.q_geo_bbox_contains(spark, sf_dir).collect()
+    }
+    for rk in range(5):
+        lat_lo = (rk * 41) % 80 * 1000 - 50000
+        lon_lo = (rk * 97) % 300 * 1000 - 180000
+        n = sum(
+            1
+            for la, lo in pts
+            if lat_lo <= la < lat_lo + 40000 and lon_lo <= lo < lon_lo + 80000
+        )
+        assert got[rk] == n, rk
+
+
+# --------------------------------------------------------------- Shapley
+
+
+def test_shapley_matches_coalition_bruteforce(spark, sf_dir):
+    # Exact Shapley from first principles: enumerate all 16 coalitions,
+    # v(S) = converters whose touch set is a subset of S, and the
+    # textbook sum over coalition orderings via |S|!(n-1-|S|)!/n!.
+    ev = _pdf(spark, sf_dir, "events")
+    bits = {"click": 1, "error": 2, "signup": 4, "view": 8}
+    users = {}
+    for _, r in ev.iterrows():
+        m, c = users.get(r["user_id"], (0, 0))
+        users[r["user_id"]] = (
+            m | bits.get(r["event_type"], 0),
+            c | (r["event_type"] == "purchase"),
+        )
+    def v(S):
+        return sum(1 for m, c in users.values() if c and (m | S) == S)
+    n = 4
+    expect = {}
+    for name, i in (("click", 0), ("error", 1), ("signup", 2), ("view", 3)):
+        phi = 0.0
+        phi24 = 0
+        for S in range(16):
+            if S & (1 << i):
+                continue
+            s = bin(S).count("1")
+            wnum = math.factorial(s) * math.factorial(n - 1 - s)
+            phi24 += wnum * (v(S | (1 << i)) - v(S))
+        expect[name] = phi24
+    got = {
+        r["channel"]: r["phi24"]
+        for r in relational8.q_events_attribution_shapley(
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expect
+    # efficiency axiom: credits sum to v(N) - v(empty set) exactly
+    assert sum(got.values()) == 24 * (v(15) - v(0))
+
+
+# -------------------------------------------------------- rolling median
+
+
+def test_rolling_median_matches_pandas(spark, sf_dir):
+    orders = _pdf(spark, sf_dir, "orders")
+    orders["d"] = orders["o_orderdate"].dt.date
+    daily = (
+        orders.groupby(["o_orderpriority", "d"])["o_totalprice"]
+        .apply(lambda s: int(sum(round(x * 100) for x in s)))
+        .reset_index(name="rev_cents")
+        .sort_values(["o_orderpriority", "d"])
+    )
+    got = relational8.q_orders_rolling_median(spark, sf_dir).toPandas()
+    assert len(got) == len(daily)
+    for prio, g in daily.groupby("o_orderpriority"):
+        vals = list(g["rev_cents"])
+        sub = got[got["o_orderpriority"] == prio].reset_index(drop=True)
+        for i in range(len(vals)):
+            win = sorted(vals[max(0, i - 6) : i + 1])
+            lower_med = win[(len(win) + 1) // 2 - 1]
+            assert sub.loc[i, "med_cents"] == lower_med, (prio, i)
+
+
+# ------------------------------------------------------------------ RAKE
+
+
+def test_rake_matches_python_reference(spark, sf_dir):
+    docs = _pdf(spark, sf_dir, "documents")
+    stop = set(relational8._RAKE_STOP.split("|"))
+    freq: dict = {}
+    deg: dict = {}
+    for t in docs["text"]:
+        words = t.lower().split()
+        phrase: list = []
+        for w in words + ["a"]:  # sentinel stopword flushes the tail
+            if w in stop:
+                for x in phrase:
+                    freq[x] = freq.get(x, 0) + 1
+                    deg[x] = deg.get(x, 0) + len(phrase)
+                phrase = []
+            else:
+                phrase.append(w)
+    scored = sorted(
+        ((deg[w] / freq[w], freq[w], w) for w in freq),
+        key=lambda t: (-round(t[0], 4), -t[1], t[2]),
+    )[:25]
+    got = relational8.q_text_rake_keywords(spark, sf_dir).collect()
+    assert [r["word"] for r in got] == [w for _, _, w in scored]
+    for r in got:
+        assert r["degree"] == deg[r["word"]] and r["freq"] == freq[r["word"]]
+
+
+# -------------------------------------------------------------- rollback
+
+
+def test_snapshot_rollback_restores_and_preserves_history(spark, tmp_path):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.snapshots import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    df0 = spark.range(0, 10).select(F.col("id").alias("k"))
+    df1 = spark.range(10, 20).select(F.col("id").alias("k"))
+    t.append(df0)
+    t.append(df1)
+    t.delete_where(spark, ["k"], F.col("k") >= 15)
+    assert t.read(spark).count() == 15
+    v = t.rollback(1)
+    assert v == 3 and t.latest_version() == 3
+    # restored head == v1 content; the deleted state is still travelable
+    assert sorted(r["k"] for r in t.read(spark).collect()) == list(range(20))
+    assert t.read(spark, 2).count() == 15
+    # vacuum keeps the restored files referenced (head points at them)
+    t.vacuum(keep_versions=1)
+    assert sorted(r["k"] for r in t.read(spark).collect()) == list(range(20))
+    with pytest.raises(ValueError):
+        t.rollback(99)
+
+
+# ------------------------------------------------------------------- STL
+
+
+def test_stl_identity_and_pandas_rederivation(spark, sf_dir):
+    ev = _pdf(spark, sf_dir, "events")
+    ev["d"] = ev["ts"].dt.date
+    daily = (
+        ev.groupby("d")["value"]
+        .apply(lambda s: int(sum(round(x * 1_000_000) for x in s)))
+        .sort_index()
+    )
+    days = list(daily.index)
+    vals = list(daily.values)
+    rows = {}
+    for i in range(3, len(vals) - 3):
+        sum7 = sum(vals[i - 3 : i + 4])
+        rows[days[i]] = (vals[i], 7 * vals[i] - sum7)
+    from collections import defaultdict
+
+    s_num = defaultdict(int)
+    s_den = defaultdict(int)
+    for d, (_, detr) in rows.items():
+        dow = (d - pd.Timestamp("1970-01-01").date()).days % 7
+        s_num[dow] += detr
+        s_den[dow] += 1
+    got = relational8.q_events_stl_decompose(spark, sf_dir).collect()
+    assert len(got) == len(rows)
+    for r in got:
+        d = pd.Timestamp(r["d"]).date()
+        v, detr = rows[d]
+        dow = (d - pd.Timestamp("1970-01-01").date()).days % 7
+        assert r["v_mic"] == v
+        assert r["dow"] == dow and r["s_den"] == s_den[dow]
+        assert r["rem_num"] == s_den[dow] * detr - s_num[dow]
+
+
+def test_geohash_matches_textbook_subdivision(spark, sf_dir):
+    # Independent re-derivation via the CLASSIC algorithm: binary
+    # subdivision of the lat/lon intervals, bits interleaved lon-first,
+    # 5-bit groups through the base32 alphabet — a different algorithm
+    # than the SQL expression's quantize-and-shift, same function.
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+    def textbook(lat, lon):
+        lat_rng, lon_rng = [-90.0, 90.0], [-180.0, 180.0]
+        bits = []
+        for i in range(30):
+            if i % 2 == 0:  # lon first
+                mid = (lon_rng[0] + lon_rng[1]) / 2
+                bit = lon >= mid
+                lon_rng[0 if bit else 1] = mid
+            else:
+                mid = (lat_rng[0] + lat_rng[1]) / 2
+                bit = lat >= mid
+                lat_rng[0 if bit else 1] = mid
+            bits.append(1 if bit else 0)
+        code = 0
+        for b in bits:
+            code = code * 2 + b
+        return "".join(
+            alphabet[(code >> (25 - 5 * j)) & 31] for j in range(6)
+        )
+
+    cust = _pdf(spark, sf_dir, "customer")
+    expect = {}
+    for k in cust["c_custkey"]:
+        la, lo = _coords(int(k), 7919, 104729)
+        gh = textbook(la / 1000.0, lo / 1000.0)
+        p = gh[:2]
+        n, mn, mx = expect.get(p, (0, "z" * 7, ""))
+        expect[p] = (n + 1, min(mn, gh), max(mx, gh))
+    got = geospatial.q_geo_geohash_encode(spark, sf_dir).collect()
+    for r in got:
+        n, mn, mx = expect[r["gh_prefix"]]
+        assert (r["n_customers"], r["gh_min"], r["gh_max"]) == (n, mn, mx)
+    assert sum(r["n_customers"] for r in got) <= len(cust)
