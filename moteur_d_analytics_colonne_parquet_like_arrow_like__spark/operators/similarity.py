@@ -187,6 +187,80 @@ def lsh_bucketed_topk(
     return _ranked(joined.withColumn("cosine_r", cos), k, round_digits)
 
 
+def knn_graph_mutual(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    dims: tuple[int, ...] = DEFAULT_BUCKET_DIMS,
+    round_digits: int = 6,
+    probe_flips: int = 1,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Mutual-kNN graph over the whole corpus (the structure SemDeDup-
+    style curation, duplicate clustering, and label propagation build
+    on): every vector's multi-probe LSH top-k gives directed edges; an
+    edge survives only if BOTH endpoints rank each other (the mutual
+    filter that strips hub artifacts). Returns one row per undirected
+    mutual edge (id_a < id_b, with the a->b cosine).
+
+    Unlike :func:`lsh_bucketed_topk` (broadcast queries — right when
+    queries are a small batch), here queries ARE the corpus, so the
+    candidate join is a bucket-keyed SHUFFLE join: both full-corpus
+    sides co-locate by bucket id and the per-bucket quadratic is
+    bounded by bucket occupancy (``max_bucket_size`` caps skewed
+    buckets). The ranking window partitions by query id — a growing
+    key, bounded group size: scale-safe. No broadcast of anything
+    data-proportional."""
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("cvec"),
+        bucket_id(vec_col, dims).alias("bucket"),
+    )
+    if max_bucket_size is not None:
+        from .dedup import cap_bucket_size
+
+        c = cap_bucket_size(c, ["bucket"], max_bucket_size, False)
+    qbase = corpus.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        bucket_id(vec_col, dims).alias("__b0"),
+    )
+    if probe_flips == 0:
+        q = qbase.select("query_id", "qvec", F.col("__b0").alias("bucket"))
+    elif probe_flips == 1:
+        probes = F.array(
+            F.col("__b0"),
+            *[
+                F.col("__b0").bitwiseXOR(F.lit(1 << i))
+                for i in range(len(dims))
+            ],
+        )
+        q = qbase.select(
+            "query_id", "qvec", F.explode(probes).alias("bucket")
+        )
+    else:
+        raise ValueError("probe_flips > 1 not supported (candidate blowup)")
+    joined = (
+        c.join(q, on=["bucket"], how="inner")
+        .where(F.col("query_id") != F.col("corpus_id"))
+        .dropDuplicates(["query_id", "corpus_id"])
+    )
+    cos = F.round(dot_product(F.col("qvec"), F.col("cvec")), round_digits)
+    directed = _ranked(joined.withColumn("cosine_r", cos), k, round_digits)
+    fwd = directed.select(
+        F.col("query_id").alias("id_a"),
+        F.col("corpus_id").alias("id_b"),
+        "cosine_r",
+    )
+    rev = directed.select(
+        F.col("corpus_id").alias("id_a"), F.col("query_id").alias("id_b")
+    )
+    return fwd.where(F.col("id_a") < F.col("id_b")).join(
+        rev, ["id_a", "id_b"], "left_semi"
+    )
+
+
 def squared_l2(a: str | Column, b: str | Column) -> Column:
     """Sequential left-fold squared-L2 distance in double precision (same
     determinism contract as ``functions.dot_product``)."""

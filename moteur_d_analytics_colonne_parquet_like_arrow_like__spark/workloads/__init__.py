@@ -76,6 +76,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "join_bloom_pruned",
     "table_rollback",
     "events_stl_decompose",
+    "events_seasonal_strength",
+    "pipeline_mix_kl",
+    "sim_knn_graph",
     # (a) new or output-changed in round 6, need fresh driver signatures
     "orders_reconciliation",
     "pipeline_shard_plan",

@@ -481,6 +481,273 @@ def q_events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("d")
 
 
+def q_events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-strength readout (Hyndman's F_s = max(0, 1 - Var(R)/
+    Var(S+R))) for the daily events value series — the one-number
+    forecastability dial on top of the STL split. Same bounded shapes
+    as q_events_stl_decompose: facts reduce once to calendar days,
+    windows run over the bounded grid, and the weekday index is
+    epoch-day % 7. Both variances route each squared residual through
+    round-then-DECIMAL before summing (no float order dependence); the
+    seasonal/overall means are broadcast 1-row or 7-row aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(F.to_date("ts").alias("d"), "value").groupBy("d").agg(
+        (F.sum(F.col("value").cast("decimal(18,6)")) * 1000000)
+        .cast("bigint")
+        .alias("v_mic")
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    detr = (
+        daily.select(
+            "d",
+            "v_mic",
+            F.sum("v_mic").over(w).alias("sum7"),
+            F.count(F.lit(1)).over(w).alias("n7"),
+            (F.datediff(F.col("d"), F.lit("1970-01-01")) % 7).alias("dow"),
+        )
+        .where(F.col("n7") == 7)
+        .withColumn("detr_mic", F.lit(7) * F.col("v_mic") - F.col("sum7"))
+    )
+    seas = detr.groupBy("dow").agg(
+        F.round(
+            F.sum("detr_mic").cast("double") / F.count(F.lit(1)), 6
+        ).alias("seas6")
+    )
+    mean = detr.agg(
+        F.round(
+            F.sum("detr_mic").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean6")
+    )
+    terms = (
+        detr.join(F.broadcast(seas), "dow")
+        .crossJoin(F.broadcast(mean))
+        .select(
+            F.round(
+                (F.col("detr_mic") - F.col("seas6"))
+                * (F.col("detr_mic") - F.col("seas6")),
+                4,
+            )
+            .cast("decimal(38,4)")
+            .alias("ssr_t"),
+            F.round(
+                (F.col("detr_mic") - F.col("mean6"))
+                * (F.col("detr_mic") - F.col("mean6")),
+                4,
+            )
+            .cast("decimal(38,4)")
+            .alias("sst_t"),
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                F.lit(1.0)
+                - F.sum("ssr_t").cast("double")
+                / F.sum("sst_t").cast("double"),
+            ),
+            6,
+        ).alias("strength_r"),
+        F.round(F.sum("ssr_t").cast("double"), 2).alias("ssr_r"),
+        F.round(F.sum("sst_t").cast("double"), 2).alias("sst_r"),
+    )
+
+
+QUERIES["events_seasonal_strength"] = q_events_seasonal_strength
+
+ORACLES["events_seasonal_strength"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+           AS v_mic
+  FROM events GROUP BY CAST(ts AS DATE)
+), detr AS (
+  SELECT d, v_mic, 7 * v_mic - sum7 AS detr_mic, dow FROM (
+    SELECT d, v_mic,
+           sum(v_mic) OVER w AS sum7,
+           count(*) OVER w AS n7,
+           (d - DATE '1970-01-01') % 7 AS dow
+    FROM daily
+    WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+  WHERE n7 = 7
+), seas AS (
+  SELECT dow, round(CAST(sum(detr_mic) AS DOUBLE) / count(*), 6) AS seas6
+  FROM detr GROUP BY dow
+), m AS (
+  SELECT round(CAST(sum(detr_mic) AS DOUBLE) / count(*), 6) AS mean6
+  FROM detr
+), terms AS (
+  SELECT CAST(round((detr_mic - seas6) * (detr_mic - seas6), 4)
+              AS DECIMAL(38,4)) AS ssr_t,
+         CAST(round((detr_mic - mean6) * (detr_mic - mean6), 4)
+              AS DECIMAL(38,4)) AS sst_t
+  FROM detr JOIN seas USING (dow) CROSS JOIN m
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       round(greatest(0.0,
+         1.0 - CAST(sum(ssr_t) AS DOUBLE) / CAST(sum(sst_t) AS DOUBLE)),
+         6) AS strength_r,
+       round(CAST(sum(ssr_t) AS DOUBLE), 2) AS ssr_r,
+       round(CAST(sum(sst_t) AS DOUBLE), 2) AS sst_r
+FROM terms
+"""
+
+
+def q_pipeline_mix_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture divergence readout: each source's token share vs
+    the uniform target mix, reported as its exact share and its KL
+    contribution share*ln(share*n_sources) — the number a data-mixture
+    dashboard tracks while rebalancing (pipeline_mixture_sample /
+    pipeline_temperature_mix are the actuators; this is the meter).
+    Facts reduce ONCE to per-source token counts (source cardinality is
+    fixed); the ln appears once per source ROW — never summed across
+    rows — so cross-engine float determinism needs only the
+    round-before-output rule."""
+    from ..functions import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.select(
+        "source", F.size(words("text")).cast("bigint").alias("toks")
+    ).groupBy("source").agg(F.sum("toks").cast("bigint").alias("toks"))
+    totals = per_source.agg(
+        F.sum("toks").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+    )
+    share = F.col("toks").cast("double") / F.col("total")
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "toks",
+            F.round(share, 6).alias("share_r"),
+            F.round(share * F.log(share * F.col("n_sources")), 6).alias(
+                "kl_term_r"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["pipeline_mix_kl"] = q_pipeline_mix_kl
+
+ORACLES["pipeline_mix_kl"] = """
+WITH per_source AS (
+  SELECT source,
+         CAST(sum(len(string_split(
+           lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')))
+           AS BIGINT) AS toks
+  FROM documents GROUP BY source
+), totals AS (
+  SELECT CAST(sum(toks) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_sources
+  FROM per_source
+)
+SELECT source, toks,
+       round(CAST(toks AS DOUBLE) / total, 6) AS share_r,
+       round((CAST(toks AS DOUBLE) / total)
+             * ln((CAST(toks AS DOUBLE) / total) * n_sources), 6)
+         AS kl_term_r
+FROM per_source CROSS JOIN totals
+ORDER BY source
+"""
+
+
+def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN graph degree profile over the embedding corpus
+    (operators/similarity.knn_graph_mutual): multi-probe LSH candidates
+    through a bucket-keyed SHUFFLE join (queries ARE the corpus — no
+    broadcast of anything data-proportional), per-query top-5 by
+    rounded cosine, and the mutual filter keeps an edge only when both
+    endpoints rank each other. Output: how many nodes have each mutual
+    degree — the connectivity histogram a curation pipeline reads
+    before running component clustering on the graph."""
+    from ..operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = similarity.knn_graph_mutual(
+        emb, "vec_id", "embedding", k=5, probe_flips=1
+    )
+    nodes = edges.select(F.col("id_a").alias("node")).unionAll(
+        edges.select(F.col("id_b").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("node").cast("bigint").alias("min_node"),
+            F.max("node").cast("bigint").alias("max_node"),
+        )
+        .orderBy("degree")
+    )
+
+
+QUERIES["sim_knn_graph"] = q_sim_knn_graph
+
+
+def _knn_graph_oracle() -> str:
+    from ..operators import similarity
+
+    bucket = " + ".join(
+        f"CASE WHEN embedding[{d + 1}] >= 0 THEN {2**i} ELSE 0 END"
+        for i, d in enumerate(similarity.DEFAULT_BUCKET_DIMS)
+    )
+    flips = ", ".join(
+        f"xor(bucket, {1 << i})"
+        for i in range(len(similarity.DEFAULT_BUCKET_DIMS))
+    )
+    dot = (
+        "list_reduce(list_transform(generate_series(1, 64), "
+        "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS "
+        "DOUBLE)), (x, y) -> x + y)"
+    )
+    return f"""
+WITH bucketed AS MATERIALIZED (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+), probes AS (
+  SELECT vec_id AS query_id,
+         unnest([bucket, {flips}]) AS bucket
+  FROM bucketed
+), cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id AS corpus_id
+  FROM probes p JOIN bucketed c ON p.bucket = c.bucket
+  WHERE p.query_id <> c.vec_id
+), scored AS MATERIALIZED (
+  SELECT cand.query_id, cand.corpus_id, round({dot}, 6) AS cosine_r
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings c ON c.vec_id = cand.corpus_id
+), directed AS MATERIALIZED (
+  SELECT query_id, corpus_id FROM (
+    SELECT query_id, corpus_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cosine_r DESC, corpus_id ASC) AS rnk
+    FROM scored)
+  WHERE rnk <= 5
+), mutual AS (
+  SELECT f.query_id AS id_a, f.corpus_id AS id_b
+  FROM directed f JOIN directed r
+    ON r.query_id = f.corpus_id AND r.corpus_id = f.query_id
+  WHERE f.query_id < f.corpus_id
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT id_a AS node FROM mutual
+    UNION ALL SELECT id_b FROM mutual)
+  GROUP BY node
+)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(node) AS BIGINT) AS min_node,
+       CAST(max(node) AS BIGINT) AS max_node
+FROM deg GROUP BY degree ORDER BY degree
+"""
+
+
+ORACLES["sim_knn_graph"] = _knn_graph_oracle()
+
+
 QUERIES["events_stl_decompose"] = q_events_stl_decompose
 
 ORACLES["events_stl_decompose"] = """

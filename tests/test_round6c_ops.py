@@ -310,3 +310,99 @@ def test_geohash_matches_textbook_subdivision(spark, sf_dir):
         n, mn, mx = expect[r["gh_prefix"]]
         assert (r["n_customers"], r["gh_min"], r["gh_max"]) == (n, mn, mx)
     assert sum(r["n_customers"] for r in got) <= len(cust)
+
+
+# ----------------------------------------------------------- batch 2
+
+
+def test_knn_graph_matches_python_rederivation(spark, sf_dir):
+    # Full pipeline re-derivation: multi-probe LSH candidates, top-5 by
+    # rounded cosine with id tie-break, mutual filter, degree histogram.
+    emb = _pdf(spark, sf_dir, "embeddings")
+    vecs = {int(r["vec_id"]): list(r["embedding"]) for _, r in emb.iterrows()}
+    def bucket(v):
+        return sum((1 << i) for i in range(8) if v[i] >= 0)
+    buckets = {k: bucket(v) for k, v in vecs.items()}
+    by_bucket: dict = {}
+    for k, b in buckets.items():
+        by_bucket.setdefault(b, []).append(k)
+    directed = set()
+    for q, v in vecs.items():
+        probes = {buckets[q]} | {buckets[q] ^ (1 << i) for i in range(8)}
+        cands = {c for b in probes for c in by_bucket.get(b, []) if c != q}
+        scored = sorted(
+            (
+                (-round(sum(float(a) * float(b) for a, b in zip(v, vecs[c])), 6), c)
+                for c in cands
+            )
+        )[:5]
+        directed |= {(q, c) for _, c in scored}
+    mutual = {
+        (a, b) for a, b in directed if a < b and (b, a) in directed
+    }
+    deg: dict = {}
+    for a, b in mutual:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    hist: dict = {}
+    for node, d in deg.items():
+        n, mn, mx = hist.get(d, (0, node, node))
+        hist[d] = (n + 1, min(mn, node), max(mx, node))
+    got = {
+        r["degree"]: (r["n_nodes"], r["min_node"], r["max_node"])
+        for r in relational8.q_sim_knn_graph(spark, sf_dir).collect()
+    }
+    assert got == hist and len(got) > 0
+
+
+def test_mix_kl_shares_and_terms(spark, sf_dir):
+    docs = _pdf(spark, sf_dir, "documents")
+    toks = {}
+    for _, r in docs.iterrows():
+        toks[r["source"]] = toks.get(r["source"], 0) + len(r["text"].split())
+    total = sum(toks.values())
+    n = len(toks)
+    rows = relational8.q_pipeline_mix_kl(spark, sf_dir).collect()
+    assert {r["source"] for r in rows} == set(toks)
+    kl_total = 0.0
+    for r in rows:
+        assert r["toks"] == toks[r["source"]]
+        share = toks[r["source"]] / total
+        assert abs(r["share_r"] - share) <= 1e-6
+        assert abs(r["kl_term_r"] - share * math.log(share * n)) <= 2e-6
+        kl_total += r["kl_term_r"]
+    # KL(p || uniform) is nonnegative (Gibbs)
+    assert kl_total >= -1e-9
+    assert abs(sum(r["share_r"] for r in rows) - 1.0) <= 1e-4
+
+
+def test_seasonal_strength_matches_pandas(spark, sf_dir):
+    ev = _pdf(spark, sf_dir, "events")
+    ev["d"] = ev["ts"].dt.date
+    daily = (
+        ev.groupby("d")["value"]
+        .apply(lambda s: int(sum(round(x * 1_000_000) for x in s)))
+        .sort_index()
+    )
+    vals = list(daily.values)
+    days = list(daily.index)
+    detr = {}
+    for i in range(3, len(vals) - 3):
+        detr[days[i]] = 7 * vals[i] - sum(vals[i - 3 : i + 4])
+    from collections import defaultdict
+
+    by_dow = defaultdict(list)
+    for d, x in detr.items():
+        by_dow[(d - pd.Timestamp("1970-01-01").date()).days % 7].append(x)
+    seas6 = {k: round(sum(v) / len(v), 6) for k, v in by_dow.items()}
+    mean6 = round(sum(detr.values()) / len(detr), 6)
+    ssr = sum(
+        round((x - seas6[(d - pd.Timestamp("1970-01-01").date()).days % 7]) ** 2, 4)
+        for d, x in detr.items()
+    )
+    sst = sum(round((x - mean6) ** 2, 4) for x in detr.values())
+    expect = round(max(0.0, 1.0 - ssr / sst), 6)
+    row = relational8.q_events_seasonal_strength(spark, sf_dir).collect()[0]
+    assert row["n_days"] == len(detr)
+    assert abs(row["strength_r"] - expect) <= 2e-6
+    assert 0.0 <= row["strength_r"] <= 1.0

@@ -74,6 +74,20 @@ TARGETS = [
     "orders_forecast_backtest",
     "sql_recursive_cte",
     "sql_lateral_topk",
+    # third continuation batch (table_rollback is a cached fixture build;
+    # the geo queries get 10x customers AND 10x suppliers from the v3
+    # fixture, so blocking-join occupancy grows with BOTH sides)
+    "geo_nearest_supplier",
+    "geo_geohash_encode",
+    "events_attribution_shapley",
+    "orders_rolling_median",
+    "text_rake_keywords",
+    "events_stl_decompose",
+    "join_bloom_pruned",
+    # batch 2 (sim_knn_graph excluded: embeddings is the same 500 rows
+    # at every SF, so a replica ratio would measure nothing)
+    "pipeline_mix_kl",
+    "events_seasonal_strength",
 ]
 
 # Queries whose construction itself executes jobs (streaming runs,
@@ -106,13 +120,18 @@ REPLICATION = {
     # round-6: hierarchy_closure derives edges from p_partkey div 10 —
     # shifted copies give 10x hierarchy nodes.
     "part": ([("p_partkey", 10**9)], None),
+    # continuation 3: the geo family derives coordinates from these keys,
+    # so shifting them scales point density; shift bases match the
+    # foreign keys above (o_custkey / l_suppkey) so joins stay closed.
+    "customer": ([("c_custkey", 10**9)], None),
+    "supplier": ([("s_suppkey", 10**9)], None),
 }
 
 
 def build_sf1(spark) -> None:
-    # v2: part joined REPLICATION (round 6) — a marker bump rebuilds the
-    # whole fixture once.
-    marker = os.path.join(DST, "_DONE_v2")
+    # v3: customer + supplier joined REPLICATION (round-6 continuation 3)
+    # — a marker bump rebuilds the whole fixture once.
+    marker = os.path.join(DST, "_DONE_v3")
     if os.path.exists(marker):
         return
     src = SRC if os.path.exists(SRC) else RAW
@@ -140,8 +159,6 @@ def build_sf1(spark) -> None:
     for t in (
         "region",
         "nation",
-        "customer",
-        "supplier",
         "embeddings",
     ):
         spark.read.parquet(os.path.join(src, f"{t}.parquet")).write.mode(
