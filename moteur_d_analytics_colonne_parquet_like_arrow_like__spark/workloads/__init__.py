@@ -79,6 +79,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "events_seasonal_strength",
     "pipeline_mix_kl",
     "sim_knn_graph",
+    "multimodal_binaryfile_ingest",
+    "agg_mode_exact",
     # (a) new or output-changed in round 6, need fresh driver signatures
     "orders_reconciliation",
     "pipeline_shard_plan",

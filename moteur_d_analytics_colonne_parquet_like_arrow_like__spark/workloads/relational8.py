@@ -748,6 +748,163 @@ FROM deg GROUP BY degree ORDER BY degree
 ORACLES["sim_knn_graph"] = _knn_graph_oracle()
 
 
+def q_multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Files-on-a-lake multimodal ingestion: a directory of 120 REAL
+    container files (24-bit BMPs, PCM16 WAVs, valid minimal MP4s —
+    operators/multimodal.py writers) reads through Spark's binaryFile
+    source — the listing/IO path a 100 TB media lake actually uses
+    (driver lists paths, executors stream bytes; at scale the listing
+    parallelizes and maxPartitionBytes packs small files). media_id
+    recovers from the FILENAME, the kind from the extension, and the
+    container metadata decodes from the ACTUAL bytes with
+    require_real_codec=True (any unparseable blob raises on the
+    executor). The oracle recomputes every aggregate from the
+    generating formulas over range(0,120) without touching a file — a
+    lying parser or a mangled write fails the hash. Fixture builds into
+    a temp dir and renames atomically (crash-safe)."""
+    from ..operators import multimodal
+
+    n_files = 120
+    path = f"/tmp/media_files_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    if os.path.exists(path) and len(os.listdir(path)) != n_files:
+        shutil.rmtree(path, ignore_errors=True)
+    if not os.path.exists(path):
+        build = path + f".build_{os.getpid()}"
+        shutil.rmtree(build, ignore_errors=True)
+        os.makedirs(build)
+        for mid in range(n_files):
+            if mid % 3 == 0:
+                blob = multimodal.bmp_bytes(
+                    (mid % 31 + 1) * 4, (mid % 23 + 1) * 4
+                )
+                ext = "bmp"
+            elif mid % 3 == 1:
+                blob = multimodal.wav_bytes((mid % 50 + 1) * 80)
+                ext = "wav"
+            else:
+                blob = multimodal.mp4_bytes(
+                    (mid % 16 + 1) * 16,
+                    (mid % 9 + 1) * 16,
+                    (mid % 60 + 1) * 500,
+                    filler=mid % 200,
+                )
+                ext = "mp4"
+            with open(os.path.join(build, f"media_{mid}.{ext}"), "wb") as f:
+                f.write(blob)
+        os.rename(build, path)
+    raw = spark.read.format("binaryFile").load(path)
+    kind = (
+        F.when(F.col("path").endswith(".bmp"), "image")
+        .when(F.col("path").endswith(".wav"), "audio")
+        .otherwise("video")
+    )
+    media = raw.select(
+        F.regexp_extract(F.col("path"), r"media_(\d+)\.", 1)
+        .cast("long")
+        .alias("media_id"),
+        kind.alias("kind"),
+        "content",
+        F.col("length").cast("long").alias("byte_len"),
+    )
+    decoded = multimodal.decode_media(media, require_real_codec=True)
+    return (
+        decoded.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("byte_len").cast("bigint").alias("bytes_sum"),
+            F.sum("width").cast("bigint").alias("w_sum"),
+            F.sum("height").cast("bigint").alias("h_sum"),
+            F.sum("duration_ms").cast("bigint").alias("dur_sum"),
+        )
+        .orderBy("kind")
+    )
+
+
+QUERIES["multimodal_binaryfile_ingest"] = q_multimodal_binaryfile_ingest
+
+ORACLES["multimodal_binaryfile_ingest"] = """
+WITH ids AS (
+  SELECT CAST(i AS BIGINT) AS id FROM range(0, 120) r(i)
+), expect AS (
+  SELECT id,
+    CASE id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+    CASE id % 3
+      WHEN 0 THEN 54 + 3 * ((id % 31 + 1) * 4) * ((id % 23 + 1) * 4)
+      WHEN 1 THEN 44 + 160 * (id % 50 + 1)
+      ELSE 240 + id % 200 END AS byte_len,
+    CASE id % 3 WHEN 0 THEN (id % 31 + 1) * 4
+                WHEN 2 THEN (id % 16 + 1) * 16 END AS width,
+    CASE id % 3 WHEN 0 THEN (id % 23 + 1) * 4
+                WHEN 2 THEN (id % 9 + 1) * 16 END AS height,
+    CASE id % 3 WHEN 1 THEN (id % 50 + 1) * 10
+                WHEN 2 THEN (id % 60 + 1) * 500 END AS duration_ms
+  FROM ids
+)
+SELECT kind, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(byte_len) AS BIGINT) AS bytes_sum,
+       CAST(sum(width) AS BIGINT) AS w_sum,
+       CAST(sum(height) AS BIGINT) AS h_sum,
+       CAST(sum(duration_ms) AS BIGINT) AS dur_sum
+FROM expect GROUP BY kind ORDER BY kind
+"""
+
+
+def q_agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group mode with a deterministic tie-break (smallest
+    value wins) — the aggregate Spark's built-in ``mode()`` leaves
+    tie-nondeterministic, re-expressed as min(struct(-count, value))
+    over the (group, value) count cells: two map-side-combinable
+    aggregates, no window, no collect. The cell table is |statuses| x
+    |priorities| — dimension-bounded at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    best = (
+        cells.groupBy("o_orderstatus")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("neg"),
+                    F.col("o_orderpriority").alias("p"),
+                )
+            ).alias("best"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_prio"),
+        )
+        .select(
+            "o_orderstatus",
+            F.col("best.p").alias("mode_priority"),
+            (-F.col("best.neg")).cast("bigint").alias("mode_count"),
+            "n_distinct_prio",
+        )
+    )
+    return best.orderBy("o_orderstatus")
+
+
+QUERIES["agg_mode_exact"] = q_agg_mode_exact
+
+ORACLES["agg_mode_exact"] = """
+WITH cells AS (
+  SELECT o_orderstatus, o_orderpriority,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+), best_cnt AS (
+  SELECT o_orderstatus, max(cnt) AS mc,
+         CAST(count(*) AS BIGINT) AS n_distinct_prio
+  FROM cells GROUP BY o_orderstatus
+)
+SELECT c.o_orderstatus,
+       min(c.o_orderpriority) AS mode_priority,
+       CAST(max(b.mc) AS BIGINT) AS mode_count,
+       CAST(max(b.n_distinct_prio) AS BIGINT) AS n_distinct_prio
+FROM cells c JOIN best_cnt b
+  ON c.o_orderstatus = b.o_orderstatus AND c.cnt = b.mc
+GROUP BY c.o_orderstatus
+ORDER BY c.o_orderstatus
+"""
+
+
 QUERIES["events_stl_decompose"] = q_events_stl_decompose
 
 ORACLES["events_stl_decompose"] = """

@@ -406,3 +406,45 @@ def test_seasonal_strength_matches_pandas(spark, sf_dir):
     assert row["n_days"] == len(detr)
     assert abs(row["strength_r"] - expect) <= 2e-6
     assert 0.0 <= row["strength_r"] <= 1.0
+
+
+def test_binaryfile_ingest_matches_formulas(spark, sf_dir):
+    got = {
+        r["kind"]: r
+        for r in relational8.q_multimodal_binaryfile_ingest(
+            spark, sf_dir
+        ).collect()
+    }
+    exp = {"image": [0, 0, 0, 0, 0], "audio": [0, 0, 0, 0, 0],
+           "video": [0, 0, 0, 0, 0]}
+    for mid in range(120):
+        if mid % 3 == 0:
+            w, h = (mid % 31 + 1) * 4, (mid % 23 + 1) * 4
+            e = exp["image"]
+            e[0] += 1; e[1] += 54 + 3 * w * h; e[2] += w; e[3] += h
+        elif mid % 3 == 1:
+            e = exp["audio"]
+            e[0] += 1; e[1] += 44 + 160 * (mid % 50 + 1)
+            e[4] += (mid % 50 + 1) * 10
+        else:
+            e = exp["video"]
+            e[0] += 1; e[1] += 240 + mid % 200
+            e[2] += (mid % 16 + 1) * 16; e[3] += (mid % 9 + 1) * 16
+            e[4] += (mid % 60 + 1) * 500
+    for kind, e in exp.items():
+        r = got[kind]
+        assert [r["n_files"], r["bytes_sum"], r["w_sum"] or 0,
+                r["h_sum"] or 0, r["dur_sum"] or 0] == e, kind
+
+
+def test_mode_exact_tie_breaks_to_smallest(spark):
+    df = spark.createDataFrame(
+        [("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"), ("g", "c")],
+        "grp string, v string",
+    )
+    cells = df.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    best = cells.groupBy("grp").agg(
+        F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("v").alias("p")))
+        .alias("best")
+    ).select("grp", F.col("best.p").alias("mode_v"))
+    assert best.collect()[0]["mode_v"] == "a"  # a and b tie at 2 -> a
