@@ -386,3 +386,68 @@ def normalize_scores_per_group(
             6,
         ).alias("pct_r"),
     )
+
+
+def auc_rank(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    chunk: int = 1000,
+) -> DataFrame:
+    """Tie-aware Mann-Whitney AUC of an integer ``score_col`` against a
+    0/1 ``label_col`` — the rank-sum identity AUC = (R⁺ − n⁺(n⁺+1)/2) /
+    (n⁺·n⁻), with tied scores taking mid-ranks. The model-evaluation
+    primitive of a curation pipeline: "does this quality score actually
+    separate the keep class from the drop class?".
+
+    Scale shape: the textbook formulation ranks every row through ONE
+    unpartitioned ``Window.orderBy`` — the single-task trap. Instead the
+    facts reduce once to distinct-score cells (map-side combinable; at
+    most one row per score value), and the exclusive count of
+    strictly-smaller scores rides ``two_phase_rank_cumsum`` over
+    score-range chunks. All mid-rank arithmetic stays doubled-integer
+    (2·R⁺ = Σ pos·(2·below + cnt + 1)), so the output is BIGINT-exact;
+    the AUC ships as integer micro-units (``div``, not float division).
+    BIGINT holds to ~3·10⁹ rows per class (n⁺·n⁻ < 2⁶³/2·10⁶); past
+    that, route ``u2`` through DECIMAL(38,0).
+
+    reference: ABSENT — SURVEY.md §2 extension surface.
+    """
+    g = df.groupBy(score_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt"),
+        F.sum(F.col(label_col).cast("bigint")).alias("__pos"),
+    )
+    ranked = two_phase_rank_cumsum(
+        g,
+        score_col,
+        F.expr(f"{score_col} div {chunk}"),
+        value_col="__cnt",
+        cum_col="__cum",
+    )
+    terms = ranked.select(
+        (
+            F.col("__pos")
+            * (
+                F.lit(2) * (F.col("__cum") - F.col("__cnt"))
+                + F.col("__cnt")
+                + F.lit(1)
+            )
+        ).alias("__r2"),
+        F.col("__pos"),
+        (F.col("__cnt") - F.col("__pos")).alias("__neg"),
+    )
+    tot = terms.agg(
+        F.sum("__r2").cast("bigint").alias("__r2s"),
+        F.sum("__pos").cast("bigint").alias("n_pos"),
+        F.sum("__neg").cast("bigint").alias("n_neg"),
+    )
+    return tot.select(
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "((__r2s - n_pos * (n_pos + 1)) * 1000000)"
+            " div (2 * n_pos * n_neg)"
+        )
+        .cast("bigint")
+        .alias("auc_micro"),
+    )

@@ -370,3 +370,91 @@ def holt_half(
             st["l"] + F.lit(float(forecast_steps)) * st["b"], 6
         ).alias("forecast_r"),
     ).orderBy(key_col)
+
+
+def interpolate_linear(
+    observed: DataFrame,
+    key_col: str,
+    idx_col: str,
+    value_col: str,
+    max_steps: int = 1_000_000,
+) -> DataFrame:
+    """Densify one-row-per-(key, integer-grid-index) observations onto the
+    full index range and LINEARLY interpolate interior gaps — the
+    two-sided sibling of :func:`resample_ffill` (carry-forward fills from
+    the past only; interpolation weighs both neighbours), the standard
+    sensor/feature repair before model training.
+
+    Exactness contract: ``idx_col`` is an integer grid position (e.g.
+    epoch-hours) and ``value_col`` an integer (scaled units, e.g. milli);
+    a gap at t between observations (t0,v0) and (t1,v1) fills with the
+    floor-division lerp ``(v0·(t1−t) + v1·(t−t0)) div (t1−t0)`` — pure
+    BIGINT, bit-identical across engines (no float slope). Grid edges are
+    observations by construction (the grid spans each key's own min..max),
+    so every gap has both neighbours.
+
+    Scale shape: the grid is a per-key ``explode(sequence(...))`` guarded
+    by ``max_steps`` (a corrupt index would otherwise explode one key into
+    millions of rows); the neighbour search is two windows partitioned by
+    key — bounded by each key's own span, never a global sort.
+
+    reference: ABSENT — SURVEY.md §2 extension surface.
+    """
+    span = observed.groupBy(key_col).agg(
+        F.min(idx_col).alias("__i0"), F.max(idx_col).alias("__i1")
+    )
+    guarded = span.withColumn(
+        "__i1",
+        F.when(
+            F.col("__i1") - F.col("__i0") <= F.lit(max_steps), F.col("__i1")
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "interpolate_linear: key span exceeds "
+                    f"max_steps={max_steps}"
+                )
+            )
+        ),
+    )
+    grid = guarded.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("__i0"), F.col("__i1"))
+        ).alias(idx_col),
+    )
+    joined = grid.join(observed, on=[key_col, idx_col], how="left")
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy(idx_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(key_col)
+        .orderBy(idx_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_idx = F.when(
+        F.col(value_col).isNotNull(), F.col(idx_col)
+    )
+    sided = joined.select(
+        key_col,
+        idx_col,
+        F.col(value_col).isNull().cast("int").alias("is_gap"),
+        F.last(value_col, ignorenulls=True).over(w_prev).alias("__v0"),
+        F.last(obs_idx, ignorenulls=True).over(w_prev).alias("__t0"),
+        F.first(value_col, ignorenulls=True).over(w_next).alias("__v1"),
+        F.first(obs_idx, ignorenulls=True).over(w_next).alias("__t1"),
+    )
+    lerp = F.expr(
+        f"(__v0 * (__t1 - {idx_col}) + __v1 * ({idx_col} - __t0))"
+        " div (__t1 - __t0)"
+    )
+    return sided.select(
+        key_col,
+        idx_col,
+        F.when(F.col("is_gap") == 0, F.col("__v0"))
+        .otherwise(lerp)
+        .cast("bigint")
+        .alias(value_col),
+        "is_gap",
+    )

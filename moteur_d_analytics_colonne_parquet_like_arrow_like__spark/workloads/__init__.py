@@ -36,6 +36,7 @@ from . import (
     relational7,
     relational8,
     pipeline2,
+    mleval,
     streaming_ops,
 )
 
@@ -54,6 +55,7 @@ _MODULES = [
     python_surface,
     pipeline,
     pipeline2,
+    mleval,
     streaming_ops,
 ]
 
@@ -65,6 +67,9 @@ _MODULES = [
 # driver signature should predate r2 and most of r2 should be consumed;
 # then (d)-(e) by ascending freshness. VERDICT r5 item 2.
 _VERIFY_FIRST: tuple[str, ...] = (
+    # (a00) continuation-4 additions — newest, zero driver signatures yet
+    "events_auc_value",
+    "events_interpolate_linear",
     # (a0) continuation-3 additions — newest, zero driver signatures yet
     "geo_cell_density",
     "geo_nearest_supplier",

@@ -1,0 +1,166 @@
+"""Round-6 continuation-4 operators: distributed tie-aware AUC, linear
+gap interpolation, consistent-hash shard rebalancing, integer batch
+perceptron, image dHash near-dup.
+
+Each gate query gets an independent re-derivation (pandas/numpy brute
+force at sf0.001) so a Spark-side logic bug cannot hide behind an
+oracle authored from the same reading of the algorithm.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import (
+    stats,
+    timeseries,
+)
+from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import (
+    mleval,
+)
+
+
+def _pdf(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet").toPandas()
+
+
+# ------------------------------------------------------------------ AUC
+
+
+def _auc_bruteforce(scores, labels):
+    # Textbook mid-rank Mann-Whitney via pandas average ranks.
+    s = pd.DataFrame({"score": scores, "y": labels})
+    s["rank"] = s["score"].rank(method="average")
+    n_pos = int(s["y"].sum())
+    n_neg = len(s) - n_pos
+    r_pos = float(s.loc[s["y"] == 1, "rank"].sum())
+    return (r_pos - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+
+
+def test_auc_matches_pandas_rank(spark, sf_dir):
+    ev = _pdf(spark, sf_dir, "events")
+    scores = (ev["value"] * 100).round().astype("int64")
+    labels = (ev["event_type"] == "purchase").astype(int)
+    expected = _auc_bruteforce(scores, labels)
+    row = mleval.q_events_auc_value(spark, sf_dir).collect()[0]
+    assert row["n_pos"] == int(labels.sum())
+    assert row["n_neg"] == int((1 - labels).sum())
+    # auc_micro is the floor of AUC·1e6 — compare at that grain.
+    assert row["auc_micro"] == int(expected * 1_000_000)
+
+
+def test_auc_perfect_and_random_separation(spark):
+    # score == label ordering -> AUC 1.0; constant score -> 0.5 exactly.
+    perfect = spark.createDataFrame(
+        [(i, 1 if i >= 5 else 0) for i in range(10)], "s long, y int"
+    )
+    out = stats.auc_rank(perfect, "s", "y").collect()[0]
+    assert out["auc_micro"] == 1_000_000
+    flat = spark.createDataFrame(
+        [(7, i % 2) for i in range(10)], "s long, y int"
+    )
+    out = stats.auc_rank(flat, "s", "y").collect()[0]
+    assert out["auc_micro"] == 500_000
+
+
+def test_auc_chunking_invariant(spark):
+    # The two-phase scan must be bit-identical at any chunk width.
+    df = spark.createDataFrame(
+        [((i * 37) % 101, 1 if i % 3 == 0 else 0) for i in range(200)],
+        "s long, y int",
+    )
+    rows = {
+        c: stats.auc_rank(df, "s", "y", chunk=c).collect()[0]
+        for c in (1, 7, 1000)
+    }
+    assert rows[1] == rows[7] == rows[1000]
+
+
+# -------------------------------------------------- linear interpolation
+
+
+def test_interpolate_linear_exact_lerp(spark):
+    obs = spark.createDataFrame(
+        [("a", 0, 100), ("a", 3, 400), ("a", 5, 1000), ("b", 2, 50)],
+        "k string, h long, v long",
+    )
+    out = {
+        (r["k"], r["h"]): (r["v"], r["is_gap"])
+        for r in timeseries.interpolate_linear(obs, "k", "h", "v").collect()
+    }
+    assert out[("a", 0)] == (100, 0)
+    assert out[("a", 1)] == (200, 1)
+    assert out[("a", 2)] == (300, 1)
+    assert out[("a", 3)] == (400, 0)
+    assert out[("a", 4)] == (700, 1)
+    assert out[("a", 5)] == (1000, 0)
+    assert out[("b", 2)] == (50, 0)
+    assert len(out) == 7
+
+
+def test_interpolate_linear_floor_division(spark):
+    # (0 -> 10) over 3 steps: exact thirds floor to 3 and 6.
+    obs = spark.createDataFrame(
+        [("a", 0, 0), ("a", 3, 10)], "k string, h long, v long"
+    )
+    vals = {
+        r["h"]: r["v"]
+        for r in timeseries.interpolate_linear(obs, "k", "h", "v").collect()
+    }
+    assert vals == {0: 0, 1: 3, 2: 6, 3: 10}
+
+
+def test_interpolate_linear_span_guard(spark):
+    obs = spark.createDataFrame(
+        [("a", 0, 0), ("a", 10_000_000, 1)], "k string, h long, v long"
+    )
+    with pytest.raises(Exception, match="max_steps"):
+        timeseries.interpolate_linear(
+            obs, "k", "h", "v", max_steps=1000
+        ).collect()
+
+
+def test_interpolate_gate_matches_numpy(spark, sf_dir):
+    ev = _pdf(spark, sf_dir, "events")
+    ev = ev[ev["user_id"] < 12].copy()
+    ev["h"] = ev["ts"].astype("int64") // (3600 * 10**9)
+    ev["m"] = (ev["value"] * 1000).round().astype("int64")
+    hourly = ev.groupby(["user_id", "h"])["m"].agg(
+        lambda s: int(s.sum()) // len(s)
+    )
+    expected = {}
+    for uid in sorted(ev["user_id"].unique()):
+        series = hourly.loc[uid]
+        h0, h1 = int(series.index.min()), int(series.index.max())
+        known = dict(series.items())
+        ks = sorted(known)
+        import bisect
+
+        for h in range(h0, h1 + 1):
+            if h in known:
+                expected[(uid, h)] = (known[h], 0)
+            else:
+                i = bisect.bisect_left(ks, h)
+                t0, t1 = ks[i - 1], ks[i]
+                v0, v1 = known[t0], known[t1]
+                lerp = (v0 * (t1 - h) + v1 * (h - t0)) // (t1 - t0)
+                expected[(uid, h)] = (lerp, 1)
+    got = {
+        (r["user_id"], r["hour_idx"]): (r["v_milli"], r["is_gap"])
+        for r in mleval.q_events_interpolate_linear(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+# ----------------------------------------------------------- plan shape
+
+
+def test_auc_has_no_unsafe_global_window(spark, sf_dir):
+    # The strictly-below counts must ride the chunked two-phase scan —
+    # never a single-task global rank over the distinct-score table.
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark import plans
+
+    df = mleval.q_events_auc_value(spark, sf_dir)
+    assert plans.unsafe_global_windows(df) == []
