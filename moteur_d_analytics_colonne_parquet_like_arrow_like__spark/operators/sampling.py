@@ -257,3 +257,65 @@ def negative_pairs(
         )
         .orderBy(id_col, "slot")
     )
+
+
+def consistent_ring(n_nodes: int, vnodes: int = 8) -> list[tuple[int, int]]:
+    """The (point, owner) hash ring for :func:`consistent_shard_assign`:
+    ``vnodes`` virtual points per node at ``h60('node{i}#v{j}')`` (the
+    repo's stable md5 hash family), sorted by point. Collisions would make
+    ownership tie-break-dependent, so they fail loudly (probability
+    ~(n·v)²/2⁶¹ — never observed; a salt bump fixes it if it ever trips).
+    """
+    import hashlib
+
+    ring = sorted(
+        (
+            int(
+                hashlib.md5(f"node{i}#v{j}".encode()).hexdigest()[:15], 16
+            ),
+            i,
+        )
+        for i in range(n_nodes)
+        for j in range(vnodes)
+    )
+    points = [p for p, _ in ring]
+    if len(set(points)) != len(points):
+        raise ValueError("consistent_ring: hash-point collision; change salt")
+    return ring
+
+
+def consistent_shard_assign(
+    df: DataFrame,
+    key_col: str,
+    n_nodes: int,
+    vnodes: int = 8,
+    out_col: str = "node",
+) -> DataFrame:
+    """Consistent-hash shard assignment (Karger rings, the memcache /
+    Dynamo placement scheme): each key goes to the owner of the first
+    ring point at or after ``h60(key)``, wrapping past the top. Adding a
+    node moves ONLY the keys that land on the new node's arcs (~1/(n+1)
+    of them) — vs modulo sharding, which reshuffles nearly everything.
+    That movement bound is what makes resharding a 100 TB corpus an
+    incremental copy instead of a full rewrite.
+
+    Scale shape: the ring is tiny and compiles to literal arrays inside
+    ONE projection — successor lookup is ``size(filter(points, p < h))``
+    plus an ``element_at``, pure per-row expression work: no join, no
+    shuffle, no UDF. Deterministic md5 math end to end.
+
+    reference: ABSENT — SURVEY.md §2 extension surface.
+    """
+    ring = consistent_ring(n_nodes, vnodes)
+    points = F.array(*[F.lit(p) for p, _ in ring])
+    owners = F.array(*[F.lit(o) for _, o in ring])
+    d = df.withColumn(
+        "__h", stable_hash60(F.col(key_col).cast("string"))
+    )
+    idx = F.size(F.filter(points, lambda p: p < F.col("__h")))
+    wrapped = F.when(idx >= F.lit(len(ring)), F.lit(0)).otherwise(idx)
+    return (
+        d.withColumn(out_col, F.element_at(owners, wrapped + F.lit(1)))
+        .withColumn(out_col, F.col(out_col).cast("int"))
+        .drop("__h")
+    )

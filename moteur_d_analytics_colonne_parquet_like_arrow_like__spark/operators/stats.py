@@ -451,3 +451,61 @@ def auc_rank(
         .cast("bigint")
         .alias("auc_micro"),
     )
+
+
+def perceptron_train(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    epochs: int = 3,
+) -> DataFrame:
+    """Batch (Rosenblatt) perceptron trained with exact integer
+    arithmetic: weights start at 0 and each epoch adds the SUM of
+    ``y·x`` over currently-misclassified rows (``y·(w·x) <= 0``,
+    unit learning rate) — the classic quality-filter trainer shape (a
+    fastText-style linear classifier over integer features), kept
+    bit-exact so two engines agree on every weight.
+
+    Scale shape: one map-side-combinable aggregation pass per epoch
+    (k partial sums), weights come back as ONE k-int row and re-enter
+    the next pass as literals — the same broadcast-the-model loop as
+    ``kmeans_iterate``, with no shuffle of the facts, ever. Batch (not
+    sequential) updates are what make the result partitioning-invariant:
+    the classic per-row perceptron depends on visit order, which no
+    distributed engine should promise.
+
+    ``label_col`` must be ±1 and features integer (quantize upstream).
+    Returns one row: ``w_<feat>`` final weights, ``n_correct`` rows with
+    a strictly positive final margin, ``n_total``.
+
+    reference: ABSENT — SURVEY.md §2 extension surface.
+    """
+    y = F.col(label_col)
+    w = [0] * len(feature_cols)
+
+    def margin(weights: list[int]):
+        m = F.lit(0).cast("bigint")
+        for wi, c in zip(weights, feature_cols):
+            m = m + F.lit(wi) * F.col(c)
+        return m
+
+    for _ in range(epochs):
+        mis = (y * margin(w)) <= 0
+        row = df.agg(
+            *[
+                F.sum(F.when(mis, y * F.col(c)).otherwise(F.lit(0)))
+                .cast("bigint")
+                .alias(f"__d{i}")
+                for i, c in enumerate(feature_cols)
+            ]
+        ).collect()[0]
+        w = [wi + (row[f"__d{i}"] or 0) for i, wi in enumerate(w)]
+    out = df.agg(
+        F.sum(((y * margin(w)) > 0).cast("bigint")).alias("n_correct"),
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+    )
+    for i, c in enumerate(feature_cols):
+        out = out.withColumn(f"w_{c}", F.lit(int(w[i])).cast("bigint"))
+    return out.select(
+        *[f"w_{c}" for c in feature_cols], "n_correct", "n_total"
+    )

@@ -70,6 +70,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # (a00) continuation-4 additions — newest, zero driver signatures yet
     "events_auc_value",
     "events_interpolate_linear",
+    "docs_shard_rebalance",
+    "events_perceptron",
     # (a0) continuation-3 additions — newest, zero driver signatures yet
     "geo_cell_density",
     "geo_nearest_supplier",

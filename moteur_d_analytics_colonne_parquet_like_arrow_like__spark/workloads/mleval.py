@@ -136,3 +136,170 @@ SELECT user_id, h AS hour_idx,
 FROM sided
 ORDER BY user_id, hour_idx
 """
+
+
+# ------------------------------------------------- consistent-hash shards
+
+
+def q_docs_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resharding-cost audit for growing a 16-node document store to 17
+    under consistent hashing (operators/sampling.consistent_shard_assign):
+    per current node, how many docs it holds, how many leave when node 16
+    joins, and how many of those land ON the new node — consistent
+    hashing's contract is that every mover goes to the new node (the two
+    columns must be equal; the pytest asserts it), vs mod-N sharding
+    which would move ~16/17 of everything."""
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    a = sampling.consistent_shard_assign(
+        docs, "doc_id", 16, out_col="node_before"
+    )
+    b = sampling.consistent_shard_assign(
+        a, "doc_id", 17, out_col="node_after"
+    )
+    return (
+        b.groupBy("node_before")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                (F.col("node_after") != F.col("node_before")).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_moved"),
+            F.sum((F.col("node_after") == 16).cast("int"))
+            .cast("bigint")
+            .alias("n_to_new"),
+        )
+        .orderBy("node_before")
+    )
+
+
+QUERIES["docs_shard_rebalance"] = q_docs_shard_rebalance
+
+# One ring, both views: node < 16 restricts the successor search to the
+# 16-node ring; the unrestricted search is the 17-node ring (the new
+# node's vnodes only ADD points, never move existing ones).
+ORACLES["docs_shard_rebalance"] = """
+WITH ring AS MATERIALIZED (
+  SELECT i.i AS node,
+         CAST(concat('0x', substr(md5('node' || i.i || '#v' || j.j), 1, 15))
+              AS BIGINT) AS point
+  FROM (SELECT unnest(generate_series(0, 16)) AS i) i,
+       (SELECT unnest(generate_series(0, 7)) AS j) j
+), keys AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM documents
+), assign AS (
+  SELECT k.doc_id,
+         COALESCE(arg_min(r.node, r.point)
+                    FILTER (WHERE r.point >= k.h AND r.node < 16),
+                  arg_min(r.node, r.point) FILTER (WHERE r.node < 16)
+         ) AS node_before,
+         COALESCE(arg_min(r.node, r.point) FILTER (WHERE r.point >= k.h),
+                  arg_min(r.node, r.point)
+         ) AS node_after
+  FROM keys k CROSS JOIN ring r
+  GROUP BY k.doc_id, k.h
+)
+SELECT CAST(node_before AS INT) AS node_before,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN node_after <> node_before THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_moved,
+       CAST(SUM(CASE WHEN node_after = 16 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_to_new
+FROM assign
+GROUP BY node_before
+ORDER BY node_before
+"""
+
+
+# ------------------------------------------------------ batch perceptron
+
+
+def _perceptron_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("y"),
+        F.lit(1).cast("bigint").alias("x_bias"),
+        F.round(F.col("value") * 100).cast("bigint").alias("x_cents"),
+        F.expr("(unix_micros(ts) div 3600000000) % 24")
+        .cast("bigint")
+        .alias("x_hour"),
+        F.expr("(unix_micros(ts) div 86400000000) % 7")
+        .cast("bigint")
+        .alias("x_dow"),
+    )
+
+
+def q_events_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a purchase-vs-rest linear classifier with the exact integer
+    batch perceptron (operators/stats.perceptron_train, 3 epochs) on
+    value-cents / hour-of-day / epoch-day-weekday features. The weights
+    and the final-margin accuracy are BIGINT-exact — a deterministic,
+    partitioning-invariant stand-in for the quality-classifier training
+    step of a curation pipeline (one combinable aggregate per epoch;
+    the model re-enters as literals, the facts never shuffle)."""
+    feats = _perceptron_features(spark, sf_dir)
+    return stats.perceptron_train(
+        feats, ["x_bias", "x_cents", "x_hour", "x_dow"], "y", epochs=3
+    )
+
+
+QUERIES["events_perceptron"] = q_events_perceptron
+
+# Three unrolled epochs (w0 = 0 makes epoch 1's "misclassified" set the
+# whole table); each epoch is one aggregate over the feature CTE joined
+# to the previous 1-row weight CTE — MATERIALIZED so DuckDB never inlines
+# the feature scan into each reference.
+ORACLES["events_perceptron"] = """
+WITH f AS MATERIALIZED (
+  SELECT CASE WHEN event_type = 'purchase' THEN CAST(1 AS BIGINT)
+              ELSE CAST(-1 AS BIGINT) END AS y,
+         CAST(1 AS BIGINT) AS x0,
+         CAST(round(value * 100) AS BIGINT) AS x1,
+         CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS x2,
+         CAST((epoch_us(ts) // 86400000000) % 7 AS BIGINT) AS x3
+  FROM events
+), w1 AS MATERIALIZED (
+  SELECT CAST(SUM(y * x0) AS BIGINT) AS a0,
+         CAST(SUM(y * x1) AS BIGINT) AS a1,
+         CAST(SUM(y * x2) AS BIGINT) AS a2,
+         CAST(SUM(y * x3) AS BIGINT) AS a3
+  FROM f
+), w2 AS MATERIALIZED (
+  SELECT CAST(w1.a0 + COALESCE(SUM(CASE WHEN y * (w1.a0*x0 + w1.a1*x1
+               + w1.a2*x2 + w1.a3*x3) <= 0 THEN y * x0 END), 0) AS BIGINT) AS a0,
+         CAST(w1.a1 + COALESCE(SUM(CASE WHEN y * (w1.a0*x0 + w1.a1*x1
+               + w1.a2*x2 + w1.a3*x3) <= 0 THEN y * x1 END), 0) AS BIGINT) AS a1,
+         CAST(w1.a2 + COALESCE(SUM(CASE WHEN y * (w1.a0*x0 + w1.a1*x1
+               + w1.a2*x2 + w1.a3*x3) <= 0 THEN y * x2 END), 0) AS BIGINT) AS a2,
+         CAST(w1.a3 + COALESCE(SUM(CASE WHEN y * (w1.a0*x0 + w1.a1*x1
+               + w1.a2*x2 + w1.a3*x3) <= 0 THEN y * x3 END), 0) AS BIGINT) AS a3
+  FROM f, w1
+  GROUP BY w1.a0, w1.a1, w1.a2, w1.a3
+), w3 AS MATERIALIZED (
+  SELECT CAST(w2.a0 + COALESCE(SUM(CASE WHEN y * (w2.a0*x0 + w2.a1*x1
+               + w2.a2*x2 + w2.a3*x3) <= 0 THEN y * x0 END), 0) AS BIGINT) AS a0,
+         CAST(w2.a1 + COALESCE(SUM(CASE WHEN y * (w2.a0*x0 + w2.a1*x1
+               + w2.a2*x2 + w2.a3*x3) <= 0 THEN y * x1 END), 0) AS BIGINT) AS a1,
+         CAST(w2.a2 + COALESCE(SUM(CASE WHEN y * (w2.a0*x0 + w2.a1*x1
+               + w2.a2*x2 + w2.a3*x3) <= 0 THEN y * x2 END), 0) AS BIGINT) AS a2,
+         CAST(w2.a3 + COALESCE(SUM(CASE WHEN y * (w2.a0*x0 + w2.a1*x1
+               + w2.a2*x2 + w2.a3*x3) <= 0 THEN y * x3 END), 0) AS BIGINT) AS a3
+  FROM f, w2
+  GROUP BY w2.a0, w2.a1, w2.a2, w2.a3
+)
+SELECT w3.a0 AS w_x_bias, w3.a1 AS w_x_cents,
+       w3.a2 AS w_x_hour, w3.a3 AS w_x_dow,
+       CAST(SUM(CASE WHEN y * (w3.a0*x0 + w3.a1*x1 + w3.a2*x2
+                + w3.a3*x3) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(COUNT(*) AS BIGINT) AS n_total
+FROM f, w3
+GROUP BY w3.a0, w3.a1, w3.a2, w3.a3
+"""

@@ -164,3 +164,103 @@ def test_auc_has_no_unsafe_global_window(spark, sf_dir):
 
     df = mleval.q_events_auc_value(spark, sf_dir)
     assert plans.unsafe_global_windows(df) == []
+
+
+# ------------------------------------------------- consistent-hash shards
+
+
+def _ring_assign_py(key, ring):
+    import hashlib
+
+    h = int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16)
+    for p, o in ring:  # ring sorted by point
+        if p >= h:
+            return o
+    return ring[0][1]
+
+
+def test_consistent_assign_matches_python(spark, sf_dir):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import (
+        sampling,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    got = {
+        r["doc_id"]: r["node"]
+        for r in sampling.consistent_shard_assign(
+            docs, "doc_id", 16
+        ).collect()
+    }
+    ring = sampling.consistent_ring(16)
+    for doc_id, node in got.items():
+        assert node == _ring_assign_py(doc_id, ring)
+
+
+def test_rebalance_movers_all_land_on_new_node(spark, sf_dir):
+    rows = mleval.q_docs_shard_rebalance(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in rows) > 0
+    for r in rows:
+        # Consistent hashing's minimal-movement contract.
+        assert r["n_moved"] == r["n_to_new"]
+    moved = sum(r["n_moved"] for r in rows)
+    total = sum(r["n_docs"] for r in rows)
+    # ~1/17 expected; generous band, but far below mod-N's ~16/17.
+    assert moved < total * 0.35
+
+
+def test_ring_collision_guard():
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import (
+        sampling,
+    )
+
+    ring = sampling.consistent_ring(16, 8)
+    assert len(ring) == 128
+    assert ring == sorted(ring)
+
+
+# ------------------------------------------------------ batch perceptron
+
+
+def test_perceptron_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    ev = _pdf(spark, sf_dir, "events")
+    y = np.where(ev["event_type"] == "purchase", 1, -1).astype("int64")
+    ts_ns = ev["ts"].astype("datetime64[ns]").astype("int64")
+    X = np.stack(
+        [
+            np.ones(len(ev), dtype="int64"),
+            (ev["value"] * 100).round().astype("int64"),
+            (ts_ns // (3600 * 10**9)) % 24,
+            (ts_ns // (86400 * 10**9)) % 7,
+        ],
+        axis=1,
+    )
+    w = np.zeros(4, dtype="int64")
+    for _ in range(3):
+        mis = y * (X @ w) <= 0
+        w = w + (X[mis] * y[mis, None]).sum(axis=0)
+    n_correct = int((y * (X @ w) > 0).sum())
+    row = mleval.q_events_perceptron(spark, sf_dir).collect()[0]
+    assert [
+        row["w_x_bias"],
+        row["w_x_cents"],
+        row["w_x_hour"],
+        row["w_x_dow"],
+    ] == list(w)
+    assert row["n_correct"] == n_correct
+    assert row["n_total"] == len(ev)
+
+
+def test_perceptron_separable_and_partitioning_invariant(spark):
+    # y = sign(x - 5): linearly separable; the batch variant oscillates
+    # early and first hits 100% at epoch 19 (simulated offline).
+    data = [(1 if x > 5 else -1, 1, x) for x in range(11) if x != 5]
+    df = spark.createDataFrame(data, "y long, b long, x long")
+    out1 = stats.perceptron_train(df, ["b", "x"], "y", epochs=19).collect()[0]
+    assert out1["n_correct"] == out1["n_total"]
+    assert (out1["w_b"], out1["w_x"]) == (-35, 7)
+    out32 = stats.perceptron_train(
+        df.repartition(32), ["b", "x"], "y", epochs=19
+    ).collect()[0]
+    assert out1 == out32
