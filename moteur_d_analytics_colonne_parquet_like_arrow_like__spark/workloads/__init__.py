@@ -72,6 +72,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "events_interpolate_linear",
     "docs_shard_rebalance",
     "events_perceptron",
+    "multimodal_dhash_neardup",
     # (a0) continuation-3 additions — newest, zero driver signatures yet
     "geo_cell_density",
     "geo_nearest_supplier",

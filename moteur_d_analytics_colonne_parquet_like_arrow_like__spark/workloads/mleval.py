@@ -303,3 +303,77 @@ SELECT w3.a0 AS w_x_bias, w3.a1 AS w_x_cents,
 FROM f, w3
 GROUP BY w3.a0, w3.a1, w3.a2, w3.a3
 """
+
+
+# ---------------------------------------------------- image dHash near-dup
+
+
+def q_multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate image detection end to end: real 24-bit
+    BMP blobs (operators/multimodal.generate_real_media) → pixel-level
+    dHash decoded from the actual bytes (image_dhash) → banded Hamming
+    join (dhash_near_pairs, exact recall at <= 3 bits via pigeonhole).
+    The oracle never sees the bytes: it recomputes every pixel from the
+    generator's analytic formula ((7i+13) mod 256 over bottom-up BGR
+    rows) in SQL — one byte off in the writer, the parser, or the grid
+    math and the hashes diverge."""
+    from ..operators import multimodal
+
+    media = multimodal.generate_real_media(spark, 2400)
+    hashes = multimodal.image_dhash(media.where(F.col("kind") == "image"))
+    pairs = multimodal.dhash_near_pairs(hashes, max_hamming=3)
+    return pairs.orderBy("id_a", "id_b")
+
+
+QUERIES["multimodal_dhash_neardup"] = q_multimodal_dhash_neardup
+
+# The generator's image law: ids ≡ 0 (mod 3) < 2400, width (id%31+1)*4,
+# height (id%23+1)*4, stride 3w (w is a multiple of 4), pixel byte i =
+# (7i+13) mod 256, rows stored bottom-up. The oracle rebuilds the 8x9
+# cell grid per image and compares hashes all-pairs (716 images — the
+# banding is a Spark-side scale device, not a semantic).
+ORACLES["multimodal_dhash_neardup"] = """
+WITH img AS MATERIALIZED (
+  SELECT i.i AS media_id,
+         ((i.i % 31) + 1) * 4 AS w,
+         ((i.i % 23) + 1) * 4 AS h
+  FROM (SELECT unnest(generate_series(0, 2399)) AS i) i
+  WHERE i.i % 3 = 0 AND ((i.i % 31) + 1) * 4 >= 9
+        AND ((i.i % 23) + 1) * 4 >= 8
+), px AS (
+  SELECT media_id, w, h, x.x AS x, y.y AS y,
+         ((h - 1 - y.y) * 3 * w + 3 * x.x) AS base
+  FROM img,
+       LATERAL unnest(generate_series(0, w - 1)) AS x(x),
+       LATERAL unnest(generate_series(0, h - 1)) AS y(y)
+), gray AS (
+  SELECT media_id,
+         (((base * 7 + 13) % 256) + (((base + 1) * 7 + 13) % 256)
+          + (((base + 2) * 7 + 13) % 256)) // 3 AS g,
+         (x * 9) // w AS cx, (y * 8) // h AS cy
+  FROM px
+), cells AS (
+  SELECT media_id, cy, cx, SUM(g) // COUNT(*) AS avgv
+  FROM gray GROUP BY media_id, cy, cx
+), bits AS (
+  SELECT a.media_id, a.cy AS r, a.cx AS c,
+         CASE WHEN a.avgv > b.avgv THEN 1 ELSE 0 END AS bit
+  FROM cells a JOIN cells b
+    ON b.media_id = a.media_id AND b.cy = a.cy AND b.cx = a.cx + 1
+), hashes AS MATERIALIZED (
+  SELECT media_id,
+         CAST(SUM(CASE WHEN r * 8 + c >= 32
+              THEN bit * (CAST(1 AS BIGINT) << (r * 8 + c - 32))
+              ELSE 0 END) AS BIGINT) AS hi,
+         CAST(SUM(CASE WHEN r * 8 + c < 32
+              THEN bit * (CAST(1 AS BIGINT) << (r * 8 + c))
+              ELSE 0 END) AS BIGINT) AS lo
+  FROM bits GROUP BY media_id
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+            AS INT) AS hamming
+FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+ORDER BY id_a, id_b
+"""

@@ -264,3 +264,92 @@ def test_perceptron_separable_and_partitioning_invariant(spark):
         df.repartition(32), ["b", "x"], "y", epochs=19
     ).collect()[0]
     assert out1 == out32
+
+
+# ---------------------------------------------------- image dHash near-dup
+
+
+def _dhash_py(blob):
+    import struct
+
+    import numpy as np
+
+    w, h = struct.unpack_from("<ii", blob, 18)
+    h = abs(h)
+    if w < 9 or h < 8:
+        return None
+    stride = (3 * w + 3) // 4 * 4
+    data = np.frombuffer(blob, dtype=np.uint8, count=stride * h, offset=54)
+    rgb = data.astype("int64").reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
+    gray = (rgb.sum(axis=2) // 3)[::-1]
+    cy = (np.arange(h) * 8) // h
+    cx = (np.arange(w) * 9) // w
+    sums = np.zeros((8, 9), dtype="int64")
+    cnts = np.zeros((8, 9), dtype="int64")
+    np.add.at(sums, (cy[:, None].repeat(w, 1), cx[None, :].repeat(h, 0)), gray)
+    np.add.at(cnts, (cy[:, None].repeat(w, 1), cx[None, :].repeat(h, 0)), 1)
+    avg = sums // cnts
+    bits = (avg[:, :8] > avg[:, 1:]).astype("int64")
+    v = 0
+    for r in range(8):
+        for c in range(8):
+            v |= int(bits[r, c]) << (r * 8 + c)
+    return v >> 32, v & 0xFFFFFFFF
+
+
+def test_image_dhash_matches_reference_impl(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import (
+        multimodal,
+    )
+
+    media = multimodal.generate_real_media(spark, 60)
+    got = {
+        r["media_id"]: (r["dhash_hi"], r["dhash_lo"])
+        for r in multimodal.image_dhash(
+            media.where(F.col("kind") == "image")
+        ).collect()
+    }
+    expected = {}
+    for mid in range(0, 60, 3):
+        blob = multimodal.bmp_bytes((mid % 31 + 1) * 4, (mid % 23 + 1) * 4)
+        hl = _dhash_py(blob)
+        if hl is not None:
+            expected[mid] = hl
+    assert got == expected
+    assert len(got) >= 15  # only sub-grid thumbnails were dropped
+
+
+def test_dhash_banding_has_exact_recall(spark):
+    from itertools import combinations
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import (
+        multimodal,
+    )
+
+    media = multimodal.generate_real_media(spark, 900)
+    hashes = multimodal.image_dhash(media.where(F.col("kind") == "image"))
+    rows = hashes.collect()
+    brute = set()
+    for a, b in combinations(sorted(rows, key=lambda r: r["media_id"]), 2):
+        d = bin(
+            (a["dhash_hi"] ^ b["dhash_hi"]) << 32
+            | (a["dhash_lo"] ^ b["dhash_lo"])
+        ).count("1")
+        if d <= 3:
+            brute.add((a["media_id"], b["media_id"], d))
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in multimodal.dhash_near_pairs(hashes, 3).collect()
+    }
+    assert banded == brute
+
+
+def test_dhash_near_pairs_threshold_guard(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import (
+        multimodal,
+    )
+
+    media = multimodal.generate_real_media(spark, 30)
+    hashes = multimodal.image_dhash(media.where(F.col("kind") == "image"))
+    with pytest.raises(ValueError, match="max_hamming"):
+        multimodal.dhash_near_pairs(hashes, max_hamming=4)
