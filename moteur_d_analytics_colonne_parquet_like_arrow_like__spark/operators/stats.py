@@ -509,3 +509,205 @@ def perceptron_train(
     return out.select(
         *[f"w_{c}" for c in feature_cols], "n_correct", "n_total"
     )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+    m: int = 20,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Leave-one-out smoothed target encoding — the standard leakage-free
+    categorical feature for tree/linear models: row i in category c gets
+    ``te = (s_c − y_i + m·p) / (n_c − 1 + m)`` where ``s_c``/``n_c`` are
+    the category's label sum/count, ``p`` the global prior, ``m`` the
+    smoothing pseudo-count. Excluding the row's own label kills the
+    single-row target leak; ``m`` shrinks rare categories toward the
+    prior.
+
+    Exactness: with integer labels the prior is the rational
+    ``P_num/P_den``, so ``te`` ships as the integer micro-units
+    ``((s_c − y)·P_den + m·P_num)·scale div ((n_c − 1 + m)·P_den)`` —
+    BIGINT end to end, no float path. (Keeps 63 bits up to ~10⁹ rows
+    with small label sums; route through DECIMAL(38,0) past that.)
+
+    Scale shape: one map-side-combinable per-category aggregate + one
+    global 1-row aggregate, both broadcast back — the fact table never
+    shuffles and there is no window anywhere.
+
+    reference: ABSENT — SURVEY.md §2 extension surface.
+    """
+    y = F.col(label_col).cast("bigint")
+    per_cat = df.groupBy(cat_col).agg(
+        F.sum(y).alias("__s_c"),
+        F.count(F.lit(1)).cast("bigint").alias("__n_c"),
+    )
+    prior = df.agg(
+        F.sum(y).alias("__p_num"),
+        F.count(F.lit(1)).cast("bigint").alias("__p_den"),
+    )
+    return (
+        df.join(F.broadcast(per_cat), cat_col)
+        .crossJoin(F.broadcast(prior))
+        .withColumn(
+            "te_micro",
+            F.expr(
+                f"((__s_c - {label_col}) * __p_den + {int(m)} * __p_num)"
+                f" * {int(scale)}"
+                f" div ((__n_c - 1 + {int(m)}) * __p_den)"
+            ).cast("bigint"),
+        )
+        .drop("__s_c", "__n_c", "__p_num", "__p_den")
+    )
+
+
+def calibration_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_buckets: int = 10,
+    chunk: int = 1000,
+) -> DataFrame:
+    """Reliability diagram: equi-depth score buckets (ties keep
+    together — same integer-cumulative rule as ``equidepth_histogram``)
+    with the observed positive rate per bucket, in exact integer
+    micro-units. The companion readout to :func:`auc_rank`: AUC says the
+    score RANKS well, calibration says what the score VALUES mean.
+
+    Scale shape: facts reduce once to distinct-score cells; the
+    exclusive cumulative count rides ``two_phase_rank_cumsum`` over
+    score-range chunks (never a single-task window); the total is one
+    broadcast row. ``score_col`` must be integer (quantize upstream).
+
+    reference: ABSENT — SURVEY.md §2 extension surface.
+    """
+    g = df.groupBy(score_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt"),
+        F.sum(F.col(label_col).cast("bigint")).alias("__pos"),
+    )
+    ranked = two_phase_rank_cumsum(
+        g,
+        score_col,
+        F.expr(f"{score_col} div {chunk}"),
+        value_col="__cnt",
+        cum_col="__cum",
+    )
+    tot = g.agg(F.sum("__cnt").cast("bigint").alias("__n"))
+    return (
+        ranked.join(F.broadcast(tot))
+        .withColumn(
+            "bucket",
+            F.expr(f"((__cum - __cnt) * {int(n_buckets)}) div __n")
+            + F.lit(1),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("__cnt").cast("bigint").alias("n_rows"),
+            F.sum("__pos").cast("bigint").alias("n_pos"),
+            F.min(score_col).alias("min_score"),
+            F.max(score_col).alias("max_score"),
+        )
+        .withColumn(
+            "pos_rate_micro",
+            F.expr("(n_pos * 1000000) div n_rows").cast("bigint"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    score_col: str,
+    n_buckets: int = 10,
+    chunk: int = 1000,
+) -> DataFrame:
+    """Population Stability Index between a reference period A and a
+    comparison period B: bin by A's equi-depth decile edges, then
+    ``PSI = Σ (pA_j − pB_j)·ln(pA_j / pB_j)`` with Laplace-smoothed
+    shares ``p = (n_j + 1)/(N + n_buckets)`` so empty bins stay finite.
+    The drift meter a feature store runs between training and serving
+    windows; > 0.2 is the conventional "investigate" bar.
+
+    Emitted per-bin (the ln appears once per ROW and is rounded before
+    output — never summed across rows raw, the mix-KL float rule), so
+    the caller sums ``psi_term_r`` for the headline number.
+
+    Scale shape: both periods reduce to distinct-score cells first; A's
+    edge computation rides ``two_phase_rank_cumsum``; the 9 edges
+    broadcast into a bounded cell join. No raw-fact shuffle, no global
+    window, integer counts everywhere.
+
+    reference: ABSENT — SURVEY.md §2 extension surface.
+    """
+    ga = df_a.groupBy(F.col(score_col).alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt")
+    )
+    ranked = two_phase_rank_cumsum(
+        ga,
+        "v",
+        F.expr(f"v div {chunk}"),
+        value_col="__cnt",
+        cum_col="__cum",
+    )
+    tot_a = ga.agg(F.sum("__cnt").cast("bigint").alias("__n"))
+    edges = (
+        ranked.join(F.broadcast(tot_a))
+        .withColumn(
+            "__bucket",
+            F.expr(f"((__cum - __cnt) * {int(n_buckets)}) div __n")
+            + F.lit(1),
+        )
+        .groupBy("__bucket")
+        .agg(F.max("v").alias("edge"))
+        .where(F.col("__bucket") < n_buckets)
+        .select("edge")
+    )
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        cells = df.groupBy(F.col(score_col).alias("v")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        with_bin = (
+            cells.join(F.broadcast(edges), F.col("edge") < F.col("v"), "left")
+            .groupBy("v", "c")
+            .agg(
+                (F.count("edge") + F.lit(1)).cast("int").alias("bin")
+            )
+        )
+        return with_bin.groupBy("bin").agg(F.sum("c").alias(out))
+
+    spine = (
+        df_a.sparkSession.range(1, n_buckets + 1)
+        .select(F.col("id").cast("int").alias("bin"))
+    )
+    counts = (
+        spine.join(binned(df_a, "__na"), "bin", "left")
+        .join(binned(df_b, "__nb"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce(F.col("__na"), F.lit(0)).cast("bigint").alias("n_a"),
+            F.coalesce(F.col("__nb"), F.lit(0)).cast("bigint").alias("n_b"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_a").cast("bigint").alias("__ta"),
+        F.sum("n_b").cast("bigint").alias("__tb"),
+    )
+    pa = (F.col("n_a") + 1).cast("double") / (
+        F.col("__ta") + F.lit(n_buckets)
+    )
+    pb = (F.col("n_b") + 1).cast("double") / (
+        F.col("__tb") + F.lit(n_buckets)
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            "n_a",
+            "n_b",
+            F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term_r"),
+        )
+        .orderBy("bin")
+    )

@@ -377,3 +377,176 @@ FROM hashes a JOIN hashes b ON a.media_id < b.media_id
 WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
 ORDER BY id_a, id_b
 """
+
+
+# --------------------------------------------------- LOO target encoding
+
+
+def q_events_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free user-level purchase-propensity feature: leave-one-out
+    smoothed target encoding of user_id against the purchase label
+    (operators/stats.target_encode_loo, m=20). The encoding depends only
+    on (user, own-label), so the output groups to at most two rows per
+    user — n rows sharing each encoded value plus the exact micro-unit
+    value itself (min == max within a group; the pytest asserts it)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    enc = stats.target_encode_loo(ev, "user_id", "y", m=20)
+    return (
+        enc.groupBy("user_id", "y")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("te_micro").alias("te_micro"),
+        )
+        .orderBy("user_id", "y")
+    )
+
+
+QUERIES["events_target_encode_loo"] = q_events_target_encode_loo
+
+ORACLES["events_target_encode_loo"] = """
+WITH f AS MATERIALIZED (
+  SELECT user_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), per_cat AS (
+  SELECT user_id, CAST(SUM(y) AS BIGINT) AS s_c,
+         CAST(COUNT(*) AS BIGINT) AS n_c
+  FROM f GROUP BY user_id
+), prior AS (
+  SELECT CAST(SUM(y) AS BIGINT) AS p_num,
+         CAST(COUNT(*) AS BIGINT) AS p_den
+  FROM f
+)
+SELECT f.user_id, f.y, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(((s_c - y) * p_den + 20 * p_num) * 1000000
+                // ((n_c - 1 + 20) * p_den)) AS BIGINT) AS te_micro
+FROM f JOIN per_cat USING (user_id) CROSS JOIN prior
+GROUP BY f.user_id, f.y
+ORDER BY f.user_id, f.y
+"""
+
+
+# ------------------------------------------------------ calibration curve
+
+
+def q_events_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for "value predicts purchase": equi-depth
+    cent-score deciles (ties keep together) with the observed purchase
+    rate per bucket in exact micro-units
+    (operators/stats.calibration_curve) — the companion readout to
+    events_auc_value. The distinct-cent grid is bounded by the value
+    range, and the cumulative still rides the chunked two-phase scan."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("bigint").alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return stats.calibration_curve(ev, "score", "y", n_buckets=10)
+
+
+QUERIES["events_calibration"] = q_events_calibration
+
+ORACLES["events_calibration"] = """
+WITH s AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), g AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(y) AS BIGINT) AS pos
+  FROM s GROUP BY score
+), c AS (
+  SELECT score, cnt, pos,
+         CAST(SUM(cnt) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum
+  FROM g
+), t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM g)
+SELECT CAST(((cum - cnt) * 10) // n + 1 AS BIGINT) AS bucket,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       MIN(score) AS min_score,
+       MAX(score) AS max_score,
+       CAST((SUM(pos) * 1000000) // SUM(cnt) AS BIGINT) AS pos_rate_micro
+FROM c CROSS JOIN t
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+# ------------------------------------------------------------- PSI drift
+
+
+def q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-drift meter: PSI of the cent-quantized value distribution
+    between the first half of January (reference window) and the rest
+    (serving window), binned by the reference deciles with Laplace
+    smoothing (operators/stats.psi_drift). Per-bin terms ship rounded
+    (the mix-KL float rule); Σ psi_term_r is the headline PSI."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("score"),
+    )
+    cut = F.lit("2024-01-16").cast("timestamp")
+    return stats.psi_drift(
+        ev.where(F.col("ts") < cut).select("score"),
+        ev.where(F.col("ts") >= cut).select("score"),
+        "score",
+        n_buckets=10,
+    )
+
+
+QUERIES["events_psi_drift"] = q_events_psi_drift
+
+ORACLES["events_psi_drift"] = """
+WITH av AS MATERIALIZED (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+  WHERE ts < TIMESTAMP '2024-01-16'
+), bv AS MATERIALIZED (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+  WHERE ts >= TIMESTAMP '2024-01-16'
+), ga AS MATERIALIZED (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM av GROUP BY v
+), gb AS MATERIALIZED (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM bv GROUP BY v
+), cum AS (
+  SELECT v, c,
+         CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cumc
+  FROM ga
+), ta AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM ga),
+bucketed AS (
+  SELECT v, c, CAST(((cumc - c) * 10) // n AS BIGINT) + 1 AS bucket
+  FROM cum CROSS JOIN ta
+), edges AS MATERIALIZED (
+  SELECT bucket, MAX(v) AS edge FROM bucketed GROUP BY bucket
+  HAVING bucket < 10
+), bins_a AS (
+  SELECT g.v, g.c, 1 + COUNT(e.edge) AS bin
+  FROM ga g LEFT JOIN edges e ON e.edge < g.v GROUP BY g.v, g.c
+), bins_b AS (
+  SELECT g.v, g.c, 1 + COUNT(e.edge) AS bin
+  FROM gb g LEFT JOIN edges e ON e.edge < g.v GROUP BY g.v, g.c
+), na AS (SELECT bin, CAST(SUM(c) AS BIGINT) AS n_a FROM bins_a GROUP BY bin),
+nb AS (SELECT bin, CAST(SUM(c) AS BIGINT) AS n_b FROM bins_b GROUP BY bin),
+spine AS (SELECT unnest(generate_series(1, 10)) AS bin),
+counts AS (
+  SELECT s.bin,
+         COALESCE(na.n_a, 0) AS n_a,
+         COALESCE(nb.n_b, 0) AS n_b
+  FROM spine s LEFT JOIN na ON na.bin = s.bin LEFT JOIN nb ON nb.bin = s.bin
+), totals AS (
+  SELECT CAST(SUM(n_a) AS BIGINT) AS ta_n,
+         CAST(SUM(n_b) AS BIGINT) AS tb_n
+  FROM counts
+)
+SELECT CAST(bin AS INT) AS bin, n_a, n_b,
+       round((CAST(n_a + 1 AS DOUBLE) / (ta_n + 10)
+              - CAST(n_b + 1 AS DOUBLE) / (tb_n + 10))
+             * ln((CAST(n_a + 1 AS DOUBLE) / (ta_n + 10))
+                  / (CAST(n_b + 1 AS DOUBLE) / (tb_n + 10))), 6)
+         AS psi_term_r
+FROM counts CROSS JOIN totals
+ORDER BY bin
+"""

@@ -353,3 +353,157 @@ def test_dhash_near_pairs_threshold_guard(spark):
     hashes = multimodal.image_dhash(media.where(F.col("kind") == "image"))
     with pytest.raises(ValueError, match="max_hamming"):
         multimodal.dhash_near_pairs(hashes, max_hamming=4)
+
+
+# --------------------------------------------------- LOO target encoding
+
+
+def test_target_encode_loo_matches_pandas(spark, sf_dir):
+    ev = _pdf(spark, sf_dir, "events")
+    y = (ev["event_type"] == "purchase").astype(int)
+    f = pd.DataFrame({"u": ev["user_id"], "y": y})
+    s_c = f.groupby("u")["y"].sum()
+    n_c = f.groupby("u")["y"].count()
+    p_num, p_den = int(y.sum()), len(f)
+    m = 20
+    expected = {}
+    for (u, yy), grp in f.groupby(["u", "y"]):
+        te = ((int(s_c[u]) - yy) * p_den + m * p_num) * 1_000_000 // (
+            (int(n_c[u]) - 1 + m) * p_den
+        )
+        expected[(u, yy)] = (len(grp), te)
+    got = {
+        (r["user_id"], r["y"]): (r["n"], r["te_micro"])
+        for r in mleval.q_events_target_encode_loo(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_target_encode_loo_constant_within_group(spark):
+    # te depends only on (category, own label): min == max per group.
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 0), ("a", 1), ("b", 0), ("b", 0), ("c", 1)],
+        "cat string, y int",
+    )
+    enc = stats.target_encode_loo(df, "cat", "y", m=4)
+    agg = (
+        enc.groupBy("cat", "y")
+        .agg(F.min("te_micro").alias("lo"), F.max("te_micro").alias("hi"))
+        .collect()
+    )
+    for r in agg:
+        assert r["lo"] == r["hi"]
+    # Singleton category: te = m*p / (0 + m) = prior exactly.
+    c_row = {r["cat"]: r for r in enc.collect() if r["cat"] == "c"}["c"]
+    assert c_row["te_micro"] == (3 * 1_000_000) // 6  # prior 3/6
+
+
+# ------------------------------------------------------ calibration curve
+
+
+def test_calibration_matches_pandas(spark, sf_dir):
+    ev = _pdf(spark, sf_dir, "events")
+    score = (ev["value"] * 100).round().astype("int64")
+    y = (ev["event_type"] == "purchase").astype(int)
+    g = (
+        pd.DataFrame({"s": score, "y": y})
+        .groupby("s")["y"]
+        .agg(["count", "sum"])
+        .sort_index()
+    )
+    cum = g["count"].cumsum() - g["count"]
+    n = int(g["count"].sum())
+    g["bucket"] = (cum * 10) // n + 1
+    exp = {}
+    for b, grp in g.groupby("bucket"):
+        nr, npos = int(grp["count"].sum()), int(grp["sum"].sum())
+        exp[int(b)] = (
+            nr,
+            npos,
+            int(grp.index.min()),
+            int(grp.index.max()),
+            npos * 1_000_000 // nr,
+        )
+    got = {
+        r["bucket"]: (
+            r["n_rows"],
+            r["n_pos"],
+            r["min_score"],
+            r["max_score"],
+            r["pos_rate_micro"],
+        )
+        for r in mleval.q_events_calibration(spark, sf_dir).collect()
+    }
+    assert got == exp
+    assert sum(v[0] for v in got.values()) == len(ev)
+
+
+def test_calibration_has_no_unsafe_global_window(spark, sf_dir):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark import plans
+
+    df = mleval.q_events_calibration(spark, sf_dir)
+    assert plans.unsafe_global_windows(df) == []
+
+
+# ------------------------------------------------------------- PSI drift
+
+
+def test_psi_identical_distributions_are_zero(spark):
+    a = spark.createDataFrame(
+        [(v,) for v in range(100) for _ in range(3)], "score long"
+    )
+    out = stats.psi_drift(a, a, "score", n_buckets=10).collect()
+    assert len(out) == 10
+    assert all(r["psi_term_r"] == 0.0 for r in out)
+    assert all(r["n_a"] == r["n_b"] == 30 for r in out)
+
+
+def test_psi_shift_is_positive_and_binned_by_a_edges(spark):
+    # B shifted up by 50: mass leaves low bins for high bins; every
+    # term is (pA-pB)ln(pA/pB) >= 0, total > 0.
+    a = spark.createDataFrame([(v,) for v in range(200)], "score long")
+    b = spark.createDataFrame([(v + 50,) for v in range(200)], "score long")
+    out = stats.psi_drift(a, b, "score", n_buckets=10).collect()
+    assert len(out) == 10
+    assert sum(r["n_b"] for r in out) == 200
+    total = sum(r["psi_term_r"] for r in out)
+    assert total > 0.1
+    assert all(r["psi_term_r"] >= 0.0 for r in out)
+
+
+def test_psi_gate_matches_pandas(spark, sf_dir):
+    import math
+
+    ev = _pdf(spark, sf_dir, "events")
+    score = (ev["value"] * 100).round().astype("int64")
+    cut = pd.Timestamp("2024-01-16")
+    in_a = ev["ts"] < cut
+    av, bv = score[in_a], score[~in_a]
+    ga = av.value_counts().sort_index()
+    cum = ga.cumsum() - ga
+    n = int(ga.sum())
+    bucket = (cum * 10) // n + 1
+    edges = (
+        pd.DataFrame({"v": ga.index, "b": bucket})
+        .groupby("b")["v"]
+        .max()
+    )
+    edges = sorted(edges[edges.index < 10])
+
+    def bin_of(v):
+        return 1 + sum(1 for e in edges if e < v)
+
+    na = av.map(bin_of).value_counts()
+    nb = bv.map(bin_of).value_counts()
+    ta, tb = len(av), len(bv)
+    exp = {}
+    for b in range(1, 11):
+        a_n, b_n = int(na.get(b, 0)), int(nb.get(b, 0))
+        pa = (a_n + 1) / (ta + 10)
+        pb = (b_n + 1) / (tb + 10)
+        exp[b] = (a_n, b_n, round((pa - pb) * math.log(pa / pb), 6))
+    got = {
+        r["bin"]: (r["n_a"], r["n_b"], r["psi_term_r"])
+        for r in mleval.q_events_psi_drift(spark, sf_dir).collect()
+    }
+    assert got == exp
