@@ -711,3 +711,109 @@ def psi_drift(
         )
         .orderBy("bin")
     )
+
+
+def exact_percentiles(
+    df: DataFrame,
+    col: str,
+    permille: list[int] | tuple = (500, 900, 990, 999),
+    chunk: int = 1000,
+) -> DataFrame:
+    """EXACT distributed percentiles of an integer column — the
+    lower-value (type-1) quantile: the q-th per-mille is the smallest
+    value whose inclusive cumulative count reaches ``rank_q =
+    ceil(q·n/1000)`` (integral ceiling, no float ``ceil`` — the
+    documented cross-engine trap). The exact twin of the repo's
+    sketch-based quantiles: sketches for always-on dashboards, this for
+    the sign-off number.
+
+    Scale shape: facts reduce once to distinct-value cells; the
+    cumulative rides ``two_phase_rank_cumsum`` over value-range chunks;
+    each requested percentile selects exactly the straddling cell
+    (``cum − cnt < rank_q <= cum``), so the output is |permille| rows —
+    no global sort, no single-task window, no sketch error.
+
+    reference: ABSENT — SURVEY.md §2 extension surface.
+    """
+    g = df.groupBy(F.col(col).alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt")
+    )
+    ranked = two_phase_rank_cumsum(
+        g,
+        "v",
+        F.expr(f"v div {chunk}"),
+        value_col="__cnt",
+        cum_col="__cum",
+    )
+    tot = g.agg(F.sum("__cnt").cast("bigint").alias("__n"))
+    spine = df.sparkSession.createDataFrame(
+        [(int(q),) for q in permille], "permille int"
+    )
+    return (
+        ranked.join(F.broadcast(tot))
+        .join(
+            F.broadcast(spine),
+            F.expr("(permille * __n + 999) div 1000").between(
+                F.col("__cum") - F.col("__cnt") + 1, F.col("__cum")
+            ),
+        )
+        .select(
+            "permille",
+            F.expr("(permille * __n + 999) div 1000")
+            .cast("bigint")
+            .alias("rank_q"),
+            F.col("v").alias("value"),
+        )
+        .orderBy("permille")
+    )
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    scale: int = 1000,
+) -> DataFrame:
+    """Theil–Sen robust trend: the median over all point pairs of the
+    slope ``(y_j − y_i)/(x_j − x_i)`` — up to ~29% of wild outlier
+    points cannot move it, unlike OLS. Slopes are kept as exact scaled
+    integers (``·scale`` then truncating division — identical on both
+    engines), and the median is the lower (type-1) median via
+    :func:`exact_percentiles`, so the whole statistic is
+    integer-deterministic.
+
+    PRECONDITION (the documented all-pairs rule): ``df`` must already be
+    the per-``x`` reduction of the facts with BOUNDED x-cardinality
+    (calendar days/months...) — the pair join is quadratic in |x|, never
+    in the row count. One row per x is also what the estimator wants
+    (pairs of aggregates, not of raw points).
+
+    Returns one row: n_points, n_pairs, slope_median (scaled).
+
+    reference: ABSENT — SURVEY.md §2 extension surface.
+    """
+    a = df.select(
+        F.col(x_col).cast("bigint").alias("__xa"),
+        F.col(y_col).cast("bigint").alias("__ya"),
+    )
+    b = df.select(
+        F.col(x_col).cast("bigint").alias("__xb"),
+        F.col(y_col).cast("bigint").alias("__yb"),
+    )
+    # The div is guarded even though the join condition already implies
+    # __xb > __xa: codegen can evaluate the projection while probing
+    # rows the condition will reject, and ANSI mode turns that phantom
+    # division into a real error.
+    slopes = a.join(F.broadcast(b), F.col("__xa") < F.col("__xb")).select(
+        F.when(
+            F.col("__xb") > F.col("__xa"),
+            F.expr(f"((__yb - __ya) * {int(scale)}) div (__xb - __xa)"),
+        ).alias("slope")
+    )
+    med = exact_percentiles(slopes, "slope", permille=(500,), chunk=1000)
+    n_points = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+    n_pairs = slopes.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    return (
+        n_points.crossJoin(n_pairs)
+        .crossJoin(med.select(F.col("value").alias("slope_median")))
+    )

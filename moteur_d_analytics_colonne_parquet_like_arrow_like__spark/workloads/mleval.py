@@ -550,3 +550,93 @@ SELECT CAST(bin AS INT) AS bin, n_a, n_b,
 FROM counts CROSS JOIN totals
 ORDER BY bin
 """
+
+
+# ------------------------------------------------------ exact percentiles
+
+
+def q_events_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-off latency-style percentiles: the EXACT p50/p90/p99/p99.9 of
+    the cent-quantized event value (operators/stats.exact_percentiles) —
+    distinct-value cells + the chunked two-phase cumulative, no sketch
+    error, no global sort. The exact twin of the sketch-based
+    incremental_quantiles surface."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("bigint").alias("score")
+    )
+    return stats.exact_percentiles(
+        ev, "score", permille=(500, 900, 990, 999)
+    )
+
+
+QUERIES["events_exact_percentiles"] = q_events_exact_percentiles
+
+ORACLES["events_exact_percentiles"] = """
+WITH s AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+), g AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM s GROUP BY v
+), c AS (
+  SELECT v, cnt,
+         CAST(SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum
+  FROM g
+), t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM g),
+q AS (SELECT unnest([500, 900, 990, 999]) AS permille)
+SELECT CAST(q.permille AS INT) AS permille,
+       CAST((q.permille * t.n + 999) // 1000 AS BIGINT) AS rank_q,
+       c.v AS value
+FROM q CROSS JOIN t JOIN c
+  ON (q.permille * t.n + 999) // 1000 BETWEEN c.cum - c.cnt + 1 AND c.cum
+ORDER BY permille
+"""
+
+
+# ------------------------------------------------------ Theil-Sen trend
+
+
+def q_orders_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-revenue trend: Theil–Sen median slope (milli-cents
+    per day) over the per-day revenue reduction
+    (operators/stats.theil_sen_slope) — the calendar-bounded all-pairs
+    median that up to ~29% outlier days cannot move, next to the
+    OLS-based regression queries it complements."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+        ).cast("bigint").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "rev_cents"
+        )
+    )
+    return stats.theil_sen_slope(daily, "day", "rev_cents", scale=1000)
+
+
+QUERIES["orders_theil_sen"] = q_orders_theil_sen
+
+ORACLES["orders_theil_sen"] = """
+WITH daily AS MATERIALIZED (
+  SELECT CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY 1
+), slopes AS MATERIALIZED (
+  SELECT CAST(((b.rev - a.rev) * 1000) // (b.day - a.day) AS BIGINT)
+           AS slope
+  FROM daily a JOIN daily b ON a.day < b.day
+), g AS (
+  SELECT slope, CAST(COUNT(*) AS BIGINT) AS cnt FROM slopes GROUP BY slope
+), c AS (
+  SELECT slope, cnt,
+         CAST(SUM(cnt) OVER (ORDER BY slope ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum
+  FROM g
+), t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM g)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_points,
+       t.n AS n_pairs,
+       c.slope AS slope_median
+FROM t JOIN c ON (500 * t.n + 999) // 1000 BETWEEN c.cum - c.cnt + 1 AND c.cum
+"""

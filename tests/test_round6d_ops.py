@@ -507,3 +507,86 @@ def test_psi_gate_matches_pandas(spark, sf_dir):
         for r in mleval.q_events_psi_drift(spark, sf_dir).collect()
     }
     assert got == exp
+
+
+# ------------------------------------------------------ exact percentiles
+
+
+def test_exact_percentiles_known_values(spark):
+    # 1..1000 once each: p50=500, p90=900, p99=990, p99.9=999 exactly.
+    df = spark.createDataFrame([(v,) for v in range(1, 1001)], "v long")
+    got = {
+        r["permille"]: (r["rank_q"], r["value"])
+        for r in stats.exact_percentiles(df, "v").collect()
+    }
+    assert got == {
+        500: (500, 500),
+        900: (900, 900),
+        990: (990, 990),
+        999: (999, 999),
+    }
+
+
+def test_exact_percentiles_match_numpy_lower(spark, sf_dir):
+    import numpy as np
+
+    ev = _pdf(spark, sf_dir, "events")
+    scores = np.sort((ev["value"] * 100).round().astype("int64").values)
+    n = len(scores)
+    got = {
+        r["permille"]: r["value"]
+        for r in mleval.q_events_exact_percentiles(spark, sf_dir).collect()
+    }
+    for q in (500, 900, 990, 999):
+        rank = (q * n + 999) // 1000
+        assert got[q] == scores[rank - 1]
+
+
+def test_exact_percentiles_chunking_invariant(spark):
+    df = spark.createDataFrame(
+        [((v * 131) % 4003,) for v in range(4000)], "v long"
+    )
+    a = stats.exact_percentiles(df, "v", chunk=10).collect()
+    b = stats.exact_percentiles(df, "v", chunk=100000).collect()
+    assert a == b
+
+
+# ------------------------------------------------------- Theil-Sen trend
+
+
+def test_theil_sen_ignores_outlier(spark):
+    # y = 7x + noiseless, except one wild outlier at x=5: OLS would move,
+    # the pairwise-median slope stays exactly 7000 milli-units.
+    pts = [(x, 7 * x) for x in range(11) if x != 5] + [(5, 100000)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    row = stats.theil_sen_slope(df, "x", "y", scale=1000).collect()[0]
+    assert row["n_points"] == 11
+    assert row["n_pairs"] == 55
+    assert row["slope_median"] == 7000
+
+
+def test_theil_sen_gate_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    orders = _pdf(spark, sf_dir, "orders")
+    day = (
+        orders["o_orderdate"].astype("datetime64[ns]").astype("int64")
+        // (86400 * 10**9)
+    )
+    cents = (orders["o_totalprice"] * 100).round().astype("int64")
+    daily = pd.DataFrame({"d": day, "c": cents}).groupby("d")["c"].sum()
+    xs = daily.index.values.astype("int64")
+    ys = daily.values.astype("int64")
+    slopes = []
+    for i in range(len(xs)):
+        dy = ys[i + 1 :] - ys[i]
+        dx = xs[i + 1 :] - xs[i]
+        # numpy // floors; the engines truncate toward zero — emulate.
+        q = np.abs(dy) * 1000 // dx
+        slopes.extend(np.where(dy < 0, -q, q).tolist())
+    slopes.sort()
+    n = len(slopes)
+    expected = slopes[(500 * n + 999) // 1000 - 1]
+    row = mleval.q_orders_theil_sen(spark, sf_dir).collect()[0]
+    assert row["n_pairs"] == n
+    assert row["slope_median"] == expected
