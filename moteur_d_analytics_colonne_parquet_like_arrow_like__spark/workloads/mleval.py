@@ -640,3 +640,79 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_points,
        c.slope AS slope_median
 FROM t JOIN c ON (500 * t.n + 999) // 1000 BETWEEN c.cum - c.cnt + 1 AND c.cum
 """
+
+
+# ------------------------------------------------- hashing-trick features
+
+_BOW_BUCKETS = 16
+
+
+def q_docs_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words featurization — the fastText/Vowpal
+    input layer: every token maps to ``h60(token) mod 16`` and each
+    document becomes a fixed-width integer count vector, with no vocab
+    dictionary to build, ship, or keep consistent (the property that
+    makes feature hashing THE featurizer at 100 TB: stateless, one
+    explode + one combinable aggregate, any executor can featurize any
+    shard). Gate output is the per-bucket corpus profile: total count,
+    docs touching the bucket, and the max per-doc count with doc_id as
+    tie-break — enough to pin every cell of the doc x bucket matrix's
+    marginals. (The synthetic corpus's lang/quality labels are
+    text-independent by design, so a trained-classifier gate would be
+    noise; events_perceptron covers the trainer with learnable
+    features.)"""
+    from ..functions import stable_hash60, words
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(words("text")).alias("w")
+    ).where(F.col("w") != "")
+    per_doc = toks.groupBy(
+        "doc_id",
+        F.pmod(stable_hash60("w"), F.lit(_BOW_BUCKETS)).alias("bucket"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    mx = per_doc.groupBy("bucket").agg(F.max("c").alias("__m"))
+    return (
+        per_doc.join(F.broadcast(mx), "bucket")
+        .groupBy("bucket")
+        .agg(
+            F.sum("c").cast("bigint").alias("total"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.max("c").cast("bigint").alias("max_per_doc"),
+            F.min(
+                F.when(F.col("c") == F.col("__m"), F.col("doc_id"))
+            ).alias("argmax_doc"),
+        )
+        .orderBy("bucket")
+    )
+
+
+QUERIES["docs_hashed_features"] = q_docs_hashed_features
+
+ORACLES["docs_hashed_features"] = f"""
+WITH norm AS (
+  SELECT doc_id,
+         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+  FROM documents
+), tok AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT)
+           % {_BOW_BUCKETS} AS bucket
+  FROM (SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM norm) t
+  WHERE w <> ''
+), per_doc AS (
+  SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok GROUP BY doc_id, bucket
+), mx AS (
+  SELECT bucket, MAX(c) AS m FROM per_doc GROUP BY bucket
+)
+SELECT p.bucket,
+       CAST(SUM(p.c) AS BIGINT) AS total,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(p.c) AS BIGINT) AS max_per_doc,
+       CAST(MIN(CASE WHEN p.c = mx.m THEN p.doc_id END) AS BIGINT)
+         AS argmax_doc
+FROM per_doc p JOIN mx ON mx.bucket = p.bucket
+GROUP BY p.bucket
+ORDER BY p.bucket
+"""

@@ -590,3 +590,39 @@ def test_theil_sen_gate_matches_numpy(spark, sf_dir):
     row = mleval.q_orders_theil_sen(spark, sf_dir).collect()[0]
     assert row["n_pairs"] == n
     assert row["slope_median"] == expected
+
+
+# ------------------------------------------------- hashing-trick features
+
+
+def test_hashed_features_match_python(spark, sf_dir):
+    import hashlib
+    import re
+    from collections import Counter, defaultdict
+
+    docs = _pdf(spark, sf_dir, "documents")
+    nb = mleval._BOW_BUCKETS
+    per_bucket = defaultdict(list)  # bucket -> list of (doc_id, count)
+    for _, row in docs.iterrows():
+        norm = re.sub(r"\s+", " ", row["text"]).strip().lower()
+        counts = Counter(
+            int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % nb
+            for w in norm.split(" ")
+            if w
+        )
+        for b, c in counts.items():
+            per_bucket[b].append((int(row["doc_id"]), c))
+    expected = {}
+    for b, pairs in per_bucket.items():
+        m = max(c for _, c in pairs)
+        expected[b] = (
+            sum(c for _, c in pairs),
+            len(pairs),
+            m,
+            min(d for d, c in pairs if c == m),
+        )
+    got = {
+        r["bucket"]: (r["total"], r["n_docs"], r["max_per_doc"], r["argmax_doc"])
+        for r in mleval.q_docs_hashed_features(spark, sf_dir).collect()
+    }
+    assert got == expected
