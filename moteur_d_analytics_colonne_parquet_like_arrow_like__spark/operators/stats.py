@@ -718,6 +718,7 @@ def exact_percentiles(
     col: str,
     permille: list[int] | tuple = (500, 900, 990, 999),
     chunk: int = 1000,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """EXACT distributed percentiles of an integer column — the
     lower-value (type-1) quantile: the q-th per-mille is the smallest
@@ -733,10 +734,19 @@ def exact_percentiles(
     (``cum − cnt < rank_q <= cum``), so the output is |permille| rows —
     no global sort, no single-task window, no sketch error.
 
+    With ``weight_col`` (non-negative integer) this is the WEIGHTED
+    type-1 quantile: ranks run over cumulative weight instead of row
+    count ("the median price per unit sold", not per order line).
+
     reference: ABSENT — SURVEY.md §2 extension surface.
     """
+    w = (
+        F.count(F.lit(1))
+        if weight_col is None
+        else F.sum(F.col(weight_col).cast("bigint"))
+    )
     g = df.groupBy(F.col(col).alias("v")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("__cnt")
+        w.cast("bigint").alias("__cnt")
     )
     ranked = two_phase_rank_cumsum(
         g,

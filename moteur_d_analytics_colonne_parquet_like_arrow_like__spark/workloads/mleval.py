@@ -716,3 +716,50 @@ FROM per_doc p JOIN mx ON mx.bucket = p.bucket
 GROUP BY p.bucket
 ORDER BY p.bucket
 """
+
+
+# ---------------------------------------------------- weighted percentiles
+
+
+def q_lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted price percentiles: the exact p50/p90/p99 of the
+    line price in cents where each line counts ``l_quantity`` times —
+    "the median price per UNIT sold", not per order line
+    (operators/stats.exact_percentiles with weight_col). Same
+    distinct-cell + chunked-cumulative machinery as the unweighted
+    percentiles; ranks run over cumulative integer weight."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("qty"),
+    )
+    return stats.exact_percentiles(
+        li, "price_cents", permille=(500, 900, 990),
+        chunk=1_000_000, weight_col="qty",
+    )
+
+
+QUERIES["lineitem_weighted_median"] = q_lineitem_weighted_median
+
+ORACLES["lineitem_weighted_median"] = """
+WITH s AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         CAST(round(l_quantity) AS BIGINT) AS q
+  FROM lineitem
+), g AS (
+  SELECT v, CAST(SUM(q) AS BIGINT) AS cnt FROM s GROUP BY v
+), c AS (
+  SELECT v, cnt,
+         CAST(SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum
+  FROM g
+), t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM g),
+q AS (SELECT unnest([500, 900, 990]) AS permille)
+SELECT CAST(q.permille AS INT) AS permille,
+       CAST((q.permille * t.n + 999) // 1000 AS BIGINT) AS rank_q,
+       c.v AS value
+FROM q CROSS JOIN t JOIN c
+  ON (q.permille * t.n + 999) // 1000 BETWEEN c.cum - c.cnt + 1 AND c.cum
+ORDER BY permille
+"""

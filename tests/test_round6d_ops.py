@@ -626,3 +626,38 @@ def test_hashed_features_match_python(spark, sf_dir):
         for r in mleval.q_docs_hashed_features(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------- weighted percentiles
+
+
+def test_weighted_percentile_toy(spark):
+    # v=1 w=1, v=2 w=1, v=100 w=98: weighted median is 100 (unweighted 2).
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (100, 98)], "v long, w long"
+    )
+    row = stats.exact_percentiles(
+        df, "v", permille=(500,), weight_col="w"
+    ).collect()[0]
+    assert (row["rank_q"], row["value"]) == (50, 100)
+    un = stats.exact_percentiles(df, "v", permille=(500,)).collect()[0]
+    assert un["value"] == 2
+
+
+def test_weighted_median_gate_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    li = _pdf(spark, sf_dir, "lineitem")
+    v = (li["l_extendedprice"] * 100).round().astype("int64")
+    q = li["l_quantity"].round().astype("int64")
+    g = pd.DataFrame({"v": v, "q": q}).groupby("v")["q"].sum().sort_index()
+    cum = g.cumsum()
+    n = int(g.sum())
+    got = {
+        r["permille"]: (r["rank_q"], r["value"])
+        for r in mleval.q_lineitem_weighted_median(spark, sf_dir).collect()
+    }
+    for p in (500, 900, 990):
+        rank = (p * n + 999) // 1000
+        value = int(g.index[np.searchsorted(cum.values, rank)])
+        assert got[p] == (rank, value)
