@@ -913,6 +913,24 @@ def ppjoin_pairs(
     candidates at t=0.6, all 25 true pairs kept). Verification then
     counts true intersections per candidate.
 
+    Two further PPJoin prunes run BEFORE verification, both exact:
+
+    - LENGTH filter, inside the candidate join condition: Jaccard >= t
+      forces 100*min(na, nb) >= t*max(na, nb) (intersection is at most
+      the smaller set, union at least the larger), so wildly mismatched
+      sizes never reach the candidate aggregate.
+    - POSITIONAL filter: both documents order their shingles by the
+      SAME global (df, shingle) total order, so a shared token sits at
+      jointly-ordered positions — any common token globally before the
+      first prefix match (ia, jb) would itself be an earlier
+      prefix-prefix match, a contradiction. Hence
+      overlap <= 1 + min(na - ia, nb - jb), and a candidate survives
+      only if that bound reaches the required overlap
+      alpha = ceil(t*(na+nb)/(100+t)) (the integral form of
+      inter/(na+nb-inter) >= t/100). At sf1 this is the difference
+      between verifying every share-a-rare-shingle pair and verifying
+      only near-duplicates.
+
     Everything is integer-exact cross-engine: the prefix length uses
     the integral ceiling ((t_num*n + 99) div 100 — a float 0.6*n would
     mis-ceil at multiples of 5), and the threshold test is
@@ -951,13 +969,49 @@ def ppjoin_pairs(
     prefix_len = (
         F.col("n") - F.expr(f"({t} * n + 99) div 100") + F.lit(1)
     )
-    prefix = ranked.where(F.col("rk") <= prefix_len).select("doc", "tok")
+    prefix = ranked.where(F.col("rk") <= prefix_len).select("doc", "tok", "rk", "n")
+    # distinct column names per side: a self-join on a shared lineage
+    # resolves pa["tok"] == pb["tok"] to the SAME attribute (trivially
+    # true), silently degrading the equi-join to a filtered cross product
+    pa = prefix.select(
+        F.col("doc").alias("da"),
+        F.col("tok").alias("tok_a"),
+        F.col("rk").alias("ia"),
+        F.col("n").alias("na"),
+    )
+    pb = prefix.select(
+        F.col("doc").alias("db"),
+        F.col("tok").alias("tok_b"),
+        F.col("rk").alias("jb"),
+        F.col("n").alias("nb"),
+    )
+    matches = pa.join(
+        pb,
+        (F.col("tok_a") == F.col("tok_b"))
+        & (F.col("da") < F.col("db"))
+        # length filter: 100*min(na,nb) >= t*max(na,nb)
+        & (F.lit(100) * F.least("na", "nb") >= F.lit(t) * F.greatest("na", "nb")),
+    )
+    # first prefix match = (min ia, min jb): the global token order makes
+    # both minima land on the same token, so the pair is coherent
     cand = (
-        prefix.select(F.col("doc").alias("da"), "tok")
-        .join(prefix.select(F.col("doc").alias("db"), "tok"), "tok")
-        .where(F.col("da") < F.col("db"))
+        matches.groupBy("da", "db")
+        .agg(
+            F.min("ia").alias("ia"),
+            F.min("jb").alias("jb"),
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
+        )
+        .withColumn(
+            "alpha",
+            F.expr(f"({t} * (na + nb) + {100 + t} - 1) div {100 + t}"),
+        )
+        # positional filter: overlap <= 1 + min(na - ia, nb - jb)
+        .where(
+            F.lit(1) + F.least(F.col("na") - F.col("ia"), F.col("nb") - F.col("jb"))
+            >= F.col("alpha")
+        )
         .select("da", "db")
-        .distinct()
     )
     # expand each candidate pair by a's shingles, then equi-join b's
     # shingle relation on (db, tok) — only true intersections survive

@@ -827,3 +827,94 @@ def theil_sen_slope(
         n_points.crossJoin(n_pairs)
         .crossJoin(med.select(F.col("value").alias("slope_median")))
     )
+
+
+def isotonic_fit(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_buckets: int = 20,
+    chunk: int = 1000,
+) -> DataFrame:
+    """Distributed isotonic regression (pool-adjacent-violators) of the
+    observed positive rate against an integer score, via the minimax
+    identity ``fit_i = max_{h<=i} min_{j>=i} Avg(h..j)`` (Robertson,
+    Wright & Dykstra, "Order Restricted Statistical Inference", 1988) —
+    the monotone calibration map a scoring model ships with. Where
+    :func:`calibration_curve` reports what the score means,
+    ``isotonic_fit`` repairs it into the best monotone recalibration
+    (L2, bucket-weighted).
+
+    Scale shape: facts reduce ONCE to distinct-score cells and the
+    equi-depth bucketing rides ``two_phase_rank_cumsum`` (same as
+    ``calibration_curve``); everything after operates on the bounded
+    ``n_buckets``-row table — the O(B^3) minimax enumeration is ~B^2
+    pair rows joined to a B-row spine, trivial for any dashboard-sized
+    B, and never touches the fact table again. Each weighted average is
+    ONE IEEE division of two exact BIGINTs, so min/max comparisons are
+    bit-identical cross-engine.
+
+    Returns one row per non-empty bucket: ``(bucket, n_rows, n_pos,
+    pos_rate_micro, iso_rate_r)`` with ``iso_rate_r`` non-decreasing in
+    ``bucket``.
+
+    reference: ABSENT — SURVEY.md §2 extension surface.
+    """
+    bins = calibration_curve(
+        df, score_col, label_col, n_buckets=n_buckets, chunk=chunk
+    ).select("bucket", "n_rows", "n_pos", "pos_rate_micro")
+    # exclusive prefix sums over the bounded bucket table (fixed
+    # cardinality <= n_buckets: the window is plan-safe)
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = bins.select(
+        "bucket",
+        "n_rows",
+        "n_pos",
+        "pos_rate_micro",
+        (F.sum("n_rows").over(w)).cast("bigint").alias("cum_n"),
+        (F.sum("n_pos").over(w)).cast("bigint").alias("cum_p"),
+    )
+    lo = pre.select(
+        F.col("bucket").alias("h"),
+        (F.col("cum_n") - F.col("n_rows")).alias("n_before_h"),
+        (F.col("cum_p") - F.col("n_pos")).alias("p_before_h"),
+    )
+    hi = pre.select(
+        F.col("bucket").alias("j"),
+        F.col("cum_n").alias("n_to_j"),
+        F.col("cum_p").alias("p_to_j"),
+    )
+    pairs = lo.join(F.broadcast(hi), F.col("h") <= F.col("j")).select(
+        "h",
+        "j",
+        (
+            (F.col("p_to_j") - F.col("p_before_h")).cast("double")
+            / (F.col("n_to_j") - F.col("n_before_h")).cast("double")
+        ).alias("avg_hj"),
+    )
+    spine = bins.select(F.col("bucket").alias("i"))
+    inner = (
+        pairs.join(
+            F.broadcast(spine),
+            (F.col("h") <= F.col("i")) & (F.col("j") >= F.col("i")),
+        )
+        .groupBy("i", "h")
+        .agg(F.min("avg_hj").alias("min_j"))
+    )
+    fit = inner.groupBy("i").agg(F.max("min_j").alias("fit"))
+    return (
+        bins.join(fit, bins["bucket"] == fit["i"])
+        .select(
+            "bucket",
+            "n_rows",
+            "n_pos",
+            "pos_rate_micro",
+            F.round("fit", 6).alias("iso_rate_r"),
+        )
+        .orderBy("bucket")
+    )

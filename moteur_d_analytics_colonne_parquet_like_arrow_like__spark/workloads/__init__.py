@@ -67,6 +67,11 @@ _MODULES = [
 # driver signature should predate r2 and most of r2 should be consumed;
 # then (d)-(e) by ascending freshness. VERDICT r5 item 2.
 _VERIFY_FIRST: tuple[str, ...] = (
+    # (a000) session-5 additions / behavior-relevant rewrites — newest,
+    # zero (or stale: dedup_ppjoin grew length+positional filters) driver
+    # signatures for the current code
+    "events_isotonic_fit",
+    "agg_skew_kurtosis",
     # (a00) continuation-4 additions — newest, zero driver signatures yet
     "events_auc_value",
     "events_interpolate_linear",

@@ -300,7 +300,19 @@ def q_table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = f"/tmp/snapevo_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
     t = SnapshotTable(path)
-    if t.latest_version() != 1:
+    ver = t.latest_version()
+    if ver == 0:  # crash between the two appends: a blind re-append
+        import shutil  # would duplicate v0's rows — rebuild instead
+
+        shutil.rmtree(path, ignore_errors=True)
+        t = SnapshotTable(path)
+        ver = None
+    elif ver not in (None, 1):
+        raise RuntimeError(
+            f"snapevo fixture at {path} is at unexpected version {ver}; "
+            "delete the directory to rebuild"
+        )
+    if ver is None:
         t.append(v0_rows.repartition(4))
         t.append(v1_rows.repartition(4), allow_evolution=True)
     latest = t.read(spark, 1)

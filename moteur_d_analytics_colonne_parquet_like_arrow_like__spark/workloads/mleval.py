@@ -763,3 +763,166 @@ FROM q CROSS JOIN t JOIN c
   ON (q.permille * t.n + 999) // 1000 BETWEEN c.cum - c.cnt + 1 AND c.cum
 ORDER BY permille
 """
+
+
+# -------------------------------------------------------- isotonic fit
+
+
+def q_events_isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotone recalibration of the purchase propensity implied by the
+    cent-quantized event value: isotonic regression over 20 equi-depth
+    score buckets (operators/stats.isotonic_fit — PAV via the minimax
+    identity on the bounded bucket table; facts reduce once, the
+    bucketing rides the two-phase chunked prefix scan). The output
+    ``iso_rate_r`` is the best non-decreasing L2 fit to the observed
+    per-bucket positive rates — the calibration map served next to the
+    model whose AUC ``events_auc_value`` measures."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("bigint").alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return stats.isotonic_fit(ev, "score", "y", n_buckets=20)
+
+
+QUERIES["events_isotonic_fit"] = q_events_isotonic_fit
+
+ORACLES["events_isotonic_fit"] = """
+WITH s AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), g AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(y) AS BIGINT) AS pos
+  FROM s GROUP BY score
+), c AS (
+  SELECT score, cnt, pos,
+         CAST(SUM(cnt) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum
+  FROM g
+), t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM g),
+bins AS MATERIALIZED (
+  SELECT CAST(((cum - cnt) * 20) // n + 1 AS BIGINT) AS bucket,
+         CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST((SUM(pos) * 1000000) // SUM(cnt) AS BIGINT) AS pos_rate_micro
+  FROM c CROSS JOIN t GROUP BY 1
+), pre AS MATERIALIZED (
+  SELECT bucket, n_rows, n_pos, pos_rate_micro,
+         CAST(SUM(n_rows) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_n,
+         CAST(SUM(n_pos) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_p
+  FROM bins
+), pairs AS (
+  SELECT lo.bucket AS h, hi.bucket AS j,
+         CAST(hi.cum_p - (lo.cum_p - lo.n_pos) AS DOUBLE)
+         / CAST(hi.cum_n - (lo.cum_n - lo.n_rows) AS DOUBLE) AS avg_hj
+  FROM pre lo JOIN pre hi ON lo.bucket <= hi.bucket
+), inner_min AS (
+  SELECT i.bucket AS i, p.h, MIN(p.avg_hj) AS min_j
+  FROM pre i JOIN pairs p ON p.h <= i.bucket AND p.j >= i.bucket
+  GROUP BY 1, 2
+), fit AS (
+  SELECT i, MAX(min_j) AS fit FROM inner_min GROUP BY i
+)
+SELECT b.bucket, b.n_rows, b.n_pos, b.pos_rate_micro,
+       round(f.fit, 6) AS iso_rate_r
+FROM bins b JOIN fit f ON f.i = b.bucket
+ORDER BY b.bucket
+"""
+
+
+# ------------------------------------------------- exact higher moments
+
+
+def q_agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact skewness and excess kurtosis of the order quantity per
+    return flag — the two shape statistics a feature-health dashboard
+    tracks beyond mean/variance. Each engine's NATIVE skewness/kurtosis
+    uses a different streaming accumulation (not reproducible
+    bit-for-bit), so both sides here compute from the same exact
+    integer power sums S1..S4 (quantity is integral; per-row q^4 and
+    the DECIMAL(38,0) totals are overflow-safe past sf1000) and then
+    evaluate the IDENTICAL central-moment expression tree in doubles:
+    m2 = S2/n - m1^2, m3 = S3/n - 3*m1*S2/n + 2*m1^3,
+    m4 = S4/n - 4*m1*S3/n + 6*m1^2*S2/n - 3*m1^4,
+    g1 = m3/m2^1.5, g2 = m4/m2^2 - 3.
+
+    Scale shape: pure map-side partial power sums (whole-stage codegen,
+    one shuffled row per group), one 3-row output."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("q")
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("_s1"),
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias("_s2"),
+        F.sum(
+            (F.col("q") * F.col("q") * F.col("q")).cast("decimal(38,0)")
+        ).alias("_s3"),
+        F.sum(
+            (F.col("q") * F.col("q") * F.col("q") * F.col("q")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("_s4"),
+    )
+    nd = F.col("n").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    s3 = F.col("_s3").cast("double")
+    s4 = F.col("_s4").cast("double")
+    m1 = s1 / nd
+    m2 = s2 / nd - m1 * m1
+    m3 = s3 / nd - F.lit(3.0) * m1 * (s2 / nd) + F.lit(2.0) * m1 * m1 * m1
+    m4 = (
+        s4 / nd
+        - F.lit(4.0) * m1 * (s3 / nd)
+        + F.lit(6.0) * m1 * m1 * (s2 / nd)
+        - F.lit(3.0) * m1 * m1 * m1 * m1
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(m1, 6).alias("mean_r"),
+        F.round(m2, 6).alias("m2_r"),
+        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skew_r"),
+        F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("kurtosis_r"),
+    ).orderBy("l_returnflag")
+
+
+QUERIES["agg_skew_kurtosis"] = q_agg_skew_kurtosis
+
+ORACLES["agg_skew_kurtosis"] = """
+WITH a AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(q AS DECIMAL(38,0))) AS s1,
+         SUM(CAST(q*q AS DECIMAL(38,0))) AS s2,
+         SUM(CAST(q*q*q AS DECIMAL(38,0))) AS s3,
+         SUM(CAST(q*q*q*q AS DECIMAL(38,0))) AS s4
+  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem)
+  GROUP BY l_returnflag
+), d AS (
+  SELECT l_returnflag, n,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+         CAST(s3 AS DOUBLE) AS s3, CAST(s4 AS DOUBLE) AS s4
+  FROM a
+), m AS (
+  SELECT l_returnflag, n,
+         s1/nd AS m1,
+         s2/nd - (s1/nd)*(s1/nd) AS m2,
+         s3/nd - 3.0*(s1/nd)*(s2/nd) + 2.0*(s1/nd)*(s1/nd)*(s1/nd) AS m3,
+         s4/nd - 4.0*(s1/nd)*(s3/nd) + 6.0*(s1/nd)*(s1/nd)*(s2/nd)
+               - 3.0*(s1/nd)*(s1/nd)*(s1/nd)*(s1/nd) AS m4
+  FROM d
+)
+SELECT l_returnflag, n,
+       round(m1, 6) AS mean_r,
+       round(m2, 6) AS m2_r,
+       round(m3 / (m2 * sqrt(m2)), 6) AS skew_r,
+       round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_r
+FROM m
+ORDER BY l_returnflag
+"""

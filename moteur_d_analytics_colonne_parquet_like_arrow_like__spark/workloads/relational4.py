@@ -128,6 +128,12 @@ def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"/tmp/snaptbl_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
     t = SnapshotTable(path)
     if t.latest_version() != 2:
+        # crash-left partial build (v0/v1 only) would duplicate the A
+        # slice on a blind re-append; the fixture is derived, so rebuild
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        t = SnapshotTable(path)
         t.append(li.where(F.col("l_returnflag") == "A"))
         t.append(li.where(F.col("l_returnflag") == "R"))
         t.overwrite(li.where(F.col("l_returnflag") == "N"))

@@ -436,6 +436,63 @@ def test_ppjoin_validation_and_prefix_prunes(spark, sf_dir):
     assert found < any_pairs
 
 
+def test_ppjoin_candidate_join_is_an_equi_join(spark, sf_dir):
+    # Regression: self-joining the prefix relation with pa["tok"] ==
+    # pb["tok"] resolved both sides to the SAME attribute (trivially
+    # true), silently degrading candidate generation to a length-filtered
+    # cross product — correct output, catastrophic plan. The shipped
+    # operator renames the token per side; assert no nested-loop or
+    # cartesian join survives in the physical plan.
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        dedup.ppjoin_pairs(docs, "doc_id", "text", threshold_pct=60)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ppjoin_positional_and_length_filters_are_sound(spark):
+    # Adversarial corpus for the two new prunes: (a) a pair whose sizes
+    # fail the length filter can never appear; (b) near-identical pairs
+    # must survive both filters; computed against brute force.
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),  # near-dup of 1
+        # shares rare shingles with 1 but is far longer -> length filter
+        (3, "alpha beta gamma " + " ".join(f"w{i} x{i} y{i}" for i in range(40))),
+        (4, "totally unrelated words about ships and harbors and tides"),
+        (5, "totally unrelated words about ships and harbors and tides"),  # dup of 4
+    ]
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import dedup
+
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.ppjoin_pairs(docs, "doc_id", "text", threshold_pct=60).collect()
+    }
+    import re
+
+    def shingles(text):
+        w = re.sub(r"\s+", " ", text).strip().lower().split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sets = {i: shingles(t) for i, t in rows}
+    want = set()
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if 100 * inter >= 60 * (len(sets[a]) + len(sets[b]) - inter):
+                want.add((a, b))
+    assert got == want
+    assert (4, 5) in got and (1, 3) not in got
+
+
 # --------------------------------------------------------------- Holt
 
 
