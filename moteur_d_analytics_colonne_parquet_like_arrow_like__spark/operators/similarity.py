@@ -863,3 +863,110 @@ def pq_topk(
         .where(F.col("rnk") <= k)
         .select("query_id", "corpus_id", "adc", "rnk")
     )
+
+
+def kcenter_greedy(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 6,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Farthest-point sampling (k-center greedy, the 2-approximation of
+    Gonzalez 1985): pick the min-id seed, then ``k-1`` times pick the
+    vector farthest from everything selected so far — the diversity
+    coreset a curation pipeline uses to pick maximally-spread exemplars
+    (seed sets for active learning, prototype picks per domain,
+    "cover the embedding space with k docs").
+
+    Determinism contract: components quantize to
+    ``round(x·quant)`` BIGINTs once, so every distance is an exact
+    integer Σ(Δq)² (order-independent; |q|~5e6 over 64 dims stays far
+    under BIGINT), and the argmax tie-breaks on ascending id — the
+    whole trajectory is reproducible on any engine/partitioning.
+
+    Scale shape: the algorithm state between rounds is ``(id, min_d2)``
+    — 16 bytes a row, localCheckpoint-ed each round so round r+1 reads
+    materialized state instead of replaying rounds 1..r (k linear
+    passes total, the ``pagerank``/``kmeans_iterate`` lineage-cut
+    contract). Each round broadcasts ONE selected row, joins it against
+    the corpus map-side, and reduces with a TakeOrderedAndProject
+    argmax — no pairwise matrix, no corpus-sized shuffle, no
+    data-proportional broadcast. Selected centers re-enter with
+    ``min_d2 = 0`` so they can never win again while any point remains
+    uncovered.
+
+    Returns ``(sel_order, vec_id, d2_sel)``: the selection trajectory,
+    where ``d2_sel`` is the point's distance-to-selected-set at the
+    moment it was chosen (the shrinking coverage radius; 0 for the
+    seed).
+
+    reference: ABSENT — SURVEY.md §2 extension surface.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q = corpus.select(
+        F.col(id_col).alias("vid"),
+        # cast to double BEFORE scaling: a float×int product would round
+        # in single precision and quantize off-by-one vs other engines
+        F.expr(
+            f"transform({vec_col}, x -> "
+            f"cast(round(cast(x as double) * {int(quant)}.0) as bigint))"
+        ).alias("qv"),
+    )
+
+    def d2(a: str, b: str) -> Column:
+        return F.expr(
+            f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+            "0L, (acc, v) -> acc + v)"
+        )
+
+    seed = (
+        q.orderBy("vid")
+        .limit(1)
+        .select(F.col("vid").alias("c_id"), F.col("qv").alias("c_qv"))
+        .localCheckpoint(eager=True)
+    )
+    picks = [
+        seed.select(
+            F.lit(0).alias("sel_order"),
+            F.col("c_id").alias("vec_id"),
+            F.lit(0).cast("bigint").alias("d2_sel"),
+        )
+    ]
+    state = (
+        q.crossJoin(F.broadcast(seed))
+        .select("vid", d2("qv", "c_qv").alias("min_d2"))
+        .localCheckpoint(eager=True)
+    )
+    for r in range(1, k):
+        nxt = (
+            state.orderBy(F.col("min_d2").desc(), F.col("vid").asc())
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        picks.append(
+            nxt.select(
+                F.lit(r).alias("sel_order"),
+                F.col("vid").alias("vec_id"),
+                F.col("min_d2").alias("d2_sel"),
+            )
+        )
+        if r + 1 < k:
+            c = nxt.select(F.col("vid").alias("c_id"))
+            cvec = q.join(F.broadcast(c), q["vid"] == c["c_id"]).select(
+                F.col("c_id"), F.col("qv").alias("c_qv")
+            )
+            state = (
+                state.join(q, "vid")
+                .crossJoin(F.broadcast(cvec))
+                .select(
+                    "vid",
+                    F.least("min_d2", d2("qv", "c_qv")).alias("min_d2"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("sel_order")

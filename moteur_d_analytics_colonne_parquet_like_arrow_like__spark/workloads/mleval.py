@@ -926,3 +926,71 @@ SELECT l_returnflag, n,
 FROM m
 ORDER BY l_returnflag
 """
+
+
+# ------------------------------------------------- k-center coreset
+
+
+def q_sim_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity coreset of the embedding corpus: 6-step farthest-point
+    sampling (operators/similarity.kcenter_greedy — Gonzalez's k-center
+    2-approximation) with exact micro-quantized integer distances and
+    min-id tie-breaks, so the greedy trajectory is engine-reproducible.
+    The output is the selection order with each pick's
+    distance-to-selected-set — the shrinking coverage radius a curator
+    reads to choose k."""
+    from ..operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kcenter_greedy(emb, "vec_id", "embedding", k=6)
+
+
+QUERIES["sim_kcenter_coreset"] = q_sim_kcenter_coreset
+
+
+def _kcenter_oracle(k: int = 6) -> str:
+    rounds = []
+    prev_m = "m0"
+    for r in range(1, k):
+        rounds.append(
+            f"c{r} AS MATERIALIZED (SELECT vid, min_d2 FROM {prev_m} "
+            f"ORDER BY min_d2 DESC, vid ASC LIMIT 1)"
+        )
+        if r + 1 < k:
+            rounds.append(
+                f"m{r} AS MATERIALIZED (SELECT m.vid, "
+                f"LEAST(m.min_d2, d.d2) AS min_d2 "
+                f"FROM {prev_m} m JOIN c{r} ON TRUE "
+                f"JOIN d ON d.va = m.vid AND d.vb = c{r}.vid)"
+            )
+            prev_m = f"m{r}"
+    selects = [
+        "SELECT CAST(0 AS INT) AS sel_order, s0.c AS vec_id, "
+        "CAST(0 AS BIGINT) AS d2_sel FROM s0"
+    ] + [
+        f"SELECT CAST({r} AS INT), vid, min_d2 FROM c{r}" for r in range(1, k)
+    ]
+    return (
+        """
+WITH q AS MATERIALIZED (
+  SELECT vec_id, i,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS qv
+  FROM embeddings, UNNEST(range(1, 65)) AS t(i)
+), d AS MATERIALIZED (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(SUM((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS d2
+  FROM q a JOIN q b ON a.i = b.i
+  GROUP BY 1, 2
+), s0 AS MATERIALIZED (SELECT MIN(vec_id) AS c FROM embeddings),
+m0 AS MATERIALIZED (
+  SELECT d.va AS vid, d.d2 AS min_d2 FROM d JOIN s0 ON d.vb = s0.c
+),
+"""
+        + ",\n".join(rounds)
+        + "\n"
+        + "\nUNION ALL ".join(selects)
+        + "\nORDER BY sel_order"
+    )
+
+
+ORACLES["sim_kcenter_coreset"] = _kcenter_oracle(6)

@@ -113,3 +113,44 @@ def test_skew_kurtosis_matches_numpy(spark, sf_dir):
         assert r["kurtosis_r"] == pytest.approx(g2, abs=1e-5)
     # quantity is ~uniform(1..50): skew ~0, excess kurtosis ~ -1.2
     assert abs(out["N"]["skew_r"]) < 0.1 and out["N"]["kurtosis_r"] < -1.0
+
+
+# ---------------------------------------------------- k-center greedy
+
+
+def test_kcenter_matches_numpy_greedy(spark, sf_dir):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = [
+        (r["sel_order"], r["vec_id"], r["d2_sel"])
+        for r in similarity.kcenter_greedy(
+            emb, "vec_id", "embedding", k=5
+        ).collect()
+    ]
+    pdf = emb.toPandas().sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    Q = np.round(
+        np.stack(pdf["embedding"].to_numpy()).astype("float64") * 1e6
+    ).astype("int64")
+    sel = [0]  # position index of min id (sorted)
+    want = [(0, int(ids[0]), 0)]
+    mind = ((Q - Q[0]) ** 2).sum(axis=1)
+    for r in range(1, 5):
+        i = int(np.lexsort((ids, -mind))[0])  # max d2, tie -> min id
+        want.append((r, int(ids[i]), int(mind[i])))
+        mind = np.minimum(mind, ((Q - Q[i]) ** 2).sum(axis=1))
+    assert got == want
+    # coverage radius shrinks monotonically after the seed
+    radii = [d for _, _, d in got[1:]]
+    assert radii == sorted(radii, reverse=True)
+
+
+def test_kcenter_k1_and_validation(spark, sf_dir):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.kcenter_greedy(emb, "vec_id", "embedding", k=1).collect()
+    assert len(out) == 1 and out[0]["sel_order"] == 0
+    with pytest.raises(ValueError):
+        similarity.kcenter_greedy(emb, "vec_id", "embedding", k=0)
