@@ -325,3 +325,61 @@ def kcore(
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
         .orderBy("node")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    src: str = "sa",
+    dst: str = "sb",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, the deterministic fixed-round variant): every node starts
+    as its own label; each round every node adopts the most frequent
+    label among its neighbors PLUS its own current label (the
+    self-vote damps 2-cycle oscillation), ties broken by the smallest
+    label. A FIXED round count plus the total tie order makes the
+    trajectory engine-reproducible — the same contract as
+    ``kcore(rounds=8)``.
+
+    Scale shape: each round is one edge-sized join against the (node,
+    label) frame, one (node, label) count aggregate (map-side
+    combinable), and one ``max(struct(cnt, -label))`` argmax per node —
+    no windows, no driver collect; the label frame is
+    ``localCheckpoint``-ed per round (pagerank's lineage-cut contract).
+    Communities emerge as label plateaus; the caller aggregates
+    membership.
+
+    reference: ABSENT — SURVEY.md §2 extension surface (graph family:
+    triangles / pagerank / k-core / link prediction / BFS).
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    und = edges.select(F.col(src).alias("n"), F.col(dst).alias("m")).unionByName(
+        edges.select(F.col(dst).alias("n"), F.col(src).alias("m"))
+    )
+    labels = (
+        und.select("n")
+        .distinct()
+        .select("n", F.col("n").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        neigh = und.join(
+            labels.select(F.col("n").alias("m"), "label"), "m"
+        ).select("n", "label")
+        votes = neigh.unionByName(labels.select("n", "label"))
+        counts = votes.groupBy("n", "label").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        labels = (
+            counts.groupBy("n")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("w")
+            )
+            .select("n", (-F.col("w.nl")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -1015,3 +1015,56 @@ def bpe_encode_counts(
         )
         .orderBy(id_col)
     )
+
+
+def readability(df: DataFrame, text_col: str) -> DataFrame:
+    """Per-document Flesch readability counts: words, sentences
+    (``[.!?]+`` runs in the raw text, floored at 1), and syllables (per
+    letter-bearing word, the count of ``[aeiouy]+`` vowel-group runs
+    floored at 1 — the classic dictionary-free approximation). Appends
+    ``r_words / r_sentences / r_syllables`` for a downstream
+    reading-ease aggregate.
+
+    Scale shape: a pure per-row expression tree (regexp counts + one
+    array fold) — shuffle-free, whole-stage codegen, linear at any
+    scale; the aggregate shape belongs to the caller.
+
+    reference: ABSENT — SURVEY.md §2 extension surface (quality-scoring
+    family next to ``quality_score`` / ``gopher_quality``).
+    """
+    from ..functions import words
+
+    ws = words(text_col)
+    syl = F.aggregate(
+        F.transform(
+            ws,
+            lambda w: F.when(
+                w.rlike("[a-z]"),
+                F.greatest(
+                    F.lit(1),
+                    F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0)),
+                ),
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    letter_words = F.aggregate(
+        F.transform(
+            ws, lambda w: F.when(w.rlike("[a-z]"), F.lit(1)).otherwise(F.lit(0))
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    sentences = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit("[.!?]+"), 0)
+        ).cast("bigint"),
+    )
+    return df.select(
+        "*",
+        letter_words.alias("r_words"),
+        sentences.alias("r_sentences"),
+        syl.alias("r_syllables"),
+    )

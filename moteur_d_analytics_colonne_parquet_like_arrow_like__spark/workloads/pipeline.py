@@ -2525,3 +2525,83 @@ ORACLES["multimodal_frame_plan"] = """
            CAST(((i * dur) // 4 * 25) // 1000 AS BIGINT) AS frame_no
     FROM fr ORDER BY media_id, frame_idx
 """
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Flesch readability: exact BIGINT word / sentence /
+    syllable totals (operators/text.readability — per-row expression
+    tree, shuffle-free) aggregated per source, then the classic reading
+    ease 206.835 − 1.015·(W/S) − 84.6·(Syl/W) and the Flesch–Kincaid
+    grade 0.39·(W/S) + 11.8·(Syl/W) − 15.59 evaluated once over the
+    exact totals — the corpus-curation readability dial next to
+    text_quality/gopher_quality."""
+    docs = load_table(spark, sf_dir, "documents")
+    r = text.readability(docs, "text")
+    agg = r.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("r_words").cast("bigint").alias("words"),
+        F.sum("r_sentences").cast("bigint").alias("sentences"),
+        F.sum("r_syllables").cast("bigint").alias("syllables"),
+    )
+    wps = F.col("words").cast("double") / F.col("sentences").cast("double")
+    spw = F.col("syllables").cast("double") / F.col("words").cast("double")
+    return agg.select(
+        "source",
+        "n_docs",
+        "words",
+        "sentences",
+        "syllables",
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6
+        ).alias("fre_r"),
+        F.round(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
+        ).alias("fk_grade_r"),
+    ).orderBy("source")
+
+
+QUERIES["text_readability"] = q_text_readability
+
+ORACLES["text_readability"] = """
+WITH w AS (
+  SELECT doc_id, source,
+         unnest(string_split(
+           lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS word
+  FROM documents
+), per_word AS (
+  SELECT doc_id, source,
+         CASE WHEN regexp_matches(word, '[a-z]') THEN 1 ELSE 0 END AS is_w,
+         CASE WHEN regexp_matches(word, '[a-z]')
+              THEN GREATEST(1, len(regexp_extract_all(word, '[aeiouy]+')))
+              ELSE 0 END AS syl
+  FROM w
+), per_doc AS (
+  SELECT doc_id, source,
+         CAST(SUM(is_w) AS BIGINT) AS r_words,
+         CAST(SUM(syl) AS BIGINT) AS r_syllables
+  FROM per_word GROUP BY doc_id, source
+), sents AS (
+  SELECT doc_id,
+         GREATEST(CAST(1 AS BIGINT),
+                  CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+           AS r_sentences
+  FROM documents
+), agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(r_words) AS BIGINT) AS words,
+         CAST(SUM(r_sentences) AS BIGINT) AS sentences,
+         CAST(SUM(r_syllables) AS BIGINT) AS syllables
+  FROM per_doc JOIN sents USING (doc_id)
+  GROUP BY source
+)
+SELECT source, n_docs, words, sentences, syllables,
+       round(206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                     - 84.6 * (CAST(syllables AS DOUBLE) / words), 6)
+         AS fre_r,
+       round(0.39 * (CAST(words AS DOUBLE) / sentences)
+             + 11.8 * (CAST(syllables AS DOUBLE) / words) - 15.59, 6)
+         AS fk_grade_r
+FROM agg
+ORDER BY source
+"""

@@ -937,3 +937,78 @@ SELECT strftime(detr.d, '%Y-%m-%d') AS d,
 FROM detr JOIN seas ON detr.dow = seas.dow
 ORDER BY detr.d
 """
+
+
+# -------------------------------------------------- label propagation
+
+
+def q_supplier_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the co-supply similarity graph: 4
+    deterministic rounds of synchronous label propagation
+    (operators/graph.label_propagation — self-vote damping, min-label
+    ties) over the same sparse edge derivation as graph_triangles /
+    supplier_kcore. Output is the community census (size, id range)
+    ordered largest-first — the supplier clusters a sourcing-risk
+    review would treat as single points of failure."""
+    from ..operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = graph.co_supply_edges(li, min_shared=5)
+    labels = graph.label_propagation(edges, rounds=2)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("n").alias("min_member"),
+            F.max("n").alias("max_member"),
+        )
+        .orderBy(F.col("n_members").desc(), F.col("community").asc())
+    )
+
+
+QUERIES["supplier_communities"] = q_supplier_communities
+
+_LPA_ROUNDS = "".join(
+    f""",
+    v{i} AS (
+        SELECT u.n, l.label FROM und u JOIN l{i - 1} l ON l.n = u.m
+        UNION ALL SELECT n, label FROM l{i - 1}
+    ),
+    c{i} AS MATERIALIZED (
+        SELECT n, label, COUNT(*) AS c FROM v{i} GROUP BY 1, 2
+    ),
+    l{i} AS MATERIALIZED (
+        SELECT n, label FROM (
+            SELECT n, label,
+                   ROW_NUMBER() OVER (PARTITION BY n
+                                      ORDER BY c DESC, label ASC) AS rk
+            FROM c{i}
+        ) WHERE rk = 1
+    )"""
+    for i in range(1, 3)
+)
+
+ORACLES["supplier_communities"] = f"""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+                WHERE l_partkey % 50 = 0),
+    e0 AS MATERIALIZED (
+        SELECT a.l_suppkey AS a, b.l_suppkey AS b
+        FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+        WHERE a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    ),
+    und AS MATERIALIZED (
+        SELECT a AS n, b AS m FROM e0
+        UNION ALL SELECT b AS n, a AS m FROM e0
+    ),
+    l0 AS MATERIALIZED (
+        SELECT n, n AS label FROM (SELECT DISTINCT n FROM und)
+    ){_LPA_ROUNDS}
+    SELECT label AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(n) AS min_member,
+           MAX(n) AS max_member
+    FROM l2
+    GROUP BY label
+    ORDER BY n_members DESC, community ASC
+"""

@@ -154,3 +154,81 @@ def test_kcenter_k1_and_validation(spark, sf_dir):
     assert len(out) == 1 and out[0]["sel_order"] == 0
     with pytest.raises(ValueError):
         similarity.kcenter_greedy(emb, "vec_id", "embedding", k=0)
+
+
+# ------------------------------------------------------- readability
+
+
+def test_readability_counts_toy(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),
+            (2, "Incredible readability example?! Yes."),
+            (3, "123 456"),  # no letter words -> 0 words, 1 sentence floor
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: (r["r_words"], r["r_sentences"], r["r_syllables"])
+        for r in t.readability(df, "text").collect()
+    }
+    # "the cat sat." -> the(1) cat(1) sat.(1)  (trailing dot stays on the
+    # token after whitespace split; vowel runs only count letters)
+    assert rows[1] == (6, 2, 6)
+    # incredible(4: i-e-i-e) readability(5: ea-a-i-i-y) example?!(3: e-a-e)
+    # yes.(1: e)
+    assert rows[2] == (4, 2, 13)
+    assert rows[3] == (0, 1, 0)
+
+
+def test_readability_gate_ranges(spark, sf_dir):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import pipeline as pl
+
+    out = pl.q_text_readability(spark, sf_dir).toPandas()
+    assert (out["words"] > 0).all() and (out["sentences"] > 0).all()
+    # syllables >= letter-words (every letter word counts at least 1)
+    assert (out["syllables"] >= out["words"]).all()
+    # FRE for English-ish synthetic text lands in a sane band
+    assert out["fre_r"].between(-100, 150).all()
+
+
+# ------------------------------------------------- label propagation
+
+
+def test_label_propagation_two_cliques(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import graph
+
+    # two 4-cliques joined by one bridge edge: LPA must find both
+    cliq1 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    cliq2 = [(a, b) for a in range(11, 15) for b in range(11, 15) if a < b]
+    edges = spark.createDataFrame(
+        cliq1 + cliq2 + [(4, 11)], ["sa", "sb"]
+    )
+    labs = graph.label_propagation(edges, rounds=4)
+    comm = {r["n"]: r["label"] for r in labs.collect()}
+    assert len(set(comm.values())) == 2
+    assert comm[1] == comm[2] == comm[3] == comm[4]
+    assert comm[11] == comm[12] == comm[13] == comm[14]
+    # min-label convention: community labels are member ids
+    assert set(comm.values()) == {1, 11}
+
+
+def test_label_propagation_validation_and_gate(spark, sf_dir):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import graph
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import relational8
+
+    with pytest.raises(ValueError):
+        graph.label_propagation(
+            spark.createDataFrame([(1, 2)], ["sa", "sb"]), rounds=0
+        )
+    # min_shared=5 leaves no edges at sf0.001 — exercise the gate shape
+    # at the driver's sf0.01
+    out = relational8.q_supplier_communities(
+        spark, "/root/testdata/sf0.01"
+    ).toPandas()
+    # census covers every node exactly once
+    assert out["n_members"].sum() > 0
+    assert (out["min_member"] <= out["max_member"]).all()
+    assert out["n_members"].is_monotonic_decreasing
