@@ -970,3 +970,68 @@ def kcenter_greedy(
     for p in picks[1:]:
         out = out.unionByName(p)
     return out.orderBy("sel_order")
+
+
+def jl_project(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    in_dim: int = 64,
+    out_dim: int = 16,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection with a ±1 sign matrix
+    (Achlioptas 2003: database-friendly random projections — ±1
+    entries preserve pairwise distances in expectation with
+    E[‖Px‖²] = r·‖x‖²). The sign matrix is DERIVED, not stored:
+    ``s(i,j) = +1 iff md5(i||'_'||j) starts below hex '8'`` — any
+    engine, any executor, any retry regenerates the identical matrix,
+    which is what makes a random projection usable in a multi-engine
+    lake (no codebook artifact to version or ship).
+
+    Components quantize to ``round(x·quant)`` BIGINT first, so every
+    projected coordinate ``p_j = Σ_i s(i,j)·q_i`` is an exact integer
+    and downstream distances are bit-stable.
+
+    Scale shape: the in_dim×out_dim sign matrix (1,024 rows here) is a
+    broadcast join against the exploded corpus; the projection is one
+    map-side-combinable (id, j) aggregate — corpus rows never shuffle
+    wider than out_dim cells each. Returns the LONG form
+    ``(id, j, pj)``.
+
+    reference: ABSENT — SURVEY.md §2 extension surface.
+    """
+    spark = corpus.sparkSession
+    signs = (
+        spark.range(in_dim)
+        .select(F.col("id").alias("i"))
+        .crossJoin(spark.range(out_dim).select(F.col("id").alias("j")))
+        .select(
+            "i",
+            "j",
+            F.when(
+                F.substring(
+                    F.md5(F.concat_ws("_", F.col("i"), F.col("j"))), 1, 1
+                )
+                < F.lit("8"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .cast("bigint")
+            .alias("s"),
+        )
+    )
+    q = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(
+            F.expr(
+                f"transform({vec_col}, x -> "
+                f"cast(round(cast(x as double) * {int(quant)}.0) as bigint))"
+            )
+        ).alias("i", "qv"),
+    )
+    return (
+        q.join(F.broadcast(signs), "i")
+        .groupBy("vid", "j")
+        .agg(F.sum(F.col("s") * F.col("qv")).cast("bigint").alias("pj"))
+    )

@@ -994,3 +994,130 @@ m0 AS MATERIALIZED (
 
 
 ORACLES["sim_kcenter_coreset"] = _kcenter_oracle(6)
+
+
+# ------------------------------------------------------ JL projection
+
+
+def q_sim_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss distortion audit: project the embedding
+    corpus 64 → 16 dims with the md5-derived ±1 sign matrix
+    (operators/similarity.jl_project — no codebook artifact, any engine
+    regenerates the identical matrix) and report how well squared
+    distances survive on a deterministic 50×50 pair sample:
+    ``ratio = d2_projected / (16 · d2_original)`` should concentrate
+    around 1. One audit row: pair count, min/avg/max ratio, and how
+    many pairs distort beyond ±0.5 — the measured dial for choosing
+    the projected dimension."""
+    from ..operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = similarity.jl_project(
+        emb, "vec_id", "embedding", in_dim=64, out_dim=16
+    )
+    q = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.posexplode(
+            F.expr(
+                "transform(embedding, x -> "
+                "cast(round(cast(x as double) * 1000000.0) as bigint))"
+            )
+        ).alias("i", "qv"),
+    )
+    pa = q.where(F.col("vid") % 10 == 0).select(
+        F.col("vid").alias("va"), "i", F.col("qv").alias("qa")
+    )
+    pb = q.where(F.col("vid") % 10 == 5).select(
+        F.col("vid").alias("vb"), "i", F.col("qv").alias("qb")
+    )
+    d2o = (
+        pa.join(pb, "i")
+        .groupBy("va", "vb")
+        .agg(
+            F.sum((F.col("qa") - F.col("qb")) * (F.col("qa") - F.col("qb")))
+            .cast("bigint")
+            .alias("d2o")
+        )
+    )
+    ja = proj.where(F.col("vid") % 10 == 0).select(
+        F.col("vid").alias("va"), "j", F.col("pj").alias("ra")
+    )
+    jb = proj.where(F.col("vid") % 10 == 5).select(
+        F.col("vid").alias("vb"), "j", F.col("pj").alias("rb")
+    )
+    d2p = (
+        ja.join(jb, "j")
+        .groupBy("va", "vb")
+        .agg(
+            F.sum((F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb")))
+            .cast("bigint")
+            .alias("d2p")
+        )
+    )
+    ratios = d2o.join(d2p, ["va", "vb"]).select(
+        F.round(
+            F.col("d2p").cast("double")
+            / (F.lit(16) * F.col("d2o")).cast("double"),
+            6,
+        ).alias("ratio_r")
+    )
+    return ratios.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.min("ratio_r").alias("min_ratio_r"),
+        F.round(
+            F.sum(F.col("ratio_r").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("avg_ratio_r"),
+        F.max("ratio_r").alias("max_ratio_r"),
+        F.sum(
+            (
+                (F.col("ratio_r") < 0.5) | (F.col("ratio_r") > 1.5)
+            ).cast("bigint")
+        ).alias("n_outside"),
+    )
+
+
+QUERIES["sim_jl_distortion"] = q_sim_jl_distortion
+
+ORACLES["sim_jl_distortion"] = """
+WITH q AS MATERIALIZED (
+  SELECT vec_id AS vid, i - 1 AS i,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS qv
+  FROM embeddings, UNNEST(range(1, 65)) AS t(i)
+), signs AS MATERIALIZED (
+  SELECT i.i, j.j,
+         CASE WHEN substr(md5(i.i || '_' || j.j), 1, 1) < '8'
+              THEN 1 ELSE -1 END AS s
+  FROM (SELECT unnest(range(0, 64)) AS i) i,
+       (SELECT unnest(range(0, 16)) AS j) j
+), proj AS MATERIALIZED (
+  SELECT q.vid, s.j, CAST(SUM(s.s * q.qv) AS BIGINT) AS pj
+  FROM q JOIN signs s ON s.i = q.i
+  GROUP BY q.vid, s.j
+), d2o AS (
+  SELECT a.vid AS va, b.vid AS vb,
+         CAST(SUM((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS d2o
+  FROM q a JOIN q b ON a.i = b.i
+  WHERE a.vid % 10 = 0 AND b.vid % 10 = 5
+  GROUP BY 1, 2
+), d2p AS (
+  SELECT a.vid AS va, b.vid AS vb,
+         CAST(SUM((a.pj - b.pj) * (a.pj - b.pj)) AS BIGINT) AS d2p
+  FROM proj a JOIN proj b ON a.j = b.j
+  WHERE a.vid % 10 = 0 AND b.vid % 10 = 5
+  GROUP BY 1, 2
+), ratios AS (
+  SELECT round(CAST(d2p.d2p AS DOUBLE) / CAST(16 * d2o.d2o AS DOUBLE), 6)
+           AS ratio_r
+  FROM d2o JOIN d2p ON d2o.va = d2p.va AND d2o.vb = d2p.vb
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       MIN(ratio_r) AS min_ratio_r,
+       round(CAST(SUM(CAST(ratio_r AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_ratio_r,
+       MAX(ratio_r) AS max_ratio_r,
+       CAST(SUM(CASE WHEN ratio_r < 0.5 OR ratio_r > 1.5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outside
+FROM ratios
+"""

@@ -232,3 +232,34 @@ def test_label_propagation_validation_and_gate(spark, sf_dir):
     assert out["n_members"].sum() > 0
     assert (out["min_member"] <= out["max_member"]).all()
     assert out["n_members"].is_monotonic_decreasing
+
+
+# ---------------------------------------------------- JL projection
+
+
+def test_jl_sign_matrix_matches_hashlib(spark):
+    import hashlib
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import similarity
+
+    one = spark.createDataFrame(
+        [(7, [1.0] + [0.0] * 63)], ["vec_id", "embedding"]
+    )
+    # with a single 1.0 in dim 0, pj equals quant * s(0, j) exactly
+    got = {
+        r["j"]: r["pj"]
+        for r in similarity.jl_project(one, "vec_id", "embedding").collect()
+    }
+    for j in range(16):
+        s = 1 if hashlib.md5(f"0_{j}".encode()).hexdigest()[0] < "8" else -1
+        assert got[j] == s * 1_000_000
+
+
+def test_jl_distortion_concentrates(spark, sf_dir):
+    out = mleval.q_sim_jl_distortion(spark, sf_dir).collect()[0]
+    assert out["n_pairs"] > 0
+    # JL with r=16: ratios concentrate around 1; the sample mean should
+    # sit well inside [0.7, 1.3] and catastrophic distortion is rare
+    assert 0.7 < out["avg_ratio_r"] < 1.3
+    assert out["min_ratio_r"] > 0.0
+    assert out["n_outside"] < out["n_pairs"] * 0.2
