@@ -1038,3 +1038,95 @@ def ppjoin_pairs(
             ).alias("jaccard_r"),
         )
     )
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 40,
+    stride: int = 20,
+) -> DataFrame:
+    """Cross-document duplicated-substring spans — the fingerprint
+    approximation of exact substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": exact
+    suffix-array dedup; here the distributed stand-in is fixed-length
+    character windows every ``stride`` chars, md5-fingerprinted). A
+    window whose fingerprint appears in ≥2 DISTINCT documents marks a
+    duplicated span; per document, overlapping marked spans merge into
+    maximal islands (consecutive spans in an island overlap by
+    construction, so each island covers the contiguous
+    ``[min_off, max_off + window)``).
+
+    Returns one row per (document, island): ``(id, span_start,
+    span_chars, n_windows)`` — the spans a curation pass would clip or
+    down-weight.
+
+    Scale shape: the window explode is a bounded ×(len/stride) per doc;
+    only (id, offset, 16-byte fingerprint) rows shuffle — never text.
+    The island merge is a window partitioned BY DOCUMENT (bounded group
+    size — a doc's own span list), the plan-safe shape. Stride trades
+    recall for cost: stride = window/2 guarantees any duplicated run
+    ≥ 2·window chars is caught.
+
+    reference: ABSENT — SURVEY.md §2 extension surface (the substring
+    rung of the dedup ladder: exact doc / line / shingle-set /
+    semantic / substring).
+    """
+    if window < 2 or stride < 1:
+        raise ValueError(f"bad window/stride: {window}/{stride}")
+    from pyspark.sql import Window as W
+
+    wins = (
+        df.where(F.length(text_col) >= window)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - {window} + 1,"
+                    f" {stride}), o -> struct(o as off,"
+                    f" md5(substring({text_col}, o, {window})) as h))"
+                )
+            ).alias("w"),
+        )
+        .select("doc", F.col("w.off").alias("off"), F.col("w.h").alias("h"))
+    )
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("doc").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    marked = wins.join(dup_h, "h").select("doc", "off")
+    byoff = W.partitionBy("doc").orderBy("off")
+    prev_end = F.max(F.col("off") + F.lit(window)).over(
+        byoff.rowsBetween(W.unboundedPreceding, -1)
+    )
+    islands = (
+        marked.withColumn(
+            "new_island",
+            F.when(
+                prev_end.isNull() | (F.col("off") > prev_end), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(
+                byoff.rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("doc", "island")
+        .agg(
+            F.min("off").alias("span_start"),
+            (F.max("off") + F.lit(window) - F.min("off"))
+            .cast("bigint")
+            .alias("span_chars"),
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        )
+    )
+    return islands.select(
+        F.col("doc").alias(id_col),
+        F.col("span_start").cast("bigint").alias("span_start"),
+        "span_chars",
+        "n_windows",
+    )

@@ -1121,3 +1121,127 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outside
 FROM ratios
 """
+
+
+# ------------------------------------------- normal-equations OLS (2f)
+
+
+# One source of truth for the Cramer solve: the SAME expression strings
+# evaluate over identically-named double columns in Spark AND DuckDB, so
+# the IEEE operation sequence is identical by construction.
+_OLS2_DET = "(nd*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2))"
+_OLS2_DET0 = "(sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s2y*s12) + s2*(s1y*s12 - s2y*s11))"
+_OLS2_DET1 = "(nd*(s1y*s22 - s2y*s12) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2))"
+_OLS2_DET2 = "(nd*(s11*s2y - s12*s1y) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2))"
+
+
+def q_lineitem_ols_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature linear regression by EXACT normal equations: fit
+    realized revenue_dollars ~ w0 + w1*price_dollars + w2*discount_cents
+    over all of lineitem (revenue = price·(1−discount), so the plane
+    recovers w1 ≈ 1−E[d] with a strongly negative discount weight and
+    R² ≈ 1 — a fit whose coefficients mean something, unlike the
+    independent synthetic columns). Dollar (not cent) quantization is
+    deliberate: every Gram sum then stays below 2^53, so the exact
+    DECIMAL total converts to double IDENTICALLY on every engine — at
+    cent scale Σx² reaches ~6e18 and the decimal→double cast itself
+    rounds differently per engine (observed: one ulp in w2). The 3x3 Gram matrix and moment vector are exact
+    DECIMAL(38,0) sums (map-side partial aggregation — the corpus
+    reduces to TEN numbers, the textbook distributed-regression shape;
+    native least-squares solvers iterate or factorize, neither
+    reproducible bit-for-bit), then the Cramer's-rule solve runs the
+    IDENTICAL double expression tree on both engines (shared strings).
+    Output: n, weights, and R^2."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("bigint")
+        .alias("y"),
+        F.round(F.col("l_extendedprice")).cast("bigint").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x2"),
+    )
+    d = F.col("n").cast("double")
+    agg = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x1").cast("decimal(38,0)")).alias("_s1"),
+        F.sum(F.col("x2").cast("decimal(38,0)")).alias("_s2"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("_sy"),
+        F.sum((F.col("x1") * F.col("x1")).cast("decimal(38,0)")).alias("_s11"),
+        F.sum((F.col("x1") * F.col("x2")).cast("decimal(38,0)")).alias("_s12"),
+        F.sum((F.col("x2") * F.col("x2")).cast("decimal(38,0)")).alias("_s22"),
+        F.sum((F.col("x1") * F.col("y")).cast("decimal(38,0)")).alias("_s1y"),
+        F.sum((F.col("x2") * F.col("y")).cast("decimal(38,0)")).alias("_s2y"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("_syy"),
+    )
+    doubled = agg.select(
+        "n",
+        d.alias("nd"),
+        *[
+            F.col(f"_{c}").cast("double").alias(c)
+            for c in ("s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y", "syy")
+        ],
+    )
+    solved = doubled.select(
+        "n",
+        "nd",
+        "sy",
+        "s1y",
+        "s2y",
+        "syy",
+        (F.expr(_OLS2_DET0) / F.expr(_OLS2_DET)).alias("w0"),
+        (F.expr(_OLS2_DET1) / F.expr(_OLS2_DET)).alias("w1"),
+        (F.expr(_OLS2_DET2) / F.expr(_OLS2_DET)).alias("w2"),
+    )
+    sse = F.expr("syy - w0*sy - w1*s1y - w2*s2y")
+    sst = F.expr("syy - sy*sy/nd")
+    return solved.select(
+        "n",
+        F.round("w0", 4).alias("w0_r"),
+        F.round("w1", 4).alias("w1_r"),
+        F.round("w2", 4).alias("w2_r"),
+        F.round(F.lit(1.0) - sse / sst, 6).alias("r2_r"),
+    )
+
+
+QUERIES["lineitem_ols_normal"] = q_lineitem_ols_normal
+
+ORACLES["lineitem_ols_normal"] = f"""
+WITH base AS (
+  SELECT CAST(round(l_extendedprice * (1 - l_discount)) AS BIGINT) AS y,
+         CAST(round(l_extendedprice) AS BIGINT) AS x1,
+         CAST(round(l_discount * 100) AS BIGINT) AS x2
+  FROM lineitem
+), a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(x1 AS DECIMAL(38,0))) AS _s1,
+         SUM(CAST(x2 AS DECIMAL(38,0))) AS _s2,
+         SUM(CAST(y AS DECIMAL(38,0))) AS _sy,
+         SUM(CAST(x1*x1 AS DECIMAL(38,0))) AS _s11,
+         SUM(CAST(x1*x2 AS DECIMAL(38,0))) AS _s12,
+         SUM(CAST(x2*x2 AS DECIMAL(38,0))) AS _s22,
+         SUM(CAST(x1*y AS DECIMAL(38,0))) AS _s1y,
+         SUM(CAST(x2*y AS DECIMAL(38,0))) AS _s2y,
+         SUM(CAST(y*y AS DECIMAL(38,0))) AS _syy
+  FROM base
+), d AS (
+  SELECT n, CAST(n AS DOUBLE) AS nd,
+         CAST(_s1 AS DOUBLE) AS s1, CAST(_s2 AS DOUBLE) AS s2,
+         CAST(_sy AS DOUBLE) AS sy, CAST(_s11 AS DOUBLE) AS s11,
+         CAST(_s12 AS DOUBLE) AS s12, CAST(_s22 AS DOUBLE) AS s22,
+         CAST(_s1y AS DOUBLE) AS s1y, CAST(_s2y AS DOUBLE) AS s2y,
+         CAST(_syy AS DOUBLE) AS syy
+  FROM a
+), w AS (
+  SELECT n, nd, sy, s1y, s2y, syy,
+         {_OLS2_DET0} / {_OLS2_DET} AS w0,
+         {_OLS2_DET1} / {_OLS2_DET} AS w1,
+         {_OLS2_DET2} / {_OLS2_DET} AS w2
+  FROM d
+)
+SELECT n,
+       round(w0, 4) AS w0_r,
+       round(w1, 4) AS w1_r,
+       round(w2, 4) AS w2_r,
+       round(1.0 - (syy - w0*sy - w1*s1y - w2*s2y)
+                   / (syy - sy*sy/nd), 6) AS r2_r
+FROM w
+"""

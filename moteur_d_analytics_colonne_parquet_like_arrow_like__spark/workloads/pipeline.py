@@ -2605,3 +2605,68 @@ SELECT source, n_docs, words, sentences, syllables,
 FROM agg
 ORDER BY source
 """
+
+
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-substring audit per source
+    (operators/dedup.substring_dup_spans — the fingerprint-window
+    stand-in for Lee et al. 2022 suffix-array substring dedup): 40-char
+    windows every 20 chars, md5 fingerprints, windows shared by >= 2
+    docs merged into maximal per-doc islands. Per source: affected
+    docs, merged span count, and total duplicated chars — the clip
+    list a curation pass acts on."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = dedup.substring_dup_spans(
+        docs, "doc_id", "text", window=40, stride=20
+    )
+    return (
+        spans.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs_affected"),
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum("span_chars").cast("bigint").alias("dup_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["dedup_substring_spans"] = q_dedup_substring_spans
+
+ORACLES["dedup_substring_spans"] = """
+WITH wins AS MATERIALIZED (
+  SELECT doc_id AS doc, t.o AS off, md5(substr(text, t.o, 40)) AS h
+  FROM documents, UNNEST(generate_series(1, len(text) - 39, 20)) AS t(o)
+  WHERE len(text) >= 40
+), dup_h AS (
+  SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc) >= 2
+), marked AS (
+  SELECT w.doc, w.off FROM wins w JOIN dup_h USING (h)
+), flagged AS (
+  SELECT doc, off,
+         CASE WHEN MAX(off + 40) OVER (
+                PARTITION BY doc ORDER BY off
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR off > MAX(off + 40) OVER (
+                PARTITION BY doc ORDER BY off
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS ni
+  FROM marked
+), isl AS (
+  SELECT doc, off,
+         SUM(ni) OVER (PARTITION BY doc ORDER BY off
+                       ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+), spans AS (
+  SELECT doc, island,
+         CAST(MAX(off) + 40 - MIN(off) AS BIGINT) AS span_chars
+  FROM isl GROUP BY doc, island
+)
+SELECT d.source,
+       CAST(COUNT(DISTINCT s.doc) AS BIGINT) AS n_docs_affected,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(s.span_chars) AS BIGINT) AS dup_chars
+FROM spans s JOIN documents d ON d.doc_id = s.doc
+GROUP BY d.source
+ORDER BY d.source
+"""

@@ -263,3 +263,80 @@ def test_jl_distortion_concentrates(spark, sf_dir):
     assert 0.7 < out["avg_ratio_r"] < 1.3
     assert out["min_ratio_r"] > 0.0
     assert out["n_outside"] < out["n_pairs"] * 0.2
+
+
+# ------------------------------------------------- substring dedup
+
+
+def test_substring_spans_toy_islands(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import dedup
+
+    shared = "A" * 25 + "B" * 25  # 50 chars shared verbatim by docs 1+2
+    docs = spark.createDataFrame(
+        [
+            (1, shared + "x" * 30),
+            (2, "y" * 30 + shared),
+            (3, "z" * 100),  # unique: no spans
+            (4, "w" * 10),  # too short for one window
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["doc_id"], r["span_start"]): (r["span_chars"], r["n_windows"])
+        for r in dedup.substring_dup_spans(
+            docs, "doc_id", "text", window=40, stride=10
+        ).collect()
+    }
+    # doc 1: shared run starts at 1 -> windows at offsets 1 and 11
+    # (both inside the 50-char run) -> one island [1, 51)
+    assert out[(1, 1)] == (50, 2)
+    # doc 2: run starts at 31 -> windows at 31 and 41 -> island [31, 81)
+    assert out[(2, 31)] == (50, 2)
+    assert not any(d == 3 or d == 4 for d, _ in out)
+
+
+def test_substring_spans_gate_and_validation(spark, sf_dir):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import dedup
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import pipeline as pl
+
+    with pytest.raises(ValueError):
+        dedup.substring_dup_spans(
+            spark.createDataFrame([(1, "x")], ["doc_id", "text"]),
+            "doc_id",
+            "text",
+            stride=0,
+        )
+    out = pl.q_dedup_substring_spans(spark, sf_dir).toPandas()
+    # spans never exceed the text they came from
+    assert (out["dup_chars"] >= 40 * 0).all() and (out["n_spans"] > 0).any()
+    assert (out["n_docs_affected"] <= out["n_spans"]).all()
+
+
+# --------------------------------------------- normal-equations OLS
+
+
+def test_ols_normal_matches_numpy_lstsq(spark, sf_dir):
+    out = mleval.q_lineitem_ols_normal(spark, sf_dir).collect()[0]
+    li = _pdf(spark, sf_dir, "lineitem")
+    y = (
+        (li["l_extendedprice"] * (1 - li["l_discount"]))
+        .round()
+        .to_numpy(dtype="float64")
+    )
+    X = np.column_stack(
+        [
+            np.ones(len(li)),
+            li["l_extendedprice"].round().to_numpy(dtype="float64"),
+            (li["l_discount"] * 100).round().to_numpy(dtype="float64"),
+        ]
+    )
+    w, *_ = np.linalg.lstsq(X, y, rcond=None)
+    pred = X @ w
+    r2 = 1 - ((y - pred) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+    assert out["n"] == len(li)
+    assert out["w0_r"] == pytest.approx(w[0], rel=1e-4, abs=2e-4)
+    assert out["w1_r"] == pytest.approx(w[1], rel=1e-4, abs=2e-4)
+    assert out["w2_r"] == pytest.approx(w[2], rel=1e-4, abs=2e-4)
+    assert out["r2_r"] == pytest.approx(r2, abs=1e-5)
+    # revenue = price*(1-d): the plane recovers w1 ~ 1-E[d], R^2 ~ 1
+    assert out["r2_r"] > 0.99 and 0.9 < out["w1_r"] < 1.0 and out["w2_r"] < 0
