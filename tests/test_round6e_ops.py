@@ -340,3 +340,38 @@ def test_ols_normal_matches_numpy_lstsq(spark, sf_dir):
     assert out["r2_r"] == pytest.approx(r2, abs=1e-5)
     # revenue = price*(1-d): the plane recovers w1 ~ 1-E[d], R^2 ~ 1
     assert out["r2_r"] > 0.99 and 0.9 < out["w1_r"] < 1.0 and out["w2_r"] < 0
+
+
+# ---------------------------------------------------- conformal band
+
+
+def test_conformal_band_coverage_and_numpy(spark, sf_dir):
+    out = mleval.q_events_conformal_band(spark, sf_dir).collect()[0]
+    ev = _pdf(spark, sf_dir, "events")
+    ev["y_c"] = (ev["value"] * 100).round().astype("int64")
+    tr = ev[ev["user_id"] % 5 <= 2]
+    pred = (
+        tr.groupby("event_type")["y_c"]
+        .apply(lambda s: (s.sum() * 1_000_000) // len(s))
+        .to_dict()
+    )
+    cal = ev[ev["user_id"] % 5 == 3]
+    s = np.sort(
+        np.abs(
+            cal["y_c"].to_numpy() * 1_000_000
+            - cal["event_type"].map(pred).to_numpy()
+        )
+    )
+    n_cal = len(s)
+    rank = min(((n_cal + 1) * 900 + 999) // 1000, n_cal)
+    assert out["n_cal"] == n_cal and out["rank_q"] == ((n_cal + 1) * 900 + 999) // 1000
+    assert out["qhat_micro"] == int(s[rank - 1])
+    # conformal guarantee: coverage on exchangeable test data ~>= 90%
+    assert out["cover_micro"] >= 850_000
+    test = ev[ev["user_id"] % 5 == 4]
+    st = np.abs(
+        test["y_c"].to_numpy() * 1_000_000
+        - test["event_type"].map(pred).to_numpy()
+    )
+    assert out["n_test"] == len(st)
+    assert out["cover_micro"] == (int((st <= out["qhat_micro"]).sum()) * 1_000_000) // len(st)
