@@ -918,3 +918,60 @@ def isotonic_fit(
         )
         .orderBy("bucket")
     )
+
+
+def exact_percentiles_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    permille: list[int] | tuple = (500, 900, 990),
+    chunk: int = 1000,
+) -> DataFrame:
+    """Per-group EXACT type-1 percentiles of an integer column — the
+    grouped twin of :func:`exact_percentiles` ("p50/p95 latency per
+    endpoint", "median value per event type"). Same integral-ceiling
+    rank rule; same distinct-cell reduction; the cumulative rides
+    ``two_phase_rank_cumsum`` WITH the group as partition key, so even
+    a group holding most of the data never sorts in one task (its cells
+    still spread across value-range chunks).
+
+    Returns one row per (group, permille): ``(*group_cols, permille,
+    rank_q, value)``.
+
+    reference: ABSENT — SURVEY.md §2 extension surface.
+    """
+    g = df.groupBy(*group_cols, F.col(col).alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt")
+    )
+    ranked = two_phase_rank_cumsum(
+        g,
+        "v",
+        F.expr(f"v div {chunk}"),
+        partition_cols=group_cols,
+        value_col="__cnt",
+        cum_col="__cum",
+    )
+    tot = g.groupBy(*group_cols).agg(
+        F.sum("__cnt").cast("bigint").alias("__n")
+    )
+    spine = df.sparkSession.createDataFrame(
+        [(int(q),) for q in permille], "permille int"
+    )
+    return (
+        ranked.join(tot, list(group_cols))
+        .join(
+            F.broadcast(spine),
+            F.expr("(permille * __n + 999) div 1000").between(
+                F.col("__cum") - F.col("__cnt") + 1, F.col("__cum")
+            ),
+        )
+        .select(
+            *group_cols,
+            "permille",
+            F.expr("(permille * __n + 999) div 1000")
+            .cast("bigint")
+            .alias("rank_q"),
+            F.col("v").alias("value"),
+        )
+        .orderBy(*group_cols, "permille")
+    )

@@ -1378,3 +1378,54 @@ SELECT (SELECT n_train FROM n_train) AS n_train,
 FROM test t CROSS JOIN qhat q
 GROUP BY q.n_cal, q.rank_q, q.qhat_micro
 """
+
+
+# --------------------------------------------- grouped exact percentiles
+
+
+def q_events_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type exact p50/p90/p99 of the cent-quantized value
+    (operators/stats.exact_percentiles_by_group): the grouped latency-
+    dashboard shape. The two-phase cumulative keeps the event type as a
+    PARTITION key while still chunking by value range — a type holding
+    most of the traffic never becomes one sort task."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("score"),
+    )
+    return stats.exact_percentiles_by_group(
+        ev, ["event_type"], "score", permille=(500, 900, 990)
+    )
+
+
+QUERIES["events_percentiles_by_type"] = q_events_percentiles_by_type
+
+ORACLES["events_percentiles_by_type"] = """
+WITH s AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS score
+  FROM events
+), g AS (
+  SELECT event_type, score, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM s GROUP BY 1, 2
+), c AS (
+  SELECT event_type, score, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY score
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM g
+), t AS (
+  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n FROM g GROUP BY 1
+), spine AS (
+  SELECT unnest([500, 900, 990]) AS permille
+)
+SELECT c.event_type,
+       CAST(s2.permille AS INT) AS permille,
+       CAST((s2.permille * t.n + 999) // 1000 AS BIGINT) AS rank_q,
+       c.score AS value
+FROM c
+JOIN t USING (event_type)
+CROSS JOIN spine s2
+WHERE (s2.permille * t.n + 999) // 1000
+      BETWEEN c.cum - c.cnt + 1 AND c.cum
+ORDER BY c.event_type, permille
+"""

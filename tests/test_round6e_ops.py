@@ -375,3 +375,37 @@ def test_conformal_band_coverage_and_numpy(spark, sf_dir):
     )
     assert out["n_test"] == len(st)
     assert out["cover_micro"] == (int((st <= out["qhat_micro"]).sum()) * 1_000_000) // len(st)
+
+
+# ------------------------------------------- grouped exact percentiles
+
+
+def test_percentiles_by_group_matches_numpy(spark, sf_dir):
+    out = {
+        (r["event_type"], r["permille"]): (r["rank_q"], r["value"])
+        for r in mleval.q_events_percentiles_by_type(spark, sf_dir).collect()
+    }
+    ev = _pdf(spark, sf_dir, "events")
+    ev["score"] = (ev["value"] * 100).round().astype("int64")
+    for etype, grp in ev.groupby("event_type"):
+        s = np.sort(grp["score"].to_numpy())
+        n = len(s)
+        for p in (500, 900, 990):
+            rank = (p * n + 999) // 1000
+            assert out[(etype, p)] == (rank, int(s[rank - 1]))
+
+
+def test_percentiles_by_group_skewed_group_is_chunk_parallel(spark):
+    # one group holds 99% of rows; the partitioned two-phase scan must
+    # still produce the exact grouped quantile
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import stats as st
+
+    rows = [("big", v) for v in range(9900)] + [("small", v) for v in range(100)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {
+        (r["g"], r["permille"]): r["value"]
+        for r in st.exact_percentiles_by_group(
+            df, ["g"], "v", permille=(500,), chunk=100
+        ).collect()
+    }
+    assert out[("big", 500)] == 4949 and out[("small", 500)] == 49

@@ -188,6 +188,13 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
         )
     qs = entrymod.queries()
+    unknown = only - set(qs)
+    if unknown:
+        # an unregistered name would otherwise filter to zero checks and
+        # report a vacuous ALL GREEN (observed: a mangled shell append
+        # left the query out of the registry and this script shrugged)
+        print(f"UNKNOWN query name(s): {sorted(unknown)}")
+        return 1
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
