@@ -88,6 +88,16 @@ TARGETS = [
     # at every SF, so a replica ratio would measure nothing)
     "pipeline_mix_kl",
     "events_seasonal_strength",
+    # session-5 additions (sim_kcenter_coreset / sim_jl_distortion
+    # excluded: fixed-size embeddings corpus; agg_skew_kurtosis is a
+    # pure power-sum scan)
+    "events_isotonic_fit",
+    "text_readability",
+    "supplier_communities",
+    "dedup_substring_spans",
+    "lineitem_ols_normal",
+    "events_conformal_band",
+    "events_percentiles_by_type",
 ]
 
 # Queries whose construction itself executes jobs (streaming runs,
@@ -105,6 +115,8 @@ EAGER = {
     "stream_windowed_topk",
     # bfs_distances localCheckpoints each frontier eagerly at plan build
     "graph_bfs_distance",
+    # label_propagation localCheckpoints its label frame each round
+    "supplier_communities",
 }
 
 # (table, [(col, shift_base)], text_col) — shift_base scales each copy's
