@@ -1068,3 +1068,88 @@ def readability(df: DataFrame, text_col: str) -> DataFrame:
         sentences.alias("r_sentences"),
         syl.alias("r_syllables"),
     )
+
+
+def bigram_lm_scores(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    round_logp: int = 9,
+) -> DataFrame:
+    """Bigram language-model scoring with add-one smoothing: train
+    conditional probabilities ``P(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V)``
+    on one corpus and score another by mean negative log-likelihood per
+    bigram — the sequence-aware upgrade of :func:`unigram_lm_scores`
+    (a unigram model can't tell shuffled tokens from fluent text; the
+    bigram NLL penalizes implausible ADJACENCY). Unseen contexts fall
+    back to ``1/V`` through the same smoothing — no special cases.
+
+    Determinism: bigrams are built as an in-order expression over the
+    token array (no positional self-join); each log term is one IEEE
+    division + log of exact integers, rounded and DECIMAL-cast before
+    any sum (the :func:`unigram_lm_scores` rule).
+
+    Scale shape: the bigram-count model is (w1,w2)-keyed — vocabulary²
+    bounded but not broadcastable; scoring joins it SHUFFLE-side on the
+    composite key (both sides hash-partition on (w1,w2) — the
+    fingerprint-join shape). Context totals derive from the same count
+    table; V is a 1-row broadcast.
+
+    reference: ABSENT — SURVEY.md §2 extension surface (LM-scoring
+    family: unigram NLL / token entropy / BPE).
+    """
+
+    def bigrams(df: DataFrame) -> DataFrame:
+        toks = F.filter(words(text_col), lambda w: w != "")
+        pairs = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("w1"),
+                    F.element_at(toks, i + 1).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        return df.select(
+            F.col(id_col), F.explode(pairs).alias("p")
+        ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+
+    tb = bigrams(train)
+    c12 = tb.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    vocab = (
+        train.select(F.explode(F.filter(words(text_col), lambda w: w != "")).alias("t"))
+        .agg(F.count_distinct("t").cast("bigint").alias("v"))
+    )
+    scored = (
+        bigrams(test)
+        .join(c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1)).cast(
+                        "double"
+                    )
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")).cast(
+                        "double"
+                    )
+                ),
+                round_logp,
+            )
+            .cast("decimal(18,9)")
+            .alias("logp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(
+            -F.sum("logp").cast("double") / F.count(F.lit(1)), 6
+        ).alias("nll_r"),
+    )

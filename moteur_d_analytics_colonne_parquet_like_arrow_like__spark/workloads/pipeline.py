@@ -2670,3 +2670,87 @@ FROM spans s JOIN documents d ON d.doc_id = s.doc
 GROUP BY d.source
 ORDER BY d.source
 """
+
+
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency scoring per source (operators/text.
+    bigram_lm_scores): train add-one-smoothed P(w2|w1) on 80% of docs,
+    score the held-out 20%, and report each
+    source's doc count, bigram volume, and mean NLL — the
+    adjacency-aware rung of the LM-scoring ladder (unigram NLL scores
+    vocabulary surprise; this scores word ORDER)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # the synthetic source IS doc_id % 20, so a plain %5 split would
+    # hold out four entire sources; div 20 first splits WITHIN sources
+    split = F.expr("(doc_id div 20) % 5")
+    train = docs.where(split != 0)
+    held = docs.where(split == 0)
+    per_doc = text.bigram_lm_scores(train, held, "doc_id", "text")
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum(
+                    (F.col("nll_r") * F.col("n_bigrams")).cast("decimal(28,6)")
+                ).cast("double")
+                / F.sum("n_bigrams").cast("double"),
+                6,
+            ).alias("nll_r"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["text_bigram_lm"] = q_text_bigram_lm
+
+ORACLES["text_bigram_lm"] = """
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, source,
+         list_filter(string_split(
+           lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+           x -> x <> '') AS t
+  FROM documents
+), tb AS MATERIALIZED (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE (doc_id // 20) % 5 <> 0 AND len(t) >= 2
+), c12 AS MATERIALIZED (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM tb GROUP BY 1, 2
+), c1 AS MATERIALIZED (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1
+), v AS (
+  SELECT CAST(COUNT(DISTINCT x.tkn) AS BIGINT) AS v
+  FROM (SELECT unnest(t) AS tkn FROM tok
+        WHERE (doc_id // 20) % 5 <> 0) x
+), hb AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE (doc_id // 20) % 5 = 0 AND len(t) >= 2
+), scored AS (
+  SELECT h.doc_id,
+         CAST(round(ln(CAST(COALESCE(c12.c12, 0) + 1 AS DOUBLE)
+                       / CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE)), 9)
+              AS DECIMAL(18,9)) AS logp
+  FROM hb h
+  LEFT JOIN c12 ON c12.w1 = h.w1 AND c12.w2 = h.w2
+  LEFT JOIN c1 ON c1.w1 = h.w1
+  CROSS JOIN v
+), per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         round(-CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6) AS nll_r
+  FROM scored GROUP BY doc_id
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(p.n_bigrams) AS BIGINT) AS n_bigrams,
+       round(CAST(SUM(CAST(p.nll_r * p.n_bigrams AS DECIMAL(28,6)))
+                  AS DOUBLE) / CAST(SUM(p.n_bigrams) AS DOUBLE), 6)
+         AS nll_r
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+"""

@@ -409,3 +409,60 @@ def test_percentiles_by_group_skewed_group_is_chunk_parallel(spark):
         ).collect()
     }
     assert out[("big", 500)] == 4949 and out[("small", 500)] == 49
+
+
+# ------------------------------------------------------- bigram LM
+
+
+def test_bigram_lm_matches_python(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import text as t
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat ran")],
+        ["doc_id", "text"],
+    )
+    test = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "dog jumps high")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["nll_r"])
+        for r in t.bigram_lm_scores(train, test, "doc_id", "text").collect()
+    }
+    import math
+
+    c12 = {}
+    for s in ["the cat sat on the mat", "the cat ran"]:
+        w = s.split()
+        for a, b in zip(w, w[1:]):
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+    c1 = {}
+    for (a, _), c in c12.items():
+        c1[a] = c1.get(a, 0) + c
+    V = len({w for s in ["the cat sat on the mat", "the cat ran"] for w in s.split()})
+
+    def nll(sentence):
+        w = sentence.split()
+        terms = [
+            round(
+                math.log(
+                    (c12.get((a, b), 0) + 1) / (c1.get(a, 0) + V)
+                ),
+                9,
+            )
+            for a, b in zip(w, w[1:])
+        ]
+        return len(terms), round(-sum(terms) / len(terms), 6)
+
+    assert got[10] == pytest.approx(nll("the cat sat"))
+    assert got[11] == pytest.approx(nll("dog jumps high"))
+    # fluent in-domain text scores lower NLL than unseen-vocab text
+    assert got[10][1] < got[11][1]
+
+
+def test_bigram_lm_gate_covers_all_sources(spark, sf_dir):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import pipeline as pl
+
+    out = pl.q_text_bigram_lm(spark, sf_dir).toPandas()
+    docs = _pdf(spark, sf_dir, "documents")
+    assert len(out) == docs["source"].nunique()
+    assert (out["nll_r"] > 0).all()
