@@ -1429,3 +1429,143 @@ WHERE (s2.permille * t.n + 999) // 1000
       BETWEEN c.cum - c.cnt + 1 AND c.cum
 ORDER BY c.event_type, permille
 """
+
+
+# -------------------------------------------- difference-in-differences
+
+
+def q_events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the 2×2 (treatment × period) readout —
+    DiD = (post_T − pre_T) − (post_C − pre_C) — with an unpooled
+    standard error and z statistic; the quasi-experimental companion to
+    events_ab_test/events_ab_cuped when assignment isn't randomized but
+    a pre-period exists. Treatment = user_id parity, period split at
+    Jan 16. Every cell reduces to exact DECIMAL sums map-side; the four
+    means, the DiD, and the SE evaluate as one identical double
+    expression tree on both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2 == 0).cast("int").alias("treat"),
+        (F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))
+        .cast("int")
+        .alias("post"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    cells = ev.groupBy("treat", "post").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("_s"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("_s2"),
+    )
+    # pivot the 4 cells into one row via conditional aggregation
+    def cell(t, p, col):
+        return F.max(
+            F.when(
+                (F.col("treat") == t) & (F.col("post") == p), F.col(col)
+            )
+        )
+
+    wide = cells.agg(
+        *[
+            c.alias(f"{n}_{t}{p}")
+            for t in (0, 1)
+            for p in (0, 1)
+            for n, c in (
+                ("n", cell(t, p, "n")),
+                ("s", cell(t, p, "_s").cast("double")),
+                ("s2", cell(t, p, "_s2").cast("double")),
+            )
+        ]
+    )
+    def mean(t, p):
+        return F.col(f"s_{t}{p}") / F.col(f"n_{t}{p}").cast("double")
+
+    def sem2(t, p):
+        n = F.col(f"n_{t}{p}").cast("double")
+        m = mean(t, p)
+        return (F.col(f"s2_{t}{p}") / n - m * m) / n
+
+    did = (mean(1, 1) - mean(1, 0)) - (mean(0, 1) - mean(0, 0))
+    se = F.sqrt(sem2(1, 1) + sem2(1, 0) + sem2(0, 1) + sem2(0, 0))
+    return wide.select(
+        F.col("n_00").alias("n_ctrl_pre"),
+        F.col("n_01").alias("n_ctrl_post"),
+        F.col("n_10").alias("n_treat_pre"),
+        F.col("n_11").alias("n_treat_post"),
+        F.round(mean(0, 0), 6).alias("mean_ctrl_pre_r"),
+        F.round(mean(0, 1), 6).alias("mean_ctrl_post_r"),
+        F.round(mean(1, 0), 6).alias("mean_treat_pre_r"),
+        F.round(mean(1, 1), 6).alias("mean_treat_post_r"),
+        F.round(did, 6).alias("did_r"),
+        F.round(se, 6).alias("se_r"),
+        F.round(did / se, 6).alias("z_r"),
+    )
+
+
+QUERIES["events_did"] = q_events_did
+
+ORACLES["events_did"] = """
+WITH ev AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treat,
+         CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS post,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+), cells AS (
+  SELECT treat, post,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(y AS DECIMAL(38,0))) AS s,
+         SUM(CAST(y*y AS DECIMAL(38,0))) AS s2
+  FROM ev GROUP BY 1, 2
+), wide AS (
+  SELECT
+    MAX(CASE WHEN treat=0 AND post=0 THEN n END) AS n_00,
+    MAX(CASE WHEN treat=0 AND post=1 THEN n END) AS n_01,
+    MAX(CASE WHEN treat=1 AND post=0 THEN n END) AS n_10,
+    MAX(CASE WHEN treat=1 AND post=1 THEN n END) AS n_11,
+    MAX(CASE WHEN treat=0 AND post=0 THEN CAST(s AS DOUBLE) END) AS s_00,
+    MAX(CASE WHEN treat=0 AND post=1 THEN CAST(s AS DOUBLE) END) AS s_01,
+    MAX(CASE WHEN treat=1 AND post=0 THEN CAST(s AS DOUBLE) END) AS s_10,
+    MAX(CASE WHEN treat=1 AND post=1 THEN CAST(s AS DOUBLE) END) AS s_11,
+    MAX(CASE WHEN treat=0 AND post=0 THEN CAST(s2 AS DOUBLE) END) AS s2_00,
+    MAX(CASE WHEN treat=0 AND post=1 THEN CAST(s2 AS DOUBLE) END) AS s2_01,
+    MAX(CASE WHEN treat=1 AND post=0 THEN CAST(s2 AS DOUBLE) END) AS s2_10,
+    MAX(CASE WHEN treat=1 AND post=1 THEN CAST(s2 AS DOUBLE) END) AS s2_11
+  FROM cells
+)
+SELECT n_00 AS n_ctrl_pre, n_01 AS n_ctrl_post,
+       n_10 AS n_treat_pre, n_11 AS n_treat_post,
+       round(s_00 / CAST(n_00 AS DOUBLE), 6) AS mean_ctrl_pre_r,
+       round(s_01 / CAST(n_01 AS DOUBLE), 6) AS mean_ctrl_post_r,
+       round(s_10 / CAST(n_10 AS DOUBLE), 6) AS mean_treat_pre_r,
+       round(s_11 / CAST(n_11 AS DOUBLE), 6) AS mean_treat_post_r,
+       round((s_11 / CAST(n_11 AS DOUBLE) - s_10 / CAST(n_10 AS DOUBLE))
+             - (s_01 / CAST(n_01 AS DOUBLE) - s_00 / CAST(n_00 AS DOUBLE)), 6)
+         AS did_r,
+       round(sqrt(
+           (s2_11 / CAST(n_11 AS DOUBLE)
+            - (s_11 / CAST(n_11 AS DOUBLE)) * (s_11 / CAST(n_11 AS DOUBLE)))
+             / CAST(n_11 AS DOUBLE)
+         + (s2_10 / CAST(n_10 AS DOUBLE)
+            - (s_10 / CAST(n_10 AS DOUBLE)) * (s_10 / CAST(n_10 AS DOUBLE)))
+             / CAST(n_10 AS DOUBLE)
+         + (s2_01 / CAST(n_01 AS DOUBLE)
+            - (s_01 / CAST(n_01 AS DOUBLE)) * (s_01 / CAST(n_01 AS DOUBLE)))
+             / CAST(n_01 AS DOUBLE)
+         + (s2_00 / CAST(n_00 AS DOUBLE)
+            - (s_00 / CAST(n_00 AS DOUBLE)) * (s_00 / CAST(n_00 AS DOUBLE)))
+             / CAST(n_00 AS DOUBLE)), 6) AS se_r,
+       round(((s_11 / CAST(n_11 AS DOUBLE) - s_10 / CAST(n_10 AS DOUBLE))
+              - (s_01 / CAST(n_01 AS DOUBLE) - s_00 / CAST(n_00 AS DOUBLE)))
+             / sqrt(
+           (s2_11 / CAST(n_11 AS DOUBLE)
+            - (s_11 / CAST(n_11 AS DOUBLE)) * (s_11 / CAST(n_11 AS DOUBLE)))
+             / CAST(n_11 AS DOUBLE)
+         + (s2_10 / CAST(n_10 AS DOUBLE)
+            - (s_10 / CAST(n_10 AS DOUBLE)) * (s_10 / CAST(n_10 AS DOUBLE)))
+             / CAST(n_10 AS DOUBLE)
+         + (s2_01 / CAST(n_01 AS DOUBLE)
+            - (s_01 / CAST(n_01 AS DOUBLE)) * (s_01 / CAST(n_01 AS DOUBLE)))
+             / CAST(n_01 AS DOUBLE)
+         + (s2_00 / CAST(n_00 AS DOUBLE)
+            - (s_00 / CAST(n_00 AS DOUBLE)) * (s_00 / CAST(n_00 AS DOUBLE)))
+             / CAST(n_00 AS DOUBLE)), 6) AS z_r
+FROM wide
+"""

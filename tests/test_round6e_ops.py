@@ -466,3 +466,27 @@ def test_bigram_lm_gate_covers_all_sources(spark, sf_dir):
     docs = _pdf(spark, sf_dir, "documents")
     assert len(out) == docs["source"].nunique()
     assert (out["nll_r"] > 0).all()
+
+
+# --------------------------------------------------------------- DiD
+
+
+def test_did_matches_numpy(spark, sf_dir):
+    out = mleval.q_events_did(spark, sf_dir).collect()[0]
+    ev = _pdf(spark, sf_dir, "events")
+    ev["y"] = (ev["value"] * 100).round().astype("int64")
+    ev["treat"] = (ev["user_id"] % 2 == 0).astype(int)
+    ev["post"] = (ev["ts"] >= pd.Timestamp("2024-01-16")).astype(int)
+    m = {}
+    v = {}
+    for (t, p), g in ev.groupby(["treat", "post"]):
+        y = g["y"].to_numpy(dtype="float64")
+        m[(t, p)] = y.mean()
+        v[(t, p)] = y.var() / len(y)
+    did = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+    se = float(np.sqrt(sum(v.values())))
+    assert out["did_r"] == pytest.approx(did, abs=1e-4)
+    assert out["se_r"] == pytest.approx(se, abs=1e-4)
+    assert out["z_r"] == pytest.approx(did / se, abs=1e-3)
+    # parity-based pseudo-treatment on symmetric data: effect ~ 0
+    assert abs(out["z_r"]) < 4
