@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import streaming as S
+from ..sources.catalog import load_table
 
 
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -674,4 +675,87 @@ ORACLES["stream_kmv_distinct"] = """
                            / CAST(s.u_k AS DOUBLE) END, 4) AS est_r
     FROM summ s JOIN exact e USING (event_type)
     ORDER BY s.event_type
+"""
+
+
+def q_stream_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming POINT-IN-TIME enrichment: the stream-static join carries
+    a temporal validity condition — each event matches the dimension row
+    valid AT its event time (user_id equi-key + ts in [valid_from,
+    valid_to)), the streaming counterpart of join_scd2_pit. Users
+    divisible by 3 change segment mid-January, so events before and
+    after the change enrich DIFFERENTLY — an equi-only enrichment
+    (stream_static_join) cannot express this. The dim stays a per-batch
+    broadcast; the range residual rides the hash join; update-mode agg
+    over the bounded segment space."""
+    stream = S.events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id")
+    )
+    change = F.lit("2024-01-16").cast("timestamp")
+    far = F.lit("9999-12-31").cast("timestamp")
+    seg0 = F.concat(F.lit("SEG_"), (F.col("user_id") % 4).cast("string"))
+    seg1 = F.concat(F.lit("UPG_"), (F.col("user_id") % 4).cast("string"))
+    dim = (
+        cust.select(
+            "user_id",
+            seg0.alias("segment"),
+            F.lit("2024-01-01").cast("timestamp").alias("valid_from"),
+            F.when(F.col("user_id") % 3 == 0, change)
+            .otherwise(far)
+            .alias("valid_to"),
+        )
+    ).unionByName(
+        cust.where(F.col("user_id") % 3 == 0).select(
+            "user_id",
+            seg1.alias("segment"),
+            change.alias("valid_from"),
+            far.alias("valid_to"),
+        )
+    )
+    enriched = stream.join(
+        F.broadcast(dim),
+        (stream["user_id"] == dim["user_id"])
+        & (stream["ts"] >= dim["valid_from"])
+        & (stream["ts"] < dim["valid_to"]),
+        "inner",
+    )
+    agg = enriched.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+    return S.run_to_memory(
+        agg, output_mode="update", shuffle_partitions=8
+    ).orderBy("segment")
+
+
+QUERIES["stream_pit_enrich"] = q_stream_pit_enrich
+
+ORACLES["stream_pit_enrich"] = """
+WITH dim AS (
+  SELECT c_custkey AS user_id,
+         'SEG_' || CAST(c_custkey % 4 AS VARCHAR) AS segment,
+         TIMESTAMP '2024-01-01' AS valid_from,
+         CASE WHEN c_custkey % 3 = 0 THEN TIMESTAMP '2024-01-16'
+              ELSE TIMESTAMP '9999-12-31' END AS valid_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey,
+         'UPG_' || CAST(c_custkey % 4 AS VARCHAR),
+         TIMESTAMP '2024-01-16',
+         TIMESTAMP '9999-12-31'
+  FROM customer WHERE c_custkey % 3 = 0
+)
+SELECT d.segment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events e
+JOIN dim d
+  ON d.user_id = e.user_id
+ AND e.ts >= d.valid_from
+ AND e.ts < d.valid_to
+GROUP BY d.segment
+ORDER BY d.segment
 """

@@ -490,3 +490,25 @@ def test_did_matches_numpy(spark, sf_dir):
     assert out["z_r"] == pytest.approx(did / se, abs=1e-3)
     # parity-based pseudo-treatment on symmetric data: effect ~ 0
     assert abs(out["z_r"]) < 4
+
+
+# ------------------------------------------------ streaming PIT enrich
+
+
+def test_stream_pit_enrich_matches_batch_and_splits_segments(spark, sf_dir):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import streaming_ops
+
+    out = streaming_ops.q_stream_pit_enrich(spark, sf_dir).toPandas()
+    segs = set(out["segment"])
+    # the mid-January segment change must be visible: both pre-change
+    # SEG_ and post-change UPG_ rows exist
+    assert any(s.startswith("SEG_") for s in segs)
+    assert any(s.startswith("UPG_") for s in segs)
+    # totals equal the plain (time-blind) enrichment volume: the PIT
+    # condition re-labels events, never drops or duplicates them
+    ev = _pdf(spark, sf_dir, "events")
+    cust = _pdf(spark, sf_dir, "customer")
+    joined = ev.merge(
+        cust[["c_custkey"]], left_on="user_id", right_on="c_custkey"
+    )
+    assert int(out["n_events"].sum()) == len(joined)
