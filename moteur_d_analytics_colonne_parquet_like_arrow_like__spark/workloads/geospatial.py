@@ -413,3 +413,136 @@ GROUP BY b.r_regionkey, b.lat_lo, b.lon_lo
 ORDER BY b.r_regionkey
 """,
 }
+
+
+# Fixed audit polygons (milli-degrees, lon=x lat=y). The L-shape is
+# deliberately NON-convex — a bbox test cannot fake it; the diamond has
+# no axis-aligned edge. One source of truth for the Spark literal frame
+# AND the oracle's VALUES list.
+_POLYGONS: list[tuple[str, list[tuple[int, int]]]] = [
+    ("diamond", [(0, 0), (20000, 30000), (40000, 0), (20000, -30000)]),
+    (
+        "lshape",
+        [
+            (-150000, -50000),
+            (-150000, 10000),
+            (-110000, 10000),
+            (-110000, -20000),
+            (-70000, -20000),
+            (-70000, -50000),
+        ],
+    ),
+    ("east_tri", [(90000, -30000), (170000, 50000), (130000, -50000)]),
+]
+
+
+def _polygon_edges() -> list[tuple[str, int, int, int, int]]:
+    out = []
+    for name, verts in _POLYGONS:
+        for i, (x1, y1) in enumerate(verts):
+            x2, y2 = verts[(i + 1) % len(verts)]
+            out.append((name, x1, y1, x2, y2))
+    return out
+
+
+def q_geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT integer point-in-polygon census: every customer point is
+    tested against three audit regions (one non-convex) by the crossing
+    -number rule, with the ray test done in cross-multiplied BIGINTs —
+    no division, no floats, so the odd/even parity is bit-identical on
+    any engine. Inside = odd crossings of the +x ray.
+
+    Scale shape: the edge list is dimension-sized (13 rows) and
+    broadcast; each point does O(edges) integer work map-side; the only
+    shuffle is the per-(point, polygon) parity aggregate keyed by a
+    bounded polygon set. The standard blocking upgrade at higher
+    polygon counts is an r-tree/grid prefilter — here the polygon list
+    is fixed, so the broadcast IS the plan."""
+    cust = _with_point(
+        load_table(spark, sf_dir, "customer"), "c_custkey", _CUST_LAT_P, _CUST_LON_P
+    ).select(
+        "c_custkey",
+        F.col("lon_m").alias("px"),
+        F.col("lat_m").alias("py"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_c"),
+    )
+    edges = spark.createDataFrame(
+        _polygon_edges(), "polygon string, x1 long, y1 long, x2 long, y2 long"
+    )
+    j = cust.crossJoin(F.broadcast(edges))
+    straddle = (F.col("y1") > F.col("py")) != (F.col("y2") > F.col("py"))
+    dy = F.col("y2") - F.col("y1")
+    lhs = (F.col("px") - F.col("x1")) * dy
+    rhs = (F.col("py") - F.col("y1")) * (F.col("x2") - F.col("x1"))
+    crossed = straddle & (
+        ((dy > 0) & (lhs < rhs)) | ((dy < 0) & (lhs > rhs))
+    )
+    parity = (
+        j.select(
+            "c_custkey",
+            "bal_c",
+            "polygon",
+            crossed.cast("int").alias("c"),
+        )
+        .groupBy("c_custkey", "bal_c", "polygon")
+        .agg(F.sum("c").alias("ncross"))
+        .where(F.col("ncross") % 2 == 1)
+    )
+    return (
+        parity.groupBy("polygon")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_inside"),
+            F.sum("bal_c").cast("bigint").alias("sum_bal_cents"),
+            F.min("c_custkey").alias("min_custkey"),
+            F.max("c_custkey").alias("max_custkey"),
+        )
+        .orderBy("polygon")
+    )
+
+
+QUERIES["geo_point_in_polygon"] = q_geo_point_in_polygon
+
+
+def _pip_oracle() -> str:
+    values = ",\n    ".join(
+        f"('{n}', {x1}, {y1}, {x2}, {y2})"
+        for n, x1, y1, x2, y2 in _polygon_edges()
+    )
+    return f"""
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey * {_CUST_LON_P}) % 360001 - 180000 AS px,
+         (c_custkey * {_CUST_LAT_P}) % 120001 - 60000 AS py,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer
+), edges(polygon, x1, y1, x2, y2) AS (
+  VALUES
+    {values}
+), j AS (
+  SELECT p.c_custkey, p.bal_c, e.polygon,
+         CASE WHEN ((e.y1 > p.py) <> (e.y2 > p.py))
+               AND (((e.y2 - e.y1) > 0
+                     AND (p.px - e.x1) * (e.y2 - e.y1)
+                         < (p.py - e.y1) * (e.x2 - e.x1))
+                    OR ((e.y2 - e.y1) < 0
+                        AND (p.px - e.x1) * (e.y2 - e.y1)
+                            > (p.py - e.y1) * (e.x2 - e.x1)))
+              THEN 1 ELSE 0 END AS c
+  FROM pts p CROSS JOIN edges e
+), parity AS (
+  SELECT c_custkey, bal_c, polygon, SUM(c) AS ncross
+  FROM j GROUP BY 1, 2, 3
+  HAVING SUM(c) % 2 = 1
+)
+SELECT polygon,
+       CAST(COUNT(*) AS BIGINT) AS n_inside,
+       CAST(SUM(bal_c) AS BIGINT) AS sum_bal_cents,
+       MIN(c_custkey) AS min_custkey,
+       MAX(c_custkey) AS max_custkey
+FROM parity
+GROUP BY polygon
+ORDER BY polygon
+"""
+
+
+ORACLES["geo_point_in_polygon"] = _pip_oracle()

@@ -512,3 +512,63 @@ def test_stream_pit_enrich_matches_batch_and_splits_segments(spark, sf_dir):
         cust[["c_custkey"]], left_on="user_id", right_on="c_custkey"
     )
     assert int(out["n_events"].sum()) == len(joined)
+
+
+# --------------------------------------------------- point in polygon
+
+
+def test_point_in_polygon_matches_matplotlib_free_ray_cast(spark, sf_dir):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import geospatial as geo
+
+    out = {
+        r["polygon"]: (r["n_inside"], r["sum_bal_cents"])
+        for r in geo.q_geo_point_in_polygon(spark, sf_dir).collect()
+    }
+    cust = _pdf(spark, sf_dir, "customer")
+    k = cust["c_custkey"].to_numpy()
+    px = (k * 104729) % 360001 - 180000
+    py = (k * 7919) % 120001 - 60000
+    bal = (cust["c_acctbal"] * 100).round().astype("int64").to_numpy()
+
+    def inside(verts, x, y):
+        n = 0
+        for i, (x1, y1) in enumerate(verts):
+            x2, y2 = verts[(i + 1) % len(verts)]
+            if (y1 > y) != (y2 > y):
+                dy = y2 - y1
+                lhs = (x - x1) * dy
+                rhs = (y - y1) * (x2 - x1)
+                if (dy > 0 and lhs < rhs) or (dy < 0 and lhs > rhs):
+                    n += 1
+        return n % 2 == 1
+
+    for name, verts in geo._POLYGONS:
+        mask = np.array(
+            [inside(verts, int(x), int(y)) for x, y in zip(px, py)]
+        )
+        want = (int(mask.sum()), int(bal[mask].sum()))
+        got = out.get(name, (0, 0))
+        assert got == want and want[0] > 0
+
+
+def test_point_in_polygon_nonconvex_notch(spark):
+    # a point inside the L's notch must be OUTSIDE (bbox would say inside)
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads.geospatial import _POLYGONS
+
+    verts = dict(_POLYGONS)["lshape"]
+
+    def inside(x, y):
+        n = 0
+        for i, (x1, y1) in enumerate(verts):
+            x2, y2 = verts[(i + 1) % len(verts)]
+            if (y1 > y) != (y2 > y):
+                dy = y2 - y1
+                if (dy > 0 and (x - x1) * dy < (y - y1) * (x2 - x1)) or (
+                    dy < 0 and (x - x1) * dy > (y - y1) * (x2 - x1)
+                ):
+                    n += 1
+        return n % 2 == 1
+
+    assert inside(-130000, -10000)  # in the L's vertical arm
+    assert inside(-90000, -40000)  # in the L's horizontal arm
+    assert not inside(-90000, 0)  # in the notch: bbox-inside, polygon-out
