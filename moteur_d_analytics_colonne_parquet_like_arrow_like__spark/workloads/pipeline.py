@@ -2754,3 +2754,138 @@ FROM per_doc p JOIN documents d USING (doc_id)
 GROUP BY d.source
 ORDER BY d.source
 """
+
+
+def q_multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-based activity segmentation over REAL decoded PCM
+    (operators/multimodal.audio_frame_energies): 80-sample frames with
+    exact Σs² energies; a frame is ACTIVE when its energy exceeds the
+    clip's lower-median frame energy, and consecutive active frames
+    merge into segments (per-clip windows — bounded groups). Per clip:
+    frame census, active count, segment count, and the longest run —
+    the silence-trimming / diarization front end. The oracle recomputes
+    every energy from the generator's closed-form sawtooth, so one
+    wrong byte offset in the RIFF walk breaks the hash."""
+    from pyspark.sql import Window as W
+
+    frames = multimodal.audio_frame_energies(
+        multimodal.generate_real_media(spark, 300), frame=80
+    )
+    # per-clip lower-median energy threshold (type-1: k = ceil(n/2));
+    # clip frame counts are bounded (<= 50), so per-clip windows are safe
+    byv = W.partitionBy("media_id").orderBy("energy", "frame_idx")
+    n_w = W.partitionBy("media_id")
+    med = (
+        frames.withColumn("rk", F.row_number().over(byv))
+        .withColumn("nf", F.count(F.lit(1)).over(n_w))
+        .where(F.col("rk") == F.expr("(nf + 1) div 2"))
+        .select("media_id", F.col("energy").alias("med_energy"))
+    )
+    act = frames.join(med, "media_id").select(
+        "media_id",
+        "frame_idx",
+        (F.col("energy") > F.col("med_energy")).cast("int").alias("a"),
+    )
+    byf = W.partitionBy("media_id").orderBy("frame_idx")
+    seg = (
+        act.withColumn("prev_a", F.lag("a", 1, 0).over(byf))
+        .withColumn(
+            "start", ((F.col("a") == 1) & (F.col("prev_a") == 0)).cast("int")
+        )
+        .withColumn(
+            "seg_id",
+            F.sum("start").over(byf.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    runs = (
+        seg.where(F.col("a") == 1)
+        .groupBy("media_id", "seg_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("run"))
+    )
+    per_clip = (
+        act.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+            F.sum("a").cast("bigint").alias("n_active"),
+        )
+        .join(
+            runs.groupBy("media_id").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+                F.max("run").cast("bigint").alias("longest_run"),
+            ),
+            "media_id",
+            "left",
+        )
+        .select(
+            "media_id",
+            "n_frames",
+            "n_active",
+            F.coalesce("n_segments", F.lit(0)).cast("bigint").alias("n_segments"),
+            F.coalesce("longest_run", F.lit(0)).cast("bigint").alias("longest_run"),
+        )
+    )
+    return per_clip.orderBy("media_id")
+
+
+QUERIES["multimodal_audio_vad"] = q_multimodal_audio_vad
+
+ORACLES["multimodal_audio_vad"] = """
+WITH ids AS (SELECT unnest(range(0, 300)) AS id),
+a AS (SELECT id, (id % 50 + 1) AS nf FROM ids WHERE id % 3 = 1),
+fr AS (
+  SELECT id, unnest(range(0, nf)) AS f FROM a
+),
+en AS (
+  SELECT id, f,
+         CAST(list_sum(list_transform(generate_series(80*f, 80*f + 79),
+              i -> ((i * 257) % 65536 - 32768) * ((i * 257) % 65536 - 32768)))
+           AS BIGINT) AS energy
+  FROM fr
+),
+med AS (
+  SELECT id, energy AS med_energy FROM (
+    SELECT id, energy,
+           ROW_NUMBER() OVER (PARTITION BY id
+                              ORDER BY energy, f) AS rk,
+           COUNT(*) OVER (PARTITION BY id) AS nf
+    FROM en
+  ) WHERE rk = (nf + 1) // 2
+),
+act AS (
+  SELECT en.id, en.f,
+         CASE WHEN en.energy > med.med_energy THEN 1 ELSE 0 END AS a
+  FROM en JOIN med ON med.id = en.id
+),
+seg AS (
+  SELECT id, f, a,
+         CASE WHEN a = 1 AND COALESCE(LAG(a) OVER (PARTITION BY id ORDER BY f), 0) = 0
+              THEN 1 ELSE 0 END AS start
+  FROM act
+),
+seg2 AS (
+  SELECT id, f, a,
+         SUM(start) OVER (PARTITION BY id ORDER BY f
+                          ROWS UNBOUNDED PRECEDING) AS seg_id
+  FROM seg
+),
+runs AS (
+  SELECT id, seg_id, CAST(COUNT(*) AS BIGINT) AS run
+  FROM seg2 WHERE a = 1 GROUP BY 1, 2
+),
+per_clip AS (
+  SELECT act.id,
+         CAST(COUNT(*) AS BIGINT) AS n_frames,
+         CAST(SUM(a) AS BIGINT) AS n_active
+  FROM act GROUP BY act.id
+),
+rsum AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+         CAST(MAX(run) AS BIGINT) AS longest_run
+  FROM runs GROUP BY id
+)
+SELECT p.id AS media_id, p.n_frames, p.n_active,
+       COALESCE(r.n_segments, 0) AS n_segments,
+       COALESCE(r.longest_run, 0) AS longest_run
+FROM per_clip p LEFT JOIN rsum r ON r.id = p.id
+ORDER BY media_id
+"""

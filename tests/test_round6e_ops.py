@@ -572,3 +572,41 @@ def test_point_in_polygon_nonconvex_notch(spark):
     assert inside(-130000, -10000)  # in the L's vertical arm
     assert inside(-90000, -40000)  # in the L's horizontal arm
     assert not inside(-90000, 0)  # in the notch: bbox-inside, polygon-out
+
+
+# ------------------------------------------------------- audio VAD
+
+
+def test_audio_frame_energies_match_wave_module(spark):
+    import wave as wavmod
+    import io
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import multimodal as mm
+
+    media = mm.generate_real_media(spark, 30)
+    got = (
+        mm.audio_frame_energies(media, frame=80)
+        .orderBy("media_id", "frame_idx")
+        .toPandas()
+    )
+    # independently decode one clip with the stdlib wave reader
+    row = media.where(F.col("kind") == "audio").orderBy("media_id").first()
+    w = wavmod.open(io.BytesIO(bytes(row["content"])))
+    raw = w.readframes(w.getnframes())
+    s = np.frombuffer(raw, dtype="<i2").astype("int64")
+    nf = len(s) // 80
+    want = (s[: nf * 80] ** 2).reshape(nf, 80).sum(axis=1)
+    mine = got[got["media_id"] == row["media_id"]]["energy"].to_numpy()
+    assert (mine == want).all() and nf == len(mine)
+
+
+def test_audio_vad_gate_invariants(spark, sf_dir):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import pipeline as pl
+
+    out = pl.q_multimodal_audio_vad(spark, sf_dir).toPandas()
+    assert len(out) == 100  # every audio clip reports
+    assert (out["n_active"] <= out["n_frames"]).all()
+    assert (out["longest_run"] <= out["n_active"]).all()
+    # strict > median threshold: active strictly fewer than all frames
+    # whenever the clip has >1 distinct energy
+    assert (out["n_segments"] >= (out["n_active"] > 0).astype(int)).all()
