@@ -1569,3 +1569,315 @@ SELECT n_00 AS n_ctrl_pre, n_01 AS n_ctrl_post,
              / CAST(n_00 AS DOUBLE)), 6) AS z_r
 FROM wide
 """
+
+
+# ----------------------------------------------------- bloom filter FPR
+
+
+def q_sketch_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom filter with a MEASURED false-positive rate: build
+    a k=4, m=16384-bit filter over January's distinct active users
+    (each key sets bits h_i(u) = md5-hash60(u||'_'||i) mod m), then
+    probe it with 20,000 keys from a disjoint synthetic namespace
+    (10^9 + i — every real user id is orders of magnitude smaller, so
+    every probe is a true negative and "all 4 bits set" is by
+    construction a false positive; the synthetic split was necessary
+    because every observed user is active in both halves of the
+    month). One audit row: members, set-bit count, probes,
+    false positives, measured FPR, and the theoretical
+    (s/m)^k computed from the ACTUAL set-bit count s (tighter than the
+    e^(-kn/m) approximation, and exact given s). The membership-sketch
+    companion to the plan-level join_bloom_pruned.
+
+    Scale shape: the filter is a 16384-row distinct-bit set (bounded by
+    m, never by members) collected as ONE bounded broadcast list; the
+    probe side is a broadcast-array membership test per row, no shuffle
+    beyond the distinct reductions."""
+    from ..functions import stable_hash60
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("ts") < F.lit("2024-01-16").cast("timestamp")).alias("early"),
+    )
+    jan = ev.where(F.col("early")).select("user_id").distinct()
+    n_probe_keys = 20000
+    feb_only = spark.range(n_probe_keys).select(
+        (F.col("id") + F.lit(1_000_000_000)).alias("user_id")
+    )
+    K, M = 4, 16384
+
+    def bits(df):
+        return df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            stable_hash60(
+                                F.concat_ws("_", F.col("user_id"), F.lit(i))
+                            ),
+                            F.lit(M),
+                        )
+                        for i in range(K)
+                    ]
+                )
+            ).alias("bit")
+        ).distinct()
+
+    filt = bits(jan)
+    n_bits = filt.agg(F.count(F.lit(1)).cast("bigint").alias("s"))
+    # probe: a user is a false positive iff ALL K of its bits are set
+    probe_bits = feb_only.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        stable_hash60(
+                            F.concat_ws("_", F.col("user_id"), F.lit(i))
+                        ),
+                        F.lit(M),
+                    )
+                    for i in range(K)
+                ]
+            )
+        ).alias("bit"),
+    )
+    hits = (
+        probe_bits.join(filt, "bit", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .where(F.col("nb") == K)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_fp"))
+    )
+    counts = (
+        jan.agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .crossJoin(
+            feb_only.agg(F.count(F.lit(1)).cast("bigint").alias("n_probes"))
+        )
+        .crossJoin(F.broadcast(n_bits))
+        .crossJoin(F.broadcast(hits))
+    )
+    load = F.col("s").cast("double") / F.lit(float(M))
+    return counts.select(
+        "n_members",
+        F.col("s").alias("n_set_bits"),
+        "n_probes",
+        "n_fp",
+        F.expr("(n_fp * 1000000) div n_probes").alias("fpr_micro"),
+        F.round(load * load * load * load, 6).alias("theo_fpr_r"),
+    )
+
+
+QUERIES["sketch_bloom_fpr"] = q_sketch_bloom_fpr
+
+ORACLES["sketch_bloom_fpr"] = """
+WITH ev AS (
+  SELECT user_id, ts < TIMESTAMP '2024-01-16' AS early FROM events
+), jan AS MATERIALIZED (
+  SELECT DISTINCT user_id FROM ev WHERE early
+), feb_only AS MATERIALIZED (
+  SELECT 1000000000 + unnest(range(0, 20000)) AS user_id
+), ks AS (SELECT unnest(range(0, 4)) AS i),
+filt AS MATERIALIZED (
+  SELECT DISTINCT
+         CAST(concat('0x', substr(md5(user_id || '_' || i), 1, 15))
+              AS BIGINT) % 16384 AS bit
+  FROM jan CROSS JOIN ks
+), s AS (SELECT CAST(COUNT(*) AS BIGINT) AS s FROM filt),
+probe AS (
+  SELECT f.user_id,
+         CAST(concat('0x', substr(md5(f.user_id || '_' || i), 1, 15))
+              AS BIGINT) % 16384 AS bit
+  FROM feb_only f CROSS JOIN ks
+), fp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_fp FROM (
+    SELECT p.user_id FROM probe p
+    WHERE p.bit IN (SELECT bit FROM filt)
+    GROUP BY p.user_id HAVING COUNT(*) = 4
+  )
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM jan) AS n_members,
+       s.s AS n_set_bits,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM feb_only) AS n_probes,
+       fp.n_fp,
+       CAST((fp.n_fp * 1000000)
+            // (SELECT COUNT(*) FROM feb_only) AS BIGINT) AS fpr_micro,
+       round((CAST(s.s AS DOUBLE) / 16384.0) * (CAST(s.s AS DOUBLE) / 16384.0)
+             * (CAST(s.s AS DOUBLE) / 16384.0) * (CAST(s.s AS DOUBLE) / 16384.0),
+             6) AS theo_fpr_r
+FROM s CROSS JOIN fp
+"""
+
+
+# -------------------------------------------------- Mann-Kendall trend
+
+
+def q_orders_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotone-trend test on the daily order count: the
+    nonparametric companion to orders_theil_sen — S = Σ_{i<j}
+    sign(x_j − x_i) over the bounded calendar grid, the tie-corrected
+    variance [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18 as an exact integer
+    numerator, and the continuity-corrected z. Facts reduce once to one
+    row per day; the pair enumeration self-joins the ~2.4k-row daily
+    AGGREGATE, never the fact table."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("c").alias("ca"))
+    b = daily.select(F.col("d").alias("db"), F.col("c").alias("cb"))
+    s_stat = (
+        a.join(b, F.col("da") < F.col("db"))
+        .agg(
+            F.sum(F.signum(F.col("cb") - F.col("ca")).cast("bigint"))
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    ties = (
+        daily.groupBy("c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    wide = n_days.crossJoin(F.broadcast(s_stat)).crossJoin(
+        F.broadcast(ties)
+    )
+    var_num = F.expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie_term")
+    var_s = var_num.cast("double") / F.lit(18.0)
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1).cast("double") / F.sqrt(var_s),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1).cast("double") / F.sqrt(var_s),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return wide.select(
+        "n_days",
+        "s_stat",
+        var_num.cast("bigint").alias("var_num"),
+        F.round(z, 6).alias("z_r"),
+    )
+
+
+QUERIES["orders_mann_kendall"] = q_orders_mann_kendall
+
+ORACLES["orders_mann_kendall"] = """
+WITH daily AS MATERIALIZED (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT CAST(SUM(CASE WHEN b.c > a.c THEN 1
+                       WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+  FROM daily a JOIN daily b ON a.d < b.d
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+ties AS (
+  SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY c)
+)
+SELECT n.n_days, s.s_stat,
+       CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - ties.tie_term
+            AS BIGINT) AS var_num,
+       round(CASE
+         WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
+              / sqrt(CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                          - ties.tie_term AS DOUBLE) / 18.0)
+         WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
+              / sqrt(CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                          - ties.tie_term AS DOUBLE) / 18.0)
+         ELSE 0.0 END, 6) AS z_r
+FROM n CROSS JOIN s CROSS JOIN ties
+"""
+
+
+# ---------------------------------------------- degree assortativity
+
+
+def q_supplier_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-supply graph (Newman 2002): the
+    Pearson correlation of endpoint degrees over edges — do
+    high-degree suppliers co-supply with other hubs (r > 0) or with
+    the periphery (r < 0)? Both edge directions enter the sums (the
+    undirected convention), every moment is an exact BIGINT, and the
+    final r is one shared double expression. Complements
+    supplier_kcore / communities with a single network-topology
+    scalar."""
+    from ..operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = graph.co_supply_edges(li)
+    und = edges.select(
+        F.col("sa").alias("n"), F.col("sb").alias("m")
+    ).unionByName(edges.select(F.col("sb").alias("n"), F.col("sa").alias("m")))
+    deg = und.groupBy("n").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    pairs = (
+        und.join(deg.select(F.col("n"), F.col("d").alias("dj")), "n")
+        .join(
+            deg.select(F.col("n").alias("m"), F.col("d").alias("dk")), "m"
+        )
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m2"),
+        F.sum(F.col("dj") * F.col("dk")).cast("bigint").alias("sjk"),
+        F.sum(F.col("dj")).cast("bigint").alias("sj"),
+        F.sum(F.col("dj") * F.col("dj")).cast("bigint").alias("sj2"),
+    )
+    md = F.col("m2").cast("double")
+    mean = F.col("sj").cast("double") / md
+    num = F.col("sjk").cast("double") / md - mean * mean
+    den = F.col("sj2").cast("double") / md - mean * mean
+    return agg.select(
+        (F.col("m2") / 2).cast("bigint").alias("n_edges"),
+        "sjk",
+        "sj",
+        "sj2",
+        F.round(num / den, 6).alias("assortativity_r"),
+    )
+
+
+QUERIES["supplier_assortativity"] = q_supplier_assortativity
+
+ORACLES["supplier_assortativity"] = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            WHERE l_partkey % 50 = 0),
+e0 AS MATERIALIZED (
+  SELECT a.l_suppkey AS a, b.l_suppkey AS b
+  FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+  WHERE a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+), und AS MATERIALIZED (
+  SELECT a AS n, b AS m FROM e0 UNION ALL SELECT b, a FROM e0
+), deg AS MATERIALIZED (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY n
+), pairs AS (
+  SELECT dj.d AS dj, dk.d AS dk
+  FROM und u JOIN deg dj ON dj.n = u.n JOIN deg dk ON dk.n = u.m
+), a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+         CAST(SUM(dj * dk) AS BIGINT) AS sjk,
+         CAST(SUM(dj) AS BIGINT) AS sj,
+         CAST(SUM(dj * dj) AS BIGINT) AS sj2
+  FROM pairs
+)
+SELECT CAST(m2 / 2 AS BIGINT) AS n_edges, sjk, sj, sj2,
+       round((CAST(sjk AS DOUBLE) / CAST(m2 AS DOUBLE)
+              - (CAST(sj AS DOUBLE) / CAST(m2 AS DOUBLE))
+                * (CAST(sj AS DOUBLE) / CAST(m2 AS DOUBLE)))
+             / (CAST(sj2 AS DOUBLE) / CAST(m2 AS DOUBLE)
+                - (CAST(sj AS DOUBLE) / CAST(m2 AS DOUBLE))
+                  * (CAST(sj AS DOUBLE) / CAST(m2 AS DOUBLE))), 6)
+         AS assortativity_r
+FROM a
+"""

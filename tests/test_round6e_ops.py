@@ -610,3 +610,83 @@ def test_audio_vad_gate_invariants(spark, sf_dir):
     # strict > median threshold: active strictly fewer than all frames
     # whenever the clip has >1 distinct energy
     assert (out["n_segments"] >= (out["n_active"] > 0).astype(int)).all()
+
+
+# ------------------------------------------------------ bloom FPR
+
+
+def test_bloom_fpr_matches_hashlib_simulation(spark, sf_dir):
+    import hashlib
+
+    out = mleval.q_sketch_bloom_fpr(spark, sf_dir).collect()[0]
+    ev = _pdf(spark, sf_dir, "events")
+    jan = sorted(
+        set(ev.loc[ev["ts"] < pd.Timestamp("2024-01-16"), "user_id"])
+    )
+
+    def bits(u):
+        return {
+            int(hashlib.md5(f"{u}_{i}".encode()).hexdigest()[:15], 16) % 16384
+            for i in range(4)
+        }
+
+    filt = set()
+    for u in jan:
+        filt |= bits(u)
+    fp = sum(
+        1 for i in range(20000) if bits(1_000_000_000 + i) <= filt
+    )
+    assert out["n_members"] == len(jan)
+    assert out["n_set_bits"] == len(filt)
+    assert out["n_fp"] == fp
+    # measured FPR should be in the ballpark of (s/m)^4
+    assert out["theo_fpr_r"] == pytest.approx(
+        (len(filt) / 16384) ** 4, abs=1e-6
+    )
+
+
+# ---------------------------------------------- Mann-Kendall + assort
+
+
+def test_mann_kendall_matches_direct_python(spark, sf_dir):
+    out = mleval.q_orders_mann_kendall(spark, sf_dir).collect()[0]
+    od = _pdf(spark, sf_dir, "orders")
+    daily = (
+        od.groupby(od["o_orderdate"].dt.date)
+        .size()
+        .sort_index()
+        .to_numpy()
+    )
+    n = len(daily)
+    diff = np.sign(daily[None, :] - daily[:, None])
+    s = int(np.triu(diff, 1).sum())
+    _, t = np.unique(daily, return_counts=True)
+    var_num = n * (n - 1) * (2 * n + 5) - int(
+        (t * (t - 1) * (2 * t + 5)).sum()
+    )
+    assert (out["n_days"], out["s_stat"], out["var_num"]) == (n, s, var_num)
+    z = (s - np.sign(s)) / np.sqrt(var_num / 18.0) if s != 0 else 0.0
+    assert out["z_r"] == pytest.approx(z, abs=1e-5)
+
+
+def test_assortativity_bounds_and_star_graph(spark):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import mleval as ml
+
+    # a star plus a triangle: hubs don't connect to hubs -> negative r
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5), (10, 11), (11, 12), (10, 12)],
+        ["sa", "sb"],
+    )
+    from pyspark.sql import functions as FF
+
+    und = edges.select(
+        FF.col("sa").alias("n"), FF.col("sb").alias("m")
+    ).unionByName(edges.select(FF.col("sb").alias("n"), FF.col("sa").alias("m")))
+    deg = und.groupBy("n").agg(FF.count(FF.lit(1)).alias("d"))
+    pairs = (
+        und.join(deg.select("n", FF.col("d").alias("dj")), "n")
+        .join(deg.select(FF.col("n").alias("m"), FF.col("d").alias("dk")), "m")
+        .toPandas()
+    )
+    r = np.corrcoef(pairs["dj"], pairs["dk"])[0, 1]
+    assert r < 0  # star drives disassortativity
