@@ -1881,3 +1881,266 @@ SELECT CAST(m2 / 2 AS BIGINT) AS n_edges, sjk, sj, sj2,
          AS assortativity_r
 FROM a
 """
+
+
+# ------------------------------------------------- two-sample KS test
+
+
+def q_events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance between the
+    first-half and second-half value distributions (the same split the
+    PSI meter watches, but with the distribution-free KS statistic):
+    D = max_v |F1(v) − F2(v)| evaluated as the cross-multiplied
+    integer |cum1·n2 − cum2·n1| — no float CDFs, the argmax value is
+    part of the output. Distinct cent cells ride the two-phase chunked
+    scan per side; the max is one aggregate. Also ships the scaled
+    statistic K = D·sqrt(n1·n2/(n1+n2)) that KS tables threshold."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        (F.col("ts") < F.lit("2024-01-16").cast("timestamp")).alias("early"),
+    )
+
+    def cum_side(flag: bool, tag: str):
+        cells = (
+            ev.where(F.col("early") == flag)
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("__cnt"))
+        )
+        return stats.two_phase_rank_cumsum(
+            cells,
+            "v",
+            F.expr("v div 1000"),
+            value_col="__cnt",
+            cum_col=f"cum{tag}",
+        ).select("v", f"cum{tag}")
+
+    c1 = cum_side(True, "1")
+    c2 = cum_side(False, "2")
+    # evaluate both CDFs on the UNION of distinct values: after a full
+    # outer join, a side's missing cum at v is its cum at the nearest
+    # lower v — recovered with a bounded-forward-fill via last() over
+    # the merged value axis (values are a bounded cent domain)
+    from pyspark.sql import Window as W
+
+    merged = c1.join(c2, "v", "full_outer")
+    byv = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    filled = merged.select(
+        "v",
+        F.coalesce(
+            F.last("cum1", ignorenulls=True).over(byv), F.lit(0)
+        ).alias("f1"),
+        F.coalesce(
+            F.last("cum2", ignorenulls=True).over(byv), F.lit(0)
+        ).alias("f2"),
+    )
+    n1 = ev.where(F.col("early")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1")
+    )
+    n2 = ev.where(~F.col("early")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n2")
+    )
+    d = (
+        filled.crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "n1",
+            "n2",
+            F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")).alias(
+                "dn"
+            ),
+            "v",
+        )
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(F.struct(F.col("dn"), (-F.col("v")).alias("nv"))).alias("m")
+        )
+        .select(
+            "n1",
+            "n2",
+            F.col("m.dn").alias("d_num"),
+            (-F.col("m.nv")).alias("argmax_v"),
+        )
+    )
+    nn = F.col("n1").cast("double") * F.col("n2").cast("double")
+    dd = F.col("d_num").cast("double") / nn
+    return d.select(
+        "n1",
+        "n2",
+        "d_num",
+        "argmax_v",
+        F.expr("(d_num * 1000000) div (n1 * n2)").alias("d_micro"),
+        F.round(
+            dd
+            * F.sqrt(
+                nn / (F.col("n1").cast("double") + F.col("n2").cast("double"))
+            ),
+            6,
+        ).alias("k_stat_r"),
+    )
+
+
+QUERIES["events_ks_drift"] = q_events_ks_drift
+
+ORACLES["events_ks_drift"] = """
+WITH ev AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+         ts < TIMESTAMP '2024-01-16' AS early
+  FROM events
+), g1 AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM ev WHERE early GROUP BY v
+), g2 AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM ev WHERE NOT early GROUP BY v
+), c1 AS (
+  SELECT v, CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS cum1
+  FROM g1
+), c2 AS (
+  SELECT v, CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS cum2
+  FROM g2
+), merged AS (
+  SELECT COALESCE(c1.v, c2.v) AS v, c1.cum1, c2.cum2
+  FROM c1 FULL OUTER JOIN c2 ON c1.v = c2.v
+), filled AS (
+  SELECT v,
+         COALESCE(LAST_VALUE(cum1 IGNORE NULLS) OVER (
+           ORDER BY v ROWS UNBOUNDED PRECEDING), 0) AS f1,
+         COALESCE(LAST_VALUE(cum2 IGNORE NULLS) OVER (
+           ORDER BY v ROWS UNBOUNDED PRECEDING), 0) AS f2
+  FROM merged
+), n AS (
+  SELECT CAST(SUM(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN early THEN 0 ELSE 1 END) AS BIGINT) AS n2
+  FROM ev
+), scored AS (
+  SELECT n.n1, n.n2,
+         abs(f.f1 * n.n2 - f.f2 * n.n1) AS dn,
+         f.v,
+         ROW_NUMBER() OVER (ORDER BY abs(f.f1 * n.n2 - f.f2 * n.n1) DESC,
+                            f.v ASC) AS rk
+  FROM filled f CROSS JOIN n
+), d AS (
+  SELECT n1, n2, dn AS d_num, v AS argmax_v FROM scored WHERE rk = 1
+)
+SELECT n1, n2, CAST(d_num AS BIGINT) AS d_num,
+       CAST(argmax_v AS BIGINT) AS argmax_v,
+       CAST((d_num * 1000000) // (n1 * n2) AS BIGINT) AS d_micro,
+       round((CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+             * sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                    / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))), 6)
+         AS k_stat_r
+FROM d
+"""
+
+
+# ---------------------------------------------------------- runs test
+
+
+def q_orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily-revenue sign sequence: is
+    each day's revenue being above/below the overall daily MEDIAN
+    serially random, or does it cluster (momentum) / alternate
+    (mean-reversion)? The sign sequence lives on the bounded calendar
+    grid; runs count via a lag comparison; the normal approximation
+    z = (R − μ)/σ with μ = 2·n1·n2/n + 1 evaluates from exact integer
+    counts. Clustering shows up as R far below μ."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)")
+            ).alias("rev")
+        )
+    )
+    # lower-median daily revenue as the cut (type-1 quantile on the
+    # bounded day grid)
+    byv = W.orderBy(F.col("rev").asc(), F.col("d").asc())
+    nw = W.partitionBy()
+    med = (
+        daily.withColumn("rk", F.row_number().over(byv))
+        .withColumn("nd", F.count(F.lit(1)).over(nw))
+        .where(F.col("rk") == F.expr("(nd + 1) div 2"))
+        .select(F.col("rev").alias("med_rev"))
+    )
+    signs = daily.crossJoin(F.broadcast(med)).select(
+        "d", (F.col("rev") > F.col("med_rev")).cast("int").alias("s")
+    )
+    byd = W.orderBy("d")
+    runs = signs.select(
+        "s",
+        (
+            F.lag("s", 1).over(byd).isNull()
+            | (F.lag("s", 1).over(byd) != F.col("s"))
+        )
+        .cast("int")
+        .alias("new_run"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("s").cast("bigint").alias("n_above"),
+        F.sum("new_run").cast("bigint").alias("n_runs"),
+    )
+    n1 = F.col("n_above").cast("double")
+    n2 = (F.col("n_days") - F.col("n_above")).cast("double")
+    n = F.col("n_days").cast("double")
+    mu = F.lit(2.0) * n1 * n2 / n + F.lit(1.0)
+    var = (
+        (F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - n))
+        / (n * n * (n - F.lit(1.0)))
+    )
+    return runs.select(
+        "n_days",
+        "n_above",
+        "n_runs",
+        F.round(mu, 6).alias("mu_r"),
+        F.round(
+            (F.col("n_runs").cast("double") - mu) / F.sqrt(var), 6
+        ).alias("z_r"),
+    )
+
+
+QUERIES["orders_runs_test"] = q_orders_runs_test
+
+ORACLES["orders_runs_test"] = """
+WITH daily AS MATERIALIZED (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+), med AS (
+  SELECT rev AS med_rev FROM (
+    SELECT rev,
+           ROW_NUMBER() OVER (ORDER BY rev ASC, d ASC) AS rk,
+           COUNT(*) OVER () AS nd
+    FROM daily
+  ) WHERE rk = (nd + 1) // 2
+), signs AS (
+  SELECT d, CASE WHEN rev > (SELECT med_rev FROM med)
+                 THEN 1 ELSE 0 END AS s
+  FROM daily
+), flagged AS (
+  SELECT s,
+         CASE WHEN LAG(s) OVER (ORDER BY d) IS NULL
+               OR LAG(s) OVER (ORDER BY d) <> s
+              THEN 1 ELSE 0 END AS new_run
+  FROM signs
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(s) AS BIGINT) AS n_above,
+         CAST(SUM(new_run) AS BIGINT) AS n_runs
+  FROM flagged
+)
+SELECT n_days, n_above, n_runs,
+       round(2.0 * n_above * (n_days - n_above) / CAST(n_days AS DOUBLE)
+             + 1.0, 6) AS mu_r,
+       round((CAST(n_runs AS DOUBLE)
+              - (2.0 * n_above * (n_days - n_above)
+                 / CAST(n_days AS DOUBLE) + 1.0))
+             / sqrt((2.0 * n_above * (n_days - n_above)
+                     * (2.0 * n_above * (n_days - n_above)
+                        - CAST(n_days AS DOUBLE)))
+                    / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)
+                       * (CAST(n_days AS DOUBLE) - 1.0))), 6) AS z_r
+FROM agg
+"""

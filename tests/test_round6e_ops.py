@@ -690,3 +690,52 @@ def test_assortativity_bounds_and_star_graph(spark):
     )
     r = np.corrcoef(pairs["dj"], pairs["dk"])[0, 1]
     assert r < 0  # star drives disassortativity
+
+
+# ------------------------------------------------------- KS drift
+
+
+def test_ks_drift_matches_numpy(spark, sf_dir):
+    out = mleval.q_events_ks_drift(spark, sf_dir).collect()[0]
+    ev = _pdf(spark, sf_dir, "events")
+    v = (ev["value"] * 100).round().astype("int64")
+    early = ev["ts"] < pd.Timestamp("2024-01-16")
+    a = np.sort(v[early].to_numpy())
+    b = np.sort(v[~early].to_numpy())
+    grid = np.unique(np.concatenate([a, b]))
+    f1 = np.searchsorted(a, grid, side="right")
+    f2 = np.searchsorted(b, grid, side="right")
+    dn = np.abs(f1 * len(b) - f2 * len(a))
+    assert out["n1"] == len(a) and out["n2"] == len(b)
+    assert out["d_num"] == int(dn.max())
+    k = int(np.lexsort((grid, -dn))[0])
+    assert out["argmax_v"] == int(grid[k])
+    d = dn.max() / (len(a) * len(b))
+    assert out["k_stat_r"] == pytest.approx(
+        d * np.sqrt(len(a) * len(b) / (len(a) + len(b))), abs=1e-5
+    )
+
+
+# ------------------------------------------------------- runs test
+
+
+def test_runs_test_matches_direct_python(spark, sf_dir):
+    out = mleval.q_orders_runs_test(spark, sf_dir).collect()[0]
+    od = _pdf(spark, sf_dir, "orders")
+    rev = (
+        od.assign(rev=od["o_totalprice"].round(2))
+        .groupby(od["o_orderdate"].dt.date)["rev"]
+        .sum()
+        .sort_index()
+    )
+    n = len(rev)
+    med = np.sort(rev.to_numpy())[(n + 1) // 2 - 1]
+    s = (rev.to_numpy() > med).astype(int)
+    runs = 1 + int((s[1:] != s[:-1]).sum())
+    n1 = int(s.sum())
+    n2 = n - n1
+    mu = 2 * n1 * n2 / n + 1
+    var = (2 * n1 * n2 * (2 * n1 * n2 - n)) / (n * n * (n - 1))
+    assert (out["n_days"], out["n_above"], out["n_runs"]) == (n, n1, runs)
+    assert out["mu_r"] == pytest.approx(mu, abs=1e-4)
+    assert out["z_r"] == pytest.approx((runs - mu) / np.sqrt(var), abs=1e-4)
