@@ -1,0 +1,334 @@
+"""Model-evaluation workload, part 2: distributed Poisson bootstrap,
+paired McNemar test, PR-curve threshold sweep, and corpus-statistics
+fits (reference: ABSENT — SURVEY.md §2 extension surface; the
+uncertainty-quantification and curve-audit primitives a curation
+pipeline runs around the engine's scan/agg verbs).
+
+Determinism rules follow workloads/__init__ and mleval: every
+cross-engine number is BIGINT or DECIMAL end to end until a final
+shared double expression; logs/sqrt appear once per BOUNDED row and are
+rounded before any cross-row sum (DECIMAL-routed); replicate weights
+derive from ``stable_hash60`` (md5-based, reproducible in DuckDB as
+``CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import stable_hash60
+from ..sources.catalog import load_table
+
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+# ------------------------------------------------- Poisson bootstrap
+
+#: Poisson(1) CDF thresholds in integer millionths: P(X <= k) * 1e6 for
+#: k = 0..6; a 60-bit hash uniform in [0, 1e6) maps through the inverse
+#: CDF to a replicate weight, truncated at 7 (P(X >= 7) ~ 8.3e-5).
+_POIS1_CDF_PPM = (367879, 735759, 919699, 981012, 996340, 999406, 999917)
+
+
+def q_orders_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap CI for the mean order value — THE distributed
+    bootstrap: resampling n rows with replacement needs a global
+    coordinated draw, but Binomial(n, 1/n) → Poisson(1) per row as
+    n → ∞, so each row independently draws its own per-replicate
+    multiplicity from a hash — no shuffle, no coordination, exactly the
+    shape a 1000-executor cluster wants (Chamandy et al., "Estimating
+    Uncertainty for Massive Data Streams", Google 2012).
+
+    32 replicates: weight w(o, r) = Poisson(1) inverse CDF of
+    stable_hash60(orderkey:r) mod 1e6. Per-replicate mean = exact
+    BIGINT Σw·cents / Σw; the 2.5%/97.5% CI bounds are order statistics
+    of the 32-row replicate table; the bootstrap SE sums
+    DECIMAL(18,6)-rounded means so partial-agg order cannot move it.
+
+    Scale shape: the ×32 explode is map-side and combines immediately
+    into 32 partial cells per task — the only shuffle carries
+    32 rows/task. Everything after is a bounded 32-row table.
+    """
+    r_n = 32
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    rep = orders.select(
+        "k",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(r_n - 1))).alias("r"),
+    )
+    u = F.pmod(
+        stable_hash60(F.concat(F.col("k"), F.lit(":"), F.col("r").cast("string"))),
+        F.lit(1_000_000),
+    )
+    w = F.when(u < _POIS1_CDF_PPM[0], 0)
+    for k, t in enumerate(_POIS1_CDF_PPM[1:], start=1):
+        w = w.when(u < t, k)
+    w = w.otherwise(len(_POIS1_CDF_PPM))
+    per_rep = (
+        rep.select("r", w.alias("w"), (w * F.col("cents")).alias("wx"))
+        .groupBy("r")
+        .agg(
+            F.sum("w").cast("bigint").alias("n"),
+            F.sum("wx").cast("bigint").alias("s"),
+        )
+        .select(
+            F.round(F.col("s").cast("double") / F.col("n") / 100.0, 6)
+            .cast("decimal(18,6)")
+            .alias("m")
+        )
+    )
+    boot = per_rep.agg(
+        F.element_at(F.array_sort(F.collect_list("m")), 2)
+        .cast("double")
+        .alias("boot_lo"),
+        F.element_at(F.array_sort(F.collect_list("m")), 31)
+        .cast("double")
+        .alias("boot_hi"),
+        F.sum("m").alias("sm"),
+        F.sum(F.col("m") * F.col("m")).alias("sm2"),
+    )
+    base = orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+    return base.crossJoin(F.broadcast(boot)).select(
+        "n_orders",
+        F.round(
+            F.col("sum_cents").cast("double") / F.col("n_orders") / 100.0, 6
+        ).alias("mean_full_r"),
+        "boot_lo",
+        "boot_hi",
+        F.round(
+            F.sqrt(
+                (
+                    F.col("sm2").cast("double")
+                    - F.col("sm").cast("double")
+                    * F.col("sm").cast("double")
+                    / 32.0
+                )
+                / 31.0
+            ),
+            6,
+        ).alias("boot_se_r"),
+    )
+
+
+QUERIES["orders_poisson_bootstrap"] = q_orders_poisson_bootstrap
+
+ORACLES["orders_poisson_bootstrap"] = """
+WITH o AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), rep AS (
+  SELECT k, cents, r.range AS r FROM o CROSS JOIN range(32) r
+), hashed AS (
+  SELECT r, cents,
+         CAST(concat('0x', substr(md5(k || ':' || CAST(r AS VARCHAR)), 1, 15))
+              AS BIGINT) % 1000000 AS u
+  FROM rep
+), weighted AS (
+  SELECT r, cents,
+         CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+              WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+              WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+              WHEN u < 999917 THEN 6 ELSE 7 END AS w
+  FROM hashed
+), per_rep AS (
+  SELECT r, CAST(SUM(w) AS BIGINT) AS n, CAST(SUM(w * cents) AS BIGINT) AS s
+  FROM weighted GROUP BY r
+), m AS (
+  SELECT CAST(round(CAST(s AS DOUBLE) / n / 100.0, 6) AS DECIMAL(18,6)) AS m
+  FROM per_rep
+), boot AS (
+  SELECT CAST((list(m ORDER BY m))[2] AS DOUBLE) AS boot_lo,
+         CAST((list(m ORDER BY m))[31] AS DOUBLE) AS boot_hi,
+         SUM(m) AS sm,
+         SUM(CAST(m AS DECIMAL(19,6)) * CAST(m AS DECIMAL(19,6))) AS sm2
+  FROM m
+), base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(cents) AS BIGINT) AS sum_cents
+  FROM o
+)
+SELECT n_orders,
+       round(CAST(sum_cents AS DOUBLE) / n_orders / 100.0, 6) AS mean_full_r,
+       boot_lo, boot_hi,
+       round(sqrt((CAST(sm2 AS DOUBLE)
+                   - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / 32.0)
+                  / 31.0), 6) AS boot_se_r
+FROM base, boot
+"""
+
+
+# ------------------------------------------------------- McNemar test
+
+
+def q_customers_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired test: did the population of ordering customers
+    CHANGE between 1996 and 1997? Each customer is its own pair —
+    (ordered in 1996?, ordered in 1997?) — and only the discordant
+    cells b (1996-only) and c (1997-only) carry signal:
+    χ² = (|b − c| − 1)² / (b + c) with continuity correction. The
+    marginal-homogeneity audit for paired binary outcomes — what an
+    A/B z-test gets WRONG when samples are paired.
+
+    Scale shape: facts reduce once to one row per customer (two
+    MAX(CASE) flags — one combiner-friendly shuffle); the 2×2 cells
+    are a 1-row aggregate; χ² is one shared double expression over
+    exact BIGINTs.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("y")
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max((F.col("y") == 1996).cast("int")).alias("y96"),
+        F.max((F.col("y") == 1997).cast("int")).alias("y97"),
+    )
+    cells = per_cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(F.col("y96") * F.col("y97")).cast("bigint").alias("n_both"),
+        F.sum(F.col("y96") * (1 - F.col("y97"))).cast("bigint").alias("b_only"),
+        F.sum((1 - F.col("y96")) * F.col("y97")).cast("bigint").alias("c_only"),
+        F.sum((1 - F.col("y96")) * (1 - F.col("y97")))
+        .cast("bigint")
+        .alias("neither"),
+    )
+    bc = F.col("b_only") + F.col("c_only")
+    diff = F.abs(F.col("b_only") - F.col("c_only"))
+    return cells.select(
+        "n_customers",
+        "n_both",
+        "b_only",
+        "c_only",
+        "neither",
+        F.round(
+            (diff - 1.0) * (diff - 1.0) / bc.cast("double"), 6
+        ).alias("chi2_r"),
+    )
+
+
+QUERIES["customers_mcnemar"] = q_customers_mcnemar
+
+ORACLES["customers_mcnemar"] = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS y96,
+         MAX(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END) AS y97
+  FROM orders GROUP BY o_custkey
+), cells AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(y96 * y97) AS BIGINT) AS n_both,
+         CAST(SUM(y96 * (1 - y97)) AS BIGINT) AS b_only,
+         CAST(SUM((1 - y96) * y97) AS BIGINT) AS c_only,
+         CAST(SUM((1 - y96) * (1 - y97)) AS BIGINT) AS neither
+  FROM per_cust
+)
+SELECT n_customers, n_both, b_only, c_only, neither,
+       round((abs(b_only - c_only) - 1.0) * (abs(b_only - c_only) - 1.0)
+             / CAST(b_only + c_only AS DOUBLE), 6) AS chi2_r
+FROM cells
+"""
+
+
+# ------------------------------------------------------- PR curve
+
+
+def q_events_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 sweep for "event value predicts purchase" at
+    19 fixed thresholds (25, 50, … 475) — the operating-point audit
+    that complements events_auc_value's single ranking number (AUC says
+    the score orders well; THIS says what you get at the cutoff you'd
+    actually deploy).
+
+    Scale shape: facts reduce once to distinct cent-value cells with
+    positive counts (one bounded shuffle — ≤ ~49k cells at any data
+    size since value has 2 decimals in [0, 500)); the threshold sweep
+    is a bounded cells × 19 broadcast; every ratio is one division of
+    exact BIGINTs rounded at the end. F1 uses the identity
+    2TP / (2TP + FP + FN) — one division, no precision/recall
+    intermediate floats.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("bigint").alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    cells = ev.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    th = spark.range(1, 20).select(
+        (F.col("id") * 25).alias("threshold")
+    )
+    joined = cells.crossJoin(F.broadcast(th))
+    pred = F.col("score") >= F.col("threshold") * 100
+    agg = joined.groupBy("threshold").agg(
+        F.sum(F.when(pred, F.col("pos")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when(pred, F.col("cnt") - F.col("pos")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when(~pred, F.col("pos")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("fn"),
+    )
+    return agg.select(
+        F.col("threshold").cast("bigint").alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        F.round(
+            F.when(
+                F.col("tp") + F.col("fp") > 0,
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fp")),
+            ),
+            6,
+        ).alias("precision_r"),
+        F.round(
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fn")), 6
+        ).alias("recall_r"),
+        F.round(
+            2.0
+            * F.col("tp").cast("double")
+            / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+            6,
+        ).alias("f1_r"),
+    ).orderBy("threshold")
+
+
+QUERIES["events_pr_curve"] = q_events_pr_curve
+
+ORACLES["events_pr_curve"] = """
+WITH s AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), cells AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(y) AS BIGINT) AS pos
+  FROM s GROUP BY score
+), th AS (
+  SELECT (r.range + 1) * 25 AS threshold FROM range(19) r
+), agg AS (
+  SELECT threshold,
+         CAST(SUM(CASE WHEN score >= threshold * 100 THEN pos ELSE 0 END)
+              AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN score >= threshold * 100 THEN cnt - pos ELSE 0 END)
+              AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN score < threshold * 100 THEN pos ELSE 0 END)
+              AS BIGINT) AS fn
+  FROM cells CROSS JOIN th
+  GROUP BY threshold
+)
+SELECT CAST(threshold AS BIGINT) AS threshold, tp, fp, fn,
+       round(CASE WHEN tp + fp > 0
+                  THEN CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS precision_r,
+       round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall_r,
+       round(2.0 * CAST(tp AS DOUBLE) / (2 * tp + fp + fn), 6) AS f1_r
+FROM agg ORDER BY threshold
+"""
