@@ -332,3 +332,411 @@ SELECT CAST(threshold AS BIGINT) AS threshold, tp, fp, fn,
        round(2.0 * CAST(tp AS DOUBLE) / (2 * tp + fp + fn), 6) AS f1_r
 FROM agg ORDER BY threshold
 """
+
+
+# ----------------------------------------------------- Heaps' law fit
+
+
+def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit V(n) = K·n^β: how fast does the
+    vocabulary grow as documents stream in? The capacity-planning
+    number behind every vocab-bounded claim in this repo (BPE merges,
+    TF-IDF broadcast joins, unigram-LM tables) — β < 1 is WHY a
+    vocabulary aggregate stays broadcastable at 100 TB. The synthetic
+    corpus has a 31-word closed vocabulary (unigram V saturates by the
+    first checkpoint), so the unit here is word TRIGRAMS — ~30k
+    possible phrases whose discovery curve is genuinely Heaps-shaped.
+
+    Plan: corpus order is doc_id; 10 checkpoint boundaries derive from
+    the 1-row max(doc_id) aggregate. Each trigram reduces to its FIRST
+    occurrence (min doc_id — one phrase-vocab-sized shuffle); V at each
+    checkpoint is a vocab × 10 broadcast-join census, n (cumulative
+    trigram instances) the same census over per-doc map-side counts.
+    The log-log OLS runs over the 10 bounded points with DECIMAL-routed
+    logs, so no cross-row float sum exists anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    tris = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = docs.select(
+        F.col("doc_id"), F.size(tris).cast("bigint").alias("n_tris")
+    )
+    first = (
+        docs.select(F.col("doc_id"), F.explode(tris).alias("t"))
+        .groupBy("t")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    max_id = docs.agg(F.max("doc_id").alias("mx"))
+    cks = (
+        spark.range(1, 11)
+        .crossJoin(F.broadcast(max_id))
+        .select(
+            F.col("id").cast("bigint").alias("k"),
+            F.floor((F.col("mx") * F.col("id")) / 10)
+            .cast("bigint")
+            .alias("boundary_doc"),
+        )
+    )
+    vocab_at = (
+        first.crossJoin(F.broadcast(cks))
+        .where(F.col("first_doc") <= F.col("boundary_doc"))
+        .groupBy("k", "boundary_doc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vocab"))
+    )
+    tokens_at = (
+        per_doc.crossJoin(F.broadcast(cks))
+        .where(F.col("doc_id") <= F.col("boundary_doc"))
+        .groupBy("k")
+        .agg(F.sum("n_tris").cast("bigint").alias("cum_trigrams"))
+    )
+    pts = vocab_at.join(tokens_at, "k").select(
+        "k",
+        "boundary_doc",
+        "cum_trigrams",
+        "vocab",
+        F.round(F.log(F.col("cum_trigrams").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("x"),
+        F.round(F.log(F.col("vocab").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("y"),
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    beta = (
+        F.col("np") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        F.col("np") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    intercept = (
+        F.col("sy").cast("double") - beta * F.col("sx").cast("double")
+    ) / F.col("np")
+    coefs = fit.select(
+        (F.round(beta, 6) + 0.0).alias("beta_r"),
+        F.round(F.exp(intercept), 4).alias("k_coef_r"),
+    )
+    return (
+        pts.select("k", "boundary_doc", "cum_trigrams", "vocab")
+        .crossJoin(F.broadcast(coefs))
+        .orderBy("k")
+    )
+
+
+QUERIES["text_heaps_law"] = q_text_heaps_law
+
+ORACLES["text_heaps_law"] = """
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), tri AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(range(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i + 1]
+                                       || ' ' || toks[i + 2])
+              ELSE [] END AS tris
+  FROM toked
+), per_doc AS (
+  SELECT doc_id, CAST(len(tris) AS BIGINT) AS n_tris FROM tri
+), first AS (
+  SELECT t, MIN(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest(tris) AS t FROM tri) GROUP BY t
+), cks AS (
+  SELECT CAST(r.range + 1 AS BIGINT) AS k,
+         CAST(floor((SELECT MAX(doc_id) FROM documents) * (r.range + 1)
+                    / 10.0) AS BIGINT) AS boundary_doc
+  FROM range(10) r
+), vocab_at AS (
+  SELECT k, boundary_doc, CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM first CROSS JOIN cks
+  WHERE first_doc <= boundary_doc
+  GROUP BY k, boundary_doc
+), tokens_at AS (
+  SELECT k, CAST(SUM(n_tris) AS BIGINT) AS cum_trigrams
+  FROM per_doc CROSS JOIN cks
+  WHERE doc_id <= boundary_doc
+  GROUP BY k
+), pts AS (
+  SELECT v.k, v.boundary_doc, t.cum_trigrams, v.vocab,
+         CAST(round(ln(CAST(t.cum_trigrams AS DOUBLE)), 9)
+              AS DECIMAL(18,9)) AS x,
+         CAST(round(ln(CAST(v.vocab AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+  FROM vocab_at v JOIN tokens_at t USING (k)
+), fit AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS np, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x AS DECIMAL(19,9)) * CAST(y AS DECIMAL(19,9))) AS sxy,
+         SUM(CAST(x AS DECIMAL(19,9)) * CAST(x AS DECIMAL(19,9))) AS sxx
+  FROM pts
+), coefs AS (
+  SELECT round((np * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (np * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+         + 0.0 AS beta_r,
+         round(exp((CAST(sy AS DOUBLE)
+                    - ((np * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (np * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                      * CAST(sx AS DOUBLE)) / np), 4) AS k_coef_r
+  FROM fit
+)
+SELECT k, boundary_doc, cum_trigrams, vocab, beta_r, k_coef_r
+FROM pts CROSS JOIN coefs
+ORDER BY k
+"""
+
+
+# ------------------------------------------------------- Zipf-law fit
+
+
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the trigram frequency spectrum: slope of
+    log(freq) on log(rank) for the top-500 phrases — the skew number
+    that predicts how fast BPE merge gains flatten (measured at sf1 in
+    docs/SCALE.md) and how hot the hottest dedup/bucket keys run.
+    Companion to text_heaps_law: Heaps says how the vocabulary GROWS,
+    Zipf says how unevenly it's USED.
+
+    Plan: one phrase-vocab aggregate; the top-500 selection is a
+    TakeOrderedAndProject (bounded k, never a global sort); rank
+    assignment is the window-FREE deterministic sorted-array fold — the
+    500 survivors collapse into ONE bounded array, array_sort fixes the
+    (freq desc, phrase asc) order bit-exactly, posexplode hands back
+    ranks. The log-log OLS sums DECIMAL-routed logs over the 500
+    bounded rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    tris = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    vocab = (
+        docs.select(F.explode(tris).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    top = vocab.orderBy(F.col("cnt").desc(), F.col("t").asc()).limit(500)
+    packed = top.agg(
+        F.array_sort(
+            F.collect_list(F.struct((-F.col("cnt")).alias("nc"), F.col("t")))
+        ).alias("a")
+    )
+    ranked = packed.select(
+        F.posexplode("a").alias("pos", "s")
+    ).select(
+        (F.col("pos") + 1).cast("bigint").alias("rank"),
+        (-F.col("s.nc")).cast("bigint").alias("cnt"),
+    )
+    pts = ranked.select(
+        "rank",
+        "cnt",
+        F.round(F.log(F.col("rank").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("y"),
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.min(F.col("cnt")).alias("min_cnt"),
+        F.max(F.col("cnt")).alias("max_cnt"),
+    )
+    n_d = F.col("np").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov = n_d * sxy - sx * sy
+    varx = n_d * sxx - sx * sx
+    vary = n_d * syy - sy * sy
+    total = vocab.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum("cnt").cast("bigint").alias("total_occurrences"),
+    )
+    return total.crossJoin(F.broadcast(fit)).select(
+        "vocab_size",
+        "total_occurrences",
+        F.col("np").alias("top_n"),
+        "max_cnt",
+        "min_cnt",
+        F.round(cov / varx, 6).alias("zipf_slope_r"),
+        F.round((sy - (cov / varx) * sx) / n_d, 6).alias("intercept_r"),
+        F.round(cov * cov / (varx * vary), 6).alias("r2_r"),
+    )
+
+
+QUERIES["text_zipf_fit"] = q_text_zipf_fit
+
+ORACLES["text_zipf_fit"] = """
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), tri AS (
+  SELECT CASE WHEN len(toks) >= 3
+              THEN list_transform(range(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i + 1]
+                                       || ' ' || toks[i + 2])
+              ELSE [] END AS tris
+  FROM toked
+), vocab AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(tris) AS t FROM tri) GROUP BY t
+), ranked AS (
+  SELECT row_number() OVER (ORDER BY cnt DESC, t ASC) AS rank, cnt
+  FROM (SELECT t, cnt FROM vocab ORDER BY cnt DESC, t ASC LIMIT 500)
+), pts AS (
+  SELECT CAST(rank AS BIGINT) AS rank, cnt,
+         CAST(round(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+         CAST(round(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+  FROM ranked
+), fit AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS np, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x AS DECIMAL(19,9)) * CAST(y AS DECIMAL(19,9))) AS sxy,
+         SUM(CAST(x AS DECIMAL(19,9)) * CAST(x AS DECIMAL(19,9))) AS sxx,
+         SUM(CAST(y AS DECIMAL(19,9)) * CAST(y AS DECIMAL(19,9))) AS syy,
+         CAST(MIN(cnt) AS BIGINT) AS min_cnt,
+         CAST(MAX(cnt) AS BIGINT) AS max_cnt
+  FROM pts
+), total AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+         CAST(SUM(cnt) AS BIGINT) AS total_occurrences
+  FROM vocab
+)
+SELECT vocab_size, total_occurrences, np AS top_n, max_cnt, min_cnt,
+       round((np * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (np * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+             6) AS zipf_slope_r,
+       round((CAST(sy AS DOUBLE)
+              - ((np * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (np * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                * CAST(sx AS DOUBLE)) / np, 6) AS intercept_r,
+       round((np * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             * (np * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / ((np * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (np * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) AS r2_r
+FROM total CROSS JOIN fit
+"""
+
+
+# -------------------------------------------------------- WOE and IV
+
+
+def q_events_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding + information value of the event
+    value against the purchase label — the credit-scoring-style
+    feature audit: WOE_b = ln((pos_b/POS)/(neg_b/NEG)) per fixed
+    value band, IV term = (pos_b/POS − neg_b/NEG)·WOE_b; IV < 0.02
+    means the band carries no signal. The monotone-WOE companion to
+    events_isotonic_fit and the thresholded view behind events_pr_curve.
+
+    Scale shape: facts reduce once to 10 fixed 50-unit value bands
+    (map-side CASE, one bounded shuffle); POS/NEG totals broadcast
+    back from a 1-row aggregate; ln appears once per bounded band row
+    and never sums across data-proportional rows.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.least(
+            F.floor(F.round(F.col("value") * 100) / 5000).cast("bigint"),
+            F.lit(9),
+        ).alias("band"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    bands = ev.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    tot = bands.agg(
+        F.sum("pos").cast("bigint").alias("tot_pos"),
+        F.sum(F.col("n") - F.col("pos")).cast("bigint").alias("tot_neg"),
+    )
+    j = bands.crossJoin(F.broadcast(tot))
+    neg = F.col("n") - F.col("pos")
+    pr = F.col("pos").cast("double") / F.col("tot_pos")
+    nr = neg.cast("double") / F.col("tot_neg")
+    woe = F.when(
+        (F.col("pos") > 0) & (neg > 0), F.log(pr / nr)
+    )
+    return j.select(
+        "band",
+        "n",
+        "pos",
+        neg.cast("bigint").alias("neg"),
+        F.round(woe, 6).alias("woe_r"),
+        F.round((pr - nr) * woe, 6).alias("iv_term_r"),
+    ).orderBy("band")
+
+
+QUERIES["events_woe_iv"] = q_events_woe_iv
+
+ORACLES["events_woe_iv"] = """
+WITH s AS (
+  SELECT least(CAST(floor(CAST(round(value * 100) AS BIGINT) / 5000.0)
+                    AS BIGINT), 9) AS band,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), bands AS (
+  SELECT band, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+  FROM s GROUP BY band
+), tot AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS tot_pos,
+         CAST(SUM(n - pos) AS BIGINT) AS tot_neg
+  FROM bands
+)
+SELECT band, n, pos, CAST(n - pos AS BIGINT) AS neg,
+       round(CASE WHEN pos > 0 AND n - pos > 0
+                  THEN ln((CAST(pos AS DOUBLE) / tot_pos)
+                          / (CAST(n - pos AS DOUBLE) / tot_neg)) END,
+             6) AS woe_r,
+       round((CAST(pos AS DOUBLE) / tot_pos
+              - CAST(n - pos AS DOUBLE) / tot_neg)
+             * CASE WHEN pos > 0 AND n - pos > 0
+                    THEN ln((CAST(pos AS DOUBLE) / tot_pos)
+                            / (CAST(n - pos AS DOUBLE) / tot_neg)) END,
+             6) AS iv_term_r
+FROM bands CROSS JOIN tot
+ORDER BY band
+"""

@@ -120,3 +120,80 @@ def test_pr_curve_counts_and_monotone_recall(spark, sf_dir):
             assert r["precision_r"] == round(tp / (tp + fp), 6)
         else:
             assert r["precision_r"] is None
+
+
+# ------------------------------------------------- Heaps / Zipf fits
+
+
+def _trigrams(text: str) -> list[str]:
+    toks = [t for t in text.strip().lower().split() if t]
+    return [
+        " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+    ] if len(toks) >= 3 else []
+
+
+def test_heaps_law_checkpoints_and_fit(spark, sf_dir):
+    rows = mleval2.q_text_heaps_law(spark, sf_dir).collect()
+    docs = _pdf(spark, sf_dir, "documents")
+    tris = {d: _trigrams(t) for d, t in zip(docs["doc_id"], docs["text"])}
+    max_id = int(docs["doc_id"].max())
+    assert len(rows) == 10
+    xs, ys = [], []
+    for r in rows:
+        bd = (max_id * r["k"]) // 10
+        assert r["boundary_doc"] == bd
+        cum = sum(len(v) for d, v in tris.items() if d <= bd)
+        vocab = len({t for d, v in tris.items() if d <= bd for t in v})
+        assert r["cum_trigrams"] == cum
+        assert r["vocab"] == vocab
+        xs.append(np.log(cum))
+        ys.append(np.log(vocab))
+    beta = np.polyfit(xs, ys, 1)[0]
+    assert abs(rows[0]["beta_r"] - beta) < 1e-4
+    assert 0.0 < rows[0]["beta_r"] < 1.0  # genuinely Heaps-shaped
+
+
+def test_zipf_fit_matches_numpy(spark, sf_dir):
+    row = mleval2.q_text_zipf_fit(spark, sf_dir).collect()[0]
+    docs = _pdf(spark, sf_dir, "documents")
+    from collections import Counter
+
+    c = Counter()
+    for t in docs["text"]:
+        c.update(_trigrams(t))
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:500]
+    assert row["vocab_size"] == len(c)
+    assert row["total_occurrences"] == sum(c.values())
+    assert row["top_n"] == min(500, len(c))
+    assert row["max_cnt"] == top[0][1]
+    assert row["min_cnt"] == top[-1][1]
+    x = np.log(np.arange(1, len(top) + 1))
+    y = np.log(np.array([v for _, v in top], dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert abs(row["zipf_slope_r"] - slope) < 1e-4
+    assert row["zipf_slope_r"] < 0  # frequency falls with rank
+
+
+# ---------------------------------------------------------- WOE / IV
+
+
+def test_woe_iv_bands_from_pandas(spark, sf_dir):
+    rows = mleval2.q_events_woe_iv(spark, sf_dir).collect()
+    ev = _pdf(spark, sf_dir, "events")
+    cents = np.round(ev["value"].to_numpy() * 100).astype(np.int64)
+    band = np.minimum(cents // 5000, 9)
+    y = (ev["event_type"] == "purchase").to_numpy().astype(int)
+    tot_pos, tot_neg = int(y.sum()), int((1 - y).sum())
+    seen = set()
+    for r in rows:
+        b = r["band"]
+        seen.add(b)
+        pos = int(y[band == b].sum())
+        n = int((band == b).sum())
+        assert r["n"] == n and r["pos"] == pos
+        if pos and n - pos:
+            woe = np.log((pos / tot_pos) / ((n - pos) / tot_neg))
+            assert abs(r["woe_r"] - woe) < 1e-5
+            iv = (pos / tot_pos - (n - pos) / tot_neg) * woe
+            assert abs(r["iv_term_r"] - iv) < 1e-5
+    assert seen == set(np.unique(band).tolist())
