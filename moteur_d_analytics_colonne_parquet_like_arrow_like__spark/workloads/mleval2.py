@@ -740,3 +740,325 @@ SELECT band, n, pos, CAST(n - pos AS BIGINT) AS neg,
 FROM bands CROSS JOIN tot
 ORDER BY band
 """
+
+
+# ------------------------------------------------ cross-correlation
+
+
+def q_events_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation between the hourly 'view' and 'purchase' count
+    series at lags −6..+6 — does browsing LEAD buying (peak at a
+    positive lag) or move with it (peak at 0)? The two-series companion
+    to events_acf, same exact-integer machinery: dev_t = n·x_t − S is
+    an exact BIGINT (the n² scale cancels in the ratio), lag alignment
+    is an equi-join on hour indices, zero windows.
+
+    r(l) = Σ devx_t · devy_{t+l} / sqrt(Σdevx² · Σdevy²); the sqrt
+    runs once per bounded output row on exact integer operands.
+    """
+    from .relational7 import _hourly_series
+
+    series = _hourly_series(spark, sf_dir).where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    st = series.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    d = series.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "hidx",
+        (F.col("n") * F.col("x") - F.col("s")).alias("dev"),
+    )
+    dx = d.where(F.col("event_type") == "view").select(
+        F.col("hidx").alias("hx"), F.col("dev").alias("devx")
+    )
+    dy = d.where(F.col("event_type") == "purchase").select(
+        F.col("hidx").alias("hy"), F.col("dev").alias("devy")
+    )
+    den = dx.agg(
+        F.sum(F.col("devx") * F.col("devx")).cast("bigint").alias("dxx")
+    ).crossJoin(
+        dy.agg(
+            F.sum(F.col("devy") * F.col("devy")).cast("bigint").alias("dyy")
+        )
+    )
+    lags = spark.range(-6, 7).select(F.col("id").cast("bigint").alias("lag"))
+    num = (
+        dx.crossJoin(F.broadcast(lags))
+        .join(dy, F.col("hy") == F.col("hx") + F.col("lag"))
+        .groupBy("lag")
+        .agg(F.sum(F.col("devx") * F.col("devy")).cast("bigint").alias("num"))
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            F.round(
+                F.col("num").cast("double")
+                / F.sqrt(
+                    F.col("dxx").cast("double") * F.col("dyy").cast("double")
+                ),
+                6,
+            ).alias("ccf_r"),
+        )
+        .orderBy("lag")
+    )
+
+
+QUERIES["events_ccf"] = q_events_ccf
+
+ORACLES["events_ccf"] = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hidx,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), span AS (SELECT MIN(hidx) AS h0, MAX(hidx) AS h1 FROM hourly),
+grid AS (
+  SELECT t.event_type, unnest(generate_series(h0, h1)) AS hidx
+  FROM (SELECT DISTINCT event_type FROM hourly) t, span
+),
+series AS (
+  SELECT g.event_type, g.hidx, COALESCE(h.x, 0) AS x
+  FROM grid g LEFT JOIN hourly h
+    ON h.event_type = g.event_type AND h.hidx = g.hidx
+  WHERE g.event_type IN ('view', 'purchase')
+),
+st AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s
+  FROM series GROUP BY event_type
+),
+d AS (
+  SELECT se.event_type, se.hidx, st.n * se.x - st.s AS dev
+  FROM series se JOIN st USING (event_type)
+),
+dx AS (SELECT hidx AS hx, dev AS devx FROM d WHERE event_type = 'view'),
+dy AS (SELECT hidx AS hy, dev AS devy FROM d WHERE event_type = 'purchase'),
+den AS (
+  SELECT (SELECT CAST(SUM(devx * devx) AS BIGINT) FROM dx) AS dxx,
+         (SELECT CAST(SUM(devy * devy) AS BIGINT) FROM dy) AS dyy
+),
+num AS (
+  SELECT l.lag, CAST(SUM(a.devx * b.devy) AS BIGINT) AS num
+  FROM dx a
+  CROSS JOIN (SELECT unnest(generate_series(-6, 6)) AS lag) l
+  JOIN dy b ON b.hy = a.hx + l.lag
+  GROUP BY l.lag
+)
+SELECT CAST(n.lag AS BIGINT) AS lag,
+       round(CAST(n.num AS DOUBLE)
+             / sqrt(CAST(d.dxx AS DOUBLE) * CAST(d.dyy AS DOUBLE)), 6)
+           AS ccf_r
+FROM num n CROSS JOIN den d
+ORDER BY lag
+"""
+
+
+# --------------------------------------- local clustering coefficient
+
+
+def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient distribution over the co-supply
+    graph: per node, c_v = 2·T_v / (d_v·(d_v−1)) — how tightly each
+    supplier's neighborhood closes into triangles — histogrammed into
+    tenth-wide buckets, plus the network average (Watts-Strogatz
+    small-world statistic). graph_triangles counts the closed wedges
+    GLOBALLY; this credits each triangle to all three corners.
+
+    Plan: the canonical a<b<c triangle enumeration (one wedge join on
+    the middle node + one closing semi-equi-join) explodes each
+    triangle into 3 credit rows; degree is one aggregate over the
+    doubled edge list. The bucket index 20·T div (d·(d−1)) is exact
+    integer division (both engines truncate non-negative operands);
+    the average sums DECIMAL-rounded per-node coefficients so no
+    cross-row float sum exists.
+    """
+    from ..operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = graph.co_supply_edges(li)
+    und = edges.select(
+        F.col("sa").alias("v"), F.col("sb").alias("w")
+    ).unionAll(edges.select(F.col("sb").alias("v"), F.col("sa").alias("w")))
+    deg = und.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    e1 = edges.select(F.col("sa").alias("a"), F.col("sb").alias("b"))
+    e2 = edges.select(F.col("sa").alias("b"), F.col("sb").alias("c"))
+    e3 = edges.select(F.col("sa").alias("a"), F.col("sb").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    credits = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    )
+    per_node = (
+        deg.join(credits, "v", "left")
+        .select(
+            "v",
+            "d",
+            F.coalesce(F.col("t"), F.lit(0)).alias("t"),
+        )
+        .where(F.col("d") >= 2)
+        .select(
+            "v",
+            F.expr("(20 * t) div (d * (d - 1))").cast("bigint").alias("bucket"),
+            F.round(
+                2.0 * F.col("t") / (F.col("d") * (F.col("d") - 1)), 6
+            )
+            .cast("decimal(9,6)")
+            .alias("cc"),
+        )
+    )
+    avg_cc = per_node.agg(
+        F.round(
+            F.sum("cc").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_cc_r")
+    )
+    return (
+        per_node.groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .crossJoin(F.broadcast(avg_cc))
+        .orderBy("bucket")
+    )
+
+
+QUERIES["graph_clustering_coeff"] = q_graph_clustering_coeff
+
+ORACLES["graph_clustering_coeff"] = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            WHERE l_partkey % 50 = 0),
+edges AS (
+  SELECT a.l_suppkey AS sa, b.l_suppkey AS sb
+  FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+  WHERE a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+),
+deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT sa AS v FROM edges UNION ALL SELECT sb FROM edges)
+  GROUP BY v
+),
+tri AS (
+  SELECT e1.sa AS a, e1.sb AS b, e2.sb AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.sb = e2.sa
+  JOIN edges e3 ON e3.sa = e1.sa AND e3.sb = e2.sb
+),
+credits AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS t
+  FROM (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+  GROUP BY v
+),
+per_node AS (
+  SELECT deg.v, deg.d, COALESCE(credits.t, 0) AS t,
+         (20 * COALESCE(credits.t, 0)) // (deg.d * (deg.d - 1)) AS bucket,
+         CAST(round(2.0 * COALESCE(credits.t, 0)
+                    / (deg.d * (deg.d - 1)), 6) AS DECIMAL(9,6)) AS cc
+  FROM deg LEFT JOIN credits ON credits.v = deg.v
+  WHERE deg.d >= 2
+),
+avg_cc AS (
+  SELECT round(CAST(SUM(cc) AS DOUBLE) / COUNT(*), 6) AS avg_cc_r
+  FROM per_node
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes, avg_cc_r
+FROM per_node CROSS JOIN avg_cc
+GROUP BY bucket, avg_cc_r
+ORDER BY bucket
+"""
+
+
+# --------------------------------------------- price-volume-mix bridge
+
+
+def q_orders_pvm_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix revenue bridge 1996 → 1997 per part brand: the
+    FP&A decomposition ΔR_b = p0·Δq (volume effect) + q0·Δp (price
+    effect) + Δp·Δq (joint), where p is the brand's average unit price
+    and q its shipped quantity — the "why did revenue move" waterfall
+    every BI stack ships.
+
+    Plan: facts join the part dimension once for the brand key, then
+    reduce to (brand, year) decimal cells — one combiner-friendly
+    shuffle; the bridge itself is a self-join of the ~25-brand bounded
+    cell table. Unit prices are single divisions of exact decimal sums;
+    every effect evaluates as one shared double expression tree, so
+    both engines produce bit-identical bridges.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.year("l_shipdate").alias("yr"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("q"),
+        F.round(F.col("l_extendedprice"), 2).cast("decimal(18,2)").alias("s"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    cells = (
+        li.where(F.col("yr").isin(1996, 1997))
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("brand", "yr")
+        .agg(
+            F.sum("q").cast("decimal(18,2)").alias("qty"),
+            F.sum("s").cast("decimal(18,2)").alias("rev"),
+        )
+    )
+    c0 = cells.where(F.col("yr") == 1996).select(
+        "brand",
+        F.col("qty").cast("double").alias("q0"),
+        F.col("rev").cast("double").alias("r0"),
+    )
+    c1 = cells.where(F.col("yr") == 1997).select(
+        "brand",
+        F.col("qty").cast("double").alias("q1"),
+        F.col("rev").cast("double").alias("r1"),
+    )
+    j = c0.join(c1, "brand")
+    p0 = F.col("r0") / F.col("q0")
+    p1 = F.col("r1") / F.col("q1")
+    return j.select(
+        "brand",
+        F.round(F.col("r0"), 2).alias("rev_1996_r"),
+        F.round(F.col("r1"), 2).alias("rev_1997_r"),
+        F.round(p0 * (F.col("q1") - F.col("q0")), 2).alias("volume_eff_r"),
+        F.round(F.col("q0") * (p1 - p0), 2).alias("price_eff_r"),
+        F.round((p1 - p0) * (F.col("q1") - F.col("q0")), 2).alias(
+            "joint_eff_r"
+        ),
+    ).orderBy("brand")
+
+
+QUERIES["orders_pvm_bridge"] = q_orders_pvm_bridge
+
+ORACLES["orders_pvm_bridge"] = """
+WITH li AS (
+  SELECT l_partkey, year(l_shipdate) AS yr,
+         CAST(l_quantity AS DECIMAL(18,2)) AS q,
+         CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) AS s
+  FROM lineitem
+  WHERE year(l_shipdate) IN (1996, 1997)
+), cells AS (
+  SELECT p.p_brand AS brand, li.yr,
+         CAST(SUM(li.q) AS DECIMAL(18,2)) AS qty,
+         CAST(SUM(li.s) AS DECIMAL(18,2)) AS rev
+  FROM li JOIN part p ON li.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+), c0 AS (
+  SELECT brand, CAST(qty AS DOUBLE) AS q0, CAST(rev AS DOUBLE) AS r0
+  FROM cells WHERE yr = 1996
+), c1 AS (
+  SELECT brand, CAST(qty AS DOUBLE) AS q1, CAST(rev AS DOUBLE) AS r1
+  FROM cells WHERE yr = 1997
+)
+SELECT brand,
+       round(r0, 2) AS rev_1996_r,
+       round(r1, 2) AS rev_1997_r,
+       round((r0 / q0) * (q1 - q0), 2) AS volume_eff_r,
+       round(q0 * (r1 / q1 - r0 / q0), 2) AS price_eff_r,
+       round((r1 / q1 - r0 / q0) * (q1 - q0), 2) AS joint_eff_r
+FROM c0 JOIN c1 USING (brand)
+ORDER BY brand
+"""

@@ -197,3 +197,101 @@ def test_woe_iv_bands_from_pandas(spark, sf_dir):
             iv = (pos / tot_pos - (n - pos) / tot_neg) * woe
             assert abs(r["iv_term_r"] - iv) < 1e-5
     assert seen == set(np.unique(band).tolist())
+
+
+# -------------------------------------------------------------- CCF
+
+
+def test_ccf_matches_numpy(spark, sf_dir):
+    rows = {r["lag"]: r["ccf_r"] for r in mleval2.q_events_ccf(spark, sf_dir).collect()}
+    ev = _pdf(spark, sf_dir, "events")
+    ts = pd.to_datetime(ev["ts"])
+    hidx = (ts.dt.floor("h").astype("int64") // 10**9 // 3600).to_numpy()
+    h0, h1 = hidx.min(), hidx.max()
+    n = h1 - h0 + 1
+    x = np.zeros(n)
+    y = np.zeros(n)
+    for h, t in zip(hidx, ev["event_type"]):
+        if t == "view":
+            x[h - h0] += 1
+        elif t == "purchase":
+            y[h - h0] += 1
+    dx = x - x.mean()
+    dy = y - y.mean()
+    den = np.sqrt((dx**2).sum() * (dy**2).sum())
+    assert len(rows) == 13
+    for lag in range(-6, 7):
+        if lag >= 0:
+            num = (dx[: n - lag] * dy[lag:]).sum()
+        else:
+            num = (dx[-lag:] * dy[: n + lag]).sum()
+        assert abs(rows[lag] - num / den) < 1e-5
+    # symmetry sanity: r(0) is the plain correlation
+    assert abs(rows[0] - np.corrcoef(x, y)[0, 1]) < 1e-5
+
+
+# ---------------------------------------------- clustering coefficient
+
+
+def test_clustering_coeff_brute_force(spark, sf_dir):
+    rows = mleval2.q_graph_clustering_coeff(spark, sf_dir).collect()
+    li = _pdf(spark, sf_dir, "lineitem")
+    sub = li[li["l_partkey"] % 50 == 0][["l_partkey", "l_suppkey"]].drop_duplicates()
+    from collections import defaultdict
+
+    pairs = defaultdict(int)
+    for _, grp in sub.groupby("l_partkey"):
+        ss = sorted(grp["l_suppkey"])
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                pairs[(ss[i], ss[j])] += 1
+    edges = {e for e, c in pairs.items() if c >= 3}
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    buckets = defaultdict(int)
+    ccs = []
+    for v, nb in adj.items():
+        d = len(nb)
+        if d < 2:
+            continue
+        t = sum(
+            1
+            for w in nb
+            for u in nb
+            if w < u and (min(w, u), max(w, u)) in edges
+        )
+        buckets[(20 * t) // (d * (d - 1))] += 1
+        ccs.append(round(2.0 * t / (d * (d - 1)), 6))
+    got = {r["bucket"]: r["n_nodes"] for r in rows}
+    assert got == dict(buckets)
+    if ccs:
+        assert abs(rows[0]["avg_cc_r"] - sum(ccs) / len(ccs)) < 1e-5
+
+
+# ------------------------------------------------------------ PVM
+
+
+def test_pvm_bridge_identity_and_pandas(spark, sf_dir):
+    rows = mleval2.q_orders_pvm_bridge(spark, sf_dir).collect()
+    li = _pdf(spark, sf_dir, "lineitem")
+    part = _pdf(spark, sf_dir, "part")
+    li = li.merge(part[["p_partkey", "p_brand"]], left_on="l_partkey", right_on="p_partkey")
+    li["yr"] = pd.to_datetime(li["l_shipdate"]).dt.year
+    for r in rows:
+        sub = li[li["p_brand"] == r["brand"]]
+        c0 = sub[sub["yr"] == 1996]
+        c1 = sub[sub["yr"] == 1997]
+        q0, r0 = c0["l_quantity"].sum(), round(c0["l_extendedprice"], 2).sum()
+        q1, r1 = c1["l_quantity"].sum(), round(c1["l_extendedprice"], 2).sum()
+        assert abs(r["rev_1996_r"] - round(r0, 2)) < 0.02
+        assert abs(r["rev_1997_r"] - round(r1, 2)) < 0.02
+        p0, p1 = r0 / q0, r1 / q1
+        assert abs(r["volume_eff_r"] - p0 * (q1 - q0)) < 0.02
+        assert abs(r["price_eff_r"] - q0 * (p1 - p0)) < 0.02
+        # the bridge closes: delta revenue = volume + price + joint
+        assert abs(
+            (r["rev_1997_r"] - r["rev_1996_r"])
+            - (r["volume_eff_r"] + r["price_eff_r"] + r["joint_eff_r"])
+        ) < 0.05
