@@ -1062,3 +1062,177 @@ SELECT brand,
 FROM c0 JOIN c1 USING (brand)
 ORDER BY brand
 """
+
+
+# ------------------------------------------- PCA via power iteration
+
+_PCA_ROUNDS = 8
+_PCA_VSCALE = 9  # decimals kept in the normalized iterate each round
+
+
+def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Principal component of the embedding cloud by POWER ITERATION —
+    the dimensionality-reduction rung under sim_jl_distortion (JL is
+    oblivious; PCA is data-adapted): 8 rounds of v ← C·v / ‖C·v‖∞ over
+    the exact integer covariance, then the Rayleigh eigenvalue and its
+    explained-variance share against the exact trace.
+
+    Exactness: embeddings quantize to milli-units; dev_ij = n·q_ij − S_j
+    is an exact BIGINT (the n² scale cancels in every ratio), so the
+    Gram matrix C = ΣᵢdevᵢdevᵢT is exact int64. Each iterate is
+    re-quantized to DECIMAL(14,9) after the max-norm division — a
+    determinism barrier that makes all 8 rounds bit-identical across
+    engines (the one float division per round lands far from rounding
+    boundaries).
+
+    Scale shape: the dim² Gram cells come from one vec_id-keyed
+    self-join of the (row, dim, dev) cells — the distributed outer
+    product, shuffle keyed on the ROW id so no single task sees the
+    matrix; everything after round 0 is bounded 64- and 4096-row
+    algebra. The iteration loop lives in the DRIVER but each step is a
+    Catalyst plan over bounded tables.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        "vec_id", F.posexplode("embedding").alias("jj", "e")
+    ).select(
+        "vec_id",
+        F.col("jj").cast("bigint").alias("j"),
+        F.round(F.col("e") * 1000).cast("bigint").alias("q"),
+    )
+    stats_j = cells.groupBy("j").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("s"),
+    )
+    d = cells.join(F.broadcast(stats_j), "j").select(
+        "vec_id", "j", (F.col("n") * F.col("q") - F.col("s")).alias("dev")
+    )
+    right = d.select(
+        F.col("vec_id"),
+        F.col("j").alias("k"),
+        F.col("dev").alias("devk"),
+    )
+    cmat = (
+        d.join(right, "vec_id")
+        .groupBy("j", "k")
+        .agg(F.sum(F.col("dev") * F.col("devk")).cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    v = cmat.select("j").distinct().select(
+        "j", F.lit(1).cast(f"decimal(14,{_PCA_VSCALE})").alias("val")
+    )
+    for _ in range(_PCA_ROUNDS):
+        u = (
+            cmat.join(v.withColumnRenamed("j", "k"), "k")
+            .groupBy("j")
+            .agg(F.sum(F.col("c") * F.col("val")).alias("u"))
+        )
+        norm = u.agg(F.max(F.abs(F.col("u"))).alias("nn"))
+        v = (
+            u.crossJoin(F.broadcast(norm))
+            .select(
+                "j",
+                F.round(
+                    F.col("u").cast("double") / F.col("nn").cast("double"),
+                    _PCA_VSCALE,
+                )
+                .cast(f"decimal(14,{_PCA_VSCALE})")
+                .alias("val"),
+            )
+            .localCheckpoint()
+        )
+    u9 = (
+        cmat.join(v.withColumnRenamed("j", "k").withColumnRenamed("val", "vk"), "k")
+        .groupBy("j")
+        .agg(F.sum(F.col("c") * F.col("vk")).alias("u9"))
+    )
+    ray = (
+        v.join(u9, "j")
+        .agg(
+            F.sum(F.col("val") * F.col("u9")).alias("vcv"),
+            F.sum(F.col("val") * F.col("val")).alias("vv"),
+        )
+        .crossJoin(
+            F.broadcast(
+                cmat.where(F.col("j") == F.col("k")).agg(
+                    F.sum("c").cast("bigint").alias("trace")
+                )
+            )
+        )
+        .select(
+            F.round(
+                F.col("vcv").cast("double")
+                / F.col("vv").cast("double")
+                / F.col("trace").cast("double"),
+                6,
+            ).alias("var_share_r")
+        )
+    )
+    return (
+        v.crossJoin(F.broadcast(ray))
+        .select(
+            "j",
+            F.round(F.col("val").cast("double"), 6).alias("loading_r"),
+            "var_share_r",
+        )
+        .orderBy("j")
+    )
+
+
+QUERIES["embedding_pca_power"] = q_embedding_pca_power
+
+
+def _pca_oracle() -> str:
+    rounds = []
+    prev = "v0"
+    for r in range(1, _PCA_ROUNDS + 1):
+        rounds.append(
+            f"""u{r} AS MATERIALIZED (
+  SELECT c.j, SUM(c.c * v.val) AS u
+  FROM cmat c JOIN {prev} v ON c.k = v.j GROUP BY c.j
+), n{r} AS MATERIALIZED (SELECT MAX(ABS(u)) AS nn FROM u{r}),
+v{r} AS MATERIALIZED (
+  SELECT j, CAST(round(CAST(u AS DOUBLE) / CAST(nn AS DOUBLE),
+                       {_PCA_VSCALE}) AS DECIMAL(14,{_PCA_VSCALE})) AS val
+  FROM u{r} CROSS JOIN n{r}
+)"""
+        )
+        prev = f"v{r}"
+    body = ",\n".join(rounds)
+    return f"""
+WITH cells AS MATERIALIZED (
+  SELECT vec_id, CAST(i.range AS BIGINT) AS j,
+         CAST(round(embedding[i.range + 1] * 1000) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN range(64) i
+), stats_j AS MATERIALIZED (
+  SELECT j, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(q) AS BIGINT) AS s
+  FROM cells GROUP BY j
+), d AS MATERIALIZED (
+  SELECT c.vec_id, c.j, st.n * c.q - st.s AS dev
+  FROM cells c JOIN stats_j st USING (j)
+), cmat AS MATERIALIZED (
+  SELECT a.j, b.j AS k, CAST(SUM(a.dev * b.dev) AS BIGINT) AS c
+  FROM d a JOIN d b ON a.vec_id = b.vec_id
+  GROUP BY a.j, b.j
+), v0 AS MATERIALIZED (
+  SELECT DISTINCT j, CAST(1 AS DECIMAL(14,{_PCA_VSCALE})) AS val FROM cmat
+),
+{body},
+u9 AS MATERIALIZED (
+  SELECT c.j, SUM(c.c * v.val) AS u9
+  FROM cmat c JOIN {prev} v ON c.k = v.j GROUP BY c.j
+), ray AS MATERIALIZED (
+  SELECT round(CAST(SUM(v.val * u9.u9) AS DOUBLE)
+               / CAST(SUM(CAST(v.val AS DECIMAL(19,{_PCA_VSCALE}))
+                          * CAST(v.val AS DECIMAL(19,{_PCA_VSCALE}))) AS DOUBLE)
+               / CAST((SELECT SUM(c) FROM cmat WHERE j = k) AS DOUBLE),
+               6) AS var_share_r
+  FROM {prev} v JOIN u9 USING (j)
+)
+SELECT v.j, round(CAST(v.val AS DOUBLE), 6) AS loading_r, ray.var_share_r
+FROM {prev} v CROSS JOIN ray
+ORDER BY v.j
+"""
+
+
+ORACLES["embedding_pca_power"] = _pca_oracle()
