@@ -61,77 +61,34 @@ _MODULES = [
     streaming_ops,
 ]
 
-# Round-6 verification priority (the driver samples the first ~50 entries of
-# all_queries()): (a) queries registered or behavior-changed THIS round —
-# they have no (or a stale) driver signature for the current code; (b) the
-# r1-vintage remainder (the 27 entries round 5's sample didn't reach);
-# (c) the r2-vintage backlog — after this round's sample, no entry's newest
-# driver signature should predate r2 and most of r2 should be consumed;
-# then (d)-(e) by ascending freshness. VERDICT r5 item 2.
+# Round-7 verification priority (the driver samples the first ~50 entries of
+# all_queries()). VERDICT r6 item 1 — this round is a verification-debt
+# burn-down: registrations are frozen (≤10 new) and the sample is spent on
+# (a) the 5 entries whose behavior changed AFTER their newest driver
+# signature (the four two_phase_rank_cumsum window rewrites, signed r5
+# pre-rewrite, and join_fuzzy_match, whose 2-token blocking changed its
+# output after its r5 signature); then (b) the 45 of 49 never-driver-checked
+# entries that fit in the remaining sample; then (c) the 4 never-checked
+# entries deferred because the judge already oracle-verified them green
+# locally in r6 (lowest risk to wait one more round); then (d) round-7's
+# few new registrations; then the r1/r2/r3-vintage backlog for r8's sample.
+# tools/freshness_report.py audits this file against CORRECTNESS_r*.json and
+# tests/test_freshness.py fails the build if the debt can't fit the budget.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # (a0000) session-7 additions — newest, zero driver signatures yet
-    "orders_poisson_bootstrap",
-    "customers_mcnemar",
-    "events_pr_curve",
-    "text_heaps_law",
-    "text_zipf_fit",
-    "events_woe_iv",
-    "events_ccf",
-    "graph_clustering_coeff",
-    "orders_pvm_bridge",
-    # (a000) session-5 additions / behavior-relevant rewrites — newest,
-    # zero (or stale: dedup_ppjoin grew length+positional filters) driver
-    # signatures for the current code
-    "events_isotonic_fit",
-    "agg_skew_kurtosis",
-    "sim_kcenter_coreset",
-    "text_readability",
-    "supplier_communities",
-    "sim_jl_distortion",
-    "dedup_substring_spans",
-    "lineitem_ols_normal",
-    "events_conformal_band",
-    "events_percentiles_by_type",
-    "text_bigram_lm",
-    "events_did",
-    "stream_pit_enrich",
-    "geo_point_in_polygon",
-    "multimodal_audio_vad",
-    "sketch_bloom_fpr",
-    "orders_mann_kendall",
-    "supplier_assortativity",
-    "events_ks_drift",
-    "orders_runs_test",
-    # (a00) continuation-4 additions — newest, zero driver signatures yet
-    "events_auc_value",
-    "events_interpolate_linear",
-    "docs_shard_rebalance",
-    "events_perceptron",
-    "multimodal_dhash_neardup",
-    "events_target_encode_loo",
-    "events_calibration",
-    "events_psi_drift",
-    "events_exact_percentiles",
-    "orders_theil_sen",
-    "docs_hashed_features",
-    "lineitem_weighted_median",
-    # (a0) continuation-3 additions — newest, zero driver signatures yet
-    "geo_cell_density",
-    "geo_nearest_supplier",
-    "geo_bbox_contains",
-    "geo_geohash_encode",
-    "events_attribution_shapley",
-    "orders_rolling_median",
-    "text_rake_keywords",
-    "join_bloom_pruned",
-    "table_rollback",
+    # (a) behavior changed after newest driver signature — re-sign FIRST
+    "customers_abc",  # r5 sig predates two_phase_rank_cumsum rewrite
+    "supplier_gini",  # r5 sig predates two_phase_rank_cumsum rewrite
+    "customers_rfm",  # r5 sig predates two_phase_rank_cumsum rewrite
+    "pipeline_score_normalize",  # r5 sig predates rewrite
+    "join_fuzzy_match",  # r5 sig predates 2-token blocking change
+    # (b) never driver-checked — newest additions without any signature
+    "embedding_pca_power",
     "events_stl_decompose",
     "events_seasonal_strength",
     "pipeline_mix_kl",
     "sim_knn_graph",
     "multimodal_binaryfile_ingest",
     "agg_mode_exact",
-    # (a) new or output-changed in round 6, need fresh driver signatures
     "orders_reconciliation",
     "pipeline_shard_plan",
     "sketch_kmv_setops",
@@ -139,7 +96,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "stream_kmv_distinct",
     "orders_forecast_backtest",
     "parts_xyz_classes",
-    "sql_recursive_cte",
     "sql_lateral_topk",
     "dedup_ppjoin",
     "multimodal_frame_plan",
@@ -152,8 +108,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "orders_changepoint",
     "graph_bfs_distance",
     "customers_survival_km",
-    "sim_ivf_recall",
-    "cli_query_compiled",
     "pipeline_temperature_mix",
     "pipeline_quality_cut",
     "embedding_label_drift",
@@ -162,7 +116,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "supplier_kcore",
     "events_latency_bands",
     "orders_open_backlog",
-    "table_delete_vectors",
     "agg_bitmap_distinct",
     "stream_windowed_topk",
     "events_ab_cuped",
@@ -174,8 +127,15 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "orders_mix_independence",
     "pipeline_pit_features",
     "dedup_containment",
-    "join_fuzzy_match",  # 2-token blocking changed its output
-    # (b) r1-vintage greens the r5 sample didn't reach - stalest first
+    # (c) never driver-checked but judge-verified green locally in r6 —
+    # deferred past the 50-entry sample boundary; first in line for r8
+    "sql_recursive_cte",
+    "table_delete_vectors",
+    "cli_query_compiled",
+    "sim_ivf_recall",
+    # (d) round-7 registrations (kept ≤10; they queue behind the backlog)
+    # -- populated as round 7 adds queries --
+    # (e) r1-vintage greens the r5 sample didn't reach - stalest first
     "agg_count_distinct",
     "agg_rollup",
     "agg_cube",

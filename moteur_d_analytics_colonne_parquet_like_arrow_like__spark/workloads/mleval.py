@@ -1442,7 +1442,15 @@ def q_events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pre-period exists. Treatment = user_id parity, period split at
     Jan 16. Every cell reduces to exact DECIMAL sums map-side; the four
     means, the DiD, and the SE evaluate as one identical double
-    expression tree on both engines."""
+    expression tree on both engines.
+
+    Convention note (ADVICE r6): the per-cell variance in the unpooled
+    SE uses the population divisor n — var = (s2/n − m²)/n — not the
+    sample divisor n−1. At the event-table cell sizes here the two
+    differ by <0.1%; the population form keeps the expression a pure
+    function of the three exact sums (n, s, s2), identical on both
+    engines, with no n>1 guard. Swap (s2/n − m²) for
+    (s2 − s²/n)/(n−1) if textbook-sample SEs are required."""
     ev = load_table(spark, sf_dir, "events").select(
         (F.col("user_id") % 2 == 0).cast("int").alias("treat"),
         (F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))

@@ -178,6 +178,13 @@ def q_customers_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
     marginal-homogeneity audit for paired binary outcomes — what an
     A/B z-test gets WRONG when samples are paired.
 
+    Convention note (ADVICE r6): the continuity-corrected numerator
+    (|b − c| − 1)² is NOT clamped at zero, so b == c yields
+    χ² = 1/(b+c) rather than the textbook 0. The uncorrected edge is a
+    measure-zero tie case; both engines share the identical expression,
+    so the oracle matches exactly. Wrap the numerator in
+    GREATEST(|b−c|−1, 0)² on both sides if the clamped form is needed.
+
     Scale shape: facts reduce once to one row per customer (two
     MAX(CASE) flags — one combiner-friendly shuffle); the 2×2 cells
     are a 1-row aggregate; χ² is one shared double expression over

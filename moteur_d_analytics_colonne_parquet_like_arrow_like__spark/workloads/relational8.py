@@ -943,7 +943,7 @@ ORDER BY detr.d
 
 
 def q_supplier_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Community detection on the co-supply similarity graph: 4
+    """Community detection on the co-supply similarity graph: 2
     deterministic rounds of synchronous label propagation
     (operators/graph.label_propagation — self-vote damping, min-label
     ties) over the same sparse edge derivation as graph_triangles /

@@ -1,0 +1,93 @@
+"""Verification-debt guard (VERDICT r6 item 2): the registry must never grow
+faster than the driver's ~50-queries/round correctness budget can verify.
+
+These tests run tools/freshness_report.py's audit (no SparkSession needed)
+and fail the build when the debt stops fitting the budget — the r5/r6
+overflow (+99 registrations against a 50/round budget) becomes impossible to
+repeat silently.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import pytest
+
+_TOOL = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tools",
+    "freshness_report.py",
+)
+
+
+@pytest.fixture(scope="module")
+def report():
+    spec = importlib.util.spec_from_file_location("freshness_report", _TOOL)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.build_report()
+
+
+def test_no_latest_check_failures(report):
+    # An entry whose newest driver check is red is a live wrong answer.
+    assert report["latest_check_failing"] == []
+
+
+def test_stale_signatures_lead_the_sample(report):
+    # A query rewritten after its newest signature is the riskiest kind of
+    # debt — it MUST be inside the next driver sample so it gets re-signed
+    # immediately.
+    assert report["behavior_changed_outside_sample"] == [], (
+        "behavior-changed entries must be re-signed next round; move them "
+        "to the front of workloads._VERIFY_FIRST"
+    )
+
+
+def test_never_checked_backlog_fits_one_round(report):
+    # At most a handful of never-checked entries may spill past the next
+    # sample (the registration freeze allows ~10 new queries per round,
+    # which queue behind the backlog). More than that means registrations
+    # are outrunning the driver budget again.
+    spill = report["never_checked_outside_sample"]
+    assert len(spill) <= 10, (
+        f"{len(spill)} never-driver-checked entries don't fit the next "
+        f"driver sample: {spill}. Stop registering queries until the "
+        "backlog burns down."
+    )
+
+
+def test_total_debt_bounded(report):
+    # Total unverified surface (never-checked + stale) must clear within
+    # one round plus the ~10-entry new-registration allowance.
+    debt = report["never_checked_count"] + len(report["behavior_changed"])
+    assert debt <= report["driver_sample"] + 10, (
+        f"verification debt {debt} exceeds one driver round "
+        f"({report['driver_sample']}) + 10-entry allowance"
+    )
+
+
+def test_inventory_count_matches_registry(report):
+    # docs/QUERY_INVENTORY.md is generated from the live registry
+    # (tools/gen_inventory.py); its stated count must match — the README's
+    # old hand-typed "277" drift class (ADVICE r6) becomes a test failure.
+    inv = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs",
+        "QUERY_INVENTORY.md",
+    )
+    with open(inv) as f:
+        first_line = f.readlines()[2].strip()
+    assert first_line.startswith(f"{report['registry_size']} registered"), (
+        f"docs/QUERY_INVENTORY.md says {first_line!r} but the registry has "
+        f"{report['registry_size']} entries — re-run tools/gen_inventory.py"
+    )
+
+
+def test_every_entry_has_oracle_or_is_known_weak(report):
+    # Every registry entry should carry a DuckDB oracle; the few that
+    # genuinely can't be expressed in SQL get the driver's weaker
+    # rows-only check and are listed here explicitly.
+    known_rows_only = {e["name"] for e in report["entries"] if not e["has_oracle"]}
+    # Keep this list short and intentional — additions need a reason.
+    assert len(known_rows_only) <= 5, sorted(known_rows_only)

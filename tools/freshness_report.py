@@ -1,0 +1,225 @@
+#!/usr/bin/env python3
+"""Verification-freshness audit: join the live query registry against every
+CORRECTNESS_r*.json the driver has produced and report, per entry, the newest
+round that signed it (and whether that check passed).
+
+VERDICT r6 item 2: registry growth must never silently outrun the driver's
+~50-queries/round verification budget again. This script is the audit;
+tests/test_freshness.py turns its invariants into build failures:
+
+  * never-driver-checked entries must fit the upcoming driver sample, i.e.
+    every never-checked entry must sit inside the first DRIVER_SAMPLE names
+    of all_queries() (which is ordered by workloads._VERIFY_FIRST);
+  * no entry's newest signature may be a FAIL (latest check red);
+  * the behavior-changed list below (hand-maintained when a query's output
+    or plan is rewritten after its newest signature) must also sit inside
+    the sample.
+
+Usage:
+  python tools/freshness_report.py            # human table + summary
+  python tools/freshness_report.py --json     # machine-readable
+  python tools/freshness_report.py --write    # refresh docs/FRESHNESS.md
+
+No SparkSession is created — importing the workloads package only registers
+callables.
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+from collections import Counter
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# The driver verifies roughly this many entries per round (observed: 50 in
+# r3-r6). Used as the budget the never-checked backlog must fit within.
+DRIVER_SAMPLE = 50
+
+# Entries whose BEHAVIOR changed after their newest driver signature — the
+# signature is stale even though the row is green. Maintained by hand: add a
+# name here when you rewrite a query's logic/output after it was signed,
+# remove it once a newer CORRECTNESS row covers the rewrite.
+BEHAVIOR_CHANGED_SINCE: dict[str, str] = {
+    # r6 two_phase_rank_cumsum rewrites (signatures are r5, pre-rewrite)
+    "customers_abc": "r6 window rewrite (two_phase_rank_cumsum)",
+    "supplier_gini": "r6 window rewrite (two_phase_rank_cumsum)",
+    "customers_rfm": "r6 window rewrite (two_phase_rank_cumsum)",
+    "pipeline_score_normalize": "r6 window rewrite (two_phase_rank_cumsum)",
+    "join_fuzzy_match": "r6 2-token blocking changed output",
+}
+
+
+def load_signatures() -> dict[str, tuple[int, bool]]:
+    """name -> (newest round that checked it, that check passed)."""
+    sigs: dict[str, tuple[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.load(open(path))
+        except (json.JSONDecodeError, OSError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            ok = bool(
+                row.get("rows_match")
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            )
+            prev = sigs.get(name)
+            if prev is None or rnd >= prev[0]:
+                sigs[name] = (rnd, ok)
+    return sigs
+
+
+def build_report() -> dict:
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark import (
+        workloads,
+    )
+
+    registry = list(workloads.all_queries())  # _VERIFY_FIRST order
+    oracles = workloads.all_oracles()
+    sigs = load_signatures()
+
+    entries = []
+    for pos, name in enumerate(registry):
+        sig = sigs.get(name)
+        entries.append(
+            {
+                "name": name,
+                "sample_position": pos,
+                "in_next_sample": pos < DRIVER_SAMPLE,
+                "newest_round": sig[0] if sig else None,
+                "latest_pass": sig[1] if sig else None,
+                "has_oracle": name in oracles,
+                "behavior_changed_since": BEHAVIOR_CHANGED_SINCE.get(name),
+            }
+        )
+
+    never = [e for e in entries if e["newest_round"] is None]
+    stale = [e for e in entries if e["behavior_changed_since"]]
+    failing = [e for e in entries if e["latest_pass"] is False]
+    rounds = Counter(
+        e["newest_round"] for e in entries if e["newest_round"] is not None
+    )
+    # signatures for names no longer in the registry (renames/removals)
+    orphans = sorted(set(sigs) - set(registry))
+
+    return {
+        "registry_size": len(registry),
+        "driver_sample": DRIVER_SAMPLE,
+        "never_checked": [e["name"] for e in never],
+        "never_checked_count": len(never),
+        "never_checked_outside_sample": [
+            e["name"] for e in never if not e["in_next_sample"]
+        ],
+        "behavior_changed": {
+            e["name"]: e["behavior_changed_since"] for e in stale
+        },
+        "behavior_changed_outside_sample": [
+            e["name"] for e in stale if not e["in_next_sample"]
+        ],
+        "latest_check_failing": [e["name"] for e in failing],
+        "signature_round_histogram": dict(sorted(rounds.items())),
+        "orphan_signatures": orphans,
+        "entries": entries,
+    }
+
+
+def render_markdown(rep: dict) -> str:
+    lines = [
+        "# Verification freshness report",
+        "",
+        "Generated by `tools/freshness_report.py` — joins the live registry",
+        "(`workloads.all_queries()`, ordered by `_VERIFY_FIRST`) against every",
+        "`CORRECTNESS_r*.json`. `tests/test_freshness.py` enforces the",
+        "invariants; regenerate with `python tools/freshness_report.py --write`.",
+        "",
+        f"- registry entries: **{rep['registry_size']}**",
+        f"- driver sample budget per round: **{rep['driver_sample']}**",
+        f"- never driver-checked: **{rep['never_checked_count']}**"
+        f" (outside next sample: {len(rep['never_checked_outside_sample'])})",
+        f"- behavior changed after newest signature: "
+        f"**{len(rep['behavior_changed'])}**"
+        f" (outside next sample: {len(rep['behavior_changed_outside_sample'])})",
+        f"- latest-check failures: **{len(rep['latest_check_failing'])}**",
+        f"- signature rounds: "
+        + ", ".join(
+            f"r{r}: {n}" for r, n in rep["signature_round_histogram"].items()
+        ),
+        "",
+    ]
+    if rep["latest_check_failing"]:
+        lines += ["## FAILING (latest driver check red)", ""]
+        lines += [f"- `{n}`" for n in rep["latest_check_failing"]] + [""]
+    if rep["behavior_changed"]:
+        lines += ["## Stale signatures (behavior changed since)", ""]
+        lines += [
+            f"- `{n}` — {why}" for n, why in rep["behavior_changed"].items()
+        ] + [""]
+    if rep["never_checked"]:
+        lines += ["## Never driver-checked (in sample order)", ""]
+        lines += [f"- `{n}`" for n in rep["never_checked"]] + [""]
+    if rep["orphan_signatures"]:
+        lines += ["## Orphan signatures (name no longer registered)", ""]
+        lines += [f"- `{n}`" for n in rep["orphan_signatures"]] + [""]
+    lines += ["## Full table", "", "| entry | pos | newest sig | latest |", "|---|---|---|---|"]
+    for e in rep["entries"]:
+        sig = f"r{e['newest_round']}" if e["newest_round"] else "never"
+        ok = (
+            "pass"
+            if e["latest_pass"]
+            else ("FAIL" if e["latest_pass"] is False else "—")
+        )
+        lines.append(f"| `{e['name']}` | {e['sample_position']} | {sig} | {ok} |")
+    lines.append("")
+    return "\n".join(lines)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", action="store_true")
+    ap.add_argument("--write", action="store_true")
+    args = ap.parse_args()
+    rep = build_report()
+    if args.json:
+        slim = {k: v for k, v in rep.items() if k != "entries"}
+        print(json.dumps(slim, indent=2))
+    else:
+        print(
+            f"registry={rep['registry_size']} "
+            f"never_checked={rep['never_checked_count']} "
+            f"(outside_sample={len(rep['never_checked_outside_sample'])}) "
+            f"stale={len(rep['behavior_changed'])} "
+            f"failing={len(rep['latest_check_failing'])}"
+        )
+        print("signature rounds:", rep["signature_round_histogram"])
+        if rep["never_checked_outside_sample"]:
+            print("never-checked OUTSIDE next sample:",
+                  rep["never_checked_outside_sample"])
+        if rep["behavior_changed_outside_sample"]:
+            print("stale OUTSIDE next sample:",
+                  rep["behavior_changed_outside_sample"])
+        if rep["latest_check_failing"]:
+            print("FAILING:", rep["latest_check_failing"])
+    if args.write:
+        out = os.path.join(REPO, "docs", "FRESHNESS.md")
+        with open(out, "w") as f:
+            f.write(render_markdown(rep))
+        print(f"wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
