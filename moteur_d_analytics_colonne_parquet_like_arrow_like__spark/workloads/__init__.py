@@ -134,7 +134,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "cli_query_compiled",
     "sim_ivf_recall",
     # (d) round-7 registrations (kept ≤10; they queue behind the backlog)
-    # -- populated as round 7 adds queries --
+    "sim_pq_recall",
     # (e) r1-vintage greens the r5 sample didn't reach - stalest first
     "agg_count_distinct",
     "agg_rollup",

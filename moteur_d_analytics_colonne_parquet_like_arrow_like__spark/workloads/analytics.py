@@ -2729,3 +2729,155 @@ ORACLES["sim_pq_adc"] = f"""
     SELECT query_id, corpus_id, adc, rnk FROM ranked
     WHERE rnk <= 5 ORDER BY query_id, rnk
 """
+
+
+def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of PQ/ADC against the exact cosine baseline at TWO
+    code-size settings (VERDICT r6 item 4) — the compression/recall
+    trade-off as a measured dial, the PQ twin of sim_ivf_recall's
+    probe dial: m=32 subspaces x 64 codewords (32 bytes/vector — the
+    production point; mean recall@10 0.69 at sf0.01) vs m=8 x 16
+    (8 bytes/vector — 4x smaller at mean recall@10 0.24: the report
+    shows exactly what the compression costs). Rankings are gate-proven in
+    sim_pq_adc; the report is per-query set intersections over
+    queries x k rows, so measuring recall costs nothing next to
+    producing either ranking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk_exact_baseline(
+        emb, queries, "vec_id", "embedding", k=10
+    )
+    parts = []
+    for m, n_codes in ((8, 16), (32, 64)):
+        approx = similarity.pq_topk(
+            emb,
+            queries,
+            "vec_id",
+            "embedding",
+            k=10,
+            dim=64,
+            m=m,
+            n_codes=n_codes,
+        )
+        parts.append(
+            similarity.recall_report(approx, exact)
+            .withColumn("pq_m", F.lit(m).cast("int"))
+            .withColumn("pq_codes", F.lit(n_codes).cast("int"))
+        )
+    return (
+        parts[0]
+        .unionByName(parts[1])
+        .select("pq_m", "pq_codes", "query_id", "hits", "k", "recall_r")
+        .orderBy("pq_m", "query_id")
+    )
+
+
+QUERIES["sim_pq_recall"] = q_sim_pq_recall
+
+
+def _pq_cte_block(m: int, n_codes: int, tag: int) -> str:
+    """SQL twin of similarity.pq_topk at one (m, n_codes) setting:
+    codebook -> encode -> codes -> query distance tables -> top-10 ADC
+    ranking, every step integer arithmetic on the shared SQ8 codes.
+    Parameterized so the recall gate can compare settings without
+    hand-copying the 32-join pipeline."""
+    sub = 64 // m
+
+    def d(s: int, a: str, c: str) -> str:
+        return " + ".join(
+            f"(CAST({a}.qv[{s * sub + i + 1}] AS BIGINT)"
+            f" - CAST({c}.qv[{s * sub + i + 1}] AS BIGINT))"
+            f" * (CAST({a}.qv[{s * sub + i + 1}] AS BIGINT)"
+            f" - CAST({c}.qv[{s * sub + i + 1}] AS BIGINT))"
+            for i in range(sub)
+        )
+
+    enc = ", ".join(f"({d(s, 'a', 'c')}) AS d{s}" for s in range(m))
+    dt = ", ".join(f"({d(s, 'b', 'c')}) AS d{s}" for s in range(m))
+    codes = ", ".join(
+        f"CAST(MIN(d{s} * 100 + j) % 100 AS INTEGER) AS c{s}"
+        for s in range(m)
+    )
+    joins = "\n".join(
+        f"            JOIN dt{tag} t{s} ON t{s}.j = a.c{s}"
+        + ("" if s == 0 else f" AND t{s}.query_id = t0.query_id")
+        for s in range(m)
+    )
+    adc = " + ".join(f"t{s}.d{s}" for s in range(m))
+    return f"""
+    cb{tag} AS MATERIALIZED (
+        SELECT qv, row_number() OVER (ORDER BY h, vec_id) AS j
+        FROM (
+            SELECT vec_id, qv,
+                   CAST(concat('0x', substr(md5('pq:'
+                        || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+            FROM q ORDER BY h, vec_id LIMIT {n_codes}
+        )
+    ),
+    enc{tag} AS MATERIALIZED (
+        SELECT a.vec_id, c.j, {enc}
+        FROM q a CROSS JOIN cb{tag} c
+    ),
+    codes{tag} AS MATERIALIZED (
+        SELECT vec_id, {codes} FROM enc{tag} GROUP BY vec_id
+    ),
+    dt{tag} AS MATERIALIZED (
+        SELECT b.vec_id AS query_id, c.j, {dt}
+        FROM q b CROSS JOIN cb{tag} c WHERE b.vec_id < 10
+    ),
+    approx{tag} AS MATERIALIZED (
+        SELECT query_id, corpus_id FROM (
+            SELECT t0.query_id, a.vec_id AS corpus_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY t0.query_id
+                       ORDER BY CAST({adc} AS BIGINT) ASC, a.vec_id ASC
+                   ) AS rnk
+            FROM codes{tag} a
+{joins}
+            WHERE a.vec_id <> t0.query_id
+        ) WHERE rnk <= 10
+    )"""
+
+
+ORACLES["sim_pq_recall"] = f"""
+    WITH stats AS (SELECT {_SQ_STATS} FROM embeddings),
+    q AS MATERIALIZED (
+        SELECT vec_id, [{_SQ_CODES}] AS qv
+        FROM embeddings CROSS JOIN stats
+    ),
+    exact AS MATERIALIZED (
+        SELECT query_id, corpus_id FROM (
+            SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY round({_RDOT}, 6) DESC, a.vec_id ASC
+                   ) AS rnk
+            FROM embeddings a JOIN embeddings b
+              ON b.vec_id < 10 AND a.vec_id <> b.vec_id
+        ) WHERE rnk <= 10
+    ),{_pq_cte_block(8, 16, 0)},{_pq_cte_block(32, 64, 1)},
+    un AS (
+        SELECT 8 AS pq_m, 16 AS pq_codes, query_id, corpus_id FROM approx0
+        UNION ALL
+        SELECT 32, 64, query_id, corpus_id FROM approx1
+    ),
+    kk AS (
+        SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k
+        FROM exact GROUP BY 1
+    ),
+    h AS (
+        SELECT u.pq_m, u.pq_codes, e.query_id,
+               CAST(COUNT(*) AS BIGINT) AS hits
+        FROM exact e JOIN un u
+          ON e.query_id = u.query_id AND e.corpus_id = u.corpus_id
+        GROUP BY 1, 2, 3
+    )
+    SELECT s.pq_m, s.pq_codes, kk.query_id,
+           CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits, kk.k,
+           round(CAST(COALESCE(h.hits, 0) AS DOUBLE) / kk.k, 6) AS recall_r
+    FROM (SELECT 8 AS pq_m, 16 AS pq_codes
+          UNION ALL SELECT 32, 64) s
+    CROSS JOIN kk
+    LEFT JOIN h ON h.pq_m = s.pq_m AND h.query_id = kk.query_id
+    ORDER BY s.pq_m, kk.query_id
+"""
