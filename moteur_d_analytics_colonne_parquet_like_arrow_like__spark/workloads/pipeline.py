@@ -2889,3 +2889,162 @@ SELECT p.id AS media_id, p.n_frames, p.n_active,
 FROM per_clip p LEFT JOIN rsum r ON r.id = p.id
 ORDER BY media_id
 """
+
+
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-vs-exact crossover report (VERDICT r6 item 6): MinHash-LSH
+    candidate recall and precision measured against PPJoin's EXACT
+    Jaccard >= 0.6 pair set at the SAME threshold, at TWO banding
+    settings (16 hashes split 4x4 vs 8x2) — the measured dial behind
+    the "exact costs 175 s at sf1, LSH costs ~1 s" trade-off in
+    docs/SCALE.md. Measured at sf0.1: recall 0.980 at BOTH band
+    settings (251 of 256 exact pairs; the shared estimated-Jaccard
+    filter dominates banding at this threshold) while precision falls
+    0.040 -> 0.030 as the narrower 8x2 bands admit more weak
+    candidates — so the crossover choice is "LSH finds 98% of pairs
+    ~100x cheaper; PPJoin buys the last 2% and zero false positives"
+    (the 16-hash estimator over-admits: most est>=0.6 pairs sit below
+    true 0.6, which downstream exact re-scoring would drop). Truth side
+    is operators/dedup.ppjoin_pairs (gate-proven exact elsewhere); the
+    report itself is set intersections over the two pair sets — at
+    100 TB measuring recall costs nothing next to producing the pairs."""
+    from ..operators import dedup
+
+    docs = _documents(spark, sf_dir)
+    exact = dedup.ppjoin_pairs(
+        docs, "doc_id", "text", threshold_pct=60, shingle_k=3
+    ).select("id_a", "id_b")
+    parts = []
+    for bands in (4, 8):
+        approx = dedup.minhash_lsh_pairs(
+            docs,
+            "doc_id",
+            "text",
+            num_hashes=16,
+            bands=bands,
+            shingle_k=3,
+            threshold=0.6,
+        ).select("id_a", "id_b")
+        j = exact.withColumn("e", F.lit(1)).join(
+            approx.withColumn("a", F.lit(1)), ["id_a", "id_b"], "full_outer"
+        )
+        parts.append(
+            j.agg(
+                F.sum(F.coalesce(F.col("e"), F.lit(0)))
+                .cast("bigint")
+                .alias("exact_pairs"),
+                F.sum(F.coalesce(F.col("a"), F.lit(0)))
+                .cast("bigint")
+                .alias("lsh_pairs"),
+                F.sum(
+                    F.when(
+                        F.col("e").isNotNull() & F.col("a").isNotNull(), 1
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("true_pos"),
+            ).select(F.lit(bands).cast("int").alias("bands"), "*")
+        )
+    out = parts[0].unionByName(parts[1])
+    return out.select(
+        "bands",
+        "exact_pairs",
+        "lsh_pairs",
+        "true_pos",
+        F.when(
+            F.col("exact_pairs") > 0,
+            F.round(F.col("true_pos") / F.col("exact_pairs"), 6),
+        ).alias("recall_r"),
+        F.when(
+            F.col("lsh_pairs") > 0,
+            F.round(F.col("true_pos") / F.col("lsh_pairs"), 6),
+        ).alias("precision_r"),
+    ).orderBy("bands")
+
+
+QUERIES["dedup_lsh_recall"] = q_dedup_lsh_recall
+
+
+def _lsh_cand_sql(nh: int, bands: int, tag: str) -> str:
+    """(band, key) explode + distinct candidate pairs for one banding
+    setting — the SQL twin of dedup._band_entries at nh/bands."""
+    rpb = nh // bands
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, concat_ws('-', {cols}) AS key"
+        " FROM sig".format(
+            b=b,
+            cols=", ".join(f"mh{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    bands{tag} AS ({band_selects}),
+    cand{tag} AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands{tag} a JOIN bands{tag} b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )"""
+
+
+def _lsh_recall_oracle() -> str:
+    nh = 16
+    eq_sum = " + ".join(
+        f"CAST((sa.mh{i} = sb.mh{i}) AS INT)" for i in range(nh)
+    )
+    return f"""
+    WITH {_shingle_cte(3)},
+    {_minhash_sig_sql(nh)},
+    sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+    ),
+    inter AS (
+        -- raw shingle strings (like the dedup_ppjoin oracle), NOT h31
+        -- hashes: the truth set must be collision-free to equal PPJoin
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    exact AS MATERIALIZED (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE 100 * i >= 60 * (sa.n + sb.n - i)
+    ),{_lsh_cand_sql(nh, 4, "4")},{_lsh_cand_sql(nh, 8, "8")},
+    un AS (
+        SELECT bands, c.id_a, c.id_b FROM (
+            SELECT 4 AS bands, id_a, id_b FROM cand4
+            UNION ALL
+            SELECT 8, id_a, id_b FROM cand8
+        ) c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b
+        WHERE ({eq_sum}) / {nh}.0 >= 0.6
+    ),
+    st AS (
+        SELECT u.bands,
+               CAST(COUNT(*) AS BIGINT) AS lsh_pairs,
+               CAST(SUM(CASE WHEN e.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS true_pos
+        FROM un u
+        LEFT JOIN exact e ON e.id_a = u.id_a AND e.id_b = u.id_b
+        GROUP BY 1
+    ),
+    ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs FROM exact)
+    SELECT b.bands, ex.exact_pairs,
+           CAST(COALESCE(st.lsh_pairs, 0) AS BIGINT) AS lsh_pairs,
+           CAST(COALESCE(st.true_pos, 0) AS BIGINT) AS true_pos,
+           CASE WHEN ex.exact_pairs > 0 THEN
+               round(CAST(COALESCE(st.true_pos, 0) AS DOUBLE)
+                     / ex.exact_pairs, 6) END AS recall_r,
+           CASE WHEN COALESCE(st.lsh_pairs, 0) > 0 THEN
+               round(CAST(COALESCE(st.true_pos, 0) AS DOUBLE)
+                     / st.lsh_pairs, 6) END AS precision_r
+    FROM (SELECT 4 AS bands UNION ALL SELECT 8) b
+    CROSS JOIN ex
+    LEFT JOIN st ON st.bands = b.bands
+    ORDER BY b.bands
+    """
+
+
+ORACLES["dedup_lsh_recall"] = _lsh_recall_oracle()

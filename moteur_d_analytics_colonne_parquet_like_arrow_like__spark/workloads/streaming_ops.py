@@ -27,13 +27,23 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reload/commit and zero rows (run_to_memory docstring; measured
     # 1.2-1.6 s -> 0.79 s at identical 21,388-row output). Append-mode
     # siblings keep the default — their windows finalize IN that batch.
+    # coalesce(1) + partition-local sort, not orderBy: a memory-sink table
+    # is driver-small by construction, and the global sort's range
+    # exchange costs an extra sampling job + a session-width shuffle
+    # (measured r7: 1.38-1.62 s -> 0.99-1.18 s end-to-end at identical
+    # 21,388-row output; docs/BENCH_NOTES.md round-7 section). Same total
+    # order — one partition, same keys.
     sdf = S.tumbling_window_agg(S.events_stream(spark, sf_dir))
-    return S.run_to_memory(
-        sdf,
-        output_mode="update",
-        shuffle_partitions=4,
-        no_data_batches=False,
-    ).orderBy("window_start", "event_type")
+    return (
+        S.run_to_memory(
+            sdf,
+            output_mode="update",
+            shuffle_partitions=4,
+            no_data_batches=False,
+        )
+        .coalesce(1)
+        .sortWithinPartitions("window_start", "event_type")
+    )
 
 
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -7,7 +7,24 @@ from pyspark.sql import functions as F
 
 from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import (
     analytics,
+    pipeline,
 )
+
+
+def test_lsh_recall_crossover_consistent(spark, sf_dir):
+    # The crossover report's internal accounting must be coherent: the
+    # exact-pair count is band-independent, true positives can't exceed
+    # either side, and ratios live in [0, 1].
+    rows = pipeline.q_dedup_lsh_recall(spark, sf_dir).collect()
+    assert [r["bands"] for r in rows] == [4, 8]
+    assert len({r["exact_pairs"] for r in rows}) == 1
+    for r in rows:
+        assert r["true_pos"] <= r["exact_pairs"]
+        assert r["true_pos"] <= r["lsh_pairs"]
+        if r["exact_pairs"]:
+            assert 0.0 <= r["recall_r"] <= 1.0
+        if r["lsh_pairs"]:
+            assert 0.0 <= r["precision_r"] <= 1.0
 
 
 def test_pq_recall_dial_monotone(spark, sf_dir):

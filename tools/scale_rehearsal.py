@@ -98,6 +98,15 @@ TARGETS = [
     "lineitem_ols_normal",
     "events_conformal_band",
     "events_percentiles_by_type",
+    # round-7: the session-7 statistics family (VERDICT r6 item 7 — the
+    # x32 Poisson row explosion, the lag-join CCF, the two-period PVM
+    # bridge, and the threshold-sweep PR curve) plus the LSH-vs-PPJoin
+    # crossover report (sim_pq_recall excluded: fixed-size embeddings)
+    "orders_poisson_bootstrap",
+    "events_ccf",
+    "orders_pvm_bridge",
+    "events_pr_curve",
+    "dedup_lsh_recall",
 ]
 
 # Queries whose construction itself executes jobs (streaming runs,
