@@ -1086,11 +1086,19 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: embeddings quantize to milli-units; dev_ij = n·q_ij − S_j
     is an exact BIGINT (the n² scale cancels in every ratio), so the
-    Gram matrix C = ΣᵢdevᵢdevᵢT is exact int64. Each iterate is
-    re-quantized to DECIMAL(14,9) after the max-norm division — a
-    determinism barrier that makes all 8 rounds bit-identical across
-    engines (the one float division per round lands far from rounding
-    boundaries).
+    Gram matrix C = ΣᵢdevᵢdevᵢT is exact int64. Each iterate is kept as
+    a BIGINT in units of 10^-9 and re-quantized after the max-norm
+    division by EXACT integer rounding —
+    vint' = sign(u)·((2·|u|·10^9 + nn) div (2·nn)), round-half-away —
+    in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) arithmetic, so all 8
+    rounds are bit-identical across engines BY CONSTRUCTION. (The first
+    version rounded a double quotient per round; at sf0.1 one of the
+    512 quotients landed near a 1e-9 rounding boundary, the engines'
+    double round() split, and the 1e-9 seed amplified to 2e-6 in the
+    final loadings. Exact integer rounding removes the class.)
+    Magnitude audit at sf0.1: Σ|c| = 1.7e16, so |u| ≤ 1.7e25 and the
+    rounding numerator ≤ 3.3e34 — three decades of headroom under the
+    10^38 cap.
 
     Scale shape: the dim² Gram cells come from one vec_id-keyed
     self-join of the (row, dim, dev) cells — the distributed outer
@@ -1105,7 +1113,12 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id",
         F.col("jj").cast("bigint").alias("j"),
-        F.round(F.col("e") * 1000).cast("bigint").alias("q"),
+        # explicit double BEFORE the multiply: the parquet floats are
+        # float32, and float32 x int arithmetic rounds differently
+        # (0.3195f x 1000 = 319.5f -> 320, while double math gives
+        # 319.4999993 -> 319 — found at sf0.1, vec_id 1879 dim 17).
+        # The oracle casts the same way; repo convention (_SQ_CODES).
+        F.round(F.col("e").cast("double") * 1000).cast("bigint").alias("q"),
     )
     stats_j = cells.groupBy("j").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -1125,39 +1138,51 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("dev") * F.col("devk")).cast("bigint").alias("c"))
         .localCheckpoint()
     )
+    # iterate lives as BIGINT in units of 10^-_PCA_VSCALE (v0 = 1.0)
+    scale = 10**_PCA_VSCALE
     v = cmat.select("j").distinct().select(
-        "j", F.lit(1).cast(f"decimal(14,{_PCA_VSCALE})").alias("val")
+        "j", F.lit(scale).cast("bigint").alias("vint")
     )
+    dec = "decimal(38,0)"
     for _ in range(_PCA_ROUNDS):
         u = (
             cmat.join(v.withColumnRenamed("j", "k"), "k")
             .groupBy("j")
-            .agg(F.sum(F.col("c") * F.col("val")).alias("u"))
+            .agg(
+                F.sum(
+                    F.col("c").cast(dec) * F.col("vint").cast(dec)
+                ).alias("u")
+            )
         )
         norm = u.agg(F.max(F.abs(F.col("u"))).alias("nn"))
         v = (
             u.crossJoin(F.broadcast(norm))
             .select(
                 "j",
-                F.round(
-                    F.col("u").cast("double") / F.col("nn").cast("double"),
-                    _PCA_VSCALE,
-                )
-                .cast(f"decimal(14,{_PCA_VSCALE})")
-                .alias("val"),
+                F.expr(
+                    "CAST((CASE WHEN u < 0 THEN -1 ELSE 1 END) * "
+                    f"((2 * abs(u) * {scale} + nn) div (2 * nn)) AS BIGINT)"
+                ).alias("vint"),
             )
             .localCheckpoint()
         )
     u9 = (
-        cmat.join(v.withColumnRenamed("j", "k").withColumnRenamed("val", "vk"), "k")
+        cmat.join(
+            v.withColumnRenamed("j", "k").withColumnRenamed("vint", "vk"),
+            "k",
+        )
         .groupBy("j")
-        .agg(F.sum(F.col("c") * F.col("vk")).alias("u9"))
+        .agg(
+            F.sum(F.col("c").cast(dec) * F.col("vk").cast(dec)).alias("u9")
+        )
     )
     ray = (
         v.join(u9, "j")
         .agg(
-            F.sum(F.col("val") * F.col("u9")).alias("vcv"),
-            F.sum(F.col("val") * F.col("val")).alias("vv"),
+            F.sum(F.col("vint").cast(dec) * F.col("u9")).alias("vcv"),
+            F.sum(F.col("vint").cast(dec) * F.col("vint").cast(dec)).alias(
+                "vv"
+            ),
         )
         .crossJoin(
             F.broadcast(
@@ -1175,11 +1200,20 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("var_share_r")
         )
     )
+    # 6-decimal loading by the same exact integer rounding, then ONE
+    # deterministic int->double division per row
+    loading6 = F.expr(
+        "CAST((CASE WHEN vint < 0 THEN -1 ELSE 1 END) * "
+        f"((2 * abs(vint) + {scale // 10**6}) div {2 * scale // 10**6}) "
+        "AS BIGINT)"
+    )
     return (
         v.crossJoin(F.broadcast(ray))
         .select(
             "j",
-            F.round(F.col("val").cast("double"), 6).alias("loading_r"),
+            (loading6.cast("double") / F.lit(10**6).cast("double")).alias(
+                "loading_r"
+            ),
             "var_share_r",
         )
         .orderBy("j")
@@ -1190,17 +1224,22 @@ QUERIES["embedding_pca_power"] = q_embedding_pca_power
 
 
 def _pca_oracle() -> str:
+    # HUGEINT mirror of the Spark DECIMAL(38,0) integer iteration: the
+    # per-round quantization is sign(u)*((2*|u|*10^9 + nn) // (2*nn)) —
+    # exact round-half-away, no doubles anywhere inside the loop.
+    scale = 10**_PCA_VSCALE
     rounds = []
     prev = "v0"
     for r in range(1, _PCA_ROUNDS + 1):
         rounds.append(
             f"""u{r} AS MATERIALIZED (
-  SELECT c.j, SUM(c.c * v.val) AS u
+  SELECT c.j, SUM(CAST(c.c AS HUGEINT) * CAST(v.vint AS HUGEINT)) AS u
   FROM cmat c JOIN {prev} v ON c.k = v.j GROUP BY c.j
 ), n{r} AS MATERIALIZED (SELECT MAX(ABS(u)) AS nn FROM u{r}),
 v{r} AS MATERIALIZED (
-  SELECT j, CAST(round(CAST(u AS DOUBLE) / CAST(nn AS DOUBLE),
-                       {_PCA_VSCALE}) AS DECIMAL(14,{_PCA_VSCALE})) AS val
+  SELECT j, CAST((CASE WHEN u < 0 THEN -1 ELSE 1 END)
+                 * ((2 * ABS(u) * {scale} + nn) // (2 * nn))
+            AS BIGINT) AS vint
   FROM u{r} CROSS JOIN n{r}
 )"""
         )
@@ -1209,7 +1248,8 @@ v{r} AS MATERIALIZED (
     return f"""
 WITH cells AS MATERIALIZED (
   SELECT vec_id, CAST(i.range AS BIGINT) AS j,
-         CAST(round(embedding[i.range + 1] * 1000) AS BIGINT) AS q
+         CAST(round(CAST(embedding[i.range + 1] AS DOUBLE) * 1000)
+              AS BIGINT) AS q
   FROM embeddings CROSS JOIN range(64) i
 ), stats_j AS MATERIALIZED (
   SELECT j, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(q) AS BIGINT) AS s
@@ -1222,21 +1262,26 @@ WITH cells AS MATERIALIZED (
   FROM d a JOIN d b ON a.vec_id = b.vec_id
   GROUP BY a.j, b.j
 ), v0 AS MATERIALIZED (
-  SELECT DISTINCT j, CAST(1 AS DECIMAL(14,{_PCA_VSCALE})) AS val FROM cmat
+  SELECT DISTINCT j, CAST({scale} AS BIGINT) AS vint FROM cmat
 ),
 {body},
 u9 AS MATERIALIZED (
-  SELECT c.j, SUM(c.c * v.val) AS u9
+  SELECT c.j, SUM(CAST(c.c AS HUGEINT) * CAST(v.vint AS HUGEINT)) AS u9
   FROM cmat c JOIN {prev} v ON c.k = v.j GROUP BY c.j
 ), ray AS MATERIALIZED (
-  SELECT round(CAST(SUM(v.val * u9.u9) AS DOUBLE)
-               / CAST(SUM(CAST(v.val AS DECIMAL(19,{_PCA_VSCALE}))
-                          * CAST(v.val AS DECIMAL(19,{_PCA_VSCALE}))) AS DOUBLE)
+  SELECT round(CAST(SUM(CAST(v.vint AS HUGEINT) * u9.u9) AS DOUBLE)
+               / CAST(SUM(CAST(v.vint AS HUGEINT)
+                          * CAST(v.vint AS HUGEINT)) AS DOUBLE)
                / CAST((SELECT SUM(c) FROM cmat WHERE j = k) AS DOUBLE),
                6) AS var_share_r
   FROM {prev} v JOIN u9 USING (j)
 )
-SELECT v.j, round(CAST(v.val AS DOUBLE), 6) AS loading_r, ray.var_share_r
+SELECT v.j,
+       CAST(CAST((CASE WHEN v.vint < 0 THEN -1 ELSE 1 END)
+                 * ((2 * ABS(CAST(v.vint AS HUGEINT)) + {scale // 10**6})
+                    // {2 * scale // 10**6})
+            AS BIGINT) AS DOUBLE) / 1000000.0 AS loading_r,
+       ray.var_share_r
 FROM {prev} v CROSS JOIN ray
 ORDER BY v.j
 """
