@@ -11,6 +11,23 @@ from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import 
 )
 
 
+def test_round7_gates_never_cartesian(spark, sf_dir):
+    # Both new report queries compose candidate-generation joins (LSH
+    # bands, PPJoin prefixes, PQ codebook probes) that must stay
+    # equi-joins; the only acceptable nested-loop sources are the
+    # broadcast 1-row stat relations (norms, trace, totals) and the
+    # bounded-codebook/distance-table broadcasts. A CartesianProduct
+    # means a candidate join silently degenerated (the r6 ppjoin
+    # shared-lineage trap class).
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark import (
+        plans,
+    )
+
+    for q in (analytics.q_sim_pq_recall, pipeline.q_dedup_lsh_recall):
+        plan = plans.formatted_plan(q(spark, sf_dir))
+        assert "CartesianProduct" not in plan, q.__name__
+
+
 def test_lsh_recall_crossover_consistent(spark, sf_dir):
     # The crossover report's internal accounting must be coherent: the
     # exact-pair count is band-independent, true positives can't exceed

@@ -40,17 +40,22 @@ sys.path.insert(0, REPO)
 # r3-r6). Used as the budget the never-checked backlog must fit within.
 DRIVER_SAMPLE = 50
 
-# Entries whose BEHAVIOR changed after their newest driver signature — the
-# signature is stale even though the row is green. Maintained by hand: add a
-# name here when you rewrite a query's logic/output after it was signed,
-# remove it once a newer CORRECTNESS row covers the rewrite.
-BEHAVIOR_CHANGED_SINCE: dict[str, str] = {
-    # r6 two_phase_rank_cumsum rewrites (signatures are r5, pre-rewrite)
-    "customers_abc": "r6 window rewrite (two_phase_rank_cumsum)",
-    "supplier_gini": "r6 window rewrite (two_phase_rank_cumsum)",
-    "customers_rfm": "r6 window rewrite (two_phase_rank_cumsum)",
-    "pipeline_score_normalize": "r6 window rewrite (two_phase_rank_cumsum)",
-    "join_fuzzy_match": "r6 2-token blocking changed output",
+# Entries whose BEHAVIOR changed after their newest driver signature.
+# Maintained by hand: when you rewrite a query's logic/output, add
+# name -> (first round whose driver signature covers the rewrite, why).
+# The entry AUTO-CLEARS once a CORRECTNESS row from that round (or later)
+# exists — no manual removal step to forget.
+BEHAVIOR_CHANGED_SINCE: dict[str, tuple[int, str]] = {
+    # r6 two_phase_rank_cumsum rewrites (signatures are r5, pre-rewrite;
+    # a signature from r7+ covers the rewritten code)
+    "customers_abc": (7, "r6 window rewrite (two_phase_rank_cumsum)"),
+    "supplier_gini": (7, "r6 window rewrite (two_phase_rank_cumsum)"),
+    "customers_rfm": (7, "r6 window rewrite (two_phase_rank_cumsum)"),
+    "pipeline_score_normalize": (
+        7,
+        "r6 window rewrite (two_phase_rank_cumsum)",
+    ),
+    "join_fuzzy_match": (7, "r6 2-token blocking changed output"),
 }
 
 
@@ -95,6 +100,12 @@ def build_report() -> dict:
     entries = []
     for pos, name in enumerate(registry):
         sig = sigs.get(name)
+        changed = BEHAVIOR_CHANGED_SINCE.get(name)
+        stale_why = None
+        if changed is not None:
+            needs_round, why = changed
+            if sig is None or sig[0] < needs_round:
+                stale_why = why
         entries.append(
             {
                 "name": name,
@@ -103,7 +114,7 @@ def build_report() -> dict:
                 "newest_round": sig[0] if sig else None,
                 "latest_pass": sig[1] if sig else None,
                 "has_oracle": name in oracles,
-                "behavior_changed_since": BEHAVIOR_CHANGED_SINCE.get(name),
+                "behavior_changed_since": stale_why,
             }
         )
 
