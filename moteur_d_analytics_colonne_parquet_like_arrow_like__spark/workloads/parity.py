@@ -56,10 +56,25 @@ def q_filtered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qe.execute_query()
 
 
-def q_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_aggregate(
+    spark: SparkSession, sf_dir: str, scan_slices: int | None = None
+) -> DataFrame:
     """Ungrouped single-pass count/sum/min/max (reference O5,
-    execution.cpp:275-337 — always computes all four)."""
+    execution.cpp:275-337 — always computes all four).
+
+    ``scan_slices``: optionally coalesce the scan to this many input
+    slices before the partial aggregate. For a 1-row-output aggregate
+    over an input SMALL relative to per-task scheduling cost, fewer
+    fatter tasks win (measured at the bench's 13 MB sf0.1 layout:
+    32 slices 128 ms -> 8 slices 79 ms warm median — the scan work is
+    ~2.4 MB of one column, so scheduling dominated). Default None keeps
+    full scan parallelism — the right setting at real scale, where the
+    same aggregate over 100 TB wants every slice it can get; the bench
+    opts in per-query (bench.py QUERY_KWARGS), the registry gate does
+    not."""
     df = _lineitem(spark, sf_dir)
+    if scan_slices:
+        df = df.coalesce(scan_slices)
     return df.agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum("l_quantity").cast("double").alias("sum_qty"),
