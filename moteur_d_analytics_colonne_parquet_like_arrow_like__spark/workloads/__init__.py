@@ -136,6 +136,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # (d) round-7 registrations (kept ≤10; they queue behind the backlog)
     "sim_pq_recall",
     "dedup_lsh_recall",
+    "sim_tfidf_sparse",
     # (e) r1-vintage greens the r5 sample didn't reach - stalest first
     "agg_count_distinct",
     "agg_rollup",

@@ -3048,3 +3048,71 @@ def _lsh_recall_oracle() -> str:
 
 
 ORACLES["dedup_lsh_recall"] = _lsh_recall_oracle()
+
+
+def q_sim_tfidf_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related documents by sparse tf/df cosine over the word inverted
+    index (operators/text.tfidf_cosine_pairs) — the bag-of-words
+    complement of the dense sim_* family: top-5 neighbours per doc,
+    stop-terms (df > n_docs/5, scale-aware) capped out of the
+    posting-list join (norms keep them, so the reported cosine is a
+    tight lower bound). Integer weights w = (tf*10^6) div df make dots
+    and norms exact cross-engine; the cosine is one deterministic
+    double expression over exact ints."""
+    from ..operators import text as text_ops
+
+    docs = _documents(spark, sf_dir)
+    return text_ops.tfidf_cosine_pairs(
+        docs, "doc_id", "text", k=5, max_join_df_den=5
+    ).orderBy("id_a", "rnk")
+
+
+QUERIES["sim_tfidf_sparse"] = q_sim_tfidf_sparse
+
+ORACLES["sim_tfidf_sparse"] = f"""
+    WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+    t AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM d),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM t GROUP BY 1, 2
+    ),
+    dfq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ),
+    w AS (
+        SELECT doc_id, tf.term, dfq.df,
+               CAST((tf * 1000000) // df AS BIGINT) AS w
+        FROM tf JOIN dfq USING (term)
+    ),
+    n2 AS (
+        SELECT doc_id, SUM(CAST(w AS HUGEINT) * CAST(w AS HUGEINT)) AS n2
+        FROM w GROUP BY 1
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS ndocs FROM documents),
+    side AS (SELECT w.* FROM w CROSS JOIN nd WHERE df * 5 <= ndocs),
+    dots AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               SUM(CAST(a.w AS HUGEINT) * CAST(b.w AS HUGEINT)) AS dot
+        FROM side a JOIN side b
+          ON a.term = b.term AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    ),
+    cos AS (
+        SELECT id_a, id_b,
+               round(CAST(dot AS DOUBLE)
+                     / (sqrt(CAST(na.n2 AS DOUBLE))
+                        * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine_r
+        FROM dots
+        JOIN n2 na ON na.doc_id = id_a
+        JOIN n2 nb ON nb.doc_id = id_b
+    ),
+    r AS (
+        SELECT id_a, id_b, cosine_r,
+               ROW_NUMBER() OVER (
+                   PARTITION BY id_a ORDER BY cosine_r DESC, id_b ASC
+               ) AS rnk
+        FROM cos
+    )
+    SELECT id_a, id_b, cosine_r, rnk FROM r WHERE rnk <= 5
+    ORDER BY id_a, rnk
+"""

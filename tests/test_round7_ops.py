@@ -23,9 +23,42 @@ def test_round7_gates_never_cartesian(spark, sf_dir):
         plans,
     )
 
-    for q in (analytics.q_sim_pq_recall, pipeline.q_dedup_lsh_recall):
+    for q in (
+        analytics.q_sim_pq_recall,
+        pipeline.q_dedup_lsh_recall,
+        pipeline.q_sim_tfidf_sparse,
+    ):
         plan = plans.formatted_plan(q(spark, sf_dir))
         assert "CartesianProduct" not in plan, q.__name__
+
+
+def test_sparse_cosine_invariants(spark, sf_dir):
+    # Cosine of non-negative integer weight vectors lives in (0, 1]; the
+    # join-side df cap makes the dot a lower bound, so never above 1.
+    # Each doc gets at most k=5 neighbours, ranked densely from 1.
+    rows = pipeline.q_sim_tfidf_sparse(spark, sf_dir).collect()
+    assert rows, "sparse cosine returned nothing (cap too tight?)"
+    per = {}
+    for r in rows:
+        assert 0.0 < r["cosine_r"] <= 1.0
+        assert r["id_a"] != r["id_b"]
+        per.setdefault(r["id_a"], []).append(r["rnk"])
+    for ranks in per.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
+
+
+def test_sparse_cosine_df_cap_validation():
+    import pytest as _pytest
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import (
+        text as text_ops,
+    )
+
+    with _pytest.raises(ValueError):
+        text_ops.tfidf_cosine_pairs(
+            None, "id", "t", max_join_df=10, max_join_df_den=5
+        )
 
 
 def test_lsh_recall_crossover_consistent(spark, sf_dir):
