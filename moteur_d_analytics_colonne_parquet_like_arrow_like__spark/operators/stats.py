@@ -388,6 +388,82 @@ def normalize_scores_per_group(
     )
 
 
+def quantile_match_across_groups(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    n_chunks: int = 64,
+) -> DataFrame:
+    """Quantile normalization across groups: map each row's score onto
+    the POOLED score distribution at the row's within-group percentile —
+    the batch-effect correction a curation pipeline applies when
+    sources' quality scores live on different scales and percentile
+    RANKS (``normalize_scores_per_group``) aren't enough because
+    downstream wants values on a common, data-shaped scale (the
+    bioinformatics quantile-normalization / sklearn
+    QuantileTransformer(output='empirical') shape).
+
+    Semantics, all exact integers: within group g the row at rank r of
+    n_g maps to pooled order statistic
+    ``idx = ((r-1)·(N-1)) div (n_g-1) + 1`` (floor interpolation; a
+    1-row group maps to idx 1), and ``matched`` is the pooled score at
+    position idx under the same (score, id) total order. Cross-engine
+    bit-exact — no doubles anywhere in the mapping; the product routes
+    through DECIMAL(38,0) so a 10^12-row corpus cannot overflow the
+    BIGINT product.
+
+    Scale shape: BOTH ranks (per-group and pooled-global) ride
+    ``two_phase_rank_cumsum`` over score-quantile chunks — the pooled
+    global rank is exactly the unbounded-window trap
+    ``plans.unsafe_global_windows`` rejects, computed safely. The
+    final lookup is an equi-join on idx (data-proportional, shuffles
+    once); group counts and the corpus count broadcast from their own
+    reductions.
+
+    Returns (id_col, group_col, score_col, matched) rows.
+    """
+    chunk = quantile_chunks(df, score_col, n_chunks=n_chunks)
+    per_group = two_phase_rank_cumsum(
+        df,
+        score_col,
+        chunk,
+        partition_cols=[group_col],
+        tiebreak_cols=[id_col],
+        rn_col="__rg",
+    )
+    pooled = two_phase_rank_cumsum(
+        df,
+        score_col,
+        chunk,
+        tiebreak_cols=[id_col],
+        rn_col="__pos",
+    )
+    ng = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__ng")
+    )
+    n = df.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    target = (
+        per_group.join(F.broadcast(ng), group_col)
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "__tpos",
+            F.expr(
+                "CASE WHEN __ng > 1 THEN CAST("
+                "(CAST(__rg - 1 AS DECIMAL(38,0)) * (__n - 1))"
+                " div (__ng - 1) AS BIGINT) + 1 ELSE 1 END"
+            ),
+        )
+    )
+    lookup = pooled.select(
+        F.col("__pos").alias("__tpos"),
+        F.col(score_col).alias("matched"),
+    )
+    return target.join(lookup, "__tpos").select(
+        id_col, group_col, score_col, "matched"
+    )
+
+
 def auc_rank(
     df: DataFrame,
     score_col: str,

@@ -137,6 +137,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "sim_pq_recall",
     "dedup_lsh_recall",
     "sim_tfidf_sparse",
+    "pipeline_quantile_match",
     # (e) r1-vintage greens the r5 sample didn't reach - stalest first
     "agg_count_distinct",
     "agg_rollup",

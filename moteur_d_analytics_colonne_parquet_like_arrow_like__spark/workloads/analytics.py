@@ -2881,3 +2881,64 @@ ORACLES["sim_pq_recall"] = f"""
     LEFT JOIN h ON h.pq_m = s.pq_m AND h.query_id = kk.query_id
     ORDER BY s.pq_m, kk.query_id
 """
+
+
+def q_pipeline_quantile_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of per-source quality scores onto the
+    POOLED corpus distribution (operators/stats.quantile_match_across_
+    groups) — the step after pipeline_score_normalize when downstream
+    wants comparable VALUES, not just ranks: a doc at its source's p-th
+    percentile is assigned the pooled score at the same percentile.
+    Mapping is exact integer order statistics (no doubles); both the
+    per-source and the pooled-global rank ride two_phase_rank_cumsum,
+    so the global rank never collapses into one task."""
+    from ..operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_features(
+        docs.select("doc_id", "source", "text"), "text"
+    ).select("doc_id", "source", F.round("q_score", 6).alias("q6"))
+    out = stats.quantile_match_across_groups(
+        scored, "source", "q6", "doc_id"
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("q6").alias("q_r"),
+        F.col("matched").alias("matched_r"),
+    ).orderBy("doc_id")
+
+
+QUERIES["pipeline_quantile_match"] = q_pipeline_quantile_match
+
+ORACLES["pipeline_quantile_match"] = f"""
+    WITH {_P2_QSCORE},
+    s AS (
+        SELECT qs.doc_id, d.source, round(qs.q_score, 6) AS q6
+        FROM qs JOIN documents d ON d.doc_id = qs.doc_id
+    ),
+    g AS (
+        SELECT doc_id, source, q6,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY q6 ASC, doc_id ASC
+               ) AS rg,
+               COUNT(*) OVER (PARTITION BY source) AS ng
+        FROM s
+    ),
+    p AS (
+        SELECT q6 AS matched,
+               ROW_NUMBER() OVER (ORDER BY q6 ASC, doc_id ASC) AS pos
+        FROM s
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+    i AS (
+        SELECT doc_id, source, q6,
+               CASE WHEN ng > 1 THEN
+                   CAST((CAST(rg - 1 AS HUGEINT) * (n - 1)) // (ng - 1)
+                        AS BIGINT) + 1
+               ELSE 1 END AS pos
+        FROM g CROSS JOIN n
+    )
+    SELECT i.doc_id, i.source, i.q6 AS q_r, p.matched AS matched_r
+    FROM i JOIN p USING (pos) ORDER BY i.doc_id
+"""

@@ -48,6 +48,39 @@ def test_sparse_cosine_invariants(spark, sf_dir):
         assert len(ranks) <= 5
 
 
+def test_quantile_match_rides_chunked_scan(spark, sf_dir):
+    # The pooled-global rank is exactly the unbounded-window shape
+    # plans.unsafe_global_windows rejects — it must ride the two-phase
+    # chunked scan, and the whole plan must stay window-safe.
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark import (
+        plans,
+    )
+
+    df = analytics.q_pipeline_quantile_match(spark, sf_dir)
+    assert plans.unsafe_global_windows(df) == []
+
+
+def test_quantile_match_semantics(spark, sf_dir):
+    # matched values must come from the pooled score set, be monotone in
+    # within-source rank, and each source's extremes must map to the
+    # pooled extremes (idx formula hits 1 and N at the rank endpoints).
+    rows = analytics.q_pipeline_quantile_match(spark, sf_dir).collect()
+    assert rows
+    pooled = sorted(r["q_r"] for r in rows)
+    pooled_set = set(pooled)
+    by_src = {}
+    for r in rows:
+        assert r["matched_r"] in pooled_set
+        by_src.setdefault(r["source"], []).append((r["q_r"], r["doc_id"], r["matched_r"]))
+    for src, vals in by_src.items():
+        vals.sort()
+        matched = [m for _, _, m in vals]
+        assert matched == sorted(matched), f"non-monotone mapping in {src}"
+        if len(vals) > 1:
+            assert matched[0] == pooled[0], f"{src} min not pooled min"
+            assert matched[-1] == pooled[-1], f"{src} max not pooled max"
+
+
 def test_sparse_cosine_df_cap_validation():
     import pytest as _pytest
 
