@@ -438,14 +438,25 @@ def tfidf_cosine_pairs(
     weight_scale: int = 10**6,
     max_join_df: int | None = None,
     max_join_df_den: int | None = None,
+    max_bucket_df: int = 1000,
+    shingle_k: int = 1,
 ) -> DataFrame:
-    """Related documents by SPARSE tf/df cosine over the word inverted
-    index — the bag-of-words complement of the dense-embedding sim_*
-    family (reference exposes dense ANN only; classic related-articles /
+    """Related documents by SPARSE tf/df cosine over an inverted index —
+    the bag-of-words complement of the dense-embedding sim_* family
+    (reference exposes dense ANN only; classic related-articles /
     more-like-this is sparse): weight each (doc, term) as
     w = (tf·10^6) div df — an EXACT integer in both engines (integral
     division, all positive), so dots and norms are exact integer sums
     and the cosine is one deterministic double expression over them.
+
+    ``shingle_k=1`` indexes single words with real term frequencies;
+    ``shingle_k>=2`` indexes DISTINCT k-word shingles (tf = 1 by
+    construction — set-based shingle cosine). Shingles are the right
+    unit when the word vocabulary is small relative to the corpus
+    (measured on the synthetic documents table: 40 distinct words
+    total, so at any useful df cap the unigram index is either
+    quadratic or empty, while the 2-shingle vocabulary is ~10^3 and
+    df-capped joins stay both bounded and non-empty).
 
     ``max_join_df`` drops stop-terms (document frequency above the cap)
     from the JOIN side only — the same bounded-bucket contract as
@@ -454,11 +465,31 @@ def tfidf_cosine_pairs(
     (stop-terms carry weight tf/df ~ tf/corpus — negligible signal).
     Norms keep every term, so the bound never exceeds 1.
 
-    ``max_join_df_den`` is the scale-aware form: keep a term iff
-    df·den <= n_docs (integer-exact, no ratio floats) — a FIXED absolute
-    cap silently empties the join when the corpus outgrows it (measured:
-    df<=100 keeps discriminative terms at 500 docs and drops EVERY term
-    at 5000). The corpus count joins as a broadcast 1-row relation.
+    ``max_join_df_den`` + ``max_bucket_df`` is the scale-aware form:
+    keep a term iff df·den <= n_docs (the SEMANTIC stop-term filter —
+    relative document frequency is what makes a term non-discriminative,
+    so it must scale with the corpus; the count broadcasts as a 1-row
+    relation) AND df <= max_bucket_df (the WORK guard — the same
+    absolute bounded-bucket contract as minhash's ``cap_bucket_size``:
+    per-term pair work never exceeds max_bucket_df², whatever the
+    corpus does). Both are needed; each alone was measured to fail:
+
+    - a FIXED absolute cap alone silently empties the join when the
+      corpus outgrows it (df<=100 keeps discriminative terms at 500
+      docs and drops EVERY term at 5000);
+    - a FRACTIONAL cap alone (df <= n/5) keeps relative vocabulary but
+      lets every kept posting list grow linearly with the corpus, so
+      per-term pair work grows QUADRATICALLY — at the 10x sf1 replica
+      the join degenerated into one hot task that had not finished
+      after 40 minutes (box at load 1.4 on 32 cores);
+    - a sqrt-law compromise (df² <= 25·n) bounds work but its relative
+      cutoff SHRINKS as the corpus grows — on the sf1 replica (every
+      term's df x10, vocabulary fixed) it dropped every term and
+      returned 0 rows.
+
+    When the guard bites (df between n/den and max_bucket_df), those
+    mid-frequency terms leave the dot — the same tight-lower-bound
+    semantics as the stop-term drop, now also cost-bounded.
 
     Scale shape: one shuffle to term frequencies, one to document
     frequencies, the capped posting-list self-join (equi-join on term,
@@ -475,9 +506,13 @@ def tfidf_cosine_pairs(
     if max_join_df is not None and max_join_df_den is not None:
         raise ValueError("set max_join_df or max_join_df_den, not both")
     dec = "decimal(38,0)"
+    tokenizer = (
+        words(F.col(text_col))
+        if shingle_k == 1
+        else word_shingles(F.col(text_col), k=shingle_k)
+    )
     toks = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(words(F.col(text_col))).alias("term"),
+        F.col(id_col).alias("doc"), F.explode(tokenizer).alias("term")
     )
     tf = toks.groupBy("doc", "term").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
@@ -499,7 +534,8 @@ def tfidf_cosine_pairs(
     elif max_join_df_den is not None:
         ndocs = df.agg(F.count(F.lit(1)).cast("bigint").alias("__ndocs"))
         side = w.crossJoin(F.broadcast(ndocs)).where(
-            F.col("df") * F.lit(max_join_df_den) <= F.col("__ndocs")
+            (F.col("df") * F.lit(max_join_df_den) <= F.col("__ndocs"))
+            & (F.col("df") <= F.lit(max_bucket_df))
         )
     else:
         side = w

@@ -3051,45 +3051,66 @@ ORACLES["dedup_lsh_recall"] = _lsh_recall_oracle()
 
 
 def q_sim_tfidf_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Related documents by sparse tf/df cosine over the word inverted
-    index (operators/text.tfidf_cosine_pairs) — the bag-of-words
-    complement of the dense sim_* family: top-5 neighbours per doc,
-    stop-terms (df > n_docs/5, scale-aware) capped out of the
-    posting-list join (norms keep them, so the reported cosine is a
-    tight lower bound). Integer weights w = (tf*10^6) div df make dots
-    and norms exact cross-engine; the cosine is one deterministic
-    double expression over exact ints."""
+    """Related documents by sparse set-shingle cosine over the 2-shingle
+    inverted index (operators/text.tfidf_cosine_pairs, shingle_k=2) —
+    the bag-of-words complement of the dense sim_* family: top-5
+    neighbours per doc. Shingles, not words: the synthetic corpus has
+    40 distinct words total, so a unigram index is degenerate (every
+    posting list is a quadratic bucket); the 2-shingle vocabulary is
+    ~10^3 and discriminative. Stop-shingles are capped out of the
+    posting-list join by the dual rule df*5 <= n_docs AND df <= 150 —
+    the semantic fractional filter plus minhash-style absolute bucket
+    guard (norms keep every shingle, so the reported cosine is a tight
+    lower bound; tfidf_cosine_pairs' docstring records why fixed-only,
+    fractional-only, and sqrt-law caps each failed a measured scale
+    test). Integer weights w = (tf*10^6) div df make dots and norms
+    exact cross-engine (tf = 1 per distinct shingle); the cosine is
+    one deterministic double expression over exact ints."""
     from ..operators import text as text_ops
 
     docs = _documents(spark, sf_dir)
     return text_ops.tfidf_cosine_pairs(
-        docs, "doc_id", "text", k=5, max_join_df_den=5
+        docs,
+        "doc_id",
+        "text",
+        k=5,
+        max_join_df_den=5,
+        # 150, not 1000: bucket volume is sum(df^2) over admitted
+        # shingles — measured at sf0.1: cap 150 = 13 s, cap 300 = 71 s,
+        # cap 1000 = 184 s. The synthetic corpus's tiny generative
+        # vocabulary makes FULL neighbour coverage inherently quadratic;
+        # the guard's job is to refuse that, trading coverage for
+        # bounded work (docs sharing only stop-shingles get no row).
+        max_bucket_df=150,
+        shingle_k=2,
     ).orderBy("id_a", "rnk")
 
 
 QUERIES["sim_tfidf_sparse"] = q_sim_tfidf_sparse
 
 ORACLES["sim_tfidf_sparse"] = f"""
-    WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
-    t AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM d),
+    WITH {_shingle_cte(2)},
     tf AS (
-        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-        FROM t GROUP BY 1, 2
+        SELECT doc_id, s AS term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM sh GROUP BY 1, 2
     ),
     dfq AS (
         SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
     ),
-    w AS (
+    wt AS (
         SELECT doc_id, tf.term, dfq.df,
                CAST((tf * 1000000) // df AS BIGINT) AS w
         FROM tf JOIN dfq USING (term)
     ),
     n2 AS (
         SELECT doc_id, SUM(CAST(w AS HUGEINT) * CAST(w AS HUGEINT)) AS n2
-        FROM w GROUP BY 1
+        FROM wt GROUP BY 1
     ),
     nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS ndocs FROM documents),
-    side AS (SELECT w.* FROM w CROSS JOIN nd WHERE df * 5 <= ndocs),
+    side AS (
+        SELECT wt.* FROM wt CROSS JOIN nd
+        WHERE df * 5 <= ndocs AND df <= 150
+    ),
     dots AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                SUM(CAST(a.w AS HUGEINT) * CAST(b.w AS HUGEINT)) AS dot

@@ -107,6 +107,10 @@ TARGETS = [
     "orders_pvm_bridge",
     "events_pr_curve",
     "dedup_lsh_recall",
+    # round-7 session 2: the gap-fill registrations (sim_pq_recall is
+    # excluded like every embeddings query — fixed 2000-row corpus)
+    "sim_tfidf_sparse",
+    "pipeline_quantile_match",
 ]
 
 # Queries whose construction itself executes jobs (streaming runs,
@@ -116,6 +120,8 @@ EAGER = {
     "stream_tumbling_window",
     "bpe_train",
     "pipeline_score_normalize",
+    # quantile_chunks runs approxQuantile at plan build (twice here)
+    "pipeline_quantile_match",
     "customers_abc",
     "customers_rfm",
     "supplier_gini",
