@@ -538,6 +538,13 @@ def q_events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sst_t"),
         )
     )
+    # ssr/sst sums reach ~1e21 at sf0.01; round(double, 2) there is
+    # representation-sensitive cross-engine (Spark routes through
+    # BigDecimal, DuckDB does not — divergence at the 16th significant
+    # digit, r7 driver hash fail). Quantize in integers instead: the
+    # DECIMAL(38,4) sum times 10^4 is exactly integral, and integer-div
+    # by 10^16 keeps the top ~9 significant digits, far above the ~1e7
+    # absolute cross-engine noise floor of the double->decimal casts.
     return terms.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
         F.round(
@@ -549,8 +556,14 @@ def q_events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("strength_r"),
-        F.round(F.sum("ssr_t").cast("double"), 2).alias("ssr_r"),
-        F.round(F.sum("sst_t").cast("double"), 2).alias("sst_r"),
+        F.expr(
+            "CAST(CAST(sum(ssr_t) * 10000 AS DECIMAL(38,0))"
+            " div 10000000000000000 AS BIGINT)"
+        ).alias("ssr_q"),
+        F.expr(
+            "CAST(CAST(sum(sst_t) * 10000 AS DECIMAL(38,0))"
+            " div 10000000000000000 AS BIGINT)"
+        ).alias("sst_q"),
     )
 
 
@@ -588,8 +601,10 @@ SELECT CAST(count(*) AS BIGINT) AS n_days,
        round(greatest(0.0,
          1.0 - CAST(sum(ssr_t) AS DOUBLE) / CAST(sum(sst_t) AS DOUBLE)),
          6) AS strength_r,
-       round(CAST(sum(ssr_t) AS DOUBLE), 2) AS ssr_r,
-       round(CAST(sum(sst_t) AS DOUBLE), 2) AS sst_r
+       CAST(CAST(sum(ssr_t) * 10000 AS HUGEINT)
+            // 10000000000000000 AS BIGINT) AS ssr_q,
+       CAST(CAST(sum(sst_t) * 10000 AS HUGEINT)
+            // 10000000000000000 AS BIGINT) AS sst_q
 FROM terms
 """
 

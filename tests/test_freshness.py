@@ -84,6 +84,34 @@ def test_inventory_count_matches_registry(report):
     )
 
 
+def test_signature_tail_cannot_regrow(report):
+    # VERDICT r7 item 3: a rolling max-signature-age bar. With the next
+    # driver round N = newest signed round + 1, every entry signed before
+    # round N-6 must sit inside the next sample so the burn-down retires
+    # it. This encodes the r6 order's schedule (after r8 no signature
+    # predates r2; after r9 none predates r3) and keeps rolling forward so
+    # the stale tail can never silently regrow.
+    rounds = [
+        e["newest_round"]
+        for e in report["entries"]
+        if e["newest_round"] is not None
+    ]
+    next_round = max(rounds) + 1
+    floor = next_round - 6
+    too_old = [
+        e["name"]
+        for e in report["entries"]
+        if e["newest_round"] is not None
+        and e["newest_round"] < floor
+        and not e["in_next_sample"]
+    ]
+    assert too_old == [], (
+        f"{len(too_old)} entries signed before r{floor} sit outside the "
+        f"next driver sample: {too_old[:10]}... — move them up in "
+        "workloads._VERIFY_FIRST"
+    )
+
+
 def test_every_entry_has_oracle_or_is_known_weak(report):
     # Every registry entry should carry a DuckDB oracle; the few that
     # genuinely can't be expressed in SQL get the driver's weaker

@@ -406,6 +406,12 @@ def test_seasonal_strength_matches_pandas(spark, sf_dir):
     assert row["n_days"] == len(detr)
     assert abs(row["strength_r"] - expect) <= 2e-6
     assert 0.0 <= row["strength_r"] <= 1.0
+    # r8: ssr/sst emit integer-quantized (units of 1e12; the float
+    # reference sum carries ~1e7 absolute error at this magnitude, far
+    # under one quantum, so allow +/-1 for boundary landings)
+    assert abs(row["ssr_q"] - int(ssr // 1e12)) <= 1
+    assert abs(row["sst_q"] - int(sst // 1e12)) <= 1
+    assert 0 <= row["ssr_q"] <= row["sst_q"]
 
 
 def test_binaryfile_ingest_matches_formulas(spark, sf_dir):

@@ -72,16 +72,21 @@ def _kind(dtype) -> str:
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     """Order-insensitive canonical form: sort columns by name, normalize
-    values to strings (floats at 9 significant digits — empirically the
-    driver's tolerance: tpch_q1 hash-matched round 1 despite 1-2 ulp AVG
-    divergence, so the driver rounds; every driver hash failure so far has
-    been TYPE-level, which the forbidden-type and dtype-kind checks above
-    now catch), sort rows."""
+    values to strings, sort rows.
+
+    Floats serialize at FULL repr (shortest round-trip, up to 17 sig
+    digits). Round 7 proved the previous 9-significant-digit form was
+    looser than the driver's hash: ``events_seasonal_strength`` diverged
+    at the 16th digit (Spark 1.77099782206125e+21 vs DuckDB
+    1.7709978220612496e+21 — distinct doubles, identical through digit
+    15), passed both local sweeps, and hash-failed at the driver. Only
+    full repr distinguishes distinct doubles, so full repr is the local
+    bar; any query that mismatches here is a latent driver failure."""
     df = df.reindex(sorted(df.columns), axis=1)
 
     def norm(col: pd.Series) -> pd.Series:
         if col.dtype.kind == "f":
-            return col.map(lambda v: "" if pd.isna(v) else f"{v:.9g}")
+            return col.map(lambda v: "" if pd.isna(v) else repr(float(v)))
         if str(col.dtype).startswith("datetime"):
             return col.map(lambda v: "" if pd.isna(v) else v.isoformat())
         return col.map(lambda v: "" if v is None else str(v))

@@ -56,6 +56,13 @@ BEHAVIOR_CHANGED_SINCE: dict[str, tuple[int, str]] = {
         "r6 window rewrite (two_phase_rank_cumsum)",
     ),
     "join_fuzzy_match": (7, "r6 2-token blocking changed output"),
+    # r8: the r7 driver-red query — ssr_r/sst_r (round(double,2) of
+    # ~1e21 sums, cross-engine-divergent at digit 16) replaced by
+    # integer-quantized ssr_q/sst_q (VERDICT r7 item 1)
+    "events_seasonal_strength": (
+        8,
+        "r8 integer quantization of ssr/sst outputs (r7 hash fail fix)",
+    ),
 }
 
 
@@ -120,7 +127,16 @@ def build_report() -> dict:
 
     never = [e for e in entries if e["newest_round"] is None]
     stale = [e for e in entries if e["behavior_changed_since"]]
-    failing = [e for e in entries if e["latest_pass"] is False]
+    # A red newest signature is a live wrong answer UNLESS the query's
+    # behavior changed after that signature (the failure was measured
+    # against the old code; the entry is already forced to the front of
+    # the next sample by the behavior-changed invariant, which is the
+    # guard that actually covers it until re-signed).
+    failing = [
+        e
+        for e in entries
+        if e["latest_pass"] is False and not e["behavior_changed_since"]
+    ]
     rounds = Counter(
         e["newest_round"] for e in entries if e["newest_round"] is not None
     )
