@@ -764,7 +764,8 @@ def pq_topk(
     ``n_codes`` corpus vectors (k-means++-style seeding without the
     refinement rounds — the Lloyd loop in ``kmeans_iterate`` is the
     upgrade path), and argmin ties break on the lowest codeword id via
-    a composite ``dist*100 + j`` min.
+    a composite ``dist*pack + j`` min (pack = 100 for <=99 codewords,
+    1000 above — the historical settings keep their exact outputs).
 
     Scale shape: the codebook is a TakeOrderedAndProject (n_codes rows)
     broadcast everywhere; encoding joins each corpus row against the
@@ -779,8 +780,12 @@ def pq_topk(
     m=32 x 64-codeword variant never finished planning)."""
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
-    if n_codes < 2 or n_codes > 99:
-        raise ValueError(f"n_codes must be in [2, 99], got {n_codes}")
+    if n_codes < 2 or n_codes > 999:
+        raise ValueError(f"n_codes must be in [2, 999], got {n_codes}")
+    # argmin ties pack as dist*pack + codeword id; the pack base just has
+    # to exceed the largest id, and keeping 100 for the historical <=99
+    # settings leaves their gate-signed outputs bit-identical
+    pack = 100 if n_codes <= 99 else 1000
     sub = dim // m
     stats = sq_int8_stats(corpus, vec_col, dim)
     c = sq_int8_quantize(
@@ -815,14 +820,14 @@ def pq_topk(
     enc = c.join(F.broadcast(cb)).select(
         "corpus_id",
         *[
-            (_pq_subdist(F.col("cq"), F.col("cw"), s, sub) * 100 + F.col("j"))
+            (_pq_subdist(F.col("cq"), F.col("cw"), s, sub) * pack + F.col("j"))
             .alias(f"comp{s}")
             for s in range(m)
         ],
     )
     codes = enc.groupBy("corpus_id").agg(
         *[
-            (F.min(f"comp{s}") % 100).cast("int").alias(f"c{s}")
+            (F.min(f"comp{s}") % pack).cast("int").alias(f"c{s}")
             for s in range(m)
         ]
     )

@@ -440,6 +440,7 @@ def tfidf_cosine_pairs(
     max_join_df_den: int | None = None,
     max_bucket_df: int = 1000,
     shingle_k: int = 1,
+    query_pred=None,
 ) -> DataFrame:
     """Related documents by SPARSE tf/df cosine over an inverted index —
     the bag-of-words complement of the dense-embedding sim_* family
@@ -498,6 +499,14 @@ def tfidf_cosine_pairs(
     the cap is mandatory — one boilerplate term shared by 10^9 docs is
     otherwise a quadratic bucket.
 
+    ``query_pred`` (a Column over the id column, referenced as ``doc``)
+    restricts WHICH documents get a neighbour list — the a-side of the
+    posting join only — without changing any list's content (the b-side
+    and the norms stay corpus-wide). This is the sampled-query
+    evaluation mode every at-scale recall measurement uses: truth
+    rankings are quadratic per query doc, so you measure a deterministic
+    sample of queries against the full corpus instead of all of them.
+
     Returns (id_a, id_b, cosine_r, rnk) — for each id_a its k nearest
     neighbours by rounded cosine, ties on ascending id_b.
     """
@@ -539,7 +548,8 @@ def tfidf_cosine_pairs(
         )
     else:
         side = w
-    a = side.select(
+    a_side = side if query_pred is None else side.where(query_pred)
+    a = a_side.select(
         F.col("doc").alias("id_a"), "term", F.col("w").alias("wa")
     )
     b = side.select(

@@ -2732,23 +2732,24 @@ ORACLES["sim_pq_adc"] = f"""
 
 
 def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@10 of PQ/ADC against the exact cosine baseline at TWO
-    code-size settings (VERDICT r6 item 4) — the compression/recall
-    trade-off as a measured dial, the PQ twin of sim_ivf_recall's
-    probe dial: m=32 subspaces x 64 codewords (32 bytes/vector — the
-    production point; mean recall@10 0.69 at sf0.01) vs m=8 x 16
-    (8 bytes/vector — 4x smaller at mean recall@10 0.24: the report
-    shows exactly what the compression costs). Rankings are gate-proven in
-    sim_pq_adc; the report is per-query set intersections over
-    queries x k rows, so measuring recall costs nothing next to
-    producing either ranking."""
+    """Recall@10 of PQ/ADC against the exact cosine baseline at THREE
+    code-size settings (VERDICT r6 item 4 + r7 item 6) — the
+    compression/recall trade-off as a measured dial, the PQ twin of
+    sim_ivf_recall's probe dial. Mean recall@10 at sf0.01: m=8 x 16
+    codewords (8 bytes/vector) 0.24, m=32 x 64 (32 bytes) 0.69,
+    m=64 x 256 (64 bytes + 256-entry distance tables) 0.92 — the curve
+    now shows where recall crosses 0.9, so a production tier can pick
+    bytes-per-vector against a quality floor instead of trusting one
+    thin operating point. Rankings are gate-proven in sim_pq_adc; the
+    report is per-query set intersections over queries x k rows, so
+    measuring recall costs nothing next to producing either ranking."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     exact = similarity.cosine_topk_exact_baseline(
         emb, queries, "vec_id", "embedding", k=10
     )
     parts = []
-    for m, n_codes in ((8, 16), (32, 64)):
+    for m, n_codes in ((8, 16), (32, 64), (64, 256)):
         approx = similarity.pq_topk(
             emb,
             queries,
@@ -2764,12 +2765,12 @@ def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("pq_m", F.lit(m).cast("int"))
             .withColumn("pq_codes", F.lit(n_codes).cast("int"))
         )
-    return (
-        parts[0]
-        .unionByName(parts[1])
-        .select("pq_m", "pq_codes", "query_id", "hits", "k", "recall_r")
-        .orderBy("pq_m", "query_id")
-    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "pq_m", "pq_codes", "query_id", "hits", "k", "recall_r"
+    ).orderBy("pq_m", "query_id")
 
 
 QUERIES["sim_pq_recall"] = q_sim_pq_recall
@@ -2794,8 +2795,9 @@ def _pq_cte_block(m: int, n_codes: int, tag: int) -> str:
 
     enc = ", ".join(f"({d(s, 'a', 'c')}) AS d{s}" for s in range(m))
     dt = ", ".join(f"({d(s, 'b', 'c')}) AS d{s}" for s in range(m))
+    pack = 100 if n_codes <= 99 else 1000
     codes = ", ".join(
-        f"CAST(MIN(d{s} * 100 + j) % 100 AS INTEGER) AS c{s}"
+        f"CAST(MIN(d{s} * {pack} + j) % {pack} AS INTEGER) AS c{s}"
         for s in range(m)
     )
     joins = "\n".join(
@@ -2855,11 +2857,13 @@ ORACLES["sim_pq_recall"] = f"""
             FROM embeddings a JOIN embeddings b
               ON b.vec_id < 10 AND a.vec_id <> b.vec_id
         ) WHERE rnk <= 10
-    ),{_pq_cte_block(8, 16, 0)},{_pq_cte_block(32, 64, 1)},
+    ),{_pq_cte_block(8, 16, 0)},{_pq_cte_block(32, 64, 1)},{_pq_cte_block(64, 256, 2)},
     un AS (
         SELECT 8 AS pq_m, 16 AS pq_codes, query_id, corpus_id FROM approx0
         UNION ALL
         SELECT 32, 64, query_id, corpus_id FROM approx1
+        UNION ALL
+        SELECT 64, 256, query_id, corpus_id FROM approx2
     ),
     kk AS (
         SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k
@@ -2876,7 +2880,7 @@ ORACLES["sim_pq_recall"] = f"""
            CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits, kk.k,
            round(CAST(COALESCE(h.hits, 0) AS DOUBLE) / kk.k, 6) AS recall_r
     FROM (SELECT 8 AS pq_m, 16 AS pq_codes
-          UNION ALL SELECT 32, 64) s
+          UNION ALL SELECT 32, 64 UNION ALL SELECT 64, 256) s
     CROSS JOIN kk
     LEFT JOIN h ON h.pq_m = s.pq_m AND h.query_id = kk.query_id
     ORDER BY s.pq_m, kk.query_id

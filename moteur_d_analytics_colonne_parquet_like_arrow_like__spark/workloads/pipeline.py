@@ -3088,6 +3088,203 @@ def q_sim_tfidf_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sim_tfidf_sparse"] = q_sim_tfidf_sparse
 
+
+def q_sim_tfidf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage meter for the capped sparse cosine (VERDICT r7 item 5):
+    recall@5 and doc coverage of sim_tfidf_sparse's dual-capped ranking
+    against the UNCAPPED exact tf/df cosine ranking, at TWO absolute-cap
+    settings (max_bucket_df 150 and 600, fractional filter fixed at
+    df*5 <= n) — mirroring the crossover-gate pattern dedup_lsh_recall
+    set for LSH-vs-PPJoin. The dual cap deliberately trades neighbour
+    coverage for bounded work (docs sharing only stop-shingles get no
+    row); this query measures that loss instead of asserting it. Truth
+    rankings are quadratic per query doc, so both sides evaluate a
+    deterministic 10% query-doc sample (doc_id % 10 = 0) against the
+    FULL corpus — the standard at-scale recall-measurement shape
+    (sampled queries, complete truth per query); the embedded uncapped
+    side IS the cost being dialled away and never composes into
+    pipelines. Measured (docs/SCALE.md): at sf0.01 the fractional
+    filter (df <= 100) dominates both caps — recall 1.0, coverage 1.0,
+    both rows identical by construction. At sf0.1 the absolute guard
+    is what bites, and steeply: cap 150 keeps recall@5 0.056 /
+    coverage 0.062 (admitted pair work sum(df^2) = 2.4e3 — the gate
+    default refuses the quadratic corpus almost entirely), while cap
+    600 exceeds this corpus's max shingle df, so it admits the full
+    7.3e7 pair work and recovers recall/coverage 1.000 exactly. On
+    THIS corpus there is no useful middle: every 2-shingle is either
+    rare (df < ~50) or boilerplate (df 150-600), so the exact ranking
+    is decided by shingles the 150-cap drops. The honest conclusion:
+    an absolute bucket cap is a WORK bound whose quality cost is
+    corpus-shape-dependent and must be measured per corpus — which is
+    what this gate does; at sf1 (df ~10x) the same 600 would bite
+    again while the fractional df*5<=n filter keeps tracking the
+    boilerplate band."""
+    from ..operators import text as text_ops
+
+    docs = _documents(spark, sf_dir)
+    sample = F.col("doc") % 10 == 0
+    truth = text_ops.tfidf_cosine_pairs(
+        docs, "doc_id", "text", k=5, shingle_k=2, query_pred=sample
+    ).select("id_a", "id_b")
+    parts = []
+    for cap in (150, 600):
+        capped = text_ops.tfidf_cosine_pairs(
+            docs,
+            "doc_id",
+            "text",
+            k=5,
+            max_join_df_den=5,
+            max_bucket_df=cap,
+            shingle_k=2,
+            query_pred=sample,
+        ).select("id_a", "id_b")
+        j = truth.withColumn("t", F.lit(1)).join(
+            capped.withColumn("c", F.lit(1)), ["id_a", "id_b"], "full_outer"
+        )
+        parts.append(
+            j.agg(
+                F.countDistinct(
+                    F.when(F.col("t").isNotNull(), F.col("id_a"))
+                ).alias("q_docs"),
+                F.countDistinct(
+                    F.when(F.col("c").isNotNull(), F.col("id_a"))
+                ).alias("docs_covered"),
+                F.sum(F.coalesce(F.col("t"), F.lit(0)))
+                .cast("bigint")
+                .alias("truth_pairs"),
+                F.sum(F.coalesce(F.col("c"), F.lit(0)))
+                .cast("bigint")
+                .alias("capped_pairs"),
+                F.sum(
+                    F.when(
+                        F.col("t").isNotNull() & F.col("c").isNotNull(), 1
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("hits"),
+            ).select(F.lit(cap).cast("int").alias("bucket_cap"), "*")
+        )
+    out = parts[0].unionByName(parts[1])
+    return out.select(
+        "bucket_cap",
+        "q_docs",
+        "docs_covered",
+        "truth_pairs",
+        "capped_pairs",
+        "hits",
+        F.when(
+            F.col("truth_pairs") > 0,
+            F.round(F.col("hits") / F.col("truth_pairs"), 6),
+        ).alias("recall_r"),
+        F.when(
+            F.col("q_docs") > 0,
+            F.round(F.col("docs_covered") / F.col("q_docs"), 6),
+        ).alias("coverage_r"),
+    ).orderBy("bucket_cap")
+
+
+QUERIES["sim_tfidf_recall"] = q_sim_tfidf_recall
+
+
+def _tfidf_topk_sql(tag: str, cap: int | None) -> str:
+    """Sampled-query top-5 CTE over the shared wt/n2 relations — the SQL
+    twin of tfidf_cosine_pairs(query_pred=doc%10=0) with or without the
+    dual stop-shingle cap."""
+    side = (
+        "SELECT wt.* FROM wt CROSS JOIN nd"
+        f" WHERE df * 5 <= ndocs AND df <= {cap}"
+        if cap is not None
+        else "SELECT wt.* FROM wt"
+    )
+    return f"""
+    side{tag} AS ({side}),
+    dots{tag} AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               SUM(CAST(a.w AS HUGEINT) * CAST(b.w AS HUGEINT)) AS dot
+        FROM side{tag} a JOIN side{tag} b
+          ON a.term = b.term AND a.doc_id <> b.doc_id
+        WHERE a.doc_id % 10 = 0
+        GROUP BY 1, 2
+    ),
+    top{tag} AS (
+        SELECT id_a, id_b FROM (
+            SELECT id_a, id_b,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY id_a
+                       ORDER BY round(CAST(dot AS DOUBLE)
+                           / (sqrt(CAST(na.n2 AS DOUBLE))
+                              * sqrt(CAST(nb.n2 AS DOUBLE))), 6) DESC,
+                           id_b ASC
+                   ) AS rnk
+            FROM dots{tag}
+            JOIN n2 na ON na.doc_id = id_a
+            JOIN n2 nb ON nb.doc_id = id_b)
+        WHERE rnk <= 5
+    )"""
+
+
+def _tfidf_recall_stats(cap: str) -> str:
+    """Recall/coverage aggregate of one capped top-5 vs the shared truth
+    top-5 — full-outer pair join then counts, one row per cap setting."""
+    return f"""st{cap} AS (
+        SELECT {cap} AS bucket_cap,
+               CAST(COUNT(DISTINCT CASE WHEN t IS NOT NULL THEN id_a END)
+                    AS BIGINT) AS q_docs,
+               CAST(COUNT(DISTINCT CASE WHEN c IS NOT NULL THEN id_a END)
+                    AS BIGINT) AS docs_covered,
+               CAST(SUM(COALESCE(t, 0)) AS BIGINT) AS truth_pairs,
+               CAST(SUM(COALESCE(c, 0)) AS BIGINT) AS capped_pairs,
+               CAST(SUM(CASE WHEN t IS NOT NULL AND c IS NOT NULL THEN 1
+                        ELSE 0 END) AS BIGINT) AS hits,
+               CASE WHEN SUM(COALESCE(t, 0)) > 0 THEN
+                   round(CAST(SUM(CASE WHEN t IS NOT NULL
+                                   AND c IS NOT NULL THEN 1 ELSE 0 END)
+                              AS DOUBLE) / SUM(COALESCE(t, 0)), 6)
+               END AS recall_r,
+               CASE WHEN COUNT(DISTINCT CASE WHEN t IS NOT NULL
+                                THEN id_a END) > 0 THEN
+                   round(CAST(COUNT(DISTINCT CASE WHEN c IS NOT NULL
+                                    THEN id_a END) AS DOUBLE)
+                         / COUNT(DISTINCT CASE WHEN t IS NOT NULL
+                                 THEN id_a END), 6)
+               END AS coverage_r
+        FROM (
+          SELECT COALESCE(t.id_a, c.id_a) AS id_a, t.t, c.c FROM
+            (SELECT id_a, id_b, 1 AS t FROM topt) t
+            FULL OUTER JOIN
+            (SELECT id_a, id_b, 1 AS c FROM topc{cap}) c
+            USING (id_a, id_b)
+        )
+    )"""
+
+
+ORACLES["sim_tfidf_recall"] = f"""
+    WITH {_shingle_cte(2)},
+    tf AS (
+        SELECT doc_id, s AS term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM sh GROUP BY 1, 2
+    ),
+    dfq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ),
+    wt AS (
+        SELECT doc_id, tf.term, dfq.df,
+               CAST((tf * 1000000) // df AS BIGINT) AS w
+        FROM tf JOIN dfq USING (term)
+    ),
+    n2 AS (
+        SELECT doc_id, SUM(CAST(w AS HUGEINT) * CAST(w AS HUGEINT)) AS n2
+        FROM wt GROUP BY 1
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS ndocs FROM documents),
+    {_tfidf_topk_sql("t", cap=None)},
+    {_tfidf_topk_sql("c150", cap=150)},
+    {_tfidf_topk_sql("c600", cap=600)},
+    {_tfidf_recall_stats("150")},
+    {_tfidf_recall_stats("600")}
+    SELECT * FROM st150 UNION ALL SELECT * FROM st600 ORDER BY bucket_cap
+"""
+
 ORACLES["sim_tfidf_sparse"] = f"""
     WITH {_shingle_cte(2)},
     tf AS (

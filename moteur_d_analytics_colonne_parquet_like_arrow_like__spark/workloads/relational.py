@@ -306,10 +306,16 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(disc_price.cast("decimal(18,4)")).cast("double").alias("sum_disc_price"),
             F.sum(charge.cast("decimal(18,6)")).cast("double").alias("sum_charge"),
             (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            # cast-then-divide, NOT decimal division then cast: the exact
+            # decimal sum lands on the same double in both engines and
+            # IEEE double/int division is then bit-identical, while
+            # decimal-division rounding paths differ in the last ulp
+            # (full-repr sweep, r8)
             (
                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double")
                 / F.count(F.lit(1))
-            ).cast("double").alias("avg_price"),
+            ).alias("avg_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -548,7 +554,7 @@ ORACLES = {
                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
                SUM(l_quantity) / COUNT(*) AS avg_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / COUNT(*) AS DOUBLE) AS avg_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

@@ -534,9 +534,13 @@ def q_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         < F.col("_sum_q")
     )
     return j.agg(
+        # cast-then-divide: identical doubles then IEEE divide-by-7 on
+        # both engines; decimal/7 rounding paths differ in the last ulp
         (
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) / 7
-        ).cast("double").alias("avg_yearly"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            / 7
+        ).alias("avg_yearly"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -723,7 +727,7 @@ ORACLES = {
                    COUNT(*) AS n
             FROM lineitem GROUP BY l_partkey
         )
-        SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) / 7 AS DOUBLE) AS avg_yearly,
+        SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7 AS avg_yearly,
                COUNT(*) AS n_items
         FROM lineitem l JOIN pp ON l.l_partkey = pp.l_partkey
         WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * pp.n < pp.sum_q

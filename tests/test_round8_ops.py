@@ -1,0 +1,61 @@
+"""Round-8 operator tests: the capped-cosine coverage meter, the third
+PQ code-size setting, and the pack-base guard behind it."""
+
+from __future__ import annotations
+
+import pytest
+
+from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import (
+    similarity,
+)
+from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import (
+    analytics,
+    pipeline,
+)
+
+
+def test_tfidf_recall_reports_both_caps(spark, sf_dir):
+    rows = pipeline.q_sim_tfidf_recall(spark, sf_dir).collect()
+    assert [r["bucket_cap"] for r in rows] == [150, 600]
+    by_cap = {r["bucket_cap"]: r for r in rows}
+    for r in rows:
+        assert r["q_docs"] > 0
+        assert 0 <= r["docs_covered"] <= r["q_docs"]
+        assert r["hits"] <= min(r["truth_pairs"], r["capped_pairs"])
+        assert 0.0 <= r["recall_r"] <= 1.0
+        assert 0.0 <= r["coverage_r"] <= 1.0
+        # truth side is cap-independent
+        assert r["truth_pairs"] == rows[0]["truth_pairs"]
+    # a looser cap can only admit more of the exact ranking
+    assert by_cap[600]["recall_r"] >= by_cap[150]["recall_r"]
+    assert by_cap[600]["coverage_r"] >= by_cap[150]["coverage_r"]
+
+
+def test_pq_recall_has_three_settings_and_monotone_mean(spark, sf_dir):
+    rows = analytics.q_sim_pq_recall(spark, sf_dir).collect()
+    settings = sorted({(r["pq_m"], r["pq_codes"]) for r in rows})
+    assert settings == [(8, 16), (32, 64), (64, 256)]
+    means = {}
+    for m, codes in settings:
+        rs = [r["recall_r"] for r in rows if r["pq_m"] == m]
+        assert len(rs) == 10
+        means[(m, codes)] = sum(rs) / len(rs)
+    # more bytes per vector must not lose recall on average
+    assert means[(32, 64)] >= means[(8, 16)]
+    assert means[(64, 256)] >= means[(32, 64)]
+
+
+def test_pq_topk_n_codes_guard(spark, sf_dir):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.catalog import (
+        table_path,
+    )
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    with pytest.raises(ValueError):
+        similarity.pq_topk(
+            emb, emb.limit(1), "vec_id", "embedding", n_codes=1000
+        )
+    with pytest.raises(ValueError):
+        similarity.pq_topk(
+            emb, emb.limit(1), "vec_id", "embedding", n_codes=1
+        )

@@ -63,6 +63,11 @@ BEHAVIOR_CHANGED_SINCE: dict[str, tuple[int, str]] = {
         8,
         "r8 integer quantization of ssr/sst outputs (r7 hash fail fix)",
     ),
+    # r8 full-repr sweep fallout: avg emitted via decimal division then
+    # cast — the decimal-division rounding path differs from DuckDB's in
+    # the last ulp; rewritten as cast-then-IEEE-divide (bit-identical)
+    "tpch_q1": (8, "r8 avg_price cast-then-divide rewrite"),
+    "tpch_q17_small_qty": (8, "r8 avg_yearly cast-then-divide rewrite"),
 }
 
 
