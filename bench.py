@@ -120,19 +120,11 @@ QUERY_CONF: dict[str, dict[str, str]] = {
     },
 }
 
-# Per-query builder kwargs — plan-level hints the conf layer can't express.
-# parity_aggregate reads ~2.4 MB of one column into a 1-row output: at that
-# input size per-task scheduling dominates, so 8 fat slices beat 32 thin
-# ones (measured 128 -> 79 ms warm median; see q_aggregate's docstring).
-# Confs can't merge the layout's 32 files below defaultParallelism
-# (maxSplitBytes floors at bytesPerCore), hence a builder kwarg. The
-# registry gate runs the same query WITHOUT the hint — full parallelism
-# stays the default, which is what a 100 TB scan wants. (The same hint was
-# measured on parity_group_by and did NOT win — its shuffle+final stage
-# dominates — so only the aggregate carries it.)
-QUERY_KWARGS: dict[str, dict] = {
-    "parity_aggregate": {"scan_slices": 8},
-}
+# Plan-level scan hints moved into the engine (r8): the hand-pinned
+# scan_slices=8 kwarg became session.coalesce_small_scan — derived from
+# actual input bytes inside q_aggregate itself, self-deactivating above
+# the measured bytes-per-task floor. The bench runs the exact query the
+# registry gate and a 100 TB deployment run; no per-query kwargs remain.
 
 
 def check_row_drift(rows: dict[str, int], sf: str) -> dict[str, dict[str, int]]:
@@ -224,13 +216,12 @@ def main() -> int:
     plans: dict[str, object] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
-        kw = QUERY_KWARGS.get(name, {})
         if name in EAGER_QUERIES:
             builds[name] = 0.0
-            _with_conf(name, lambda: fn(spark, SF_DIR, **kw))  # warmup (untimed)
+            _with_conf(name, lambda: fn(spark, SF_DIR))  # warmup (untimed)
         else:
             t0 = time.perf_counter()
-            df = _with_conf(name, lambda: fn(spark, SF_DIR, **kw))
+            df = _with_conf(name, lambda: fn(spark, SF_DIR))
             builds[name] = round(time.perf_counter() - t0, 4)
             plans[name] = df
             _with_conf(name, lambda: _materialize(df))  # warmup (untimed)
@@ -276,11 +267,10 @@ def main() -> int:
                 # 1.96 → 1.85 → 1.64 → 1.48 → 1.35 → 1.21 s at identical
                 # output). The first rep of each block is the switch-warmup
                 # — dropped, same steady-state rule as prepared plans.
-                kw = QUERY_KWARGS.get(name, {})
                 for i in range(block + 1):
                     t0 = time.perf_counter()
                     _with_conf(
-                        name, lambda: _materialize(fn(spark, SF_DIR, **kw))
+                        name, lambda: _materialize(fn(spark, SF_DIR))
                     )
                     if i > 0:
                         timings[name].append(time.perf_counter() - t0)

@@ -508,7 +508,7 @@ def stateful_per_type_counts_tws(stream: DataFrame) -> DataFrame:
     state-server protocol over protobuf, so this operator needs
     ``google.protobuf`` at runtime (not installable in this container —
     verified round 4, re-probed absent rounds 5, 6 (again in the r6
-    session-5 continuation), and 7
+    session-5 continuation), 7, and 8
     (``import google.protobuf`` → ModuleNotFoundError): the JVM reports
     "TransformWithStateInPySpark driver worker
     exited unexpectedly" when the import fails) plus the RocksDB state

@@ -56,25 +56,22 @@ def q_filtered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qe.execute_query()
 
 
-def q_aggregate(
-    spark: SparkSession, sf_dir: str, scan_slices: int | None = None
-) -> DataFrame:
+def q_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ungrouped single-pass count/sum/min/max (reference O5,
     execution.cpp:275-337 — always computes all four).
 
-    ``scan_slices``: optionally coalesce the scan to this many input
-    slices before the partial aggregate. For a 1-row-output aggregate
-    over an input SMALL relative to per-task scheduling cost, fewer
-    fatter tasks win (measured at the bench's 13 MB sf0.1 layout:
-    32 slices 128 ms -> 8 slices 79 ms warm median — the scan work is
-    ~2.4 MB of one column, so scheduling dominated). Default None keeps
-    full scan parallelism — the right setting at real scale, where the
-    same aggregate over 100 TB wants every slice it can get; the bench
-    opts in per-query (bench.py QUERY_KWARGS), the registry gate does
-    not."""
-    df = _lineitem(spark, sf_dir)
-    if scan_slices:
-        df = df.coalesce(scan_slices)
+    The scan rides ``session.coalesce_small_scan`` — the derived policy
+    that replaced the bench's hand-pinned ``scan_slices=8`` kwarg
+    (VERDICT r7 item 7): for a 1-row-output aggregate over an input
+    SMALL relative to per-task scheduling cost, fewer fatter tasks win
+    (measured at the bench's 13 MB sf0.1 layout: 32 slices 128 ms -> 8
+    slices 79 ms warm median — the scan work is ~2.4 MB of one column,
+    so scheduling dominated). The policy sizes slices from the actual
+    input bytes and self-deactivates above the measured floor, so the
+    same code keeps full scan parallelism at 100 TB."""
+    from ..session import coalesce_small_scan
+
+    df = coalesce_small_scan(_lineitem(spark, sf_dir))
     return df.agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum("l_quantity").cast("double").alias("sum_qty"),

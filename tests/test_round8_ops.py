@@ -45,6 +45,28 @@ def test_pq_recall_has_three_settings_and_monotone_mean(spark, sf_dir):
     assert means[(64, 256)] >= means[(32, 64)]
 
 
+def test_small_scan_policy_derives_and_deactivates(spark, sf_dir):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.session import (
+        coalesce_small_scan,
+        small_scan_slices,
+    )
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.catalog import (
+        table_path,
+    )
+
+    li = spark.read.parquet(table_path(sf_dir, "lineitem"))
+    n = small_scan_slices(li)
+    # tiny local input: derived fat-slice count, below default parallelism
+    assert n is not None and 1 <= n < spark.sparkContext.defaultParallelism
+    # the floor scales: pretend tasks only need 1 byte each -> the input
+    # is "large", the policy must no-op (the 100 TB behavior)
+    assert small_scan_slices(li, min_task_bytes=1) is None
+    assert coalesce_small_scan(li, min_task_bytes=1) is li
+    # derived relations without traceable input files no-op too
+    agg = li.groupBy("l_returnflag").count()
+    assert small_scan_slices(agg.limit(0).cache()) in (None, 1)
+
+
 def test_pq_topk_n_codes_guard(spark, sf_dir):
     from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.catalog import (
         table_path,
