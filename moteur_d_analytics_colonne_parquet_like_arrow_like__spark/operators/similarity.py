@@ -739,6 +739,68 @@ def _pq_subdist(vec, cw, s: int, sub: int) -> Column:
     return terms
 
 
+def _pq_codes_and_tables(c, q, m, sub, n_codes, pack):
+    """Shared PQ core: deterministic hash-sampled codebook, corpus
+    encoding (argmin composite per subspace), and per-query j-sorted ADC
+    distance tables. ``c`` is (corpus_id, cq) and ``q`` is (query_id,
+    qq), both already quantized with one shared SQ8 codebook. Extracted
+    verbatim from ``pq_topk`` so ``ivfpq_topk`` composes the identical
+    encode path — outputs are bit-identical to the pre-refactor code."""
+    from ..functions import stable_hash60
+
+    cb = (
+        c.withColumn(
+            "h",
+            stable_hash60(
+                F.concat(F.lit("pq:"), F.col("corpus_id").cast("string"))
+            ),
+        )
+        .orderBy(F.col("h").asc(), F.col("corpus_id").asc())
+        .limit(n_codes)
+    )
+    w_cb = Window.orderBy(F.col("h").asc(), F.col("corpus_id").asc())
+    cb = cb.withColumn("j", F.row_number().over(w_cb)).select(
+        "j", F.col("cq").alias("cw")
+    )
+    # encode: corpus x broadcast codebook, min composite per subspace
+    enc = c.join(F.broadcast(cb)).select(
+        "corpus_id",
+        *[
+            (_pq_subdist(F.col("cq"), F.col("cw"), s, sub) * pack + F.col("j"))
+            .alias(f"comp{s}")
+            for s in range(m)
+        ],
+    )
+    codes = enc.groupBy("corpus_id").agg(
+        *[
+            (F.min(f"comp{s}") % pack).cast("int").alias(f"c{s}")
+            for s in range(m)
+        ]
+    )
+    # query ADC tables: one (query, j) row per codeword, then j-sorted
+    # arrays so element_at(dt_s, code) is the table lookup
+    dt_rows = q.join(F.broadcast(cb)).select(
+        "query_id",
+        "j",
+        *[
+            _pq_subdist(F.col("qq"), F.col("cw"), s, sub).alias(f"d{s}")
+            for s in range(m)
+        ],
+    )
+    qdt = dt_rows.groupBy("query_id").agg(
+        *[
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("j", F.col(f"d{s}").alias("d")))
+                ),
+                lambda e: e["d"],
+            ).alias(f"dt{s}")
+            for s in range(m)
+        ]
+    )
+    return codes, qdt
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -800,58 +862,7 @@ def pq_topk(
         stats,
         "qq",
     ).select("query_id", "qq")
-    from ..functions import stable_hash60
-
-    cb = (
-        c.withColumn(
-            "h",
-            stable_hash60(
-                F.concat(F.lit("pq:"), F.col("corpus_id").cast("string"))
-            ),
-        )
-        .orderBy(F.col("h").asc(), F.col("corpus_id").asc())
-        .limit(n_codes)
-    )
-    w_cb = Window.orderBy(F.col("h").asc(), F.col("corpus_id").asc())
-    cb = cb.withColumn("j", F.row_number().over(w_cb)).select(
-        "j", F.col("cq").alias("cw")
-    )
-    # encode: corpus x broadcast codebook, min composite per subspace
-    enc = c.join(F.broadcast(cb)).select(
-        "corpus_id",
-        *[
-            (_pq_subdist(F.col("cq"), F.col("cw"), s, sub) * pack + F.col("j"))
-            .alias(f"comp{s}")
-            for s in range(m)
-        ],
-    )
-    codes = enc.groupBy("corpus_id").agg(
-        *[
-            (F.min(f"comp{s}") % pack).cast("int").alias(f"c{s}")
-            for s in range(m)
-        ]
-    )
-    # query ADC tables: one (query, j) row per codeword, then j-sorted
-    # arrays so element_at(dt_s, code) is the table lookup
-    dt_rows = q.join(F.broadcast(cb)).select(
-        "query_id",
-        "j",
-        *[
-            _pq_subdist(F.col("qq"), F.col("cw"), s, sub).alias(f"d{s}")
-            for s in range(m)
-        ],
-    )
-    qdt = dt_rows.groupBy("query_id").agg(
-        *[
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("j", F.col(f"d{s}").alias("d")))
-                ),
-                lambda e: e["d"],
-            ).alias(f"dt{s}")
-            for s in range(m)
-        ]
-    )
+    codes, qdt = _pq_codes_and_tables(c, q, m, sub, n_codes, pack)
     adc = None
     for s in range(m):
         term = F.element_at(F.col(f"dt{s}"), F.col(f"c{s}"))
@@ -863,6 +874,109 @@ def pq_topk(
         codes.join(
             F.broadcast(qdt), F.col("query_id") != F.col("corpus_id")
         )
+        .withColumn("adc", adc.cast("long"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "adc", "rnk")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    dim: int = 64,
+    m: int = 32,
+    n_codes: int = 64,
+    dims: tuple[int, ...] = DEFAULT_BUCKET_DIMS,
+    probe_flips: int = 1,
+) -> DataFrame:
+    """IVF+PQ composite ANN — the production FAISS index shape
+    (IVFADC, Jegou et al. TPAMI 2011 §IV): coarse sign-bucket cells
+    prune WHICH corpus vectors a query scores (``ivf_sq_topk``'s
+    partition-pruning contract), and PQ codes + asymmetric distance
+    tables compress HOW each survivor is scored (``pq_topk``'s
+    memory contract). This completes the compression/pruning ladder
+    SQ8 -> IVF+SQ8 -> PQ -> IVF+PQ: at 100 TB the coarse cells turn a
+    full-corpus ADC sweep into a handful of cell reads, and the m-byte
+    codes keep each cell's candidates in memory.
+
+    Same determinism contract as both parents: one shared SQ8 codebook,
+    hash-sampled PQ codebook, exact integer encode/table/ADC arithmetic,
+    argmin and ranking ties on ascending ids — bit-stable cross-engine.
+    ``probe_flips`` is the recall dial inherited from ``ivf_sq_topk``
+    (0 = own cell only; 1 = + all hamming-1 cells, the multi-probe
+    setting that recovers hyperplane-straddling neighbours); the
+    ``sim_ivfpq_recall`` gate query measures recall@10 at both.
+
+    Scale shape: the corpus-side work is ``pq_topk``'s encode (broadcast
+    codebook, map-side argmin combine, one m-code row per vector) plus a
+    bucket id computed in the same projection; queries broadcast with
+    their distance tables and probe list; the candidate join is a
+    broadcast-hash equi-join ON BUCKET (never the all-pairs cross join
+    pq_topk accepts), followed by per-pair dedup and the per-query top-k
+    window. The reference exposes dense brute-force only
+    (cae/src/execution.cpp:23-120); this is the composed scale path."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    if n_codes < 2 or n_codes > 999:
+        raise ValueError(f"n_codes must be in [2, 999], got {n_codes}")
+    if probe_flips not in (0, 1):
+        raise ValueError("probe_flips > 1 not supported (candidate blowup)")
+    pack = 100 if n_codes <= 99 else 1000
+    sub = dim // m
+    stats = sq_int8_stats(corpus, vec_col, dim)
+    c = sq_int8_quantize(
+        corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col)),
+        vec_col,
+        stats,
+        "cq",
+    ).select("corpus_id", "cq", bucket_id(vec_col, dims).alias("bucket"))
+    q = sq_int8_quantize(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col),
+            bucket_id(vec_col, dims).alias("__b0"),
+        ),
+        vec_col,
+        stats,
+        "qq",
+    ).select("query_id", "qq", "__b0")
+    codes, qdt = _pq_codes_and_tables(
+        c.select("corpus_id", "cq"), q.select("query_id", "qq"),
+        m, sub, n_codes, pack,
+    )
+    # carry each corpus vector's cell onto its code row (id-keyed join —
+    # codes is one row per corpus_id by construction)
+    codes = codes.join(
+        c.select("corpus_id", "bucket"), "corpus_id"
+    )
+    if probe_flips == 0:
+        probes = q.select("query_id", F.col("__b0").alias("bucket"))
+    else:
+        arr = F.array(
+            F.col("__b0"),
+            *[
+                F.col("__b0").bitwiseXOR(F.lit(1 << i))
+                for i in range(len(dims))
+            ],
+        )
+        probes = q.select("query_id", F.explode(arr).alias("bucket"))
+    qside = probes.join(qdt, "query_id")
+    adc = None
+    for s_ in range(m):
+        term = F.element_at(F.col(f"dt{s_}"), F.col(f"c{s_}"))
+        adc = term if adc is None else adc + term
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("corpus_id").asc()
+    )
+    return (
+        codes.join(F.broadcast(qside), "bucket")
+        .where(F.col("query_id") != F.col("corpus_id"))
+        # a pair can surface via several probes — dedup before ranking
+        .dropDuplicates(["query_id", "corpus_id"])
         .withColumn("adc", adc.cast("long"))
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)

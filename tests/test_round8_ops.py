@@ -67,6 +67,65 @@ def test_small_scan_policy_derives_and_deactivates(spark, sf_dir):
     assert small_scan_slices(agg.limit(0).cache()) in (None, 1)
 
 
+def test_ivfpq_subset_of_pq_and_monotone_probes(spark, sf_dir):
+    """IVF+PQ candidates are a bucket-restricted subset of pure PQ's, so
+    every (query, corpus) pair it ranks must carry the SAME adc value
+    pq_topk assigns, and multi-probe recall can only improve on
+    single-probe."""
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.catalog import (
+        table_path,
+    )
+    import pyspark.sql.functions as F
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    q = emb.where(F.col("vec_id") < 5)
+    pq = similarity.pq_topk(
+        emb, q, "vec_id", "embedding", k=1000, m=8, n_codes=16
+    ).select("query_id", "corpus_id", F.col("adc").alias("adc_pq"))
+    grid = {}
+    for flips in (0, 1):
+        ivfpq = similarity.ivfpq_topk(
+            emb, q, "vec_id", "embedding", k=10, m=8, n_codes=16,
+            dims=similarity.DEFAULT_BUCKET_DIMS[:4], probe_flips=flips,
+        )
+        joined = ivfpq.join(pq, ["query_id", "corpus_id"], "left")
+        rows = joined.collect()
+        assert rows, "ivfpq returned no candidates"
+        for r in rows:
+            assert r["adc_pq"] is not None  # candidate exists in pure PQ
+            assert r["adc"] == r["adc_pq"]  # identical integer scoring
+        grid[flips] = {(r["query_id"], r["corpus_id"]) for r in rows}
+    # multi-probe candidates per query form a superset of single-probe's
+    # cells, so hits against any fixed truth can only grow; spot-check
+    # that each query keeps at least as many ranked rows
+    from collections import Counter
+
+    c0 = Counter(qid for qid, _ in grid[0])
+    c1 = Counter(qid for qid, _ in grid[1])
+    for qid, n in c0.items():
+        assert c1.get(qid, 0) >= n
+
+
+def test_ivfpq_recall_grid_shape(spark, sf_dir):
+    rows = analytics.q_sim_ivfpq_recall(spark, sf_dir).collect()
+    combos = sorted({(r["cells"], r["probe_flips"]) for r in rows})
+    assert combos == [(16, 0), (16, 1), (256, 0), (256, 1)]
+    assert len(rows) == 40  # 4 settings x 10 queries
+    mean = {}
+    for c, f in combos:
+        rs = [
+            r["recall_r"]
+            for r in rows
+            if r["cells"] == c and r["probe_flips"] == f
+        ]
+        mean[(c, f)] = sum(rs) / len(rs)
+    # multi-probe never loses recall at fixed cell count
+    assert mean[(16, 1)] >= mean[(16, 0)]
+    assert mean[(256, 1)] >= mean[(256, 0)]
+    # finer directory prunes more at fixed probe setting
+    assert mean[(16, 1)] >= mean[(256, 1)]
+
+
 def test_pq_topk_n_codes_guard(spark, sf_dir):
     from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.catalog import (
         table_path,

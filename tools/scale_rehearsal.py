@@ -111,6 +111,12 @@ TARGETS = [
     # excluded like every embeddings query — fixed 2000-row corpus)
     "sim_tfidf_sparse",
     "pipeline_quantile_match",
+    # round-8: the capped-cosine coverage meter (sim_pq_recall's third
+    # code-size setting stays excluded with the rest of the fixed-size
+    # embeddings family). Embeds the UNCAPPED truth ranking over a 10%
+    # query sample — the quadratic exact side is the cost being
+    # measured, same labeled-exact-baseline status as dedup_lsh_recall.
+    "sim_tfidf_recall",
 ]
 
 # Queries whose construction itself executes jobs (streaming runs,
