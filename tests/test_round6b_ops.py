@@ -220,8 +220,10 @@ def test_pq_validation(spark):
         similarity.pq_topk(df, df, "vec_id", "embedding", dim=64, m=7)
     with pytest.raises(ValueError):
         similarity.pq_topk(df, df, "vec_id", "embedding", n_codes=1)
+    # r8: the cap moved from 99 to 999 (pack base widens to 1000 above
+    # 99 codewords) — 100 is now legal, 1000 is the new edge
     with pytest.raises(ValueError):
-        similarity.pq_topk(df, df, "vec_id", "embedding", n_codes=100)
+        similarity.pq_topk(df, df, "vec_id", "embedding", n_codes=1000)
 
 
 def test_pq_adc_exact_for_codebook_members(spark):
