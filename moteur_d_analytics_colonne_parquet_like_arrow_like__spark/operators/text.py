@@ -555,8 +555,22 @@ def tfidf_cosine_pairs(
     b = side.select(
         F.col("doc").alias("id_b"), "term", F.col("w").alias("wb")
     )
+    # The posting join is an EXPLODING join: output rows = sum over terms
+    # of |a-list|*|b-list|, invisible to AQE's partition sizing (it sizes
+    # by INPUT bytes). Measured at the sf1 rehearsal: the uncapped truth
+    # side's ~120k-row a-input coalesced to ONE post-shuffle partition,
+    # and the 7.3e8-pair explosion + partial aggregate ran 15+ min in a
+    # single pegged task (50 GB hash map) — the exact hot-task failure
+    # the bucket caps exist to prevent, recreated by the scheduler. Pin
+    # the join's partitioning on term explicitly: user repartition is
+    # exempt from AQE coalescing, per-partition work is then bounded by
+    # the terms it owns, and at 100 TB a term-partitioned posting join
+    # is the only shape that survives anyway. The extra exchange is on
+    # the pre-explosion (small) side of the join — negligible.
+    nslices = df.sparkSession.sparkContext.defaultParallelism
     dots = (
-        a.join(b, "term")
+        a.repartition(nslices, "term")
+        .join(b.repartition(nslices, "term"), "term")
         .where(F.col("id_a") != F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.sum(F.col("wa").cast(dec) * F.col("wb").cast(dec)).alias("dot"))

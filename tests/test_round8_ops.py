@@ -218,3 +218,23 @@ def test_opq_recall_settings_and_orthogonality_ordering(spark, sf_dir):
     # non-orthogonal sign mix distorts it — hadamard must not rank
     # below jl_sign
     assert mean["hadamard"] >= mean["jl_sign"]
+
+
+def test_tfidf_posting_join_pins_term_partitioning(spark, sf_dir):
+    """The posting join explodes (output = sum |a-list|*|b-list|), which
+    AQE's input-byte partition sizing cannot see — at the sf1 rehearsal
+    the uncapped truth side coalesced to ONE partition and pegged a
+    single task for 15+ minutes. The operator must pin term
+    partitioning with an explicit (AQE-exempt) repartition."""
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import text as text_ops
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.catalog import (
+        table_path,
+    )
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents")).limit(200)
+    out = text_ops.tfidf_cosine_pairs(
+        docs, "doc_id", "text", k=3, shingle_k=2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan
+    assert plan.count("hashpartitioning(term") >= 2
