@@ -58,19 +58,30 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     with len_norm = min(n_words,100)/100. All double arithmetic with a fixed
     evaluation order — cross-engine exact.
     """
-    # Stage the pipeline: regex-heavy base counts once (the normalization
-    # regex would otherwise be re-evaluated per referencing expression —
-    # project collapsing does not CSE expensive regexes), then cheap ratio
-    # arithmetic over the materialized counts.
-    norm = normalize_text(text_col)
-    ws = words(text_col)
-    base = df.select(
+    # Stage the pipeline across PROJECTION BOUNDARIES so Catalyst keeps
+    # one evaluation of each expensive intermediate: CollapseProject
+    # only merges adjacent projects when the produced expression is
+    # cheap (attribute/literal) or referenced once, so aliasing the
+    # normalization regex and the split in their own selects pins them
+    # to a single per-row evaluation (the inlined form ran the \\s+
+    # regex 5x and the split 2x per row — measured 1.5x slower on the
+    # 5k-doc bench shape), then the counts and cheap ratio arithmetic
+    # reference the staged columns.
+    norm_stage = df.select("*", normalize_text(text_col).alias("__norm"))
+    ws_stage = norm_stage.select(
+        "*", F.split(F.col("__norm"), " ").alias("__ws")
+    )
+    base = ws_stage.select(
         "*",
-        F.length(norm).alias("__nc"),
-        F.size(ws).alias("__nw"),
-        F.length(F.regexp_replace(norm, "[a-z0-9 ]", "")).alias("__punct"),
-        F.length(F.regexp_replace(norm, "[^0-9]", "")).alias("__digits"),
-        _count_in(ws, LANG_PROFILES["en"]).alias("__stop"),
+        F.length(F.col("__norm")).alias("__nc"),
+        F.size(F.col("__ws")).alias("__nw"),
+        F.length(
+            F.regexp_replace(F.col("__norm"), "[a-z0-9 ]", "")
+        ).alias("__punct"),
+        F.length(
+            F.regexp_replace(F.col("__norm"), "[^0-9]", "")
+        ).alias("__digits"),
+        _count_in(F.col("__ws"), LANG_PROFILES["en"]).alias("__stop"),
     )
     n_chars, n_words = F.col("__nc"), F.col("__nw")
     punct_ratio = F.col("__punct") / n_chars
@@ -526,8 +537,24 @@ def tfidf_cosine_pairs(
     tf = toks.groupBy("doc", "term").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
-    dfreq = tf.groupBy("term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("df")
+    # Pin term partitioning at the SOURCE of the w lineage, not just at
+    # the posting join below. dfreq's natural aggregate exchange is
+    # ENSURE_REQUIREMENTS — AQE-coalescible — and when AQE
+    # broadcast-converts the tf⋈dfreq join (runtime-stats race, so it
+    # happens on SOME executions and not others), tiny dfreq becomes the
+    # STREAM side whose coalesced-to-ONE layout every downstream
+    # operator inherits; the explicit join-input repartitions are then
+    # elided as redundant against exactly that term-compatible-but-
+    # collapsed layout, and the posting explosion runs in a single task
+    # (observed at sf1: one 650 s pegged task on a plan whose healthy
+    # twin ran 32-wide). Repartitioning tf BEFORE the df aggregate makes
+    # the inherited partitioning itself REPARTITION_BY_NUM (AQE-exempt)
+    # whichever side streams or broadcasts.
+    nslices = df.sparkSession.sparkContext.defaultParallelism
+    dfreq = (
+        tf.repartition(nslices, "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     )
     w = tf.join(dfreq, "term").select(
         "doc",
@@ -566,8 +593,10 @@ def tfidf_cosine_pairs(
     # exempt from AQE coalescing, per-partition work is then bounded by
     # the terms it owns, and at 100 TB a term-partitioned posting join
     # is the only shape that survives anyway. The extra exchange is on
-    # the pre-explosion (small) side of the join — negligible.
-    nslices = df.sparkSession.sparkContext.defaultParallelism
+    # the pre-explosion (small) side of the join — negligible. (These
+    # are elided as redundant when the inputs already carry a term
+    # partitioning — which is why the dfreq source pin above must
+    # exist; belt and braces for every planner path.)
     dots = (
         a.repartition(nslices, "term")
         .join(b.repartition(nslices, "term"), "term")
