@@ -257,9 +257,15 @@ class QueryExecutor:
         if self._agg is None:
             # cae/src/execution.cpp:344-346 requires an aggregation first.
             raise ValueError("group-by requires an aggregation to be set")
+        from .session import coalesce_small_scan
+
         _, col = self._agg
+        # Aggregate-shaped output (rows ≈ groups ≪ input): the same
+        # derived small-scan policy as the ungrouped aggregate — per-task
+        # scheduling dominates a provably-tiny scan, and the policy
+        # self-deactivates on large or non-local inputs (session.py).
         agg = (
-            self._scan()
+            coalesce_small_scan(self._scan())
             .groupBy(self._group_by)
             .agg(
                 F.count(F.lit(1)).alias("count"),

@@ -238,3 +238,18 @@ def test_tfidf_posting_join_pins_term_partitioning(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "REPARTITION_BY_NUM" in plan
     assert plan.count("hashpartitioning(term") >= 2
+
+
+def test_group_by_verb_rides_small_scan_policy(spark, sf_dir):
+    """The group-by verb is aggregate-shaped (output rows ~ groups), so
+    its scan rides the same derived coalesce policy as q_aggregate; on
+    the tiny test input the plan must carry the derived Coalesce, and
+    the result is partition-invariant (policy on vs off identical)."""
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import parity
+
+    df = parity.q_group_by(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Coalesce" in plan
+    rows = [tuple(r) for r in df.collect()]
+    assert len(rows) == 3  # l_returnflag has 3 values
+    assert rows == sorted(rows)
