@@ -161,6 +161,12 @@ class QueryExecutor:
         self._types: dict[str, str] = {
             f.name: f.dataType.typeName() for f in self._df.schema.fields
         }
+        # Derived small-scan slice count, computed lazily ONCE per executor:
+        # inputFiles() is a driver-side file listing, and the file set is a
+        # property of the source relation, not of the filters — re-listing
+        # on every execute call would add per-query latency on large file
+        # counts for an answer that cannot change.
+        self._small_scan: int | None | bool = False  # False = not yet derived
 
     # --- plan-field setters (cae/include/execution.h:103-111) ---
 
@@ -257,16 +263,20 @@ class QueryExecutor:
         if self._agg is None:
             # cae/src/execution.cpp:344-346 requires an aggregation first.
             raise ValueError("group-by requires an aggregation to be set")
-        from .session import coalesce_small_scan
+        from .session import small_scan_slices
 
         _, col = self._agg
         # Aggregate-shaped output (rows ≈ groups ≪ input): the same
         # derived small-scan policy as the ungrouped aggregate — per-task
         # scheduling dominates a provably-tiny scan, and the policy
         # self-deactivates on large or non-local inputs (session.py).
+        if self._small_scan is False:
+            self._small_scan = small_scan_slices(self._df)
+        scan = self._scan()
+        if self._small_scan:
+            scan = scan.coalesce(self._small_scan)
         agg = (
-            coalesce_small_scan(self._scan())
-            .groupBy(self._group_by)
+            scan.groupBy(self._group_by)
             .agg(
                 F.count(F.lit(1)).alias("count"),
                 F.sum(col).alias("sum"),

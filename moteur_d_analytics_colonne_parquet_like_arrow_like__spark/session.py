@@ -17,6 +17,7 @@ Local test mode reads ``SPARK_GRAFT_CPUS`` (driver contract) to size
 from __future__ import annotations
 
 import os
+import urllib.parse
 
 from pyspark.sql import SparkSession
 
@@ -132,9 +133,13 @@ def small_scan_slices(df, min_task_bytes: int = SMALL_SCAN_TASK_BYTES):
         return None
     total = 0
     for f in files:
-        path = f[5:] if f.startswith("file:") else f
-        if f.startswith(("hdfs:", "s3:", "s3a:", "gs:", "abfs:", "wasb:")):
+        # inputFiles() returns percent-encoded URIs; decode to a real
+        # filesystem path so e.g. paths with spaces don't disable the
+        # policy via a spurious OSError.
+        parsed = urllib.parse.urlparse(f)
+        if parsed.scheme not in ("", "file"):
             return None
+        path = urllib.parse.unquote(parsed.path) or urllib.parse.unquote(f)
         try:
             total += os.path.getsize(path)
         except OSError:

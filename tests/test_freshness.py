@@ -102,6 +102,11 @@ def test_signature_tail_cannot_regrow(report):
         for e in report["entries"]
         if e["newest_round"] is not None
     ]
+    if not rounds:
+        pytest.skip(
+            "no CORRECTNESS_r*.json signatures present (fresh clone / CI "
+            "without driver artifacts) — nothing to age-check"
+        )
     next_round = max(rounds) + 1
     floor = next_round - 7
     too_old = [

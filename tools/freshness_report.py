@@ -136,11 +136,20 @@ def build_report() -> dict:
     # behavior changed after that signature (the failure was measured
     # against the old code; the entry is already forced to the front of
     # the next sample by the behavior-changed invariant, which is the
-    # guard that actually covers it until re-signed).
+    # guard that actually covers it until re-signed). Those entries are
+    # NOT silently green, though: they land in red_pending_refix, which
+    # the summary surfaces prominently — if the rewrite did not actually
+    # fix the red, this bucket is the visible reminder until the driver
+    # re-signs it.
     failing = [
         e
         for e in entries
         if e["latest_pass"] is False and not e["behavior_changed_since"]
+    ]
+    red_pending = [
+        e
+        for e in entries
+        if e["latest_pass"] is False and e["behavior_changed_since"]
     ]
     rounds = Counter(
         e["newest_round"] for e in entries if e["newest_round"] is not None
@@ -163,6 +172,7 @@ def build_report() -> dict:
             e["name"] for e in stale if not e["in_next_sample"]
         ],
         "latest_check_failing": [e["name"] for e in failing],
+        "red_pending_refix": [e["name"] for e in red_pending],
         "signature_round_histogram": dict(sorted(rounds.items())),
         "orphan_signatures": orphans,
         "entries": entries,
@@ -186,6 +196,8 @@ def render_markdown(rep: dict) -> str:
         f"**{len(rep['behavior_changed'])}**"
         f" (outside next sample: {len(rep['behavior_changed_outside_sample'])})",
         f"- latest-check failures: **{len(rep['latest_check_failing'])}**",
+        f"- red-pending-refix (red sig, rewrite awaiting driver re-sign): "
+        f"**{len(rep.get('red_pending_refix', []))}**",
         f"- signature rounds: "
         + ", ".join(
             f"r{r}: {n}" for r, n in rep["signature_round_histogram"].items()
@@ -195,6 +207,13 @@ def render_markdown(rep: dict) -> str:
     if rep["latest_check_failing"]:
         lines += ["## FAILING (latest driver check red)", ""]
         lines += [f"- `{n}`" for n in rep["latest_check_failing"]] + [""]
+    if rep.get("red_pending_refix"):
+        lines += [
+            "## RED-PENDING-REFIX (red signature, rewrite not yet"
+            " driver-re-signed)",
+            "",
+        ]
+        lines += [f"- `{n}`" for n in rep["red_pending_refix"]] + [""]
     if rep["behavior_changed"]:
         lines += ["## Stale signatures (behavior changed since)", ""]
         lines += [
@@ -245,6 +264,11 @@ def main() -> int:
                   rep["behavior_changed_outside_sample"])
         if rep["latest_check_failing"]:
             print("FAILING:", rep["latest_check_failing"])
+        if rep.get("red_pending_refix"):
+            print(
+                "RED-PENDING-REFIX (rewrite awaiting driver re-sign):",
+                rep["red_pending_refix"],
+            )
     if args.write:
         out = os.path.join(REPO, "docs", "FRESHNESS.md")
         with open(out, "w") as f:
