@@ -28,6 +28,43 @@ def broadcast_join(
     return fact.join(F.broadcast(dim), on=on, how=how)
 
 
+def pin_exploding_join(df: DataFrame, key: str, n: int | None = None) -> DataFrame:
+    """Pin the partitioning of a relation feeding an EXPLODING equi-join
+    (output rows ≫ input rows, e.g. a posting-list / bucket self-join).
+
+    Why this exists (measured at the r8 sf1 rehearsal of the tfidf truth
+    ranking): AQE sizes post-shuffle partitions by INPUT bytes, so a join
+    whose fan-out is invisible to it (120k rows in → 7.3e8 pairs out) gets
+    its inputs coalesced to ONE partition, and the explosion plus its
+    partial aggregate run in a single pegged task. A user ``repartition``
+    with an explicit numPartitions (``REPARTITION_BY_NUM`` in the plan) is
+    exempt from AQE coalescing, so per-partition work stays bounded by the
+    keys that partition owns.
+
+    Apply it at the SOURCE of the partition-defining relation — the
+    DataFrame whose aggregate/lineage every downstream side inherits —
+    not only at the join inputs: a join-input repartition is elided as
+    redundant whenever the lineage already carries a term-compatible
+    partitioning, and if that lineage layout is an ENSURE_REQUIREMENTS
+    exchange AQE collapsed to one partition (the tiny stream side of a
+    broadcast-converted upstream join), the elided pin can't save the
+    explosion. Pinning the source makes the inherited layout itself
+    REPARTITION_BY_NUM whichever side streams or broadcasts.
+
+    Decision rule (r8 audit of every exploding join in the repo): pin when
+    (the join side is UNCAPPED or the key is LOW-CARDINALITY) AND the join
+    explodes. Capped high-cardinality bucket joins (MinHash/ngram/simhash
+    bands) stay unpinned deliberately — an extra exchange on every capped
+    join is real cost at 100 TB, and a coalesced layout serializes little
+    work when per-bucket work is capped and keys are many.
+
+    ``n`` defaults to the session's default parallelism.
+    """
+    if n is None:
+        n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, key)
+
+
 def star_join(fact: DataFrame, dims: dict[str, tuple[DataFrame, list[str] | str]],
               how: str = "inner") -> DataFrame:
     """Snowflake/star expansion: fact joined against each (dim, keys),

@@ -539,21 +539,19 @@ def tfidf_cosine_pairs(
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
     # Pin term partitioning at the SOURCE of the w lineage, not just at
-    # the posting join below. dfreq's natural aggregate exchange is
-    # ENSURE_REQUIREMENTS — AQE-coalescible — and when AQE
-    # broadcast-converts the tf⋈dfreq join (runtime-stats race, so it
-    # happens on SOME executions and not others), tiny dfreq becomes the
-    # STREAM side whose coalesced-to-ONE layout every downstream
-    # operator inherits; the explicit join-input repartitions are then
-    # elided as redundant against exactly that term-compatible-but-
-    # collapsed layout, and the posting explosion runs in a single task
-    # (observed at sf1: one 650 s pegged task on a plan whose healthy
-    # twin ran 32-wide). Repartitioning tf BEFORE the df aggregate makes
-    # the inherited partitioning itself REPARTITION_BY_NUM (AQE-exempt)
+    # the posting join below — the posting join explodes and its term key
+    # is low-cardinality (~10³ shingles), exactly the
+    # joins.pin_exploding_join decision rule; that helper's docstring
+    # carries the full two-layer r8 postmortem (AQE coalescing by input
+    # bytes + join-input pins elided against a broadcast-collapsed
+    # lineage). Repartitioning tf BEFORE the df aggregate makes the
+    # inherited partitioning itself REPARTITION_BY_NUM (AQE-exempt)
     # whichever side streams or broadcasts.
+    from .joins import pin_exploding_join
+
     nslices = df.sparkSession.sparkContext.defaultParallelism
     dfreq = (
-        tf.repartition(nslices, "term")
+        pin_exploding_join(tf, "term", nslices)
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     )
@@ -589,18 +587,17 @@ def tfidf_cosine_pairs(
     # side's ~120k-row a-input coalesced to ONE post-shuffle partition,
     # and the 7.3e8-pair explosion + partial aggregate ran 15+ min in a
     # single pegged task (50 GB hash map) — the exact hot-task failure
-    # the bucket caps exist to prevent, recreated by the scheduler. Pin
-    # the join's partitioning on term explicitly: user repartition is
-    # exempt from AQE coalescing, per-partition work is then bounded by
-    # the terms it owns, and at 100 TB a term-partitioned posting join
-    # is the only shape that survives anyway. The extra exchange is on
-    # the pre-explosion (small) side of the join — negligible. (These
-    # are elided as redundant when the inputs already carry a term
-    # partitioning — which is why the dfreq source pin above must
-    # exist; belt and braces for every planner path.)
+    # the bucket caps exist to prevent, recreated by the scheduler.
+    # pin_exploding_join bounds per-partition work by the terms it owns,
+    # and at 100 TB a term-partitioned posting join is the only shape
+    # that survives anyway. The extra exchange is on the pre-explosion
+    # (small) side of the join — negligible. (These are elided as
+    # redundant when the inputs already carry a term partitioning —
+    # which is why the dfreq source pin above must exist; belt and
+    # braces for every planner path.)
     dots = (
-        a.repartition(nslices, "term")
-        .join(b.repartition(nslices, "term"), "term")
+        pin_exploding_join(a, "term", nslices)
+        .join(pin_exploding_join(b, "term", nslices), "term")
         .where(F.col("id_a") != F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.sum(F.col("wa").cast(dec) * F.col("wb").cast(dec)).alias("dot"))

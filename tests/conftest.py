@@ -40,3 +40,19 @@ def exec_basic_path(spark, tmp_path_factory) -> str:
     rows = [(1, 100, "A"), (2, 200, "B"), (3, 150, "A"), (4, 300, "C"), (5, 250, "B")]
     spark.createDataFrame(rows, st).coalesce(1).write.mode("overwrite").parquet(path)
     return path
+
+
+def assert_explosion_pinned(df, key: str, min_pins: int = 2) -> str:
+    """Generalized plan-shape assertion for pin_exploding_join users: the
+    executed plan must carry AQE-coalesce-exempt REPARTITION_BY_NUM
+    exchanges hash-partitioned on ``key`` (one per pinned input, plus the
+    source pin — callers pass the count their operator promises). Returns
+    the plan string for further operator-specific asserts."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan, plan[:2000]
+    got = plan.count(f"hashpartitioning({key}")
+    assert got >= min_pins, (
+        f"expected >= {min_pins} hashpartitioning({key}...) exchanges, "
+        f"found {got}"
+    )
+    return plan

@@ -231,13 +231,13 @@ def test_tfidf_posting_join_pins_term_partitioning(spark, sf_dir):
         table_path,
     )
 
+    from conftest import assert_explosion_pinned
+
     docs = spark.read.parquet(table_path(sf_dir, "documents")).limit(200)
     out = text_ops.tfidf_cosine_pairs(
         docs, "doc_id", "text", k=3, shingle_k=2
     )
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "REPARTITION_BY_NUM" in plan
-    assert plan.count("hashpartitioning(term") >= 2
+    assert_explosion_pinned(out, "term", min_pins=2)
 
 
 def test_group_by_verb_rides_small_scan_policy(spark, sf_dir):
