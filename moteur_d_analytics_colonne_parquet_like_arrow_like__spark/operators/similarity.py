@@ -984,6 +984,172 @@ def ivfpq_topk(
     )
 
 
+def train_ivf_directory(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 16,
+    iterations: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Trained coarse quantizer for IVF — k-means cell centroids, the way
+    FAISS trains its IVF directory (Jegou et al. TPAMI 2011 §IV train the
+    coarse quantizer by k-means; the r8 sign-cell directory measured
+    0.15–0.47 recall@10 at 16 cells BECAUSE it was untrained — sign
+    hyperplanes split the corpus without regard to its density).
+
+    Seeds are the deterministic first ``n_cells`` rows by id;
+    ``iterations`` full Lloyd rounds refine them (``kmeans_iterate`` —
+    broadcast assignment + decimal-routed mean update, every step
+    bit-stable cross-engine). Returns (cluster_id, centroid) with
+    centroid an exact double array.
+
+    Scale shape: training touches the corpus ``iterations`` times with a
+    broadcast k×dim assignment and a k×dim-cell partial aggregate — no
+    vector ever shuffles; the directory itself is k rows, broadcast
+    everywhere downstream. Empty cells drop out during training (Lloyd
+    semantics) — callers probe whatever cells survive."""
+    seeds = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
+    )
+    upd = kmeans_iterate(
+        corpus, seeds, id_col, vec_col, iterations=iterations, dim=dim
+    )
+    return upd.select("cluster_id", F.col("centroid"))
+
+
+def nearest_cells(
+    queries: DataFrame,
+    cells: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Multi-probe cell selection against a trained IVF directory: each
+    query ranks every cell centroid by exact squared-L2 (broadcast k×dim
+    join, ties on ascending cluster_id) and keeps its ``nprobe`` nearest
+    — the trained-directory analogue of the sign-cell hamming-1 flips,
+    with the probe count an explicit dial instead of a bit-geometry
+    accident. Returns (query_id, bucket)."""
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("v")
+    )
+    c = cells.select("cluster_id", F.col("centroid").alias("cv"))
+    d = qv.join(F.broadcast(c)).withColumn("dist2", squared_l2("v", "cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist2").asc(), F.col("cluster_id").asc()
+    )
+    return (
+        d.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= nprobe)
+        .select("query_id", F.col("cluster_id").alias("bucket"))
+    )
+
+
+def ivfpq_topk_trained(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    dim: int = 64,
+    m: int = 32,
+    n_codes: int = 64,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    train_iterations: int = 2,
+    cells: DataFrame | None = None,
+) -> DataFrame:
+    """IVF+PQ with a TRAINED coarse directory — ``ivfpq_topk`` with the
+    sign-cell bucket function replaced by k-means cells
+    (``train_ivf_directory``) and hamming-flip multi-probe replaced by
+    nearest-``nprobe``-cells (``nearest_cells``). This is the actual
+    FAISS IVFADC construction; the sign-cell variant is its
+    training-free degenerate form, and the ``sim_ivfpq_recall`` gate
+    measures what training buys on the same grid.
+
+    Determinism: coarse training/assignment run on the raw vectors in
+    exact double arithmetic (the kmeans gate family's contract); PQ
+    encode/tables/ADC run on the shared SQ8 integer codes (pq_topk's
+    contract) — every ranking is bit-stable cross-engine. Each corpus
+    vector lives in exactly one cell and a query's probe cells are
+    distinct, so no candidate dedup is needed (the flip variant's
+    dropDuplicates handles a geometry artifact this construction
+    doesn't have).
+
+    Scale shape: training is ``train_iterations`` broadcast-assign +
+    k×dim-cell aggregate passes; the directory broadcasts; candidate
+    selection is a broadcast-hash equi-join on cell id; scoring is
+    table-lookup integer sums. The one new cost vs the sign variant is
+    the training passes — paid once per corpus, amortized over every
+    query batch, exactly the FAISS deployment economics."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    if n_codes < 2 or n_codes > 999:
+        raise ValueError(f"n_codes must be in [2, 999], got {n_codes}")
+    pack = 100 if n_codes <= 99 else 1000
+    sub = dim // m
+    if cells is None:
+        cells = train_ivf_directory(
+            corpus, id_col, vec_col,
+            n_cells=n_cells, iterations=train_iterations, dim=dim,
+        )
+        # one k-row directory reused by assignment + probes; cut the
+        # training lineage so both consumers broadcast data, not the
+        # Lloyd plan (callers probing several nprobe settings pass a
+        # pre-trained ``cells`` to pay training once)
+        cells = cells.localCheckpoint(eager=True)
+    stats = sq_int8_stats(corpus, vec_col, dim)
+    c = sq_int8_quantize(
+        corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col)),
+        vec_col,
+        stats,
+        "cq",
+    ).select("corpus_id", "cq")
+    q = sq_int8_quantize(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        vec_col,
+        stats,
+        "qq",
+    ).select("query_id", "qq")
+    codes, qdt = _pq_codes_and_tables(c, q, m, sub, n_codes, pack)
+    assign = kmeans_assign_step(
+        corpus,
+        cells.select(
+            F.col("cluster_id").alias("centroid_id"),
+            F.col("centroid").alias(vec_col),
+        ),
+        id_col,
+        vec_col,
+    )
+    codes = codes.join(
+        assign.select(
+            F.col("vec_id").alias("corpus_id"),
+            F.col("cluster_id").alias("bucket"),
+        ),
+        "corpus_id",
+    )
+    probes = nearest_cells(queries, cells, id_col, vec_col, nprobe=nprobe)
+    qside = probes.join(qdt, "query_id")
+    adc = None
+    for s_ in range(m):
+        term = F.element_at(F.col(f"dt{s_}"), F.col(f"c{s_}"))
+        adc = term if adc is None else adc + term
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("corpus_id").asc()
+    )
+    return (
+        codes.join(F.broadcast(qside), "bucket")
+        .where(F.col("query_id") != F.col("corpus_id"))
+        .withColumn("adc", adc.cast("long"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "adc", "rnk")
+    )
+
+
 def kcenter_greedy(
     corpus: DataFrame,
     id_col: str,

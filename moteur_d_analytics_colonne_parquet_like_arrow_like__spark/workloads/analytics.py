@@ -3003,19 +3003,30 @@ ORACLES["sim_ivfpq_adc"] = f"""
 
 def q_sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the IVF+PQ composite against the exact cosine
-    baseline on a (cell-count x probe-setting) grid — the combined dial
-    the two parent reports measure separately: IVF pruning loss
-    (sim_ivf_recall) STACKS with PQ quantization loss (sim_pq_recall),
-    and a deployment needs the product measured, not inferred. Grid:
-    16 cells (4 sign bits — right-sized for this corpus by the FAISS
-    nlist ~ sqrt(N) rule) and 256 cells (8 bits — deliberately
-    over-partitioned: ~2 vectors/cell against k=10), each single-probe
-    and multi-probe. Measured mean recall@10 at sf0.01: 16 cells 0.15
-    (flips=0) / 0.47 (flips=1); 256 cells 0.02 / 0.13; the pure-PQ
-    ceiling at this code size is 0.69 (sim_pq_recall). The lesson the
-    grid encodes: at small corpora the cell directory, not the code
-    size, dominates the loss — cell count must track corpus size, and
-    a 100 TB deployment re-measures this grid at its own N."""
+    baseline on a (directory x cell-count x probe-setting) grid — the
+    combined dial the two parent reports measure separately: IVF pruning
+    loss (sim_ivf_recall) STACKS with PQ quantization loss
+    (sim_pq_recall), and a deployment needs the product measured, not
+    inferred. ``probe`` is each directory's own dial: hamming flips for
+    'sign' (0 = own cell, 1 = +hamming-1 cells), nprobe for 'kmeans'
+    (nearest cells probed).
+
+    Measured mean recall@10 at sf0.01 (N=500, 0.69 pure-PQ ceiling):
+
+    - sign, 16 cells: 0.15 (flips=0) / 0.47 (flips=1);
+      sign, 256 cells: 0.02 / 0.13 — the untrained directory's loss
+      grows as cells outpace the corpus (r8's finding);
+    - kmeans, 16 cells (VERDICT r8 item 4 — the directory FAISS
+      actually builds, trained here by the repo's own distributed
+      Lloyd loop): **0.65 (nprobe=1) / 0.68 (nprobe=4)** — training
+      recovers essentially the whole gap to the PQ ceiling, because
+      cells that track corpus density keep true neighbours together
+      where sign hyperplanes split them blindly.
+
+    The grid's lesson: cell count must track corpus size AND the
+    directory must be trained; a 100 TB deployment re-measures this
+    grid at its own N (training cost: `train_iterations` broadcast
+    passes, amortized over every query batch)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     exact = similarity.cosine_topk_exact_baseline(
@@ -3032,18 +3043,149 @@ def q_sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             parts.append(
                 similarity.recall_report(approx, exact)
+                .withColumn("directory", F.lit("sign"))
                 .withColumn("cells", F.lit(2 ** nbits).cast("int"))
-                .withColumn("probe_flips", F.lit(flips).cast("int"))
+                .withColumn("probe", F.lit(flips).cast("int"))
             )
+    trained_cells = similarity.train_ivf_directory(
+        emb, "vec_id", "embedding", n_cells=16, iterations=2, dim=64
+    ).localCheckpoint(eager=True)
+    for nprobe in (1, 4):
+        approx = similarity.ivfpq_topk_trained(
+            emb, queries, "vec_id", "embedding",
+            k=10, dim=64, m=32, n_codes=64,
+            n_cells=16, nprobe=nprobe, train_iterations=2,
+            cells=trained_cells,
+        )
+        parts.append(
+            similarity.recall_report(approx, exact)
+            .withColumn("directory", F.lit("kmeans"))
+            .withColumn("cells", F.lit(16).cast("int"))
+            .withColumn("probe", F.lit(nprobe).cast("int"))
+        )
     out = parts[0]
     for pt in parts[1:]:
         out = out.unionByName(pt)
     return out.select(
-        "cells", "probe_flips", "query_id", "hits", "k", "recall_r"
-    ).orderBy("cells", "probe_flips", "query_id")
+        "directory", "cells", "probe", "query_id", "hits", "k", "recall_r"
+    ).orderBy("directory", "cells", "probe", "query_id")
 
 
 QUERIES["sim_ivfpq_recall"] = q_sim_ivfpq_recall
+
+def _ivfkm_dir_ctes(n_cells: int = 16) -> str:
+    """Trained IVF directory in SQL — the twin of
+    similarity.train_ivf_directory (2 Lloyd iterations from the first
+    ``n_cells`` seeds; the kmeans_iterate oracle's CTE chain) plus the
+    final corpus assignment (bkm) and the all-pairs query-to-cell
+    distances (dkm3) the probe CTEs rank over. Distance folds and
+    decimal-routed means mirror the Spark operators element-for-element
+    (the green kmeans gate family's SQL)."""
+    dist_raw = """list_reduce(list_transform(generate_series(1, 64),
+                   i -> (CAST(v.embedding[i] AS DOUBLE)
+                         - CAST(c.embedding[i] AS DOUBLE))
+                        * (CAST(v.embedding[i] AS DOUBLE)
+                           - CAST(c.embedding[i] AS DOUBLE))),
+                   (x, y) -> x + y)"""
+    dist_cv = """list_reduce(list_transform(generate_series(1, 64),
+                   i -> (CAST(v.embedding[i] AS DOUBLE) - c.cv[i])
+                        * (CAST(v.embedding[i] AS DOUBLE) - c.cv[i])),
+                   (x, y) -> x + y)"""
+    mean = """CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+                             AS DECIMAL(28,15))) AS DOUBLE) / COUNT(*)"""
+    return f"""
+    ckm0 AS (SELECT vec_id AS cluster_id, embedding FROM (
+        SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id LIMIT {n_cells})),
+    wkm1 AS (
+        SELECT vec_id, cluster_id, embedding FROM (
+            SELECT v.vec_id, c.cluster_id, v.embedding,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY {dist_raw} ASC, c.cluster_id ASC) AS rk
+            FROM embeddings v CROSS JOIN ckm0 c
+        ) WHERE rk = 1
+    ),
+    ckm1 AS (
+        SELECT cluster_id, list(mu ORDER BY i) AS cv FROM (
+            SELECT cluster_id, i, {mean} AS mu
+            FROM (SELECT cluster_id, unnest(generate_series(1, 64)) AS i,
+                         embedding FROM wkm1)
+            GROUP BY cluster_id, i
+        ) GROUP BY cluster_id
+    ),
+    wkm2 AS (
+        SELECT vec_id, cluster_id, embedding FROM (
+            SELECT v.vec_id, c.cluster_id, v.embedding,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY {dist_cv} ASC, c.cluster_id ASC) AS rk
+            FROM embeddings v CROSS JOIN ckm1 c
+        ) WHERE rk = 1
+    ),
+    ckm2 AS (
+        SELECT cluster_id, list(mu ORDER BY i) AS cv FROM (
+            SELECT cluster_id, i, {mean} AS mu
+            FROM (SELECT cluster_id, unnest(generate_series(1, 64)) AS i,
+                         embedding FROM wkm2)
+            GROUP BY cluster_id, i
+        ) GROUP BY cluster_id
+    ),
+    dkm3 AS MATERIALIZED (
+        SELECT v.vec_id, c.cluster_id, {dist_cv} AS dist2
+        FROM embeddings v CROSS JOIN ckm2 c
+    ),
+    bkm AS MATERIALIZED (
+        SELECT vec_id, cluster_id AS bucket FROM (
+            SELECT vec_id, cluster_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY dist2 ASC, cluster_id ASC) AS rk
+            FROM dkm3
+        ) WHERE rk = 1
+    )"""
+
+
+def _ivfkm_probe_ctes(m: int, base, tag, nprobe: int) -> str:
+    """Trained-directory candidate restriction + ADC ranking over
+    _pq_base_ctes(base) — the SQL twin of similarity.ivfpq_topk_trained's
+    probe/score half: each query's ``nprobe`` nearest cells from dkm3,
+    candidates bucket-joined through bkm, per-query top-10 by integer
+    ADC. No DISTINCT: a corpus vector lives in exactly one cell and probe
+    cells are distinct, so pairs are unique by construction."""
+    cols = ", ".join(f"a.c{s}" for s in range(m))
+    joins = "\n".join(
+        f"            JOIN dt{base} t{s} ON t{s}.query_id = c.query_id"
+        f" AND t{s}.j = c.c{s}"
+        for s in range(m)
+    )
+    adc = " + ".join(f"t{s}.d{s}" for s in range(m))
+    return f"""
+    probes{tag} AS (
+        SELECT vec_id AS query_id, cluster_id AS bucket FROM (
+            SELECT vec_id, cluster_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY dist2 ASC, cluster_id ASC) AS rk
+            FROM dkm3 WHERE vec_id < 10
+        ) WHERE rk <= {nprobe}
+    ),
+    cand{tag} AS MATERIALIZED (
+        SELECT p.query_id, a.vec_id AS corpus_id, {cols}
+        FROM codes{base} a
+        JOIN bkm ON bkm.vec_id = a.vec_id
+        JOIN probes{tag} p ON bkm.bucket = p.bucket
+        WHERE a.vec_id <> p.query_id
+    ),
+    approx{tag} AS MATERIALIZED (
+        SELECT query_id, corpus_id, adc, rnk FROM (
+            SELECT c.query_id, c.corpus_id,
+                   CAST({adc} AS BIGINT) AS adc,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.query_id
+                       ORDER BY CAST({adc} AS BIGINT) ASC, c.corpus_id ASC
+                   ) AS rnk
+            FROM cand{tag} c
+{joins}
+        ) WHERE rnk <= 10
+    )"""
+
 
 ORACLES["sim_ivfpq_recall"] = f"""
     WITH stats AS (SELECT {_SQ_STATS} FROM embeddings),
@@ -3067,37 +3209,45 @@ ORACLES["sim_ivfpq_recall"] = f"""
             FROM embeddings a JOIN embeddings b
               ON b.vec_id < 10 AND a.vec_id <> b.vec_id
         ) WHERE rnk <= 10
-    ),{_pq_base_ctes(32, 64, "ip")},{_ivfpq_probe_ctes(32, "ip", "c4f0", 0, nbits=4)},{_ivfpq_probe_ctes(32, "ip", "c4f1", 1, nbits=4)},{_ivfpq_probe_ctes(32, "ip", "c8f0", 0, nbits=8)},{_ivfpq_probe_ctes(32, "ip", "c8f1", 1, nbits=8)},
+    ),{_pq_base_ctes(32, 64, "ip")},{_ivfpq_probe_ctes(32, "ip", "c4f0", 0, nbits=4)},{_ivfpq_probe_ctes(32, "ip", "c4f1", 1, nbits=4)},{_ivfpq_probe_ctes(32, "ip", "c8f0", 0, nbits=8)},{_ivfpq_probe_ctes(32, "ip", "c8f1", 1, nbits=8)},{_ivfkm_dir_ctes(16)},{_ivfkm_probe_ctes(32, "ip", "kmp1", 1)},{_ivfkm_probe_ctes(32, "ip", "kmp4", 4)},
     un AS (
-        SELECT 16 AS cells, 0 AS probe_flips, query_id, corpus_id
+        SELECT 'sign' AS directory, 16 AS cells, 0 AS probe,
+               query_id, corpus_id
         FROM approxc4f0
         UNION ALL
-        SELECT 16, 1, query_id, corpus_id FROM approxc4f1
+        SELECT 'sign', 16, 1, query_id, corpus_id FROM approxc4f1
         UNION ALL
-        SELECT 256, 0, query_id, corpus_id FROM approxc8f0
+        SELECT 'sign', 256, 0, query_id, corpus_id FROM approxc8f0
         UNION ALL
-        SELECT 256, 1, query_id, corpus_id FROM approxc8f1
+        SELECT 'sign', 256, 1, query_id, corpus_id FROM approxc8f1
+        UNION ALL
+        SELECT 'kmeans', 16, 1, query_id, corpus_id FROM approxkmp1
+        UNION ALL
+        SELECT 'kmeans', 16, 4, query_id, corpus_id FROM approxkmp4
     ),
     kk AS (
         SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k
         FROM exact GROUP BY 1
     ),
     h AS (
-        SELECT u.cells, u.probe_flips, e.query_id,
+        SELECT u.directory, u.cells, u.probe, e.query_id,
                CAST(COUNT(*) AS BIGINT) AS hits
         FROM exact e JOIN un u
           ON e.query_id = u.query_id AND e.corpus_id = u.corpus_id
-        GROUP BY 1, 2, 3
+        GROUP BY 1, 2, 3, 4
     )
-    SELECT s.cells, s.probe_flips, kk.query_id,
+    SELECT s.directory, s.cells, s.probe, kk.query_id,
            CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits, kk.k,
            round(CAST(COALESCE(h.hits, 0) AS DOUBLE) / kk.k, 6) AS recall_r
-    FROM (SELECT 16 AS cells, 0 AS probe_flips UNION ALL SELECT 16, 1
-          UNION ALL SELECT 256, 0 UNION ALL SELECT 256, 1) s
+    FROM (SELECT 'sign' AS directory, 16 AS cells, 0 AS probe
+          UNION ALL SELECT 'sign', 16, 1
+          UNION ALL SELECT 'sign', 256, 0 UNION ALL SELECT 'sign', 256, 1
+          UNION ALL SELECT 'kmeans', 16, 1
+          UNION ALL SELECT 'kmeans', 16, 4) s
     CROSS JOIN kk
-    LEFT JOIN h ON h.cells = s.cells AND h.probe_flips = s.probe_flips
-               AND h.query_id = kk.query_id
-    ORDER BY s.cells, s.probe_flips, kk.query_id
+    LEFT JOIN h ON h.directory = s.directory AND h.cells = s.cells
+               AND h.probe = s.probe AND h.query_id = kk.query_id
+    ORDER BY s.directory, s.cells, s.probe, kk.query_id
 """
 
 

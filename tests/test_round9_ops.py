@@ -66,3 +66,55 @@ def test_pin_exploding_join_survives_downstream_join(spark):
         n = math.ceil((2000 - k) / 11)
         expect[k] = n * (n - 1)
     assert rows == expect
+
+
+def test_trained_ivf_directory_beats_sign_cells(spark, sf_dir):
+    """VERDICT r8 item 4: the k-means-trained coarse directory must
+    recover most of the gap between the untrained sign-cell IVF+PQ
+    (0.47 @ 16 cells multi-probe) and the pure-PQ ceiling (0.69) —
+    the bar is >= 0.6 mean recall@10 at 16 cells / 4 probes."""
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import (
+        similarity,
+    )
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import (
+        analytics,
+    )
+
+    rows = analytics.q_sim_ivfpq_recall(spark, sf_dir).collect()
+    def mean_recall(directory, probe):
+        rs = [
+            r["recall_r"]
+            for r in rows
+            if r["directory"] == directory
+            and r["cells"] == 16
+            and r["probe"] == probe
+        ]
+        assert len(rs) == 10
+        return sum(rs) / len(rs)
+
+    trained = mean_recall("kmeans", 4)
+    sign_mp = mean_recall("sign", 1)
+    assert trained >= 0.6, f"trained 16c/4p recall {trained}"
+    assert trained > sign_mp, (trained, sign_mp)
+
+
+def test_nearest_cells_probe_count(spark, sf_dir):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import (
+        similarity,
+    )
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.catalog import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = similarity.train_ivf_directory(
+        emb, "vec_id", "embedding", n_cells=8, iterations=1
+    )
+    probes = similarity.nearest_cells(
+        emb.where(F.col("vec_id") < 5), cells, "vec_id", "embedding", nprobe=3
+    )
+    counts = {r["query_id"]: r["n"] for r in
+              probes.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {0, 1, 2, 3, 4}
+    assert all(v == 3 for v in counts.values())
