@@ -123,6 +123,31 @@ def test_signature_tail_cannot_regrow(report):
     )
 
 
+def test_every_gate_has_archived_both_sf_sweep_rows(report):
+    # VERDICT r8 item 3: a gate whose local green exists only as a
+    # commit-message assertion can't be audited. Every registered gate
+    # must carry an `OK <name>` row in at least one archived sweep log
+    # per scale factor (docs/sweeps/sweep_r*_sf001.log / _sf01.log) —
+    # registering a gate therefore REQUIRES archiving its both-SF sweep
+    # rows in the same round.
+    gaps = report["sweep_gaps"]
+    sweeps_dir = os.path.join(
+        os.path.dirname(os.path.dirname(_TOOL)), "docs", "sweeps"
+    )
+    if not os.path.isdir(sweeps_dir) or not os.listdir(sweeps_dir):
+        pytest.skip("no docs/sweeps/ archive present (fresh clone)")
+    assert gaps.get("sf001") == [], (
+        f"gates with no archived sf0.01 sweep row: {gaps['sf001']} — run "
+        "tools/check_oracle.py at sf0.01 and archive the log under "
+        "docs/sweeps/"
+    )
+    assert gaps.get("sf01") == [], (
+        f"gates with no archived sf0.1 sweep row: {gaps['sf01']} — run "
+        "tools/check_oracle.py at sf0.1 and archive the log under "
+        "docs/sweeps/"
+    )
+
+
 def test_every_entry_has_oracle_or_is_known_weak(report):
     # Every registry entry should carry a DuckDB oracle; the few that
     # genuinely can't be expressed in SQL get the driver's weaker

@@ -68,6 +68,12 @@ BEHAVIOR_CHANGED_SINCE: dict[str, tuple[int, str]] = {
     # the last ulp; rewritten as cast-then-IEEE-divide (bit-identical)
     "tpch_q1": (8, "r8 avg_price cast-then-divide rewrite"),
     "tpch_q17_small_qty": (8, "r8 avg_yearly cast-then-divide rewrite"),
+    # r9: trained k-means IVF directory rows added to the grid (VERDICT
+    # r8 item 4); schema changed (directory column, probe_flips -> probe)
+    "sim_ivfpq_recall": (
+        9,
+        "r9 trained-kmeans directory grid rows (schema changed)",
+    ),
 }
 
 
@@ -98,6 +104,30 @@ def load_signatures() -> dict[str, tuple[int, bool]]:
             if prev is None or rnd >= prev[0]:
                 sigs[name] = (rnd, ok)
     return sigs
+
+
+def load_sweep_coverage() -> dict[str, set[str]]:
+    """Gate names with an archived green full-sweep row, per scale factor.
+
+    VERDICT r8 item 3: three r8-registered gates were green only as
+    commit-message assertions because the final archived sf0.1 sweep log
+    predated them — unlogged sweeps can't be audited. The archived logs
+    under docs/sweeps/ (``check_oracle.py`` output, one file per
+    ``sweep_r{N}_sf{001|01}.log``) are the auditable record; this parses
+    every ``OK <name>`` row so build_report can fail when a registered
+    gate lacks a logged row at either SF."""
+    cov: dict[str, set[str]] = {"sf001": set(), "sf01": set()}
+    for path in glob.glob(os.path.join(REPO, "docs", "sweeps", "*.log")):
+        m = re.search(r"_sf(001|01)\.log$", os.path.basename(path))
+        if not m:
+            continue
+        key = f"sf{m.group(1)}"
+        try:
+            text = open(path).read()
+        except OSError:
+            continue
+        cov[key].update(re.findall(r"^OK\s+(\S+)", text, re.MULTILINE))
+    return cov
 
 
 def build_report() -> dict:
@@ -157,6 +187,12 @@ def build_report() -> dict:
     # signatures for names no longer in the registry (renames/removals)
     orphans = sorted(set(sigs) - set(registry))
 
+    sweeps = load_sweep_coverage()
+    sweep_gaps = {
+        sf: sorted(n for n in registry if n not in seen)
+        for sf, seen in sweeps.items()
+    }
+
     return {
         "registry_size": len(registry),
         "driver_sample": DRIVER_SAMPLE,
@@ -174,6 +210,7 @@ def build_report() -> dict:
         "latest_check_failing": [e["name"] for e in failing],
         "red_pending_refix": [e["name"] for e in red_pending],
         "signature_round_histogram": dict(sorted(rounds.items())),
+        "sweep_gaps": sweep_gaps,
         "orphan_signatures": orphans,
         "entries": entries,
     }
