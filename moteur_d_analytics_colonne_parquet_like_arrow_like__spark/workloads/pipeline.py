@@ -3186,6 +3186,177 @@ def q_sim_tfidf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["sim_tfidf_recall"] = q_sim_tfidf_recall
 
 
+def _zipf_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic Zipfian re-tokenization of the documents corpus —
+    the coverage meter's measurable corpus (VERDICT r8 item 5).
+
+    The synthetic fixture's 40-word vocabulary makes every 2-shingle
+    either rare or boilerplate (measured sf0.1: vocab 931, median df
+    285 of 5000 docs — no middle), so the bucket-cap dial has nothing
+    to measure: one cap admits nothing, the next admits everything.
+    This derivation keeps each document's REAL length but replaces the
+    token at position i with an integer-only draw from a power-law
+    family: x = LCG(doc_id, i) mod 2^31, depth g = x mod 16, token
+    t = (x >> 4) mod 2^g. Summing the uniform depths gives
+    P(token) ~ 2^-depth — a discrete Zipf-like df spectrum with a real
+    head (df ~ n_docs, dropped by the fractional filter), a middle
+    (df 30..600 — what the absolute cap dials over), and a long rare
+    tail (simulated at 5000 docs: vocab ~47.5k, 690 terms in df 31-150,
+    150 in 151-600).
+
+    Every step is exact integer arithmetic (multiply/add/mod/shift on
+    positive operands), so Spark and DuckDB derive bit-identical
+    corpora — the same cross-engine contract as the hash-sketch
+    families. All map-side: one projection, no shuffle."""
+    from ..functions import words
+
+    xs = F.transform(
+        F.sequence(F.lit(1), F.size(words(F.col("text")))),
+        lambda i: F.pmod(
+            F.col("doc_id") * F.lit(1103515245)
+            + i.cast("bigint") * F.lit(2654435761)
+            + F.lit(12345),
+            F.lit(2147483648),
+        ),
+    )
+    tok = F.transform(
+        xs,
+        lambda x: F.concat(
+            F.lit("z"),
+            F.pmod(x, F.lit(16)).cast("string"),
+            F.lit("_"),
+            F.pmod(
+                F.shiftright(x, 4),
+                # 2^g as exact double->bigint (g <= 15; pyspark's
+                # shiftleft only takes a literal bit count)
+                F.pow(F.lit(2.0), F.pmod(x, F.lit(16)).cast("double"))
+                .cast("bigint"),
+            ).cast("string"),
+        ),
+    )
+    return docs.select("doc_id", F.array_join(tok, " ").alias("text"))
+
+
+def q_sim_tfidf_recall_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The coverage meter on a corpus with a df middle (VERDICT r8
+    item 5): recall@5 / coverage / admitted-pair-work fraction of the
+    dual-capped sparse cosine vs the uncapped exact ranking, over the
+    derived Zipfian corpus (_zipf_docs) at four absolute-cap settings.
+    sim_tfidf_recall stays registered as the honest degenerate case
+    (on the 40-word fixture there is no useful middle cap); THIS gate
+    is what the meter looks like on a corpus shaped like real text.
+
+    work_frac_r is the meter's cost axis: sum(df^2) over admitted
+    terms (fractional filter df*5<=n AND df<=cap) divided by the
+    uncapped sum(df^2) — the posting-join pair work actually paid.
+    Measured at sf0.1 (5000 docs, sampled queries doc%10=0, unigram
+    index): the simulation that sized the construction shows the knee
+    at cap 30 -> recall ~0.998 at ~3% of the uncapped pair work,
+    cap 10 -> ~0.98 at ~1%, cap 2 -> collapse (~0.37); the gate
+    records the engine-measured curve, which docs/SCALE.md logs."""
+    docs = _documents(spark, sf_dir)
+    zdocs = _zipf_docs(docs)
+    sample = F.col("doc") % 10 == 0
+    truth = text.tfidf_cosine_pairs(
+        zdocs, "doc_id", "text", k=5, shingle_k=1, query_pred=sample
+    ).select("id_a", "id_b")
+
+    from ..functions import words
+
+    zt = zdocs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(words(F.col("text"))).alias("term"),
+    )
+    tf = zt.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    nd = zdocs.agg(F.count(F.lit(1)).cast("bigint").alias("ndocs"))
+    truth_work = dfreq.agg(
+        F.sum(F.col("df") * F.col("df")).cast("bigint").alias("truth_work")
+    )
+
+    parts = []
+    for cap in (150, 30, 10, 2):
+        capped = text.tfidf_cosine_pairs(
+            zdocs,
+            "doc_id",
+            "text",
+            k=5,
+            max_join_df_den=5,
+            max_bucket_df=cap,
+            shingle_k=1,
+            query_pred=sample,
+        ).select("id_a", "id_b")
+        j = truth.withColumn("t", F.lit(1)).join(
+            capped.withColumn("c", F.lit(1)), ["id_a", "id_b"], "full_outer"
+        )
+        stats = j.agg(
+            F.countDistinct(
+                F.when(F.col("t").isNotNull(), F.col("id_a"))
+            ).alias("q_docs"),
+            F.countDistinct(
+                F.when(F.col("c").isNotNull(), F.col("id_a"))
+            ).alias("docs_covered"),
+            F.sum(F.coalesce(F.col("t"), F.lit(0)))
+            .cast("bigint")
+            .alias("truth_pairs"),
+            F.sum(F.coalesce(F.col("c"), F.lit(0)))
+            .cast("bigint")
+            .alias("capped_pairs"),
+            F.sum(
+                F.when(F.col("t").isNotNull() & F.col("c").isNotNull(), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("hits"),
+        )
+        work = (
+            dfreq.crossJoin(F.broadcast(nd))
+            .where(
+                (F.col("df") * 5 <= F.col("ndocs")) & (F.col("df") <= cap)
+            )
+            .agg(
+                F.coalesce(F.sum(F.col("df") * F.col("df")), F.lit(0))
+                .cast("bigint")
+                .alias("pair_work")
+            )
+        )
+        parts.append(
+            stats.crossJoin(F.broadcast(work))
+            .crossJoin(F.broadcast(truth_work))
+            .select(F.lit(cap).cast("int").alias("bucket_cap"), "*")
+        )
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    return out.select(
+        "bucket_cap",
+        "q_docs",
+        "docs_covered",
+        "truth_pairs",
+        "capped_pairs",
+        "hits",
+        "pair_work",
+        "truth_work",
+        F.when(
+            F.col("truth_pairs") > 0,
+            F.round(F.col("hits") / F.col("truth_pairs"), 6),
+        ).alias("recall_r"),
+        F.when(
+            F.col("q_docs") > 0,
+            F.round(F.col("docs_covered") / F.col("q_docs"), 6),
+        ).alias("coverage_r"),
+        F.when(
+            F.col("truth_work") > 0,
+            F.round(F.col("pair_work") / F.col("truth_work"), 6),
+        ).alias("work_frac_r"),
+    ).orderBy("bucket_cap")
+
+
+QUERIES["sim_tfidf_recall_zipf"] = q_sim_tfidf_recall_zipf
+
+
 def _tfidf_topk_sql(tag: str, cap: int | None) -> str:
     """Sampled-query top-5 CTE over the shared wt/n2 relations — the SQL
     twin of tfidf_cosine_pairs(query_pred=doc%10=0) with or without the
@@ -3284,6 +3455,104 @@ ORACLES["sim_tfidf_recall"] = f"""
     {_tfidf_recall_stats("600")}
     SELECT * FROM st150 UNION ALL SELECT * FROM st600 ORDER BY bucket_cap
 """
+
+def _ztfidf_recall_stats(cap: int) -> str:
+    """Recall/coverage/work aggregate of one capped top-5 vs the truth
+    top-5 on the Zipf-derived corpus — _tfidf_recall_stats plus the
+    admitted-pair-work meter (sum(df^2) over terms passing the dual
+    cap, vs the uncapped total)."""
+    return f"""stz{cap} AS (
+        SELECT {cap} AS bucket_cap,
+               CAST(COUNT(DISTINCT CASE WHEN t IS NOT NULL THEN id_a END)
+                    AS BIGINT) AS q_docs,
+               CAST(COUNT(DISTINCT CASE WHEN c IS NOT NULL THEN id_a END)
+                    AS BIGINT) AS docs_covered,
+               CAST(SUM(COALESCE(t, 0)) AS BIGINT) AS truth_pairs,
+               CAST(SUM(COALESCE(c, 0)) AS BIGINT) AS capped_pairs,
+               CAST(SUM(CASE WHEN t IS NOT NULL AND c IS NOT NULL THEN 1
+                        ELSE 0 END) AS BIGINT) AS hits,
+               (SELECT CAST(COALESCE(SUM(df * df), 0) AS BIGINT)
+                FROM dfq CROSS JOIN nd
+                WHERE df * 5 <= ndocs AND df <= {cap}) AS pair_work,
+               (SELECT CAST(SUM(df * df) AS BIGINT) FROM dfq)
+                   AS truth_work,
+               CASE WHEN SUM(COALESCE(t, 0)) > 0 THEN
+                   round(CAST(SUM(CASE WHEN t IS NOT NULL
+                                   AND c IS NOT NULL THEN 1 ELSE 0 END)
+                              AS DOUBLE) / SUM(COALESCE(t, 0)), 6)
+               END AS recall_r,
+               CASE WHEN COUNT(DISTINCT CASE WHEN t IS NOT NULL
+                                THEN id_a END) > 0 THEN
+                   round(CAST(COUNT(DISTINCT CASE WHEN c IS NOT NULL
+                                    THEN id_a END) AS DOUBLE)
+                         / COUNT(DISTINCT CASE WHEN t IS NOT NULL
+                                 THEN id_a END), 6)
+               END AS coverage_r,
+               CASE WHEN (SELECT SUM(df * df) FROM dfq) > 0 THEN
+                   round(CAST((SELECT COALESCE(SUM(df * df), 0)
+                               FROM dfq CROSS JOIN nd
+                               WHERE df * 5 <= ndocs AND df <= {cap})
+                              AS DOUBLE)
+                         / (SELECT SUM(df * df) FROM dfq), 6)
+               END AS work_frac_r
+        FROM (
+          SELECT COALESCE(t.id_a, c.id_a) AS id_a, t.t, c.c FROM
+            (SELECT id_a, id_b, 1 AS t FROM topt) t
+            FULL OUTER JOIN
+            (SELECT id_a, id_b, 1 AS c FROM topc{cap}) c
+            USING (id_a, id_b)
+        )
+    )"""
+
+
+ORACLES["sim_tfidf_recall_zipf"] = f"""
+    WITH zw AS (
+        SELECT doc_id,
+               unnest(generate_series(
+                   1, len(string_split({_NORM}, ' ')))) AS i
+        FROM documents
+    ),
+    zt AS (
+        SELECT doc_id,
+               'z' || (x % 16) || '_' ||
+               ((x >> 4) % (CAST(1 AS BIGINT) << CAST(x % 16 AS INT)))
+                   AS term
+        FROM (SELECT doc_id,
+                     (doc_id * 1103515245 + i * 2654435761 + 12345)
+                         % 2147483648 AS x
+              FROM zw)
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM zt GROUP BY 1, 2
+    ),
+    dfq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ),
+    wt AS (
+        SELECT doc_id, tf.term, dfq.df,
+               CAST((tf * 1000000) // df AS BIGINT) AS w
+        FROM tf JOIN dfq USING (term)
+    ),
+    n2 AS (
+        SELECT doc_id, SUM(CAST(w AS HUGEINT) * CAST(w AS HUGEINT)) AS n2
+        FROM wt GROUP BY 1
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS ndocs FROM documents),
+    {_tfidf_topk_sql("t", cap=None)},
+    {_tfidf_topk_sql("c150", cap=150)},
+    {_tfidf_topk_sql("c30", cap=30)},
+    {_tfidf_topk_sql("c10", cap=10)},
+    {_tfidf_topk_sql("c2", cap=2)},
+    {_ztfidf_recall_stats(150)},
+    {_ztfidf_recall_stats(30)},
+    {_ztfidf_recall_stats(10)},
+    {_ztfidf_recall_stats(2)}
+    SELECT * FROM stz150 UNION ALL SELECT * FROM stz30
+    UNION ALL SELECT * FROM stz10 UNION ALL SELECT * FROM stz2
+    ORDER BY bucket_cap
+"""
+
 
 ORACLES["sim_tfidf_sparse"] = f"""
     WITH {_shingle_cte(2)},

