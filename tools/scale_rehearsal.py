@@ -117,6 +117,11 @@ TARGETS = [
     # query sample — the quadratic exact side is the cost being
     # measured, same labeled-exact-baseline status as dedup_lsh_recall.
     "sim_tfidf_recall",
+    # round-9: the Zipf-derived coverage meter (VERDICT r8 item 5). Its
+    # truth side is uncapped by design (the labeled cost term); the sf1
+    # replica's shifted doc_ids give each copy an independent LCG token
+    # stream, so the derived vocabulary genuinely scales with the corpus.
+    "sim_tfidf_recall_zipf",
 ]
 
 # Queries whose construction itself executes jobs (streaming runs,
