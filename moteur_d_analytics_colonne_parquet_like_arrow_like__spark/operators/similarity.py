@@ -1068,7 +1068,12 @@ def ivfpq_topk_trained(
     nearest-``nprobe``-cells (``nearest_cells``). This is the actual
     FAISS IVFADC construction; the sign-cell variant is its
     training-free degenerate form, and the ``sim_ivfpq_recall`` gate
-    measures what training buys on the same grid.
+    measures what training buys on the same grid. Note recall@k is not
+    strictly monotone in ``nprobe``: probing more cells widens the
+    candidate pool, but ADC scores carry quantization error, so an
+    extra candidate can displace a true neighbour from the top-k
+    (measured 0.68 @ nprobe=1 vs 0.67 @ nprobe=4 on the 50-doc corpus;
+    0.65 vs 0.68 at sf0.01).
 
     Determinism: coarse training/assignment run on the raw vectors in
     exact double arithmetic (the kmeans gate family's contract); PQ

@@ -133,13 +133,18 @@ def small_scan_slices(df, min_task_bytes: int = SMALL_SCAN_TASK_BYTES):
         return None
     total = 0
     for f in files:
-        # inputFiles() returns percent-encoded URIs; decode to a real
-        # filesystem path so e.g. paths with spaces don't disable the
-        # policy via a spurious OSError.
-        parsed = urllib.parse.urlparse(f)
-        if parsed.scheme not in ("", "file"):
+        # inputFiles() normally returns percent-encoded file: URIs —
+        # decode those so paths with spaces don't disable the policy via
+        # a spurious OSError. Only the file: scheme gets URI parsing: a
+        # plain path (no scheme) is used verbatim (a literal '%' in a
+        # directory name must NOT be unquoted), and any other scheme is
+        # a remote store where sizes aren't locally knowable.
+        if f.startswith("file:"):
+            path = urllib.parse.unquote(urllib.parse.urlparse(f).path)
+        elif "://" in f:
             return None
-        path = urllib.parse.unquote(parsed.path) or urllib.parse.unquote(f)
+        else:
+            path = f
         try:
             total += os.path.getsize(path)
         except OSError:

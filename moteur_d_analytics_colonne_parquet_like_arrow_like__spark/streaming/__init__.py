@@ -37,7 +37,16 @@ def _volatile_ckpt_root() -> str:
     the system temp dir otherwise."""
     shm = "/dev/shm"
     if os.path.isdir(shm) and os.access(shm, os.W_OK):
-        return shm
+        # Capacity guard: container runtimes often mount a tiny tmpfs
+        # (Docker defaults /dev/shm to 64 MiB) where state deltas + WAL
+        # of a replay would hit ENOSPC mid-batch; require real headroom
+        # before preferring it over the system temp dir.
+        try:
+            st = os.statvfs(shm)
+            if st.f_bavail * st.f_frsize >= 256 * 1024 * 1024:
+                return shm
+        except OSError:
+            pass
     return tempfile.gettempdir()
 
 
@@ -215,7 +224,9 @@ def run_to_memory(
     finalizes windows past the watermark (the gate's
     ``stream_tumbling_append`` output would lose its last windows).
 
-    Checkpointing is VOLATILE (RAM-backed /dev/shm when present, deleted
+    Checkpointing is VOLATILE (RAM-backed /dev/shm when it exists with
+    >=256 MiB headroom — container runtimes often mount a tiny tmpfs —
+    the system temp dir otherwise; deleted
     after the run either way): the memory sink itself is non-durable and
     scoped to this session, so a WAL + state checkpoint that outlives the
     process buys nothing — there is no sink to recover INTO. Measured

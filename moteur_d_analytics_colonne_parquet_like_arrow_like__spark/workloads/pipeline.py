@@ -3210,10 +3210,15 @@ def _zipf_docs(docs: DataFrame) -> DataFrame:
     families. All map-side: one projection, no shuffle."""
     from ..functions import words
 
+    # doc_id reduces mod 2^31 BEFORE the multiply: the raw product
+    # overflows BIGINT once doc_id exceeds ~8.4e9 (the sf1 rehearsal's
+    # key-shifted replica ids reach 9e9 and ANSI Spark errors out).
+    # Identity for doc_id < 2^31 — every driver SF — so the derived
+    # corpus and oracle values are unchanged where both engines run.
     xs = F.transform(
         F.sequence(F.lit(1), F.size(words(F.col("text")))),
         lambda i: F.pmod(
-            F.col("doc_id") * F.lit(1103515245)
+            F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(1103515245)
             + i.cast("bigint") * F.lit(2654435761)
             + F.lit(12345),
             F.lit(2147483648),
@@ -3240,25 +3245,48 @@ def _zipf_docs(docs: DataFrame) -> DataFrame:
 def q_sim_tfidf_recall_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The coverage meter on a corpus with a df middle (VERDICT r8
     item 5): recall@5 / coverage / admitted-pair-work fraction of the
-    dual-capped sparse cosine vs the uncapped exact ranking, over the
-    derived Zipfian corpus (_zipf_docs) at four absolute-cap settings.
-    sim_tfidf_recall stays registered as the honest degenerate case
-    (on the 40-word fixture there is no useful middle cap); THIS gate
-    is what the meter looks like on a corpus shaped like real text.
+    work-capped sparse cosine vs the work-UNcapped exact ranking, over
+    the derived Zipfian corpus (_zipf_docs) at four absolute-cap
+    settings. sim_tfidf_recall stays registered as the honest
+    degenerate case (on the 40-word fixture there is no useful middle
+    cap); THIS gate is what the meter looks like on a corpus shaped
+    like real text.
+
+    Truth keeps the FRACTIONAL stop-term filter (df*5 <= n) and drops
+    only the absolute work cap — the dial under measurement. The
+    semantic filter is part of the index definition, not the work
+    bound: df ~ n terms are non-discriminative by definition (and on
+    this corpus provably don't move top-5 — the cap-150 row measured
+    recall 1.0 against the fully-unfiltered ranking before this
+    framing landed). The scale reason is just as load-bearing: a
+    Zipfian head term has df ~ n, so an absolutely-unfiltered truth
+    join is Theta(n^2) PER HEAD TERM — the first sf1 rehearsal of
+    this gate serialized on exactly those buckets (2.5e8 pairs each,
+    single-task-bound for minutes, killed) — while the
+    fractional-only exact side stays bucket-bounded at df <= n/5 and
+    rehearses cleanly.
 
     work_frac_r is the meter's cost axis: sum(df^2) over admitted
-    terms (fractional filter df*5<=n AND df<=cap) divided by the
-    uncapped sum(df^2) — the posting-join pair work actually paid.
-    Measured at sf0.1 (5000 docs, sampled queries doc%10=0, unigram
-    index): the simulation that sized the construction shows the knee
-    at cap 30 -> recall ~0.998 at ~3% of the uncapped pair work,
-    cap 10 -> ~0.98 at ~1%, cap 2 -> collapse (~0.37); the gate
-    records the engine-measured curve, which docs/SCALE.md logs."""
+    terms (df*5 <= n AND df <= cap) divided by the fractional-only
+    sum(df^2) — the posting-join pair work actually paid vs the
+    exact side's. Measured at sf0.1 (5000 docs, sampled queries
+    doc%10=0, unigram index): cap 10 -> recall 0.961 at ~0.8% of the
+    exact work; cap 30 -> 0.994 at ~2.4%; cap 2 -> collapse 0.339;
+    docs/SCALE.md logs the curve."""
     docs = _documents(spark, sf_dir)
     zdocs = _zipf_docs(docs)
     sample = F.col("doc") % 10 == 0
+    # max_bucket_df=2^31: engages the dual-filter path with a vacuous
+    # absolute cap — fractional-only truth.
     truth = text.tfidf_cosine_pairs(
-        zdocs, "doc_id", "text", k=5, shingle_k=1, query_pred=sample
+        zdocs,
+        "doc_id",
+        "text",
+        k=5,
+        max_join_df_den=5,
+        max_bucket_df=2**31,
+        shingle_k=1,
+        query_pred=sample,
     ).select("id_a", "id_b")
 
     from ..functions import words
@@ -3272,8 +3300,14 @@ def q_sim_tfidf_recall_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
     nd = zdocs.agg(F.count(F.lit(1)).cast("bigint").alias("ndocs"))
-    truth_work = dfreq.agg(
-        F.sum(F.col("df") * F.col("df")).cast("bigint").alias("truth_work")
+    truth_work = (
+        dfreq.crossJoin(F.broadcast(nd))
+        .where(F.col("df") * 5 <= F.col("ndocs"))
+        .agg(
+            F.coalesce(F.sum(F.col("df") * F.col("df")), F.lit(0))
+            .cast("bigint")
+            .alias("truth_work")
+        )
     )
 
     parts = []
@@ -3474,8 +3508,9 @@ def _ztfidf_recall_stats(cap: int) -> str:
                (SELECT CAST(COALESCE(SUM(df * df), 0) AS BIGINT)
                 FROM dfq CROSS JOIN nd
                 WHERE df * 5 <= ndocs AND df <= {cap}) AS pair_work,
-               (SELECT CAST(SUM(df * df) AS BIGINT) FROM dfq)
-                   AS truth_work,
+               (SELECT CAST(COALESCE(SUM(df * df), 0) AS BIGINT)
+                FROM dfq CROSS JOIN nd
+                WHERE df * 5 <= ndocs) AS truth_work,
                CASE WHEN SUM(COALESCE(t, 0)) > 0 THEN
                    round(CAST(SUM(CASE WHEN t IS NOT NULL
                                    AND c IS NOT NULL THEN 1 ELSE 0 END)
@@ -3488,12 +3523,14 @@ def _ztfidf_recall_stats(cap: int) -> str:
                          / COUNT(DISTINCT CASE WHEN t IS NOT NULL
                                  THEN id_a END), 6)
                END AS coverage_r,
-               CASE WHEN (SELECT SUM(df * df) FROM dfq) > 0 THEN
+               CASE WHEN (SELECT SUM(df * df) FROM dfq CROSS JOIN nd
+                          WHERE df * 5 <= ndocs) > 0 THEN
                    round(CAST((SELECT COALESCE(SUM(df * df), 0)
                                FROM dfq CROSS JOIN nd
                                WHERE df * 5 <= ndocs AND df <= {cap})
                               AS DOUBLE)
-                         / (SELECT SUM(df * df) FROM dfq), 6)
+                         / (SELECT SUM(df * df) FROM dfq CROSS JOIN nd
+                            WHERE df * 5 <= ndocs), 6)
                END AS work_frac_r
         FROM (
           SELECT COALESCE(t.id_a, c.id_a) AS id_a, t.t, c.c FROM
@@ -3518,8 +3555,8 @@ ORACLES["sim_tfidf_recall_zipf"] = f"""
                ((x >> 4) % (CAST(1 AS BIGINT) << CAST(x % 16 AS INT)))
                    AS term
         FROM (SELECT doc_id,
-                     (doc_id * 1103515245 + i * 2654435761 + 12345)
-                         % 2147483648 AS x
+                     ((doc_id % 2147483648) * 1103515245
+                      + i * 2654435761 + 12345) % 2147483648 AS x
               FROM zw)
     ),
     tf AS (
@@ -3539,7 +3576,7 @@ ORACLES["sim_tfidf_recall_zipf"] = f"""
         FROM wt GROUP BY 1
     ),
     nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS ndocs FROM documents),
-    {_tfidf_topk_sql("t", cap=None)},
+    {_tfidf_topk_sql("t", cap=2**31)},
     {_tfidf_topk_sql("c150", cap=150)},
     {_tfidf_topk_sql("c30", cap=30)},
     {_tfidf_topk_sql("c10", cap=10)},

@@ -49,10 +49,17 @@ def assert_explosion_pinned(df, key: str, min_pins: int = 2) -> str:
     source pin — callers pass the count their operator promises). Returns
     the plan string for further operator-specific asserts."""
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "REPARTITION_BY_NUM" in plan, plan[:2000]
-    got = plan.count(f"hashpartitioning({key}")
+    # Count only exchanges that are BOTH hash-partitioned on the key AND
+    # REPARTITION_BY_NUM (same plan line) — ordinary ENSURE_REQUIREMENTS
+    # exchanges also print hashpartitioning(key...) but are exactly the
+    # AQE-coalescible kind this assertion exists to rule out.
+    got = sum(
+        1
+        for ln in plan.splitlines()
+        if "REPARTITION_BY_NUM" in ln and f"hashpartitioning({key}" in ln
+    )
     assert got >= min_pins, (
-        f"expected >= {min_pins} hashpartitioning({key}...) exchanges, "
-        f"found {got}"
+        f"expected >= {min_pins} REPARTITION_BY_NUM "
+        f"hashpartitioning({key}...) exchanges, found {got}\n{plan[:2000]}"
     )
     return plan

@@ -107,23 +107,42 @@ def test_ivfpq_subset_of_pq_and_monotone_probes(spark, sf_dir):
 
 
 def test_ivfpq_recall_grid_shape(spark, sf_dir):
+    # r9: the grid gained a directory axis (sign vs kmeans-trained) and
+    # probe_flips became the directory-generic probe column.
     rows = analytics.q_sim_ivfpq_recall(spark, sf_dir).collect()
-    combos = sorted({(r["cells"], r["probe_flips"]) for r in rows})
-    assert combos == [(16, 0), (16, 1), (256, 0), (256, 1)]
-    assert len(rows) == 40  # 4 settings x 10 queries
+    combos = sorted({(r["directory"], r["cells"], r["probe"]) for r in rows})
+    assert combos == [
+        ("kmeans", 16, 1),
+        ("kmeans", 16, 4),
+        ("sign", 16, 0),
+        ("sign", 16, 1),
+        ("sign", 256, 0),
+        ("sign", 256, 1),
+    ]
+    assert len(rows) == 60  # 6 settings x 10 queries
     mean = {}
-    for c, f in combos:
+    for d, c, p in combos:
         rs = [
             r["recall_r"]
             for r in rows
-            if r["cells"] == c and r["probe_flips"] == f
+            if r["directory"] == d and r["cells"] == c and r["probe"] == p
         ]
-        mean[(c, f)] = sum(rs) / len(rs)
-    # multi-probe never loses recall at fixed cell count
-    assert mean[(16, 1)] >= mean[(16, 0)]
-    assert mean[(256, 1)] >= mean[(256, 0)]
-    # finer directory prunes more at fixed probe setting
-    assert mean[(16, 1)] >= mean[(256, 1)]
+        mean[(d, c, p)] = sum(rs) / len(rs)
+    # multi-probe widens the candidate pool; recall@k is NOT strictly
+    # monotone in the probe count under ADC (a quantization-error
+    # candidate can displace a true neighbour from the top-k — measured
+    # kmeans 0.68 @ nprobe=1 vs 0.67 @ nprobe=4 at sf0.001), so the
+    # sign rows assert the large empirical gap and the kmeans rows the
+    # verdict bar, not monotonicity.
+    assert mean[("sign", 16, 1)] >= mean[("sign", 16, 0)]
+    assert mean[("sign", 256, 1)] >= mean[("sign", 256, 0)]
+    # finer untrained directory prunes more at fixed probe setting
+    assert mean[("sign", 16, 1)] >= mean[("sign", 256, 1)]
+    # the trained directory clears the r8-verdict bar at BOTH probe
+    # settings and beats sign cells at matched cell count
+    assert mean[("kmeans", 16, 1)] >= 0.6
+    assert mean[("kmeans", 16, 4)] >= 0.6
+    assert mean[("kmeans", 16, 4)] > mean[("sign", 16, 1)]
 
 
 def test_pq_topk_n_codes_guard(spark, sf_dir):

