@@ -153,3 +153,31 @@ def test_zipf_coverage_meter_has_a_knee(spark):
     assert rows[10]["recall_r"] >= 0.9 and rows[10]["work_frac_r"] <= 0.2
     assert rows[2]["recall_r"] < 0.6, rows[2]["recall_r"]
     assert all(r["truth_work"] > 0 for r in rows.values())
+
+
+def test_small_scan_slices_uri_and_plain_paths(spark, tmp_path):
+    """r9 review fix: only file: URIs are percent-decoded; plain paths
+    (including a literal %) are used verbatim; remote schemes deactivate
+    the policy. Spark returns inputFiles() as percent-encoded file: URIs
+    for paths with spaces — both branches must size the scan instead of
+    silently deactivating."""
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.session import (
+        small_scan_slices,
+    )
+
+    spaced = tmp_path / "with space"
+    spaced.mkdir()
+    p1 = str(spaced / "t.parquet")
+    spark.range(1000).write.mode("overwrite").parquet(p1)
+    df1 = spark.read.parquet(p1)
+    assert df1.inputFiles() and df1.inputFiles()[0].startswith("file:")
+    assert "%20" in df1.inputFiles()[0]  # encoded space reaches the policy
+    n1 = small_scan_slices(df1)
+    assert n1 == 1  # tiny scan -> derived single fat slice
+
+    pct = tmp_path / "pct%dir"
+    pct.mkdir()
+    p2 = str(pct / "t.parquet")
+    spark.range(1000).write.mode("overwrite").parquet(p2)
+    n2 = small_scan_slices(spark.read.parquet(p2))
+    assert n2 == 1  # literal % not mangled by decoding
