@@ -3270,14 +3270,21 @@ def q_sim_tfidf_recall_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms (df*5 <= n AND df <= cap) divided by the fractional-only
     sum(df^2) — the posting-join pair work actually paid vs the
     exact side's. Measured at sf0.1 (5000 docs, sampled queries
-    doc%10=0, unigram index): cap 10 -> recall 0.961 at ~0.8% of the
-    exact work; cap 30 -> 0.994 at ~2.4%; cap 2 -> collapse 0.339;
+    doc%10=0, unigram index): cap 10 -> recall 0.961 at 1.4% of the
+    exact work; cap 30 -> 0.994 at 4.0%; cap 2 -> collapse 0.339;
     docs/SCALE.md logs the curve."""
     docs = _documents(spark, sf_dir)
     zdocs = _zipf_docs(docs)
     sample = F.col("doc") % 10 == 0
     # max_bucket_df=2^31: engages the dual-filter path with a vacuous
-    # absolute cap — fractional-only truth.
+    # absolute cap — fractional-only truth. NO localCheckpoint despite
+    # the truth subtree appearing in all four capped parts: Spark's
+    # physical planner dedups identical exchange subtrees inside the
+    # one union plan (ReusedExchange), so the truth executes ~once
+    # anyway — measured A/B at sf1 (alternating same-session runs):
+    # 50.3/44.4 s without vs 52.0/46.3 s with the checkpoint. The
+    # trained-IVF cells checkpoint is different: its consumers live in
+    # SEPARATE actions, where exchange reuse can't apply.
     truth = text.tfidf_cosine_pairs(
         zdocs,
         "doc_id",
@@ -3428,9 +3435,30 @@ def _tfidf_topk_sql(tag: str, cap: int | None) -> str:
     )"""
 
 
-def _tfidf_recall_stats(cap: str) -> str:
+def _tfidf_recall_stats(cap: str, work: bool = False) -> str:
     """Recall/coverage aggregate of one capped top-5 vs the shared truth
-    top-5 — full-outer pair join then counts, one row per cap setting."""
+    top-5 — full-outer pair join then counts, one row per cap setting.
+
+    ``work=True`` (the Zipf meter) additionally emits the pair-work
+    meter columns, reading the shared MATERIALIZED 1-row CTEs ``tw``
+    (fractional-only exact work) and ``pw{cap}`` (admitted work) the
+    caller must provide — one metric definition for both meters."""
+    work_cols = (
+        f""",
+               (SELECT pw FROM pw{cap}) AS pair_work,
+               (SELECT tw FROM tw) AS truth_work"""
+        if work
+        else ""
+    )
+    work_frac = (
+        f""",
+               CASE WHEN (SELECT tw FROM tw) > 0 THEN
+                   round(CAST((SELECT pw FROM pw{cap}) AS DOUBLE)
+                         / (SELECT tw FROM tw), 6)
+               END AS work_frac_r"""
+        if work
+        else ""
+    )
     return f"""st{cap} AS (
         SELECT {cap} AS bucket_cap,
                CAST(COUNT(DISTINCT CASE WHEN t IS NOT NULL THEN id_a END)
@@ -3440,7 +3468,7 @@ def _tfidf_recall_stats(cap: str) -> str:
                CAST(SUM(COALESCE(t, 0)) AS BIGINT) AS truth_pairs,
                CAST(SUM(COALESCE(c, 0)) AS BIGINT) AS capped_pairs,
                CAST(SUM(CASE WHEN t IS NOT NULL AND c IS NOT NULL THEN 1
-                        ELSE 0 END) AS BIGINT) AS hits,
+                        ELSE 0 END) AS BIGINT) AS hits{work_cols},
                CASE WHEN SUM(COALESCE(t, 0)) > 0 THEN
                    round(CAST(SUM(CASE WHEN t IS NOT NULL
                                    AND c IS NOT NULL THEN 1 ELSE 0 END)
@@ -3452,7 +3480,7 @@ def _tfidf_recall_stats(cap: str) -> str:
                                     THEN id_a END) AS DOUBLE)
                          / COUNT(DISTINCT CASE WHEN t IS NOT NULL
                                  THEN id_a END), 6)
-               END AS coverage_r
+               END AS coverage_r{work_frac}
         FROM (
           SELECT COALESCE(t.id_a, c.id_a) AS id_a, t.t, c.c FROM
             (SELECT id_a, id_b, 1 AS t FROM topt) t
@@ -3490,56 +3518,24 @@ ORACLES["sim_tfidf_recall"] = f"""
     SELECT * FROM st150 UNION ALL SELECT * FROM st600 ORDER BY bucket_cap
 """
 
-def _ztfidf_recall_stats(cap: int) -> str:
-    """Recall/coverage/work aggregate of one capped top-5 vs the truth
-    top-5 on the Zipf-derived corpus — _tfidf_recall_stats plus the
-    admitted-pair-work meter (sum(df^2) over terms passing the dual
-    cap, vs the uncapped total)."""
-    return f"""stz{cap} AS (
-        SELECT {cap} AS bucket_cap,
-               CAST(COUNT(DISTINCT CASE WHEN t IS NOT NULL THEN id_a END)
-                    AS BIGINT) AS q_docs,
-               CAST(COUNT(DISTINCT CASE WHEN c IS NOT NULL THEN id_a END)
-                    AS BIGINT) AS docs_covered,
-               CAST(SUM(COALESCE(t, 0)) AS BIGINT) AS truth_pairs,
-               CAST(SUM(COALESCE(c, 0)) AS BIGINT) AS capped_pairs,
-               CAST(SUM(CASE WHEN t IS NOT NULL AND c IS NOT NULL THEN 1
-                        ELSE 0 END) AS BIGINT) AS hits,
-               (SELECT CAST(COALESCE(SUM(df * df), 0) AS BIGINT)
-                FROM dfq CROSS JOIN nd
-                WHERE df * 5 <= ndocs AND df <= {cap}) AS pair_work,
-               (SELECT CAST(COALESCE(SUM(df * df), 0) AS BIGINT)
-                FROM dfq CROSS JOIN nd
-                WHERE df * 5 <= ndocs) AS truth_work,
-               CASE WHEN SUM(COALESCE(t, 0)) > 0 THEN
-                   round(CAST(SUM(CASE WHEN t IS NOT NULL
-                                   AND c IS NOT NULL THEN 1 ELSE 0 END)
-                              AS DOUBLE) / SUM(COALESCE(t, 0)), 6)
-               END AS recall_r,
-               CASE WHEN COUNT(DISTINCT CASE WHEN t IS NOT NULL
-                                THEN id_a END) > 0 THEN
-                   round(CAST(COUNT(DISTINCT CASE WHEN c IS NOT NULL
-                                    THEN id_a END) AS DOUBLE)
-                         / COUNT(DISTINCT CASE WHEN t IS NOT NULL
-                                 THEN id_a END), 6)
-               END AS coverage_r,
-               CASE WHEN (SELECT SUM(df * df) FROM dfq CROSS JOIN nd
-                          WHERE df * 5 <= ndocs) > 0 THEN
-                   round(CAST((SELECT COALESCE(SUM(df * df), 0)
-                               FROM dfq CROSS JOIN nd
-                               WHERE df * 5 <= ndocs AND df <= {cap})
-                              AS DOUBLE)
-                         / (SELECT SUM(df * df) FROM dfq CROSS JOIN nd
-                            WHERE df * 5 <= ndocs), 6)
-               END AS work_frac_r
-        FROM (
-          SELECT COALESCE(t.id_a, c.id_a) AS id_a, t.t, c.c FROM
-            (SELECT id_a, id_b, 1 AS t FROM topt) t
-            FULL OUTER JOIN
-            (SELECT id_a, id_b, 1 AS c FROM topc{cap}) c
-            USING (id_a, id_b)
-        )
-    )"""
+def _zipf_work_ctes(caps: tuple[int, ...]) -> str:
+    """Shared 1-row work-meter CTEs for the Zipf meter: ``tw`` = the
+    fractional-only exact side's sum(df^2); ``pw{cap}`` = the admitted
+    sum(df^2) per cap. MATERIALIZED so each is computed once however
+    many stat CTEs read it."""
+    pws = ",".join(
+        f"""
+    pw{cap} AS MATERIALIZED (
+        SELECT CAST(COALESCE(SUM(df * df), 0) AS BIGINT) AS pw
+        FROM dfq CROSS JOIN nd
+        WHERE df * 5 <= ndocs AND df <= {cap})"""
+        for cap in caps
+    )
+    return f"""
+    tw AS MATERIALIZED (
+        SELECT CAST(COALESCE(SUM(df * df), 0) AS BIGINT) AS tw
+        FROM dfq CROSS JOIN nd
+        WHERE df * 5 <= ndocs),{pws}"""
 
 
 ORACLES["sim_tfidf_recall_zipf"] = f"""
@@ -3581,12 +3577,13 @@ ORACLES["sim_tfidf_recall_zipf"] = f"""
     {_tfidf_topk_sql("c30", cap=30)},
     {_tfidf_topk_sql("c10", cap=10)},
     {_tfidf_topk_sql("c2", cap=2)},
-    {_ztfidf_recall_stats(150)},
-    {_ztfidf_recall_stats(30)},
-    {_ztfidf_recall_stats(10)},
-    {_ztfidf_recall_stats(2)}
-    SELECT * FROM stz150 UNION ALL SELECT * FROM stz30
-    UNION ALL SELECT * FROM stz10 UNION ALL SELECT * FROM stz2
+    {_zipf_work_ctes((150, 30, 10, 2))},
+    {_tfidf_recall_stats("150", work=True)},
+    {_tfidf_recall_stats("30", work=True)},
+    {_tfidf_recall_stats("10", work=True)},
+    {_tfidf_recall_stats("2", work=True)}
+    SELECT * FROM st150 UNION ALL SELECT * FROM st30
+    UNION ALL SELECT * FROM st10 UNION ALL SELECT * FROM st2
     ORDER BY bucket_cap
 """
 

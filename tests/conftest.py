@@ -53,10 +53,12 @@ def assert_explosion_pinned(df, key: str, min_pins: int = 2) -> str:
     # REPARTITION_BY_NUM (same plan line) — ordinary ENSURE_REQUIREMENTS
     # exchanges also print hashpartitioning(key...) but are exactly the
     # AQE-coalescible kind this assertion exists to rule out.
+    # anchor to Spark's attribute#exprId format so a different column
+    # merely PREFIXED by the key (k vs k2) cannot satisfy the count
     got = sum(
         1
         for ln in plan.splitlines()
-        if "REPARTITION_BY_NUM" in ln and f"hashpartitioning({key}" in ln
+        if "REPARTITION_BY_NUM" in ln and f"hashpartitioning({key}#" in ln
     )
     assert got >= min_pins, (
         f"expected >= {min_pins} REPARTITION_BY_NUM "

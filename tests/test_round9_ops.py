@@ -133,13 +133,16 @@ def test_zipf_coverage_meter_has_a_knee(spark):
     degenerate curve as the corpus-shape contrast."""
     import os
 
+    from conftest import SF_DIR
     from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import (
         pipeline,
     )
 
-    sf_dir = "/root/testdata/sf0.01"
+    # sibling of the configured test dir, not a hardcoded root — follows
+    # SPARK_GRAFT_TEST_SF_DIR relocations
+    sf_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
     if not os.path.isdir(sf_dir):
-        pytest.skip("sf0.01 testdata not present")
+        pytest.skip(f"{sf_dir} not present")
     rows = {
         r["bucket_cap"]: r
         for r in pipeline.q_sim_tfidf_recall_zipf(spark, sf_dir).collect()
