@@ -58,6 +58,31 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    row_tag: str = "row",
+    **options: str,
+) -> DataFrame:
+    """XML via Spark 4's built-in source (SPARK-44265 folded the
+    spark-xml package into core): one element per ``row_tag``, explicit
+    schema — the schema-on-read contract every text format here uses.
+    XML is the interchange format of the enterprise-feed world; at
+    100 TB it is an INGEST format (parse once, land columnar), never a
+    working format — same economics as CSV/JSONL."""
+    reader = spark.read.schema(schema).option("rowTag", row_tag)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.format("xml").load(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite"
+) -> None:
+    df.write.mode(mode).option("rowTag", row_tag).format("xml").save(path)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

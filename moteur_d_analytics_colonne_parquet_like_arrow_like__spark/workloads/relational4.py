@@ -198,6 +198,47 @@ def q_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dj.join(F.broadcast(dc)).join(F.broadcast(do))
 
 
+def q_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source round-trip on the gate (Spark 4 built-in XML source —
+    SPARK-44265): customer goes out as one <row> element per record and
+    region as a second document set, both read back with explicit
+    schemas and aggregated. The oracle aggregates the ORIGINAL parquet
+    tables — any value mangled by the XML writer/parser (entity
+    escaping, numeric text round-trip, element ordering) diverges the
+    hash. Double sums route through round->DECIMAL like the CSV twin,
+    so the check is order-independent; c_name's '#' and real text
+    content exercise escaping."""
+    import hashlib
+    import os
+
+    from ..sources import formats
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    cust = _t(spark, sf_dir, "customer")
+    regn = _t(spark, sf_dir, "region")
+    xc = f"/tmp/fmt_xml_cust_{tag}"
+    xr = f"/tmp/fmt_xml_regn_{tag}"
+    if not os.path.exists(os.path.join(xc, "_SUCCESS")):
+        formats.write_xml(cust, xc)
+    if not os.path.exists(os.path.join(xr, "_SUCCESS")):
+        formats.write_xml(regn, xr)
+    cust_back = formats.read_xml(spark, xc, schema=cust.schema)
+    regn_back = formats.read_xml(spark, xr, schema=regn.schema)
+    dc = cust_back.agg(
+        F.count(F.lit(1)).alias("xml_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("xml_acctbal_sum"),
+        F.sum(F.length("c_name")).cast("bigint").alias("xml_name_chars"),
+        F.countDistinct("c_mktsegment").alias("xml_segments"),
+    )
+    dr = regn_back.agg(
+        F.count(F.lit(1)).alias("xml_regions"),
+        F.sum("r_regionkey").cast("bigint").alias("xml_regionkey_sum"),
+    )
+    return dc.join(F.broadcast(dr))
+
+
 def q_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions over the embedding column: transform /
     filter / aggregate / zip_with folds, all JVM-side lambda expressions
@@ -652,6 +693,7 @@ QUERIES = {
     "set_ops_all": q_set_ops_all,
     "table_time_travel": q_table_time_travel,
     "source_formats": q_source_formats,
+    "source_xml": q_source_xml,
     "batch_sessionize": q_batch_sessionize,
     "scalar_functions2": q_scalar_functions2,
 }
@@ -826,6 +868,19 @@ ORACLES = {
         WHERE l_returnflag IN ('A', 'R')
         GROUP BY l_linestatus
         ORDER BY l_linestatus
+    """,
+    "source_xml": """
+        SELECT
+            (SELECT COUNT(*) FROM customer) AS xml_customers,
+            (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             FROM customer) AS xml_acctbal_sum,
+            (SELECT CAST(SUM(length(c_name)) AS BIGINT) FROM customer)
+                AS xml_name_chars,
+            (SELECT CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT)
+             FROM customer) AS xml_segments,
+            (SELECT COUNT(*) FROM region) AS xml_regions,
+            (SELECT CAST(SUM(r_regionkey) AS BIGINT) FROM region)
+                AS xml_regionkey_sum
     """,
     "source_formats": """
         SELECT

@@ -184,3 +184,36 @@ def test_small_scan_slices_uri_and_plain_paths(spark, tmp_path):
     spark.range(1000).write.mode("overwrite").parquet(p2)
     n2 = small_scan_slices(spark.read.parquet(p2))
     assert n2 == 1  # literal % not mangled by decoding
+
+
+def test_xml_round_trip(spark, sf_dir, tmp_path):
+    """Spark 4 native XML source (SPARK-44265): write-then-read with an
+    explicit schema must be value-identical, including entity escaping
+    of XML-special characters in string content."""
+    from pyspark.sql import types as T
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources import (
+        formats,
+    )
+
+    st = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("txt", T.StringType(), True),
+            T.StructField("val", T.DoubleType(), True),
+        ]
+    )
+    rows = [
+        (1, "plain", 1.5),
+        (2, "a < b & c > d", -2.25),
+        (3, 'quote " and \' apostrophe', 0.0),
+        (4, None, None),
+    ]
+    df = spark.createDataFrame(rows, st)
+    path = str(tmp_path / "xmlrt")
+    formats.write_xml(df, path)
+    back = formats.read_xml(spark, path, schema=st)
+    got = sorted(
+        [(r["id"], r["txt"], r["val"]) for r in back.collect()]
+    )
+    assert got == sorted(rows)
