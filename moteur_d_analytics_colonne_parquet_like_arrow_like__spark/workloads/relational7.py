@@ -1054,8 +1054,109 @@ def q_sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's SQL scripting (SQL/PSM, SPARK-48338) on the gate:
+    DECLARE'd variables, a FOR cursor over a real aggregate, and IF
+    branching inside the loop — the procedural surface a migrating
+    warehouse user expects. The accumulators are DECIMAL(18,2), so the
+    fold is exact integer cents whatever order the cursor delivers;
+    the oracle computes the same totals as plain set-based SQL, which
+    is also the 100 TB note: the loop body here touches one 5-row
+    aggregate, not data — scripting orchestrates set-based statements,
+    it must never become a row loop."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_script"
+    )
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE total DECIMAL(18,2) DEFAULT 0;
+          DECLARE hi DECIMAL(18,2) DEFAULT 0;
+          DECLARE n INT DEFAULT 0;
+          FOR r AS SELECT o_orderpriority AS p,
+                          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+                   FROM orders_script GROUP BY 1 ORDER BY 1 DO
+            SET total = total + r.s;
+            IF r.p IN ('1-URGENT', '2-HIGH') THEN
+              SET hi = hi + r.s;
+            END IF;
+            SET n = n + 1;
+          END FOR;
+          SELECT CAST(n AS BIGINT) AS n_priorities,
+                 CAST(total AS DOUBLE) AS total_price,
+                 CAST(hi AS DOUBLE) AS hi_priority_price,
+                 round(CAST(hi AS DOUBLE) / CAST(total AS DOUBLE), 6)
+                     AS hi_share_r;
+        END
+        """
+    )
+
+
+def q_sql_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string collations (SPARK-46830) on the gate:
+    case-insensitive DISTINCT and equality via UTF8_LCASE over a
+    deliberately case-mixed derivation of the customer segment (even
+    keys uppercased, odd lowercased — the raw fixture is uniform-case,
+    so the collation must do real work: 10 raw distinct values
+    collapse to 5). The oracle expresses the same semantics with
+    lower(), the pre-collation idiom; collation wins at scale because
+    the comparison happens in the collator, not through a derived
+    column that blocks dictionary-encoding pushdown."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_coll"
+    )
+    return spark.sql(
+        """
+        WITH mixed AS (
+          SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                      ELSE lower(c_mktsegment) END AS seg
+          FROM customer_coll
+        )
+        SELECT CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_case_sensitive,
+               CAST(COUNT(DISTINCT CAST(seg AS STRING COLLATE UTF8_LCASE))
+                    AS BIGINT) AS n_case_insensitive,
+               CAST(SUM(CASE WHEN CAST(seg AS STRING COLLATE UTF8_LCASE)
+                                  = 'building'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_building_ci
+        FROM mixed
+        """
+    )
+
+
 QUERIES["sql_recursive_cte"] = q_sql_recursive_cte
 QUERIES["sql_lateral_topk"] = q_sql_lateral_topk
+QUERIES["sql_scripting"] = q_sql_scripting
+QUERIES["sql_collation"] = q_sql_collation
+
+ORACLES["sql_scripting"] = """
+    SELECT CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN CAST(o_totalprice AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS hi_priority_price,
+           round(CAST(SUM(CASE WHEN o_orderpriority IN
+                                    ('1-URGENT', '2-HIGH')
+                          THEN CAST(o_totalprice AS DECIMAL(18,2))
+                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE), 6) AS hi_share_r
+    FROM orders
+"""
+
+ORACLES["sql_collation"] = """
+    WITH mixed AS (
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                  ELSE lower(c_mktsegment) END AS seg
+      FROM customer
+    )
+    SELECT CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_case_sensitive,
+           CAST(COUNT(DISTINCT lower(seg)) AS BIGINT) AS n_case_insensitive,
+           CAST(SUM(CASE WHEN lower(seg) = 'building' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_building_ci
+    FROM mixed
+"""
 
 # Same recursion as part_hierarchy_closure's oracle: the two Spark
 # strategies (genuine recursion here, unrolled joins there) must both
