@@ -271,6 +271,50 @@ def run_to_memory(
     return spark.table(name)
 
 
+def run_and_read_state(
+    sdf: DataFrame,
+    output_mode: str = "update",
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Execute a streaming plan to completion (availableNow, memory
+    sink), then read back its STATE STORE via Spark 4's ``statestore``
+    data source and return the state contents with lineage cut (the
+    checkpoint is deleted after the eager localCheckpoint, so the
+    returned frame is self-contained).
+
+    This is the production state-audit tool surfaced as an operator:
+    at 100 TB the thing that kills a stateful pipeline is unbounded
+    state, and the state reader is how you PROVE the watermark bounds
+    it — the returned rows are exactly the live (not-yet-evicted)
+    groups, i.e. windows whose end is still above the final watermark.
+    Spark evicts aggregation state once the watermark passes the
+    window end, so a bounded replay's final state is the last
+    ``watermark-delay`` worth of windows, however much history was
+    replayed."""
+    name = f"state_{uuid.uuid4().hex[:8]}"
+    spark = sdf.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    ckpt = os.path.join(_volatile_ckpt_root(), f"ckpt_{name}")
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        state = spark.read.format("statestore").load(ckpt)
+        return state.localCheckpoint(eager=True)
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def _recover_swap(path: str) -> None:
     """Heal a crash inside ``_publish_swap``: if the live dir is missing
     but the displaced previous state survives, restore it. Safe to call

@@ -59,6 +59,34 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's ``statestore`` data source on the gate: run the
+    tumbling-window replay, then read the aggregation operator's STATE
+    back as a DataFrame (streaming/run_and_read_state) — the
+    production state-audit tool. The rows are exactly the LIVE
+    windows: Spark evicts aggregation state once the watermark (max
+    event time − 30 min) passes the window end, so however much
+    history the replay ingested, the surviving state is the last
+    ~30-40 minutes of windows. This gate is the complement of
+    stream_tumbling_append (whose output is the CLOSED windows —
+    same cutoff, opposite side), and together they partition the
+    window set; the oracle states the eviction rule in SQL. At 100 TB
+    this reader is how you PROVE state stays bounded instead of
+    asserting it."""
+    sdf = S.tumbling_window_agg(S.events_stream(spark, sf_dir))
+    state = S.run_and_read_state(
+        sdf, output_mode="update", shuffle_partitions=8
+    )
+    return state.select(
+        F.date_format("key.window.start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").cast("bigint").alias("n_live"),
+        F.col("value.sum").cast("double").alias("sum_live"),
+    ).orderBy("window_start", "event_type")
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = S.dedup_within_watermark(
         S.events_stream(spark, sf_dir), ["user_id", "event_type"]
@@ -151,6 +179,7 @@ QUERIES = {
     "stream_stateful": q_stream_stateful,
     "stream_ewma": q_stream_ewma,
     "stream_tumbling_window": q_stream_tumbling,
+    "stream_state_inspect": q_stream_state_inspect,
     "stream_tumbling_append": q_stream_tumbling_append,
     "stream_sliding_window": q_stream_sliding,
     "stream_session_window": q_stream_session,
@@ -178,6 +207,25 @@ ORACLES = {
                event_type, value
         FROM ranked WHERE rn = 1
         ORDER BY user_id
+    """,
+    "stream_state_inspect": """
+        WITH wm AS (
+            SELECT max(ts) - INTERVAL '30 minutes' AS cutoff FROM events
+        ),
+        agg AS (
+            SELECT time_bucket(INTERVAL '10 minutes', ts) AS wstart,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_live,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS sum_live
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, n_live, sum_live
+        FROM agg, wm
+        WHERE wstart + INTERVAL '10 minutes' > wm.cutoff
+        ORDER BY window_start, event_type
     """,
     "stream_tumbling_append": """
         WITH wm AS (

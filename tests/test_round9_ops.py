@@ -217,3 +217,35 @@ def test_xml_round_trip(spark, sf_dir, tmp_path):
         [(r["id"], r["txt"], r["val"]) for r in back.collect()]
     )
     assert got == sorted(rows)
+
+
+def test_state_inspect_complements_append_output(spark, sf_dir):
+    """The statestore reader's live windows and the append-mode sink's
+    closed windows partition the full window set: same watermark
+    cutoff, opposite sides, no overlap, union = the batch tumbling
+    aggregation."""
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import (
+        streaming_ops,
+    )
+
+    live = {
+        (r["window_start"], r["event_type"])
+        for r in streaming_ops.q_stream_state_inspect(
+            spark, sf_dir
+        ).collect()
+    }
+    closed = {
+        (r["window_start"], r["event_type"])
+        for r in streaming_ops.QUERIES["stream_tumbling_append"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert live, "state should hold at least one live window"
+    assert not (live & closed), "a window cannot be both live and closed"
+    batch = {
+        (r["window_start"], r["event_type"])
+        for r in streaming_ops.QUERIES["stream_tumbling_window"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert live | closed == batch
