@@ -463,7 +463,14 @@ def _quality_kept_sql() -> str:
 # ------------------------------------------------------------------- oracles
 
 
-def _minhash_oracle(max_bucket: int | None = None) -> str:
+def _minhash_pairs_sql(max_bucket: int | None = None) -> str:
+    """CTE chain ``bands → … → pairs(id_a, id_b, est_jaccard)`` over an
+    existing ``sig`` CTE (from ``_minhash_sig_sql``) — the SQL twin of
+    ``dedup.minhash_lsh_pairs`` minus the shingle/signature prefix, so
+    composed oracles (``pipeline_end_to_end``) can run the same banding
+    over a filtered doc set. The bucket-cap CTE mirrors
+    ``dedup.cap_bucket_size``: drop (band, key) buckets over the cap
+    before candidate pairing."""
     nh, bands = 16, 4
     rpb = nh // bands
     band_selects = "\nUNION ALL\n".join(
@@ -476,32 +483,39 @@ def _minhash_oracle(max_bucket: int | None = None) -> str:
     eq_sum = " + ".join(
         f"CAST((sa.mh{i} = sb.mh{i}) AS INT)" for i in range(nh)
     )
-    # Mirror of dedup.cap_bucket_size: drop (band, key) buckets over the cap
-    # before candidate pairing.
     cap_ctes = (
-        f"""kept AS (
+        f"""bkept AS (
             SELECT band, key FROM bands GROUP BY band, key
             HAVING COUNT(*) <= {max_bucket}
         ),
-        bandsk AS (SELECT b.* FROM bands b JOIN kept USING (band, key)),"""
+        bandsk AS (SELECT b.* FROM bands b JOIN bkept USING (band, key)),"""
         if max_bucket is not None
         else "bandsk AS (SELECT * FROM bands),"
     )
     return f"""
-        WITH {_shingle_cte(3)},
-        {_minhash_sig_sql(nh)},
         bands AS ({band_selects}),
         {cap_ctes}
         cand AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM bandsk a JOIN bandsk b
               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        pairs AS (
+            SELECT id_a, id_b, ({eq_sum}) / 16.0 AS est_jaccard
+            FROM cand
+            JOIN sig sa ON sa.doc_id = id_a
+            JOIN sig sb ON sb.doc_id = id_b
+            WHERE ({eq_sum}) / 16.0 >= 0.5
         )
-        SELECT id_a, id_b, ({eq_sum}) / 16.0 AS est_jaccard
-        FROM cand
-        JOIN sig sa ON sa.doc_id = id_a
-        JOIN sig sb ON sb.doc_id = id_b
-        WHERE ({eq_sum}) / 16.0 >= 0.5
+    """
+
+
+def _minhash_oracle(max_bucket: int | None = None) -> str:
+    return f"""
+        WITH {_shingle_cte(3)},
+        {_minhash_sig_sql(16)},
+        {_minhash_pairs_sql(max_bucket)}
+        SELECT id_a, id_b, est_jaccard FROM pairs
         ORDER BY id_a, id_b
     """
 

@@ -1,0 +1,73 @@
+"""Round-10 tests: the composed end-to-end curation pipeline gate
+(VERDICT r9 item 3 — exact dedup → MinHash-capped near-dup → Gopher cut →
+mixture sample → sequence packing as ONE job)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads.pipeline2 import (
+    _E2E_WEIGHTS,
+    q_pipeline_end_to_end,
+)
+
+
+@pytest.fixture(scope="module")
+def e2e_rows(spark, sf_dir):
+    return q_pipeline_end_to_end(spark, sf_dir).collect()
+
+
+def test_e2e_funnel_only_narrows(spark, sf_dir, e2e_rows):
+    """Every stage consumes the previous stage's survivors: the final
+    kept set must be a subset of the corpus, nonempty, and smaller than
+    the corpus (each of dedup/quality/mixture cuts at this SF)."""
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.catalog import (
+        load_table,
+    )
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert 0 < len(e2e_rows) < n_docs
+    ids = [r["doc_id"] for r in e2e_rows]
+    assert len(set(ids)) == len(ids)  # one span row per kept doc
+
+
+def test_e2e_mixture_respects_weights(e2e_rows):
+    """Only weighted sources survive the mixture stage, and BOTH
+    saturation regimes appear (small sources keep everything at
+    keep_frac 1; heavy sources get a real Bernoulli fraction) — the
+    recipe was chosen so neither regime is vacuous at the test SF."""
+    sources = {r["source"] for r in e2e_rows}
+    assert sources <= set(_E2E_WEIGHTS)
+    fracs = [r["keep_frac_r"] for r in e2e_rows]
+    assert all(0 < f <= 1 for f in fracs)
+    assert any(f == 1.0 for f in fracs)
+    assert any(f < 1.0 for f in fracs)
+
+
+def test_e2e_packing_is_contiguous(e2e_rows):
+    """The packed spans must tile the token stream exactly: each doc's
+    start position equals the previous docs' token total (the two-phase
+    distributed prefix sum equals the naive global cumsum), and end_seq
+    is derived from start + n_tokens."""
+    cum = 0
+    for r in sorted(e2e_rows, key=lambda r: r["doc_id"]):
+        assert r["n_tokens"] > 0
+        assert r["start_seq"] == cum // 512
+        assert r["start_off"] == cum % 512
+        cum += r["n_tokens"]
+        assert r["end_seq"] == (cum - 1) // 512
+
+
+def test_e2e_no_python_udfs_in_plan(spark, sf_dir):
+    """The whole composed DAG stays JVM-side — no BatchEvalPython /
+    ArrowEvalPython / FlatMapGroupsInPandas nodes anywhere in the plan
+    (the funnel is Catalyst expressions + joins + one window family)."""
+    plan = (
+        q_pipeline_end_to_end(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan
