@@ -656,6 +656,96 @@ _E2E_WEIGHTS = {
 _E2E_BUDGET = 0.35
 
 
+def e2e_stage_frames(
+    spark: SparkSession,
+    sf_dir: str,
+    upto: str = "s5",
+    max_bucket_size: int = 4,
+) -> dict[str, DataFrame]:
+    """The curation funnel, one DataFrame per cumulative stage — shared
+    by the ``pipeline_end_to_end`` gate (which returns the final frame)
+    and ``tools/pipeline_e2e_stages.py`` (which times each prefix to
+    attribute wall share per stage). Keys are ordered s1..s5.
+
+    ``upto`` stops construction after that stage — the components
+    fixpoint in s2 executes jobs at plan-BUILD time (localCheckpoint per
+    round), so a caller timing the s1 prefix must not pay it.
+    ``max_bucket_size`` is the LSH hot-bucket cap: the gate pins 4 (the
+    capped-gate contract, deliberately small at driver SFs so the cap is
+    provably live); a production run sizes it ABOVE the expected genuine
+    duplicate-cluster size — the sf1 rehearsal measures both settings,
+    where cap=4 visibly swallows the 10-sibling replica clusters."""
+    from ..functions import words
+    from ..operators import sampling
+
+    docs = _documents(spark, sf_dir).select("doc_id", "source", "text")
+    # stage 1: exact dedup — keep the smallest id per identical content
+    keepers = dedup.exact_dedup(docs, "doc_id", ["text"]).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    s1 = docs.join(keepers, "doc_id", "left_semi")
+    frames = {"s1": s1}
+    if upto == "s1":
+        return frames
+    # stage 2: MinHash-LSH near-dup (hot buckets capped) → components →
+    # drop every doc whose component label is a smaller id
+    pairs = dedup.minhash_lsh_pairs(
+        s1,
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        shingle_k=3,
+        threshold=0.5,
+        max_bucket_size=max_bucket_size,
+    )
+    clusters = dedup.duplicate_clusters_star(pairs)
+    dropped = clusters.where(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+    s2 = s1.join(dropped, "doc_id", "left_anti")
+    frames["s2"] = s2
+    if upto == "s2":
+        return frames
+    # stage 3: Gopher quality cut
+    s3 = (
+        text.gopher_quality(s2, "text")
+        .where(F.col("g_pass"))
+        .select("doc_id", "source", "text")
+    )
+    frames["s3"] = s3
+    if upto == "s3":
+        return frames
+    # stage 4: weighted mixture sample within the token budget
+    s4 = sampling.mixture_sample(
+        s3,
+        "doc_id",
+        "source",
+        token_count=F.size(words(F.col("text"))).cast("bigint"),
+        weights=_E2E_WEIGHTS,
+        budget_frac=_E2E_BUDGET,
+    )
+    frames["s4"] = s4
+    if upto == "s4":
+        return frames
+    # stage 5: pack survivors into 512-token training sequences; re-attach
+    # source + keep fraction (a survivors-sized relation joined on the id)
+    packed = text.pack_sequences(
+        s4.select("doc_id", "text"), "doc_id", "text", budget=512, chunk=64
+    )
+    meta = s4.select("doc_id", "source", "keep_frac_r")
+    frames["s5"] = packed.join(meta, "doc_id").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "keep_frac_r",
+        "start_seq",
+        "start_off",
+        "end_seq",
+    )
+    return frames
+
+
 def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation as ONE composed job: exact dedup
     (keep min id per content hash) → MinHash-LSH near-dup with the
@@ -682,66 +772,7 @@ def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     at all (cae/src/execution.cpp:23-401 is scan/filter/agg); this gate
     composes the repo's LLM-pipeline extension family end-to-end.
     """
-    from ..functions import words
-    from ..operators import sampling
-
-    docs = _documents(spark, sf_dir).select("doc_id", "source", "text")
-    # stage 1: exact dedup — keep the smallest id per identical content
-    keepers = dedup.exact_dedup(docs, "doc_id", ["text"]).select(
-        F.col("keeper_id").alias("doc_id")
-    )
-    s1 = docs.join(keepers, "doc_id", "left_semi")
-    # stage 2: MinHash-LSH near-dup (hot buckets capped) → components →
-    # drop every doc whose component label is a smaller id
-    pairs = dedup.minhash_lsh_pairs(
-        s1,
-        "doc_id",
-        "text",
-        num_hashes=16,
-        bands=4,
-        shingle_k=3,
-        threshold=0.5,
-        max_bucket_size=4,
-    )
-    clusters = dedup.duplicate_clusters_star(pairs)
-    dropped = clusters.where(F.col("node") != F.col("label")).select(
-        F.col("node").alias("doc_id")
-    )
-    s2 = s1.join(dropped, "doc_id", "left_anti")
-    # stage 3: Gopher quality cut
-    s3 = (
-        text.gopher_quality(s2, "text")
-        .where(F.col("g_pass"))
-        .select("doc_id", "source", "text")
-    )
-    # stage 4: weighted mixture sample within the token budget
-    s4 = sampling.mixture_sample(
-        s3,
-        "doc_id",
-        "source",
-        token_count=F.size(words(F.col("text"))).cast("bigint"),
-        weights=_E2E_WEIGHTS,
-        budget_frac=_E2E_BUDGET,
-    )
-    # stage 5: pack survivors into 512-token training sequences; re-attach
-    # source + keep fraction (a survivors-sized relation joined on the id)
-    packed = text.pack_sequences(
-        s4.select("doc_id", "text"), "doc_id", "text", budget=512, chunk=64
-    )
-    meta = s4.select("doc_id", "source", "keep_frac_r")
-    return (
-        packed.join(meta, "doc_id")
-        .select(
-            "doc_id",
-            "source",
-            "n_tokens",
-            "keep_frac_r",
-            "start_seq",
-            "start_off",
-            "end_seq",
-        )
-        .orderBy("doc_id")
-    )
+    return e2e_stage_frames(spark, sf_dir)["s5"].orderBy("doc_id")
 
 
 QUERIES["pipeline_end_to_end"] = q_pipeline_end_to_end

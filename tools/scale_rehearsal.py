@@ -122,6 +122,18 @@ TARGETS = [
     # replica's shifted doc_ids give each copy an independent LCG token
     # stream, so the derived vocabulary genuinely scales with the corpus.
     "sim_tfidf_recall_zipf",
+    # round-10 (VERDICT r9 item 4): the heaviest never-rehearsed families —
+    # graph (link prediction's wedge join re-rowed post-r5, alongside the
+    # long-standing closure row) and snapshots (the O(changes) claims of
+    # snapshot_diff / incremental view maintenance, measured against a 10x
+    # orders table: the fixture path is keyed on sf_dir, so sf1 builds its
+    # own v0→v1 merge history with 10x keys and ~10x changed rows).
+    "graph_link_prediction",
+    "table_snapshot_diff",
+    "table_incremental_view",
+    # round-10 (VERDICT r9 item 3): the composed curation DAG — also
+    # decomposed per-stage by tools/pipeline_e2e_stages.py.
+    "pipeline_end_to_end",
 ]
 
 # Queries whose construction itself executes jobs (streaming runs,
@@ -143,6 +155,15 @@ EAGER = {
     "graph_bfs_distance",
     # label_propagation localCheckpoints its label frame each round
     "supplier_communities",
+    # co_supply_edges localCheckpoints the edge list at plan build
+    "graph_link_prediction",
+    # both build (or probe) the /tmp snapshot fixture at plan build; the
+    # fixture itself persists across reps, so timed reps measure the
+    # version probe + diff read, not the one-time merge history build
+    "table_snapshot_diff",
+    "table_incremental_view",
+    # the components fixpoint localCheckpoints per round at plan build
+    "pipeline_end_to_end",
 }
 
 # (table, [(col, shift_base)], text_col) — shift_base scales each copy's
