@@ -778,7 +778,11 @@ def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["pipeline_end_to_end"] = q_pipeline_end_to_end
 
 
-def _e2e_oracle() -> str:
+def _e2e_ctes() -> str:
+    """The composed funnel's full CTE chain (``WITH RECURSIVE`` … ``c``)
+    — shared by the ``pipeline_end_to_end`` span oracle and the
+    ``pipeline_funnel_report`` stage-count oracle so the two gates can
+    never drift apart on funnel semantics."""
     from .pipeline import (
         _H60,
         _minhash_pairs_sql,
@@ -871,6 +875,16 @@ def _e2e_oracle() -> str:
                    ) AS BIGINT) AS cum
             FROM s4 WHERE n_tok > 0
         )
+    """
+
+
+# The oracle recomputes the whole funnel set-relationally: exact-dedup
+# keepers, the SAME banding/cap/threshold pairs CTE the standalone minhash
+# oracle uses, the recursive-CTE components fixpoint, the Gopher metric
+# thresholds, the mixture keep fractions (same md5 → u mapping), and the
+# naive global cumsum the two-phase packing must equal.
+ORACLES["pipeline_end_to_end"] = f"""
+        {_e2e_ctes()}
         SELECT doc_id, source, n_tok AS n_tokens,
                round(keep_frac, 9) AS keep_frac_r,
                (cum - n_tok) // 512 AS start_seq,
@@ -880,9 +894,92 @@ def _e2e_oracle() -> str:
     """
 
 
-# The oracle recomputes the whole funnel set-relationally: exact-dedup
-# keepers, the SAME banding/cap/threshold pairs CTE the standalone minhash
-# oracle uses, the recursive-CTE components fixpoint, the Gopher metric
-# thresholds, the mixture keep fractions (same md5 → u mapping), and the
-# naive global cumsum the two-phase packing must equal.
-ORACLES["pipeline_end_to_end"] = _e2e_oracle()
+def q_pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel's observability report — one row per stage
+    with survivor count and token volume, the per-filter removal table
+    every training-data run publishes (and, at 100 TB, the monitoring
+    surface that catches a silent recall cliff like the bucket-cap one
+    measured in docs/SCALE.md: a stage whose removal fraction collapses
+    between runs is the alarm). The final row reports the packed stream:
+    n_units = 512-token training sequences spanned, token volume
+    unchanged from the mixture stage.
+
+    Derived from the SAME ``e2e_stage_frames`` composition the
+    ``pipeline_end_to_end`` gate returns spans from — the two gates
+    cannot disagree on funnel semantics. Five stage aggregates union
+    into one 5-row frame; the repeated subtrees dedup via
+    ReusedExchange inside the single plan (the r9 A/B result)."""
+    from ..functions import words
+
+    frames = e2e_stage_frames(spark, sf_dir)
+    n_tok = F.size(words(F.col("text"))).cast("bigint")
+    rows = []
+    for i, (st, label) in enumerate(
+        [
+            ("s1", "exact_dedup"),
+            ("s2", "near_dup_components"),
+            ("s3", "gopher_cut"),
+            ("s4", "mixture_sample"),
+        ]
+    ):
+        rows.append(
+            frames[st].agg(
+                F.lit(i + 1).cast("bigint").alias("stage"),
+                F.lit(label).alias("label"),
+                F.count(F.lit(1)).cast("bigint").alias("n_units"),
+                F.sum(n_tok).cast("bigint").alias("n_tokens"),
+            )
+        )
+    packed = frames["s5"]
+    rows.append(
+        packed.agg(
+            F.lit(5).cast("bigint").alias("stage"),
+            F.lit("packed_sequences").alias("label"),
+            (F.max("end_seq") + 1).cast("bigint").alias("n_units"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("stage")
+
+
+QUERIES["pipeline_funnel_report"] = q_pipeline_funnel_report
+
+# Same CTE chain as the span oracle, aggregated per stage. The s5 row's
+# n_units is the packed-sequence count = floor((total_tokens - 1)/512)+1,
+# expressed as max(end_seq)+1 exactly like the Spark side.
+ORACLES["pipeline_funnel_report"] = f"""
+    {_e2e_ctes()},
+    toks AS (
+        SELECT doc_id, source,
+               CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    funnel AS (
+        SELECT 1 AS stage, 'exact_dedup' AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_units,
+               CAST(SUM(t.n_tok) AS BIGINT) AS n_tokens
+        FROM s1 JOIN toks t USING (doc_id)
+        UNION ALL
+        SELECT 2, 'near_dup_components',
+               CAST(COUNT(*) AS BIGINT), CAST(SUM(t.n_tok) AS BIGINT)
+        FROM s2 JOIN toks t USING (doc_id)
+        UNION ALL
+        SELECT 3, 'gopher_cut',
+               CAST(COUNT(*) AS BIGINT), CAST(SUM(n_tok) AS BIGINT)
+        FROM s3
+        UNION ALL
+        SELECT 4, 'mixture_sample',
+               CAST(COUNT(*) AS BIGINT), CAST(SUM(n_tok) AS BIGINT)
+        FROM s4
+        UNION ALL
+        SELECT 5, 'packed_sequences',
+               CAST(MAX((cum - 1) // 512) + 1 AS BIGINT),
+               CAST(SUM(n_tok) AS BIGINT)
+        FROM c
+    )
+    SELECT CAST(stage AS BIGINT) AS stage, label, n_units, n_tokens
+    FROM funnel ORDER BY stage
+"""

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads.pipeline2 import (
     _E2E_WEIGHTS,
     q_pipeline_end_to_end,
+    q_pipeline_funnel_report,
 )
 
 
@@ -57,6 +58,29 @@ def test_e2e_packing_is_contiguous(e2e_rows):
         assert r["start_off"] == cum % 512
         cum += r["n_tokens"]
         assert r["end_seq"] == (cum - 1) // 512
+
+
+def test_funnel_report_matches_spans(spark, sf_dir, e2e_rows):
+    """The observability report must agree with the span gate it watches:
+    stage-4 survivor count == span rows, stage-5 token volume == the
+    spans' token sum, stage-5 n_units == last end_seq + 1, and the funnel
+    is monotone non-increasing in both docs and tokens through stage 4."""
+    rep = {r["stage"]: r for r in q_pipeline_funnel_report(spark, sf_dir).collect()}
+    assert [rep[i]["label"] for i in range(1, 6)] == [
+        "exact_dedup",
+        "near_dup_components",
+        "gopher_cut",
+        "mixture_sample",
+        "packed_sequences",
+    ]
+    for i in (2, 3, 4):
+        assert rep[i]["n_units"] <= rep[i - 1]["n_units"]
+        assert rep[i]["n_tokens"] <= rep[i - 1]["n_tokens"]
+    assert rep[4]["n_units"] == len(e2e_rows)
+    tok_total = sum(r["n_tokens"] for r in e2e_rows)
+    assert rep[5]["n_tokens"] == tok_total == rep[4]["n_tokens"]
+    assert rep[5]["n_units"] == max(r["end_seq"] for r in e2e_rows) + 1
+    assert rep[5]["n_units"] == (tok_total - 1) // 512 + 1
 
 
 def test_e2e_no_python_udfs_in_plan(spark, sf_dir):
