@@ -904,45 +904,99 @@ def q_pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_units = 512-token training sequences spanned, token volume
     unchanged from the mixture stage.
 
-    Derived from the SAME ``e2e_stage_frames`` composition the
-    ``pipeline_end_to_end`` gate returns spans from — the two gates
-    cannot disagree on funnel semantics. Five stage aggregates union
-    into one 5-row frame; the repeated subtrees dedup via
-    ReusedExchange inside the single plan (the r9 A/B result)."""
+    Plan shape: NOT five aggregates over nested survivor frames (that
+    plan re-derives the corpus scan per stage — measured at 30 scans /
+    92 exchanges, and AQE's exchange reuse does not fire across the
+    union branches). Instead, one pass annotates every exact-dedup
+    survivor with its downstream stage memberships — near-dup survival
+    is a left join against the (small) dropped-id set, the Gopher pass
+    flag is a per-row expression, mixture survival is a left join
+    against the (smaller) kept-id set — and ONE conditional aggregate
+    over the flags produces every stage's count and token volume,
+    inlined to 5 rows. The packed-sequence count is total-token
+    arithmetic ((Σtok − 1) div 512 + 1 — identical to the span gate's
+    max(end_seq)+1 because the cumulative sum of the packed stream ends
+    at Σtok), so the report never pays the packing window. Membership
+    flags reuse the SAME operators as ``pipeline_end_to_end``
+    (exact_dedup / minhash_lsh_pairs / duplicate_clusters_star /
+    gopher_quality / mixture_sample), so the two gates cannot disagree
+    on funnel semantics."""
     from ..functions import words
+    from ..operators import sampling
 
-    frames = e2e_stage_frames(spark, sf_dir)
+    docs = _documents(spark, sf_dir).select("doc_id", "source", "text")
+    keepers = dedup.exact_dedup(docs, "doc_id", ["text"]).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    s1 = docs.join(keepers, "doc_id", "left_semi")
+    pairs = dedup.minhash_lsh_pairs(
+        s1,
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        shingle_k=3,
+        threshold=0.5,
+        max_bucket_size=4,
+    )
+    dropped = (
+        dedup.duplicate_clusters_star(pairs)
+        .where(F.col("node") != F.col("label"))
+        .select(F.col("node").alias("doc_id"), F.lit(1).alias("__dropped"))
+    )
     n_tok = F.size(words(F.col("text"))).cast("bigint")
-    rows = []
-    for i, (st, label) in enumerate(
-        [
-            ("s1", "exact_dedup"),
-            ("s2", "near_dup_components"),
-            ("s3", "gopher_cut"),
-            ("s4", "mixture_sample"),
-        ]
-    ):
-        rows.append(
-            frames[st].agg(
-                F.lit(i + 1).cast("bigint").alias("stage"),
-                F.lit(label).alias("label"),
-                F.count(F.lit(1)).cast("bigint").alias("n_units"),
-                F.sum(n_tok).cast("bigint").alias("n_tokens"),
-            )
-        )
-    packed = frames["s5"]
-    rows.append(
-        packed.agg(
-            F.lit(5).cast("bigint").alias("stage"),
-            F.lit("packed_sequences").alias("label"),
-            (F.max("end_seq") + 1).cast("bigint").alias("n_units"),
-            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    base = (
+        text.gopher_quality(s1, "text")
+        .join(dropped, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "text",
+            n_tok.alias("n_tok"),
+            F.col("__dropped").isNull().alias("in2"),
+            (F.col("__dropped").isNull() & F.col("g_pass")).alias("in3"),
         )
     )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("stage")
+    # the mixture keep set over stage-3 survivors (fractions depend on
+    # THEIR per-source totals, so the filter composes, not commutes);
+    # the kept ids join back as a flag — survivors only, a narrow set
+    kept4 = sampling.mixture_sample(
+        base.where(F.col("in3")).select("doc_id", "source", "text"),
+        "doc_id",
+        "source",
+        token_count=F.size(words(F.col("text"))).cast("bigint"),
+        weights=_E2E_WEIGHTS,
+        budget_frac=_E2E_BUDGET,
+    ).select("doc_id", F.lit(1).alias("__kept4"))
+    flags = base.join(kept4, "doc_id", "left").withColumn(
+        "in4", F.col("__kept4").isNotNull()
+    )
+    one = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1"),
+        F.sum("n_tok").cast("bigint").alias("t1"),
+        F.count_if(F.col("in2")).cast("bigint").alias("n2"),
+        F.sum(F.when(F.col("in2"), F.col("n_tok"))).cast("bigint").alias("t2"),
+        F.count_if(F.col("in3")).cast("bigint").alias("n3"),
+        F.sum(F.when(F.col("in3"), F.col("n_tok"))).cast("bigint").alias("t3"),
+        F.count_if(F.col("in4")).cast("bigint").alias("n4"),
+        F.sum(F.when(F.col("in4"), F.col("n_tok"))).cast("bigint").alias("t4"),
+    )
+    return one.selectExpr(
+        """inline(array(
+            struct(CAST(1 AS BIGINT) AS stage, 'exact_dedup' AS label,
+                   n1 AS n_units, t1 AS n_tokens),
+            struct(CAST(2 AS BIGINT) AS stage,
+                   'near_dup_components' AS label,
+                   n2 AS n_units, t2 AS n_tokens),
+            struct(CAST(3 AS BIGINT) AS stage, 'gopher_cut' AS label,
+                   n3 AS n_units, t3 AS n_tokens),
+            struct(CAST(4 AS BIGINT) AS stage, 'mixture_sample' AS label,
+                   n4 AS n_units, t4 AS n_tokens),
+            struct(CAST(5 AS BIGINT) AS stage,
+                   'packed_sequences' AS label,
+                   (t4 - 1) div 512 + 1 AS n_units, t4 AS n_tokens)
+        ))"""
+    ).orderBy("stage")
 
 
 QUERIES["pipeline_funnel_report"] = q_pipeline_funnel_report
