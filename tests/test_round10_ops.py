@@ -83,6 +83,21 @@ def test_funnel_report_matches_spans(spark, sf_dir, e2e_rows):
     assert rep[5]["n_units"] == (tok_total - 1) // 512 + 1
 
 
+def test_funnel_report_plans_single_pass(spark, sf_dir):
+    """Guard the single-pass rewrite: the first draft (five aggregates
+    over nested survivor frames) planned 30 parquet scans because AQE's
+    exchange reuse does not fire across union branches; the
+    membership-flags form plans 8. A regression past 12 means someone
+    reintroduced per-stage re-derivation."""
+    plan = (
+        q_pipeline_funnel_report(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") <= 12
+
+
 def test_e2e_no_python_udfs_in_plan(spark, sf_dir):
     """The whole composed DAG stays JVM-side — no BatchEvalPython /
     ArrowEvalPython / FlatMapGroupsInPandas nodes anywhere in the plan
