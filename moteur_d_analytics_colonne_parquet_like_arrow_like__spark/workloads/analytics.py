@@ -3088,7 +3088,7 @@ def q_sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         approx = similarity.ivfpq_topk_trained(
             emb, queries, "vec_id", "embedding",
             k=10, dim=64, m=32, n_codes=64,
-            n_cells=n_cells, nprobe=nprobe, train_iterations=2,
+            n_cells=n_cells, nprobe=nprobe,
             cells=cells_n,
         )
         parts.append(

@@ -894,33 +894,21 @@ ORACLES["pipeline_end_to_end"] = f"""
     """
 
 
-def q_pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The curation funnel's observability report — one row per stage
-    with survivor count and token volume, the per-filter removal table
-    every training-data run publishes (and, at 100 TB, the monitoring
-    surface that catches a silent recall cliff like the bucket-cap one
-    measured in docs/SCALE.md: a stage whose removal fraction collapses
-    between runs is the alarm). The final row reports the packed stream:
-    n_units = 512-token training sequences spanned, token volume
-    unchanged from the mixture stage.
-
-    Plan shape: NOT five aggregates over nested survivor frames (that
-    plan re-derives the corpus scan per stage — measured at 30 scans /
-    92 exchanges, and AQE's exchange reuse does not fire across the
-    union branches). Instead, one pass annotates every exact-dedup
-    survivor with its downstream stage memberships — near-dup survival
-    is a left join against the (small) dropped-id set, the Gopher pass
-    flag is a per-row expression, mixture survival is a left join
-    against the (smaller) kept-id set — and ONE conditional aggregate
-    over the flags produces every stage's count and token volume,
-    inlined to 5 rows. The packed-sequence count is total-token
-    arithmetic ((Σtok − 1) div 512 + 1 — identical to the span gate's
-    max(end_seq)+1 because the cumulative sum of the packed stream ends
-    at Σtok), so the report never pays the packing window. Membership
-    flags reuse the SAME operators as ``pipeline_end_to_end``
+def e2e_funnel_flags(
+    spark: SparkSession, sf_dir: str, max_bucket_size: int = 4
+) -> DataFrame:
+    """One pass over the exact-dedup survivors annotating every doc with
+    its downstream funnel memberships: ``n_tok`` (token count, computed
+    once and reused by every stage including the mixture), ``in2``
+    (survived near-dup components — left join against the small
+    dropped-id set), ``in3`` (``in2`` AND the per-row Gopher pass flag),
+    ``in4`` (survived the mixture — left join against the kept-id set,
+    whose keep fractions are computed over the stage-3 survivors because
+    the mixture composes with, not commutes past, the quality cut).
+    Membership flags reuse the SAME operators as ``pipeline_end_to_end``
     (exact_dedup / minhash_lsh_pairs / duplicate_clusters_star /
-    gopher_quality / mixture_sample), so the two gates cannot disagree
-    on funnel semantics."""
+    gopher_quality / mixture_sample), so report and span gate cannot
+    disagree on funnel semantics."""
     from ..functions import words
     from ..operators import sampling
 
@@ -937,7 +925,7 @@ def q_pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=4,
         shingle_k=3,
         threshold=0.5,
-        max_bucket_size=4,
+        max_bucket_size=max_bucket_size,
     )
     dropped = (
         dedup.duplicate_clusters_star(pairs)
@@ -951,27 +939,47 @@ def q_pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "source",
-            "text",
             n_tok.alias("n_tok"),
             F.col("__dropped").isNull().alias("in2"),
             (F.col("__dropped").isNull() & F.col("g_pass")).alias("in3"),
         )
     )
-    # the mixture keep set over stage-3 survivors (fractions depend on
-    # THEIR per-source totals, so the filter composes, not commutes);
-    # the kept ids join back as a flag — survivors only, a narrow set
     kept4 = sampling.mixture_sample(
-        base.where(F.col("in3")).select("doc_id", "source", "text"),
+        base.where(F.col("in3")).select("doc_id", "source", "n_tok"),
         "doc_id",
         "source",
-        token_count=F.size(words(F.col("text"))).cast("bigint"),
+        token_count=F.col("n_tok"),
         weights=_E2E_WEIGHTS,
         budget_frac=_E2E_BUDGET,
     ).select("doc_id", F.lit(1).alias("__kept4"))
-    flags = base.join(kept4, "doc_id", "left").withColumn(
-        "in4", F.col("__kept4").isNotNull()
+    return (
+        base.join(kept4, "doc_id", "left")
+        .withColumn("in4", F.col("__kept4").isNotNull())
+        .drop("__kept4")
     )
-    one = flags.agg(
+
+
+def q_pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel's observability report — one row per stage
+    with survivor count and token volume, the per-filter removal table
+    every training-data run publishes (and, at 100 TB, the monitoring
+    surface that catches a silent recall cliff like the bucket-cap one
+    measured in docs/SCALE.md: a stage whose removal fraction collapses
+    between runs is the alarm). The final row reports the packed stream:
+    n_units = 512-token training sequences spanned, token volume
+    unchanged from the mixture stage.
+
+    Plan shape: NOT five aggregates over nested survivor frames (that
+    plan re-derives the corpus scan per stage — measured at 30 scans /
+    92 exchanges, and AQE's exchange reuse does not fire across the
+    union branches). Instead ``e2e_funnel_flags`` annotates every
+    exact-dedup survivor once, and ONE conditional aggregate over the
+    flags produces every stage's count and token volume, inlined to 5
+    rows. The packed-sequence count is total-token arithmetic
+    ((Σtok − 1) div 512 + 1 — identical to the span gate's
+    max(end_seq)+1 because the cumulative sum of the packed stream ends
+    at Σtok), so the report never pays the packing window."""
+    one = e2e_funnel_flags(spark, sf_dir).agg(
         F.count(F.lit(1)).cast("bigint").alias("n1"),
         F.sum("n_tok").cast("bigint").alias("t1"),
         F.count_if(F.col("in2")).cast("bigint").alias("n2"),

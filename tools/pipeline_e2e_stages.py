@@ -37,6 +37,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from moteur_d_analytics_colonne_parquet_like_arrow_like__spark import get_spark
 from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads.pipeline2 import (
+    e2e_funnel_flags,
     e2e_stage_frames,
 )
 
@@ -50,18 +51,29 @@ STAGE_LABELS = {
 }
 
 
-def _ui_totals(spark) -> dict[str, int]:
+def _ui_stages(spark) -> dict[int, dict]:
+    """Completed stages keyed by (stageId, attemptId). Keyed — not
+    summed — because the status store evicts old stages past
+    spark.ui.retainedStages; a before/after TOTAL delta would subtract
+    evicted stages' bytes and silently undercount (or go negative).
+    Summing only the keys that appear AFTER but not BEFORE is
+    eviction-proof: evictions remove old keys, never add new ones."""
     ui = spark.sparkContext.uiWebUrl
     app = spark.sparkContext.applicationId
     url = f"{ui}/api/v1/applications/{app}/stages?status=complete"
     data = json.load(urllib.request.urlopen(url))
+    return {(s["stageId"], s["attemptId"]): s for s in data}
+
+
+def _bytes_between(before: dict, after: dict) -> dict[str, int]:
+    new = [s for k, s in after.items() if k not in before]
     return {
-        "shuffle_write": sum(s["shuffleWriteBytes"] for s in data),
-        "shuffle_read": sum(s["shuffleReadBytes"] for s in data),
-        "spill_disk": sum(s["diskBytesSpilled"] for s in data),
-        "spill_mem": sum(s["memoryBytesSpilled"] for s in data),
-        "input_bytes": sum(s["inputBytes"] for s in data),
-        "n_stages": len(data),
+        "shuffle_write": sum(s["shuffleWriteBytes"] for s in new),
+        "shuffle_read": sum(s["shuffleReadBytes"] for s in new),
+        "spill_disk": sum(s["diskBytesSpilled"] for s in new),
+        "spill_mem": sum(s["memoryBytesSpilled"] for s in new),
+        "input_bytes": sum(s["inputBytes"] for s in new),
+        "n_stages": len(new),
     }
 
 
@@ -92,18 +104,33 @@ def measure(spark, sf_dir: str, cap: int = 4) -> dict:
         out["marginal_sec"][STAGE_LABELS[st]] = round(sec - prev, 3)
         prev = sec
     # composed single-job metrics (= the s5 prefix, with byte deltas)
-    before = _ui_totals(spark)
+    before = _ui_stages(spark)
     wall = _run_once(spark, sf_dir, "s5", cap)
-    after = _ui_totals(spark)
+    after = _ui_stages(spark)
+    bts = _bytes_between(before, after)
     out["composed_sec"] = round(wall, 3)
-    out["composed_bytes"] = {
-        k: after[k] - before[k] for k in before if k != "n_stages"
-    }
-    out["composed_stages"] = after["n_stages"] - before["n_stages"]
+    out["composed_stages"] = bts.pop("n_stages")
+    out["composed_bytes"] = bts
+    # survivor counts from ONE membership-flags pass (the funnel-report
+    # plan) instead of counting five nested frames — counting each frame
+    # would re-derive the whole lineage, fixpoint included, per stage
     spark.catalog.clearCache()
-    frames = e2e_stage_frames(spark, sf_dir, max_bucket_size=cap)
-    for st in STAGES:
-        out["rows"][st] = frames[st].count()
+    flags = e2e_funnel_flags(spark, sf_dir, max_bucket_size=cap)
+    from pyspark.sql import functions as F
+
+    row = flags.agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.count_if(F.col("in2")).alias("n2"),
+        F.count_if(F.col("in3")).alias("n3"),
+        F.count_if(F.col("in4")).alias("n4"),
+    ).collect()[0]
+    out["rows"] = {
+        "s1": row["n1"],
+        "s2": row["n2"],
+        "s3": row["n3"],
+        "s4": row["n4"],
+        "s5": row["n4"],
+    }
     return out
 
 
