@@ -368,21 +368,34 @@ def fuzzy_best_match(
       explodes its distinct tail tokens, pairs sharing ANY of them meet,
       and duplicate pairs collapse via one distinct before scoring.
       Cost scales linearly in passes, never pairwise.
-    - **length band**: |len(a) - len(b)| > ``max_dist`` can never pass the
-      Levenshtein threshold (each edit changes length by <= 1), so the band
-      predicate prunes candidates BEFORE the quadratic scorer — pushed into
-      the join condition, not a post-filter.
+    - **length band, sharded INTO the block key**: |len(a) - len(b)| >
+      ``max_dist`` can never pass the Levenshtein threshold (each edit
+      changes length by <= 1). The exact band predicate stays in the
+      join, but the key additionally carries the right row's length
+      bucket ``len div (max_dist+1)`` with the left side probing its own
+      bucket ±1 — recall-LOSSLESS (bucket width exceeds ``max_dist``, so
+      any in-band pair sits at most one boundary apart) while sharding
+      each token block by the corpus's length histogram. This matters
+      because token keys have BOUNDED cardinality on real catalogs (the
+      r10 sf1 rehearsal measured 16 distinct tail tokens across 100k
+      parts: every block crossed the 10k cap and the join silently
+      returned ZERO rows — the same fixed-cap-vs-growing-cluster cliff
+      as the MinHash bucket cap, docs/SCALE.md round 10); the length
+      shard keeps per-block occupancy proportional to corpus/|tokens ×
+      buckets| instead of corpus/|tokens|.
     - **block cap**: a degenerate block (empty-ish names, one mega-noun)
-      turns back into the quadratic join; blocks with more right rows than
-      ``block_cap`` are dropped loudly via an explicit filter, the same
-      hot-bucket guard as MinHash LSH's ``cap_bucket_size``. At 100 TB you
-      alert on the dropped blocks and route them to a sharper key.
+      turns back into the quadratic join; (token, length-bucket) blocks
+      with more right rows than ``block_cap`` are dropped via an
+      explicit filter, the same hot-bucket guard as MinHash LSH's
+      ``cap_bucket_size``. At 100 TB you alert on the dropped blocks and
+      route them to a sharper key.
 
     ``levenshtein`` runs on the JVM per candidate pair (no Python), and the
     best-match winner is a per-left-id window over block-local candidates.
     """
     if n_block_tokens < 1:
         raise ValueError(f"n_block_tokens must be >= 1, got {n_block_tokens}")
+    bucket = max_dist + 1
 
     def blks(c):
         # last n tokens, deduped (repeated tokens must not double-block)
@@ -395,19 +408,31 @@ def fuzzy_best_match(
         F.col(name_col).alias("name_l"),
         F.explode(blks(name_col)).alias("__blk"),
         F.length(name_col).alias("__len_l"),
+    ).select(
+        "*",
+        F.explode(
+            F.array(
+                F.expr(f"__len_l div {bucket} - 1"),
+                F.expr(f"__len_l div {bucket}"),
+                F.expr(f"__len_l div {bucket} + 1"),
+            )
+        ).alias("__lb"),
     )
     r = right.select(
         F.col(right_id).alias("right_id"),
         F.col(name_col).alias("name_r"),
         F.explode(blks(name_col)).alias("__blk"),
         F.length(name_col).alias("__len_r"),
+    ).withColumn("__lb", F.expr(f"__len_r div {bucket}"))
+    rc = r.groupBy("__blk", "__lb").agg(F.count(F.lit(1)).alias("__bn"))
+    r = r.join(
+        F.broadcast(rc.where(F.col("__bn") <= block_cap)), ["__blk", "__lb"]
     )
-    rc = r.groupBy("__blk").agg(F.count(F.lit(1)).alias("__bn"))
-    r = r.join(F.broadcast(rc.where(F.col("__bn") <= block_cap)), "__blk")
     cand = (
         l.join(
             r,
             (l["__blk"] == r["__blk"])
+            & (l["__lb"] == r["__lb"])
             & (F.abs(F.col("__len_l") - F.col("__len_r")) <= F.lit(max_dist)),
         )
         .select("left_id", "right_id", "name_l", "name_r")

@@ -76,6 +76,14 @@ BEHAVIOR_CHANGED_SINCE: dict[str, tuple[int, str]] = {
         10,
         "r10 trained rows at 64/256 cells (VERDICT r9 item 1)",
     ),
+    # r10: length-bucket block sharding in fuzzy_best_match (the sf1
+    # rehearsal's 0-rows cliff fix) — output value-identical at driver
+    # SFs (re-verified green at sf0.01 + sf0.1 the day it landed), plan
+    # rewrite nonetheless → re-sign first
+    "join_fuzzy_match": (
+        11,
+        "r10 length-bucket block sharding (sf1 0-rows cliff fix)",
+    ),
 }
 
 

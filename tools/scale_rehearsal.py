@@ -134,6 +134,12 @@ TARGETS = [
     # round-10 (VERDICT r9 item 3): the composed curation DAG — also
     # decomposed per-stage by tools/pipeline_e2e_stages.py.
     "pipeline_end_to_end",
+    # round-10 rotation extras: the two heaviest sweep rows that scale
+    # with the replica and had never been rehearsed — the capped
+    # inverted-fingerprint containment screen and the blocked fuzzy
+    # record linkage (10x parts on BOTH sides of the blocking join).
+    "dedup_containment",
+    "join_fuzzy_match",
 ]
 
 # Queries whose construction itself executes jobs (streaming runs,
