@@ -98,6 +98,56 @@ def test_funnel_report_plans_single_pass(spark, sf_dir):
     assert plan.count("Scan parquet") <= 12
 
 
+def test_fuzzy_length_shard_is_lossless(spark):
+    """The r10 length-bucket block shard must lose NO in-band pair: for
+    names whose lengths straddle every bucket boundary (width
+    max_dist+1), the sharded blocking returns exactly the matches a
+    brute-force Levenshtein-threshold join finds inside the token
+    blocks. This is the property that made the shard safe to land
+    without re-deriving the gate oracle."""
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import (
+        joins,
+    )
+
+    # names share the block token ("widget"); prefixes step through
+    # lengths 7..26 so pairs sit on both sides of every len div 4 edge
+    rows = [(i, "x" * (i % 20) + " widget") for i in range(40)]
+    left = spark.createDataFrame(
+        [r for r in rows if r[0] % 2 == 0], ["id", "name"]
+    )
+    right = spark.createDataFrame(
+        [r for r in rows if r[0] % 2 == 1], ["id", "name"]
+    )
+    got = {
+        (r["left_id"], r["right_id"], r["dist"])
+        for r in joins.fuzzy_best_match(
+            left, right, "id", "id", "name", max_dist=3
+        ).collect()
+    }
+    # brute-force twin: all pairs, length band, levenshtein, best per left
+    import itertools
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    want = {}
+    for (li, ln), (ri, rn) in itertools.product(
+        [r for r in rows if r[0] % 2 == 0], [r for r in rows if r[0] % 2 == 1]
+    ):
+        d = lev(ln, rn)
+        if d <= 3 and (li not in want or (d, ri) < (want[li][0], want[li][1])):
+            want[li] = (d, ri)
+    assert got == {(li, ri, d) for li, (d, ri) in want.items()}
+
+
 def test_e2e_no_python_udfs_in_plan(spark, sf_dir):
     """The whole composed DAG stays JVM-side — no BatchEvalPython /
     ArrowEvalPython / FlatMapGroupsInPandas nodes anywhere in the plan
