@@ -395,6 +395,9 @@ def fuzzy_best_match(
     """
     if n_block_tokens < 1:
         raise ValueError(f"n_block_tokens must be >= 1, got {n_block_tokens}")
+    if max_dist < 0:
+        # also guards the length-bucket divisor below (div 0 under ANSI)
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
     bucket = max_dist + 1
 
     def blks(c):

@@ -55,7 +55,9 @@ BEHAVIOR_CHANGED_SINCE: dict[str, tuple[int, str]] = {
         7,
         "r6 window rewrite (two_phase_rank_cumsum)",
     ),
-    "join_fuzzy_match": (7, "r6 2-token blocking changed output"),
+    # (the r6 2-token-blocking entry for join_fuzzy_match — long
+    # satisfied — was removed when the r10 entry below superseded it:
+    # duplicate dict keys silently shadow, ruff-flagged)
     # r8: the r7 driver-red query — ssr_r/sst_r (round(double,2) of
     # ~1e21 sums, cross-engine-divergent at digit 16) replaced by
     # integer-quantized ssr_q/sst_q (VERDICT r7 item 1)
