@@ -140,6 +140,11 @@ TARGETS = [
     # record linkage (10x parts on BOTH sides of the blocking join).
     "dedup_containment",
     "join_fuzzy_match",
+    # second rotation batch: the next-heaviest sweep rows that scale
+    # with the replica (all documents-based)
+    "top_ngrams",
+    "text_repetition",
+    "dedup_keep_best",
 ]
 
 # Queries whose construction itself executes jobs (streaming runs,
@@ -170,6 +175,8 @@ EAGER = {
     "table_incremental_view",
     # the components fixpoint localCheckpoints per round at plan build
     "pipeline_end_to_end",
+    # duplicate_clusters' min-label loop is eager at plan build too
+    "dedup_keep_best",
 }
 
 # (table, [(col, shift_base)], text_col) — shift_base scales each copy's
