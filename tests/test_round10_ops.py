@@ -148,6 +148,19 @@ def test_fuzzy_length_shard_is_lossless(spark):
     assert got == {(li, ri, d) for li, (d, ri) in want.items()}
 
 
+def test_fuzzy_rejects_negative_max_dist(spark):
+    """max_dist < 0 must raise up front: the length-bucket divisor is
+    max_dist + 1, and div 0 would otherwise surface as a runtime
+    ArithmeticException under Spark 4's ANSI mode."""
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import (
+        joins,
+    )
+
+    df = spark.createDataFrame([(1, "a b")], ["id", "name"])
+    with pytest.raises(ValueError, match="max_dist"):
+        joins.fuzzy_best_match(df, df, "id", "id", "name", max_dist=-1)
+
+
 def test_e2e_no_python_udfs_in_plan(spark, sf_dir):
     """The whole composed DAG stays JVM-side — no BatchEvalPython /
     ArrowEvalPython / FlatMapGroupsInPandas nodes anywhere in the plan
