@@ -11,7 +11,15 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators import dedup, text
 from ..sources.catalog import load_table
-from .pipeline import _CLUSTERS_SQL, _EN_WORDS, _NORM, _jaccard_pairs_sql
+from .pipeline import (
+    _CLUSTERS_SQL,
+    _EN_WORDS,
+    _NORM,
+    _jaccard_pairs_sql,
+    _minhash_pairs_sql,
+    _minhash_sig_sql,
+    _shingle_cte,
+)
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,6 +76,44 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_dedup_keep_best_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE twin of ``dedup_keep_best`` (VERDICT r10 item 1):
+    identical keeper policy (highest quality score per near-dup cluster,
+    ties -> smallest id) fed from MinHash-LSH banded candidate pairs
+    instead of the exact n-gram Jaccard generator. The exact tier was
+    measured at 11.77x wall / ~100x pair work at 10x data
+    (scale_r10.json); `keep_best_per_cluster` is generator-agnostic, so
+    this gate swaps only the pair generator: banded buckets bound the
+    pairing work, and the hot-bucket cap is sized 64 per the r10
+    deployment rule (cap above the genuine duplicate-cluster size —
+    the sf1 rehearsal corpus carries 10-sibling replica clusters;
+    cap=4 was the measured recall cliff). The exact gate stays
+    registered as the labeled audit tier; tools/keeper_agreement.py
+    measures the keeper-agreement rate between the two."""
+    docs = _documents(spark, sf_dir)
+    scored = text.quality_features(
+        docs.select("doc_id", "text"), "text"
+    ).select("doc_id", "q_score")
+    pairs = dedup.minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        shingle_k=3,
+        threshold=0.5,
+        max_bucket_size=64,
+    )
+    clusters = dedup.duplicate_clusters(pairs)
+    best = dedup.keep_best_per_cluster(clusters, scored, "doc_id", "q_score")
+    return best.select(
+        "label",
+        "keeper_id",
+        "n_members",
+        F.round("best_score", 6).alias("best_q_r"),
+    ).orderBy("label")
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training: the 5 highest-weight symbol
     merges learned from the corpus word-frequency table
@@ -102,6 +148,7 @@ QUERIES = {
     "text_unigram_lm": q_text_unigram_lm,
     "text_token_entropy": q_text_token_entropy,
     "dedup_keep_best": q_dedup_keep_best,
+    "dedup_keep_best_lsh": q_dedup_keep_best_lsh,
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
 }
@@ -175,6 +222,31 @@ ORACLES = {
         FROM terms GROUP BY doc_id
         ORDER BY entropy_r ASC, doc_id ASC
         LIMIT 50
+    """,
+    "dedup_keep_best_lsh": f"""
+        WITH RECURSIVE {_shingle_cte(3)},
+        {_minhash_sig_sql(16)},
+        {_minhash_pairs_sql(max_bucket=64)},
+        {_CLUSTERS_SQL},
+        {_QSCORE},
+        m AS (
+            SELECT c.label, c.node, qs.q_score
+            FROM clusters c JOIN qs ON qs.doc_id = c.node
+        ),
+        r AS (
+            SELECT label, node, q_score,
+                   row_number() OVER (
+                       PARTITION BY label
+                       ORDER BY q_score DESC, node ASC
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY label) AS n_members
+            FROM m
+        )
+        SELECT label, node AS keeper_id,
+               CAST(n_members AS BIGINT) AS n_members,
+               round(q_score, 6) AS best_q_r
+        FROM r WHERE rn = 1
+        ORDER BY label
     """,
     "dedup_keep_best": f"""
         WITH RECURSIVE {_jaccard_pairs_sql(3, 0.8)},

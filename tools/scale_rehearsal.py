@@ -145,6 +145,10 @@ TARGETS = [
     "top_ngrams",
     "text_repetition",
     "dedup_keep_best",
+    # round-11 (VERDICT r10 item 1): the LSH-fed keep-best twin — the
+    # gate that retires the exact n-gram feed's measured 11.77x-at-10x
+    # scale cost; its rehearsal row is the near-linear-wall evidence.
+    "dedup_keep_best_lsh",
 ]
 
 # Queries whose construction itself executes jobs (streaming runs,
@@ -177,6 +181,7 @@ EAGER = {
     "pipeline_end_to_end",
     # duplicate_clusters' min-label loop is eager at plan build too
     "dedup_keep_best",
+    "dedup_keep_best_lsh",
 }
 
 # (table, [(col, shift_base)], text_col) — shift_base scales each copy's
