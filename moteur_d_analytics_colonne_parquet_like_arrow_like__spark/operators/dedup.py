@@ -61,6 +61,111 @@ def cap_bucket_size(
     keep = counts.where(F.col("__bsz") <= cap).select(*bucket_cols)
     return entries.join(keep, bucket_cols)
 
+
+def bucket_cap_advisor(
+    entries: DataFrame,
+    bucket_cols: list[str],
+) -> DataFrame:
+    """Make the r10 cap-sizing rule EXECUTABLE (VERDICT r10 item 3): a
+    census of bucket-occupancy sizes over the SAME keys
+    ``cap_bucket_size`` caps, plus a recommended cap derived from it.
+    Both r10 scale cliffs (the e2e bucket-cap recall cliff, the fuzzy
+    join's emptied blocks) were fixed-cap-vs-growing-data failures found
+    by a human reading rehearsal numbers; this operator is that reading,
+    as a relation any pipeline can consume before committing to a cap.
+
+    One row per distinct occupancy size: how many buckets have that
+    size, how many entries they hold, and the pair work sz*(sz-1)/2 a
+    bucket self-join would pay inside them (the cost the cap bounds).
+    ``advised_cap`` (same scalar on every row) estimates the GENUINE
+    duplicate-cluster size the r10 deployment rule says the cap must
+    exceed, as the greater of two integer-exact census statistics:
+
+    - the entry-weighted MODAL occupancy above singletons (ties -> the
+      larger size; 1 if the corpus has no multi-entry buckets): genuine
+      duplicate families put their entry mass at the cluster size — the
+      sf1 replica corpus puts 81,500 of 199,680 entries at exactly
+      occupancy 10, its replication factor — while pathological
+      boilerplate buckets are few and entry-sparse in aggregate;
+    - the MAJORITY occupancy (smallest s with cum_entries*3 >= 2*total)
+      as the guard when the distribution is flat and no single mode
+      dominates.
+
+    A cap below ``advised_cap`` is the measured r10 recall cliff (cap=4
+    on the sf1 corpus silently swallowed the occupancy-10 replica
+    buckets); a cap far above it pays quadratic pair work inside tail
+    buckets for recall the other bands already provide. Every
+    comparison is integer, never a float share, so the DuckDB oracle
+    matches bit-for-bit — and running this census at a rehearsal SF
+    turns the r10 human discovery into a mechanical check:
+    ``assert cap >= advised_cap``.
+
+    Scale shape: one groupBy on the bucket keys (the exchange the
+    pairing join shuffles on anyway) + one groupBy on the occupancy size
+    — census cardinality = number of DISTINCT occupancy sizes, a few
+    hundred rows at any corpus scale, so the cumulative window and the
+    broadcast totals are driver-trivial by construction.
+    """
+    counts = entries.groupBy(*bucket_cols).agg(
+        F.count(F.lit(1)).alias("__bsz")
+    )
+    census = counts.groupBy("__bsz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets")
+    )
+    census = census.select(
+        F.col("__bsz").cast("bigint").alias("bucket_sz"), "n_buckets"
+    ).selectExpr(
+        "bucket_sz",
+        "n_buckets",
+        "CAST(bucket_sz * n_buckets AS BIGINT) AS n_entries",
+        # integer div — sz*(sz-1) is even, so exact, and DIV keeps the
+        # oracle's // bit-identical (no float path)
+        "CAST((bucket_sz * (bucket_sz - 1)) DIV 2 * n_buckets AS BIGINT)"
+        " AS n_pairs",
+    )
+    from pyspark.sql import Window
+
+    # census is <= a few hundred rows (distinct occupancy sizes), so the
+    # single-partition cumulative window is bounded by construction
+    w = Window.orderBy("bucket_sz").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = census.withColumn(
+        "cum_entries", F.sum("n_entries").over(w).cast("bigint")
+    )
+    tot = cum.agg(F.sum("n_entries").cast("bigint").alias("__tot"))
+    multi = census.where(F.col("bucket_sz") >= 2)
+    maxe = multi.agg(F.max("n_entries").alias("__maxe"))
+    # modal: largest occupancy holding the max entry mass among
+    # multi-entry sizes (agg over empty input -> null -> coalesce 1)
+    modal = (
+        multi.crossJoin(F.broadcast(maxe))
+        .where(F.col("n_entries") == F.col("__maxe"))
+        .agg(F.coalesce(F.max("bucket_sz"), F.lit(1)).alias("__modal"))
+    )
+    majority = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.col("cum_entries") * F.lit(3) >= F.lit(2) * F.col("__tot"))
+        .agg(F.min("bucket_sz").alias("__majority"))
+    )
+    advised = modal.crossJoin(F.broadcast(majority)).select(
+        F.greatest("__modal", "__majority")
+        .cast("bigint")
+        .alias("advised_cap")
+    )
+    return (
+        cum.crossJoin(F.broadcast(advised))
+        .select(
+            "bucket_sz",
+            "n_buckets",
+            "n_entries",
+            "n_pairs",
+            "cum_entries",
+            "advised_cap",
+        )
+        .orderBy("bucket_sz")
+    )
+
 from ..functions import (
     MINHASH_COEFFS,
     PERM_PRIME,

@@ -463,14 +463,11 @@ def _quality_kept_sql() -> str:
 # ------------------------------------------------------------------- oracles
 
 
-def _minhash_pairs_sql(max_bucket: int | None = None) -> str:
-    """CTE chain ``bands → … → pairs(id_a, id_b, est_jaccard)`` over an
-    existing ``sig`` CTE (from ``_minhash_sig_sql``) — the SQL twin of
-    ``dedup.minhash_lsh_pairs`` minus the shingle/signature prefix, so
-    composed oracles (``pipeline_end_to_end``) can run the same banding
-    over a filtered doc set. The bucket-cap CTE mirrors
-    ``dedup.cap_bucket_size``: drop (band, key) buckets over the cap
-    before candidate pairing."""
+def _bands_cte() -> str:
+    """``bands(doc_id, band, key)`` over an existing ``sig`` CTE — the
+    LSH band-entry relation on its own, shared by ``_minhash_pairs_sql``
+    and the ``pipeline_cap_advisor`` census oracle so the advisor
+    audits the IDENTICAL key space the pairing join caps."""
     nh, bands = 16, 4
     rpb = nh // bands
     band_selects = "\nUNION ALL\n".join(
@@ -480,6 +477,18 @@ def _minhash_pairs_sql(max_bucket: int | None = None) -> str:
         )
         for b in range(bands)
     )
+    return f"bands AS ({band_selects})"
+
+
+def _minhash_pairs_sql(max_bucket: int | None = None) -> str:
+    """CTE chain ``bands → … → pairs(id_a, id_b, est_jaccard)`` over an
+    existing ``sig`` CTE (from ``_minhash_sig_sql``) — the SQL twin of
+    ``dedup.minhash_lsh_pairs`` minus the shingle/signature prefix, so
+    composed oracles (``pipeline_end_to_end``) can run the same banding
+    over a filtered doc set. The bucket-cap CTE mirrors
+    ``dedup.cap_bucket_size``: drop (band, key) buckets over the cap
+    before candidate pairing."""
+    nh = 16
     eq_sum = " + ".join(
         f"CAST((sa.mh{i} = sb.mh{i}) AS INT)" for i in range(nh)
     )
@@ -493,7 +502,7 @@ def _minhash_pairs_sql(max_bucket: int | None = None) -> str:
         else "bandsk AS (SELECT * FROM bands),"
     )
     return f"""
-        bands AS ({band_selects}),
+        {_bands_cte()},
         {cap_ctes}
         cand AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

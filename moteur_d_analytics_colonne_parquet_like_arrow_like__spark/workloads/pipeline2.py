@@ -14,7 +14,9 @@ from ..sources.catalog import load_table
 from .pipeline import (
     _CLUSTERS_SQL,
     _EN_WORDS,
+    _H60,
     _NORM,
+    _bands_cte,
     _jaccard_pairs_sql,
     _minhash_pairs_sql,
     _minhash_sig_sql,
@@ -728,11 +730,29 @@ _E2E_WEIGHTS = {
 _E2E_BUDGET = 0.35
 
 
+def advised_bucket_cap(s1: DataFrame) -> int:
+    """The r10 cap-sizing rule, executable (VERDICT r10 item 3): run the
+    bucket-occupancy census over the IDENTICAL (band, key) space the
+    near-dup stage caps and return the advised cap. The single-scalar
+    collect is a config decision derived from one bounded aggregate —
+    the same legitimacy class as approxQuantile chunk boundaries."""
+    sig = dedup.minhash_signatures(s1, "doc_id", "text", 16, 3)
+    entries = dedup._band_entries(sig, "doc_id", 16, 4)
+    row = (
+        dedup.bucket_cap_advisor(entries, ["band", "key"])
+        .select("advised_cap")
+        .first()
+    )
+    return int(row["advised_cap"])
+
+
 def e2e_stage_frames(
     spark: SparkSession,
     sf_dir: str,
     upto: str = "s5",
-    max_bucket_size: int = 4,
+    max_bucket_size: int | str = 4,
+    materialize_dir: str | None = None,
+    check_cap: bool = False,
 ) -> dict[str, DataFrame]:
     """The curation funnel, one DataFrame per cumulative stage — shared
     by the ``pipeline_end_to_end`` gate (which returns the final frame)
@@ -746,19 +766,56 @@ def e2e_stage_frames(
     capped-gate contract, deliberately small at driver SFs so the cap is
     provably live); a production run sizes it ABOVE the expected genuine
     duplicate-cluster size — the sf1 rehearsal measures both settings,
-    where cap=4 visibly swallows the 10-sibling replica clusters."""
+    where cap=4 visibly swallows the 10-sibling replica clusters.
+    Passing ``"advised"`` makes that rule executable: the bucket census
+    (``advised_bucket_cap``) picks the cap, so a growing corpus can
+    never silently outgrow a frozen config value (the r10 cliff class);
+    ``check_cap=True`` keeps an explicit cap but asserts it against the
+    census (cap >= advised), turning the r10 eyeball-discovery into a
+    hard failure.
+
+    ``materialize_dir`` turns on stage-boundary materialization (VERDICT
+    r10 item 2): each stage's survivor frame is written to parquet under
+    that directory and re-read, so downstream branches scan the
+    NARROWED, column-pruned stage output instead of re-deriving lineage
+    from the corpus parquet (measured ~15x corpus re-read in the lazy
+    composed plan; blanket persist was A/B-refuted because the cache
+    barrier defeats pruning). Default None keeps the single lazy plan —
+    the right choice until reuse counts grow past the measured
+    crossover (docs/SCALE.md round 11)."""
     from ..functions import words
     from ..operators import sampling
+
+    def _mat(name: str, df: DataFrame) -> DataFrame:
+        if materialize_dir is None:
+            return df
+        path = f"{materialize_dir}/{name}.parquet"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
 
     docs = _documents(spark, sf_dir).select("doc_id", "source", "text")
     # stage 1: exact dedup — keep the smallest id per identical content
     keepers = dedup.exact_dedup(docs, "doc_id", ["text"]).select(
         F.col("keeper_id").alias("doc_id")
     )
-    s1 = docs.join(keepers, "doc_id", "left_semi")
+    s1 = _mat("s1", docs.join(keepers, "doc_id", "left_semi"))
     frames = {"s1": s1}
     if upto == "s1":
         return frames
+    if max_bucket_size == "advised":
+        max_bucket_size = advised_bucket_cap(s1)
+    elif check_cap:
+        # the r10 deployment rule as an assertion: a pinned cap below
+        # the census's duplicate-cluster estimate is the measured
+        # recall cliff — fail loudly instead of silently no-op'ing the
+        # near-dup stage (the failure mode r10 caught by eye at sf1)
+        advised = advised_bucket_cap(s1)
+        if max_bucket_size < advised:
+            raise ValueError(
+                f"near-dup bucket cap {max_bucket_size} is below the "
+                f"census-advised {advised} on this corpus — the r10 "
+                "recall cliff; raise the cap or pass 'advised'"
+            )
     # stage 2: MinHash-LSH near-dup (hot buckets capped) → components →
     # drop every doc whose component label is a smaller id
     pairs = dedup.minhash_lsh_pairs(
@@ -775,27 +832,31 @@ def e2e_stage_frames(
     dropped = clusters.where(F.col("node") != F.col("label")).select(
         F.col("node").alias("doc_id")
     )
-    s2 = s1.join(dropped, "doc_id", "left_anti")
+    s2 = _mat("s2", s1.join(dropped, "doc_id", "left_anti"))
     frames["s2"] = s2
     if upto == "s2":
         return frames
     # stage 3: Gopher quality cut
-    s3 = (
+    s3 = _mat(
+        "s3",
         text.gopher_quality(s2, "text")
         .where(F.col("g_pass"))
-        .select("doc_id", "source", "text")
+        .select("doc_id", "source", "text"),
     )
     frames["s3"] = s3
     if upto == "s3":
         return frames
     # stage 4: weighted mixture sample within the token budget
-    s4 = sampling.mixture_sample(
-        s3,
-        "doc_id",
-        "source",
-        token_count=F.size(words(F.col("text"))).cast("bigint"),
-        weights=_E2E_WEIGHTS,
-        budget_frac=_E2E_BUDGET,
+    s4 = _mat(
+        "s4",
+        sampling.mixture_sample(
+            s3,
+            "doc_id",
+            "source",
+            token_count=F.size(words(F.col("text"))).cast("bigint"),
+            weights=_E2E_WEIGHTS,
+            budget_frac=_E2E_BUDGET,
+        ),
     )
     frames["s4"] = s4
     if upto == "s4":
@@ -1116,4 +1177,99 @@ ORACLES["pipeline_funnel_report"] = f"""
     )
     SELECT CAST(stage AS BIGINT) AS stage, label, n_units, n_tokens
     FROM funnel ORDER BY stage
+"""
+
+
+# ---------------------------------------------------------------- round 11
+# The cap advisor (VERDICT r10 item 3): both r10 scale cliffs were
+# fixed-cap-vs-growing-data failures that every gate-level check passed
+# and only a human reading sf1 rehearsal numbers caught. This gate makes
+# that reading executable — the bucket-occupancy census over the e2e
+# pipeline's OWN LSH key space (exact-dedup survivors → 16/4 banding),
+# with the advised cap derived by the integer entry-coverage rule.
+
+
+def q_pipeline_cap_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-occupancy census + cap recommendation for the composed
+    curation pipeline's near-dup stage (operators/dedup.
+    bucket_cap_advisor over the SAME (band, key) entries the stage
+    caps). One row per distinct occupancy size: bucket count, entries
+    held, bounded pair work, cumulative entries, and the advised cap —
+    the census's estimate of the genuine duplicate-cluster size
+    (entry-weighted modal occupancy above singletons, guarded by the
+    majority occupancy; see bucket_cap_advisor). ``e2e_stage_frames(...,
+    max_bucket_size="advised")`` consumes this recommendation, so the
+    composed run can assert cap >= advised instead of trusting a frozen
+    config value (the r10 cliff class)."""
+    docs = _documents(spark, sf_dir).select("doc_id", "source", "text")
+    keepers = dedup.exact_dedup(docs, "doc_id", ["text"]).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    s1 = docs.join(keepers, "doc_id", "left_semi")
+    sig = dedup.minhash_signatures(s1, "doc_id", "text", 16, 3)
+    entries = dedup._band_entries(sig, "doc_id", 16, 4)
+    return dedup.bucket_cap_advisor(entries, ["band", "key"]).orderBy(
+        "bucket_sz"
+    )
+
+
+QUERIES["pipeline_cap_advisor"] = q_pipeline_cap_advisor
+
+# Census oracle over the identical CTE chain the e2e span oracle uses up
+# to the band entries (s1 -> shingles -> sig -> bands), then pure integer
+# census arithmetic. Every SUM is cast BIGINT (DuckDB promotes to
+# HUGEINT) and the coverage test is ppt-integer, never a float share.
+ORACLES["pipeline_cap_advisor"] = f"""
+    WITH
+    s1 AS (
+        SELECT d.doc_id, d.source, d.text FROM documents d
+        JOIN (SELECT min(doc_id) AS doc_id FROM documents
+              GROUP BY {_H60.format(s='text')}) keepers USING (doc_id)
+    ),
+    {_shingle_cte(3, src="s1")},
+    {_minhash_sig_sql(16)},
+    {_bands_cte()},
+    counts AS (
+        SELECT band, key, CAST(COUNT(*) AS BIGINT) AS bsz
+        FROM bands GROUP BY band, key
+    ),
+    census AS (
+        SELECT bsz AS bucket_sz, CAST(COUNT(*) AS BIGINT) AS n_buckets
+        FROM counts GROUP BY bsz
+    ),
+    c2 AS (
+        SELECT bucket_sz, n_buckets,
+               CAST(bucket_sz * n_buckets AS BIGINT) AS n_entries,
+               CAST((bucket_sz * (bucket_sz - 1)) // 2 * n_buckets
+                    AS BIGINT) AS n_pairs
+        FROM census
+    ),
+    c3 AS (
+        SELECT *,
+               CAST(SUM(n_entries) OVER (
+                   ORDER BY bucket_sz
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_entries
+        FROM c2
+    ),
+    tot AS (SELECT CAST(SUM(n_entries) AS BIGINT) AS t FROM c2),
+    maxe AS (
+        SELECT MAX(n_entries) AS me FROM c2 WHERE bucket_sz >= 2
+    ),
+    modal AS (
+        SELECT COALESCE(MAX(c2.bucket_sz), 1) AS m
+        FROM c2, maxe
+        WHERE c2.bucket_sz >= 2 AND c2.n_entries = maxe.me
+    ),
+    maj AS (
+        SELECT MIN(bucket_sz) AS j
+        FROM c3, tot WHERE cum_entries * 3 >= 2 * t
+    ),
+    adv AS (
+        SELECT CAST(GREATEST(m, j) AS BIGINT) AS advised_cap
+        FROM modal, maj
+    )
+    SELECT bucket_sz, n_buckets, n_entries, n_pairs, cum_entries,
+           advised_cap
+    FROM c3, adv ORDER BY bucket_sz
 """
