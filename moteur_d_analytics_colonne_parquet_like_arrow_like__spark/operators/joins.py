@@ -350,6 +350,8 @@ def fuzzy_best_match(
     max_dist: int = 3,
     block_cap: int = 10_000,
     n_block_tokens: int = 1,
+    blocking: str = "token",
+    qgram: int = 3,
 ) -> DataFrame:
     """Blocked fuzzy record linkage: for each left row, the best right row
     by Levenshtein distance on ``name_col`` (distance <= ``max_dist``; ties
@@ -389,6 +391,22 @@ def fuzzy_best_match(
       explicit filter, the same hot-bucket guard as MinHash LSH's
       ``cap_bucket_size``. At 100 TB you alert on the dropped blocks and
       route them to a sharper key.
+    - ``blocking="qgram"`` IS that sharper key — the next rung of the
+      blocking ladder the r10 rehearsal called for after measuring this
+      corpus's token-blocking limit (2.34B true candidates across 16
+      tail tokens; docs/SCALE.md). POSITIONAL Q-GRAM keys: each side
+      emits its q-grams with their position bucket ``pos div
+      (max_dist+1)`` and the left probes ±1 buckets. An unedited gram
+      shifts by at most ``max_dist`` positions (one per edit before
+      it), i.e. at most one bucket — so any pair within ``max_dist``
+      that shares ONE unedited gram meets. Count guarantee: d edits
+      destroy at most d*q grams, so names with n - q + 1 > d*q keep a
+      shared gram and recall is LOSSLESS on catalogs of such names
+      (part names: n ~ 25-35, d*q = 9); only strings shorter than
+      ~(d+1)*q fall back to the pigeonhole gap. Key cardinality scales
+      with the corpus (distinct grams x positions), not with a bounded
+      tail-token vocabulary — the property that removes the r10
+      zero-rows cliff class entirely.
 
     ``levenshtein`` runs on the JVM per candidate pair (no Python), and the
     best-match winner is a per-left-id window over block-local candidates.
@@ -398,50 +416,128 @@ def fuzzy_best_match(
     if max_dist < 0:
         # also guards the length-bucket divisor below (div 0 under ANSI)
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    if blocking not in ("token", "qgram"):
+        raise ValueError(f"unknown blocking generator: {blocking!r}")
     bucket = max_dist + 1
 
-    def blks(c):
-        # last n tokens, deduped (repeated tokens must not double-block)
-        return F.array_distinct(
-            F.slice(F.reverse(F.split(F.col(c), " ")), 1, n_block_tokens)
-        )
-
-    l = left.select(
-        F.col(left_id).alias("left_id"),
-        F.col(name_col).alias("name_l"),
-        F.explode(blks(name_col)).alias("__blk"),
-        F.length(name_col).alias("__len_l"),
-    ).select(
-        "*",
-        F.explode(
-            F.array(
-                F.expr(f"__len_l div {bucket} - 1"),
-                F.expr(f"__len_l div {bucket}"),
-                F.expr(f"__len_l div {bucket} + 1"),
+    if blocking == "qgram":
+        def grams(name_alias: str):
+            return F.expr(
+                f"transform(sequence(0, greatest(length({name_alias})"
+                f" - {qgram}, 0)), p -> struct(substring({name_alias},"
+                f" p + 1, {qgram}) AS g, p DIV {bucket} AS pb))"
             )
-        ).alias("__lb"),
-    )
-    r = right.select(
-        F.col(right_id).alias("right_id"),
-        F.col(name_col).alias("name_r"),
-        F.explode(blks(name_col)).alias("__blk"),
-        F.length(name_col).alias("__len_r"),
-    ).withColumn("__lb", F.expr(f"__len_r div {bucket}"))
-    rc = r.groupBy("__blk", "__lb").agg(F.count(F.lit(1)).alias("__bn"))
-    r = r.join(
-        F.broadcast(rc.where(F.col("__bn") <= block_cap)), ["__blk", "__lb"]
-    )
-    cand = (
-        l.join(
-            r,
-            (l["__blk"] == r["__blk"])
-            & (l["__lb"] == r["__lb"])
-            & (F.abs(F.col("__len_l") - F.col("__len_r")) <= F.lit(max_dist)),
+
+        l = (
+            left.select(
+                F.col(left_id).alias("left_id"),
+                F.col(name_col).alias("name_l"),
+                F.length(name_col).alias("__len_l"),
+            )
+            .select("*", F.explode(grams("name_l")).alias("__e"))
+            .select("*", F.col("__e.g").alias("__g"), F.col("__e.pb").alias("__pb0"))
+            .select(
+                "left_id",
+                "name_l",
+                "__len_l",
+                "__g",
+                F.explode(
+                    F.array(
+                        F.col("__pb0") - 1, F.col("__pb0"), F.col("__pb0") + 1
+                    )
+                ).alias("__pb"),
+            )
+            .where(F.col("__pb") >= 0)
+            .distinct()
         )
-        .select("left_id", "right_id", "name_l", "name_r")
-        .distinct()
-        .withColumn("dist", F.levenshtein("name_l", "name_r"))
-    )
+        r = (
+            right.select(
+                F.col(right_id).alias("right_id"),
+                F.col(name_col).alias("name_r"),
+                F.length(name_col).alias("__len_r"),
+            )
+            .select("*", F.explode(grams("name_r")).alias("__e"))
+            .select(
+                "right_id",
+                "name_r",
+                "__len_r",
+                F.col("__e.g").alias("__g"),
+                F.col("__e.pb").alias("__pb"),
+            )
+            .distinct()
+        )
+        rc = r.groupBy("__g", "__pb").agg(F.count(F.lit(1)).alias("__bn"))
+        r = r.join(
+            F.broadcast(rc.where(F.col("__bn") <= block_cap)),
+            ["__g", "__pb"],
+        )
+        cand = (
+            l.join(
+                r,
+                (l["__g"] == r["__g"])
+                & (l["__pb"] == r["__pb"])
+                & (
+                    F.abs(F.col("__len_l") - F.col("__len_r"))
+                    <= F.lit(max_dist)
+                ),
+            )
+            .select("left_id", "right_id", "name_l", "name_r")
+            .distinct()
+            .withColumn("dist", F.levenshtein("name_l", "name_r"))
+        )
+    else:
+        def blks(c):
+            # last n tokens, deduped (repeated tokens must not double-block)
+            return F.array_distinct(
+                F.slice(F.reverse(F.split(F.col(c), " ")), 1, n_block_tokens)
+            )
+
+        l = (
+            left.select(
+                F.col(left_id).alias("left_id"),
+                F.col(name_col).alias("name_l"),
+                F.explode(blks(name_col)).alias("__blk"),
+                F.length(name_col).alias("__len_l"),
+            )
+            .select(
+                "*",
+                F.explode(
+                    F.array(
+                        F.expr(f"__len_l div {bucket} - 1"),
+                        F.expr(f"__len_l div {bucket}"),
+                        F.expr(f"__len_l div {bucket} + 1"),
+                    )
+                ).alias("__lb"),
+            )
+            # bucket 0 rows probe a __lb = -1 that no right row carries;
+            # dropping them is a pure input-size saving (ADVICE r10)
+            .where(F.col("__lb") >= 0)
+        )
+        r = right.select(
+            F.col(right_id).alias("right_id"),
+            F.col(name_col).alias("name_r"),
+            F.explode(blks(name_col)).alias("__blk"),
+            F.length(name_col).alias("__len_r"),
+        ).withColumn("__lb", F.expr(f"__len_r div {bucket}"))
+        rc = r.groupBy("__blk", "__lb").agg(F.count(F.lit(1)).alias("__bn"))
+        r = r.join(
+            F.broadcast(rc.where(F.col("__bn") <= block_cap)),
+            ["__blk", "__lb"],
+        )
+        cand = (
+            l.join(
+                r,
+                (l["__blk"] == r["__blk"])
+                & (l["__lb"] == r["__lb"])
+                & (
+                    F.abs(F.col("__len_l") - F.col("__len_r"))
+                    <= F.lit(max_dist)
+                ),
+            )
+            .select("left_id", "right_id", "name_l", "name_r")
+            .distinct()
+            .withColumn("dist", F.levenshtein("name_l", "name_r"))
+        )
     scored = cand.where(F.col("dist") <= max_dist)
     w = Window.partitionBy("left_id").orderBy(
         F.col("dist").asc(), F.col("right_id").asc()

@@ -58,6 +58,26 @@ def q_join_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("left_id")
 
 
+def q_join_fuzzy_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blocking ladder's sharper rung (VERDICT r10 item 4): the SAME
+    fuzzy-linkage surface keyed on POSITIONAL Q-GRAMS instead of tail
+    tokens. The r10 rehearsal measured token blocking's intrinsic limit
+    on this corpus (a 16-value tail vocabulary -> 2.34B true candidates
+    at sf1); q-gram keys scale their cardinality with the corpus, and
+    the position bucket (pos div (max_dist+1), left probes ±1) keeps an
+    unedited gram's bucket drift <= 1, so recall is lossless whenever
+    n - q + 1 > max_dist*q (all part names). Same output contract as
+    join_fuzzy_match — at driver SFs the two gates return identical
+    best matches, which IS the recall claim, checked cross-generator."""
+    part = load_table(spark, sf_dir, "part")
+    left = part.where(F.col("p_partkey") % 2 == 0)
+    right = part.where(F.col("p_partkey") % 2 == 1)
+    return joins.fuzzy_best_match(
+        left, right, "p_partkey", "p_partkey", "p_name", max_dist=3,
+        blocking="qgram",
+    ).orderBy("left_id")
+
+
 def q_sim_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k over int8 scalar-quantized embeddings — 4x memory
     compression with integer-exact ranking (operators/similarity
@@ -947,6 +967,7 @@ QUERIES = {
     "feature_correlations": q_feature_correlations,
     "orders_pareto": q_orders_pareto,
     "join_fuzzy_match": q_join_fuzzy_match,
+    "join_fuzzy_qgram": q_join_fuzzy_qgram,
     "sim_topk_int8": q_sim_topk_int8,
     "feature_bucketize": q_feature_bucketize,
     "table_snapshot_diff": q_table_snapshot_diff,
@@ -1031,6 +1052,54 @@ ORACLES = {
         JOIN r ON o.o_orderdate = r.d AND o.o_totalprice = r.m
         WHERE r.later IS NULL OR r.m > r.later
         ORDER BY o_orderkey
+    """,
+    "join_fuzzy_qgram": """
+        WITH l AS (
+            SELECT p_partkey AS left_id, p_name AS name_l,
+                   length(p_name) AS len_l,
+                   unnest(list_transform(
+                       generate_series(0, greatest(length(p_name) - 3, 0)),
+                       p -> struct_pack(
+                           g := substring(p_name, p + 1, 3), pb := p // 4)
+                   )) AS e
+            FROM part WHERE p_partkey % 2 = 0
+        ),
+        lp AS (
+            SELECT DISTINCT left_id, name_l, len_l,
+                   e.g AS g, e.pb + probes.d AS pb
+            FROM l, (VALUES (-1), (0), (1)) AS probes(d)
+            WHERE e.pb + probes.d >= 0
+        ),
+        r AS (
+            SELECT p_partkey AS right_id, p_name AS name_r,
+                   length(p_name) AS len_r,
+                   unnest(list_transform(
+                       generate_series(0, greatest(length(p_name) - 3, 0)),
+                       p -> struct_pack(
+                           g := substring(p_name, p + 1, 3), pb := p // 4)
+                   )) AS e
+            FROM part WHERE p_partkey % 2 = 1
+        ),
+        rp AS (
+            SELECT DISTINCT right_id, name_r, len_r, e.g AS g, e.pb AS pb
+            FROM r
+        ),
+        cand AS (
+            SELECT DISTINCT left_id, right_id, name_l, name_r,
+                   levenshtein(name_l, name_r) AS dist
+            FROM lp JOIN rp
+              ON lp.g = rp.g AND lp.pb = rp.pb
+             AND abs(len_l - len_r) <= 3
+        ),
+        best AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY left_id
+                       ORDER BY dist ASC, right_id ASC
+                   ) AS rk
+            FROM cand WHERE dist <= 3
+        )
+        SELECT left_id, right_id, name_l, name_r, dist
+        FROM best WHERE rk = 1 ORDER BY left_id
     """,
     "join_fuzzy_match": """
         WITH l AS (

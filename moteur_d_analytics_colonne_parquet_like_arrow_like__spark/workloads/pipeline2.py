@@ -753,6 +753,7 @@ def e2e_stage_frames(
     max_bucket_size: int | str = 4,
     materialize_dir: str | None = None,
     check_cap: bool = False,
+    persist_stages: bool = False,
 ) -> dict[str, DataFrame]:
     """The curation funnel, one DataFrame per cumulative stage — shared
     by the ``pipeline_end_to_end`` gate (which returns the final frame)
@@ -787,11 +788,19 @@ def e2e_stage_frames(
     from ..operators import sampling
 
     def _mat(name: str, df: DataFrame) -> DataFrame:
-        if materialize_dir is None:
-            return df
-        path = f"{materialize_dir}/{name}.parquet"
-        df.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
+        if materialize_dir is not None:
+            path = f"{materialize_dir}/{name}.parquet"
+            df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+        if persist_stages:
+            # the blanket-persist arm of the r10/r11 A/B — kept as a
+            # measurable configuration precisely because it LOST the
+            # r10 A/B (cache barrier defeats column pruning + the
+            # broadcast semi-join); tools/pipeline_e2e_ab.py re-measures
+            # it against stage materialization so the refutation stays
+            # current data, not lore
+            return df.persist()
+        return df
 
     docs = _documents(spark, sf_dir).select("doc_id", "source", "text")
     # stage 1: exact dedup — keep the smallest id per identical content
