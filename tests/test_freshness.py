@@ -123,13 +123,17 @@ def test_signature_tail_cannot_regrow(report):
     )
     # r10 tightening (VERDICT r9 item 2): the in-sample rule above means
     # a floor-aged entry gets re-signed next round, so with the registry
-    # (~310) cycling through the 50/round budget in ~6.2 rounds, no
-    # signature should EVER be older than next_round - 8 regardless of
+    # (~315) cycling through the 50/round budget in ~6.3 rounds, no
+    # signature should EVER be older than next_round - 7 regardless of
     # sample position. This is the hard cap the rolling rule implies;
     # asserting it directly catches the failure mode where an old entry
     # is IN the sample but the driver round doesn't land (stall, crash)
     # and the tuple is then regenerated without it.
-    hard_floor = next_round - 8
+    # (r11 tightening, VERDICT r10 item 5: 8 -> 7 — the r4 tail burns
+    # this round, so the cap tracks the burn-down with zero slack lost:
+    # before the r11 driver lands the floor is r4 = today's minimum; the
+    # round after, r5 = the post-burn minimum.)
+    hard_floor = next_round - 7
     ancient = [
         e["name"]
         for e in report["entries"]

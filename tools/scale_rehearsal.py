@@ -149,6 +149,11 @@ TARGETS = [
     # gate that retires the exact n-gram feed's measured 11.77x-at-10x
     # scale cost; its rehearsal row is the near-linear-wall evidence.
     "dedup_keep_best_lsh",
+    # round-11 (VERDICT r10 item 4): the sharper blocking rung —
+    # positional q-gram keys vs the token+length scheme, same corpus
+    # (10x parts on both sides), recall-vs-cost measured side by side
+    # with join_fuzzy_match.
+    "join_fuzzy_qgram",
 ]
 
 # Queries whose construction itself executes jobs (streaming runs,
