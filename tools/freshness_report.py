@@ -84,7 +84,8 @@ BEHAVIOR_CHANGED_SINCE: dict[str, tuple[int, str]] = {
     # rewrite nonetheless → re-sign first
     "join_fuzzy_match": (
         11,
-        "r10 length-bucket block sharding (sf1 0-rows cliff fix)",
+        "r10 length-bucket block sharding (sf1 0-rows cliff fix) + r11 "
+        "__lb >= 0 probe filter (ADVICE r10; value-identical, plan change)",
     ),
 }
 
