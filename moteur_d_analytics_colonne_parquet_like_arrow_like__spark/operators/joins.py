@@ -394,19 +394,23 @@ def fuzzy_best_match(
     - ``blocking="qgram"`` IS that sharper key — the next rung of the
       blocking ladder the r10 rehearsal called for after measuring this
       corpus's token-blocking limit (2.34B true candidates across 16
-      tail tokens; docs/SCALE.md). POSITIONAL Q-GRAM keys: each side
-      emits its q-grams with their position bucket ``pos div
-      (max_dist+1)`` and the left probes ±1 buckets. An unedited gram
-      shifts by at most ``max_dist`` positions (one per edit before
-      it), i.e. at most one bucket — so any pair within ``max_dist``
-      that shares ONE unedited gram meets. Count guarantee: d edits
-      destroy at most d*q grams, so names with n - q + 1 > d*q keep a
-      shared gram and recall is LOSSLESS on catalogs of such names
-      (part names: n ~ 25-35, d*q = 9); only strings shorter than
-      ~(d+1)*q fall back to the pigeonhole gap. Key cardinality scales
-      with the corpus (distinct grams x positions), not with a bounded
-      tail-token vocabulary — the property that removes the r10
-      zero-rows cliff class entirely.
+      tail tokens; docs/SCALE.md). RARITY-PREFIX POSITIONAL Q-GRAMS:
+      each name emits only its ``max_dist*q + 1`` rarest gram
+      occurrences under the global (document-frequency, gram, position)
+      order — the ED-Join count filter (Xiao, Wang, Lin, VLDB 2008): d
+      edits destroy at most d*q occurrences, so two names within
+      distance d each keep >= 1 prefix occurrence of a shared unedited
+      gram, and that gram's position shifts by at most d = one position
+      bucket (``pos div (max_dist+1)``, left probes ±1) — recall
+      LOSSLESS, verified against the brute-force twin. The rarity
+      prefix is load-bearing at scale, not an optimization: without it
+      the replica corpus's shared boilerplate suffix put every copy
+      behind the same hot trigram keys and the sf1 candidate join ran
+      >55 min vs token blocking's 73 s (docs/SCALE.md round 11); rare
+      grams make blocks small BY CONSTRUCTION (the same principle as
+      ``ppjoin_pairs``' prefix filter), and key cardinality scales
+      with the corpus rather than a bounded tail-token vocabulary — the
+      r10 zero-rows cliff class is removed, not sharded around.
 
     ``levenshtein`` runs on the JVM per candidate pair (no Python), and the
     best-match winner is a per-left-id window over block-local candidates.
@@ -421,21 +425,66 @@ def fuzzy_best_match(
     bucket = max_dist + 1
 
     if blocking == "qgram":
-        def grams(name_alias: str):
-            return F.expr(
-                f"transform(sequence(0, greatest(length({name_alias})"
-                f" - {qgram}, 0)), p -> struct(substring({name_alias},"
-                f" p + 1, {qgram}) AS g, p DIV {bucket} AS pb))"
+        # RARITY-PREFIX emission (the ED-Join count filter — Xiao, Wang,
+        # Lin, "Ed-Join: An Efficient Algorithm for Similarity Joins
+        # With Edit Distance Constraints", VLDB 2008): each name emits
+        # only its P = max_dist*q + 1 RAREST gram occurrences under the
+        # global (document-frequency, gram, position) total order. d
+        # edits destroy at most d*q gram occurrences, so two names
+        # within distance d must still share one occurrence of their
+        # P-prefixes — recall holds — while hot boilerplate grams (the
+        # measured sf1 blow-up: shared replica suffixes put >55 min of
+        # candidate pairing behind common trigrams before this prefix
+        # landed, vs 73 s for token blocking) never enter a block key
+        # unless a name has nothing rarer to offer.
+        prefix = max_dist * qgram + 1
+
+        def emissions(df: DataFrame, id_col_: str, id_alias: str, name_alias: str):
+            base = df.select(
+                F.col(id_col_).alias(id_alias),
+                F.col(name_col).alias(name_alias),
+                F.length(name_col).alias(f"__len_{name_alias[-1]}"),
+            )
+            return base.select(
+                "*",
+                F.posexplode(
+                    F.expr(
+                        f"transform(sequence(0, greatest(length("
+                        f"{name_alias}) - {qgram}, 0)), p -> "
+                        f"substring({name_alias}, p + 1, {qgram}))"
+                    )
+                ).alias("__p", "__g"),
+            )
+
+        le = emissions(left, left_id, "left_id", "name_l")
+        re_ = emissions(right, right_id, "right_id", "name_r")
+        # global gram document frequency over BOTH catalogs (distinct
+        # names containing the gram) — one aggregation, broadcast back
+        occ = (
+            le.select("__g", F.concat(F.lit("L"), F.col("left_id").cast("string")).alias("__n"))
+            .union(
+                re_.select(
+                    "__g",
+                    F.concat(F.lit("R"), F.col("right_id").cast("string")).alias("__n"),
+                )
+            )
+            .distinct()
+        )
+        dfreq = occ.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+
+        def take_prefix(e: DataFrame, id_alias: str) -> DataFrame:
+            w_pref = Window.partitionBy(id_alias).orderBy(
+                F.col("__df").asc(), F.col("__g").asc(), F.col("__p").asc()
+            )
+            return (
+                e.join(dfreq, "__g")
+                .withColumn("__pr", F.row_number().over(w_pref))
+                .where(F.col("__pr") <= prefix)
+                .withColumn("__pb", F.expr(f"__p DIV {bucket}"))
             )
 
         l = (
-            left.select(
-                F.col(left_id).alias("left_id"),
-                F.col(name_col).alias("name_l"),
-                F.length(name_col).alias("__len_l"),
-            )
-            .select("*", F.explode(grams("name_l")).alias("__e"))
-            .select("*", F.col("__e.g").alias("__g"), F.col("__e.pb").alias("__pb0"))
+            take_prefix(le, "left_id")
             .select(
                 "left_id",
                 "name_l",
@@ -443,27 +492,17 @@ def fuzzy_best_match(
                 "__g",
                 F.explode(
                     F.array(
-                        F.col("__pb0") - 1, F.col("__pb0"), F.col("__pb0") + 1
+                        F.col("__pb") - 1, F.col("__pb"), F.col("__pb") + 1
                     )
-                ).alias("__pb"),
+                ).alias("__pbp"),
             )
-            .where(F.col("__pb") >= 0)
+            .where(F.col("__pbp") >= 0)
+            .withColumnRenamed("__pbp", "__pb")
             .distinct()
         )
         r = (
-            right.select(
-                F.col(right_id).alias("right_id"),
-                F.col(name_col).alias("name_r"),
-                F.length(name_col).alias("__len_r"),
-            )
-            .select("*", F.explode(grams("name_r")).alias("__e"))
-            .select(
-                "right_id",
-                "name_r",
-                "__len_r",
-                F.col("__e.g").alias("__g"),
-                F.col("__e.pb").alias("__pb"),
-            )
+            take_prefix(re_, "right_id")
+            .select("right_id", "name_r", "__len_r", "__g", "__pb")
             .distinct()
         )
         rc = r.groupBy("__g", "__pb").agg(F.count(F.lit(1)).alias("__bn"))

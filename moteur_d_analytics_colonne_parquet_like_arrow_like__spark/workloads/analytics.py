@@ -60,15 +60,21 @@ def q_join_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_join_fuzzy_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The blocking ladder's sharper rung (VERDICT r10 item 4): the SAME
-    fuzzy-linkage surface keyed on POSITIONAL Q-GRAMS instead of tail
-    tokens. The r10 rehearsal measured token blocking's intrinsic limit
-    on this corpus (a 16-value tail vocabulary -> 2.34B true candidates
-    at sf1); q-gram keys scale their cardinality with the corpus, and
-    the position bucket (pos div (max_dist+1), left probes ±1) keeps an
-    unedited gram's bucket drift <= 1, so recall is lossless whenever
-    n - q + 1 > max_dist*q (all part names). Same output contract as
-    join_fuzzy_match — at driver SFs the two gates return identical
-    best matches, which IS the recall claim, checked cross-generator."""
+    fuzzy-linkage surface keyed on RARITY-PREFIX POSITIONAL Q-GRAMS
+    (the ED-Join count filter) instead of tail tokens. The r10
+    rehearsal measured token blocking's intrinsic limit on this corpus
+    (a 16-value tail vocabulary -> 2.34B true candidates at sf1);
+    q-gram keys scale their cardinality with the corpus, each name
+    emits only its max_dist*q + 1 RAREST gram occurrences (d edits
+    destroy at most d*q, so one prefix occurrence survives — recall
+    holds, brute-force-verified), and the position bucket (pos div
+    (max_dist+1), left probes ±1) keeps a surviving gram's bucket
+    drift <= 1. The rarity prefix is load-bearing, not an
+    optimization: the full-emission form put >55 min of hot-gram
+    candidate pairing behind shared boilerplate trigrams at sf1
+    (docs/SCALE.md round 11). Same output contract as join_fuzzy_match
+    — at driver SFs the two gates return identical best matches, which
+    IS the recall claim, checked cross-generator."""
     part = load_table(spark, sf_dir, "part")
     left = part.where(F.col("p_partkey") % 2 == 0)
     right = part.where(F.col("p_partkey") % 2 == 1)
@@ -1054,35 +1060,59 @@ ORACLES = {
         ORDER BY o_orderkey
     """,
     "join_fuzzy_qgram": """
-        WITH l AS (
+        WITH lg AS (
             SELECT p_partkey AS left_id, p_name AS name_l,
                    length(p_name) AS len_l,
                    unnest(list_transform(
                        generate_series(0, greatest(length(p_name) - 3, 0)),
                        p -> struct_pack(
-                           g := substring(p_name, p + 1, 3), pb := p // 4)
+                           g := substring(p_name, p + 1, 3), p := p)
                    )) AS e
             FROM part WHERE p_partkey % 2 = 0
         ),
-        lp AS (
-            SELECT DISTINCT left_id, name_l, len_l,
-                   e.g AS g, e.pb + probes.d AS pb
-            FROM l, (VALUES (-1), (0), (1)) AS probes(d)
-            WHERE e.pb + probes.d >= 0
-        ),
-        r AS (
+        rg AS (
             SELECT p_partkey AS right_id, p_name AS name_r,
                    length(p_name) AS len_r,
                    unnest(list_transform(
                        generate_series(0, greatest(length(p_name) - 3, 0)),
                        p -> struct_pack(
-                           g := substring(p_name, p + 1, 3), pb := p // 4)
+                           g := substring(p_name, p + 1, 3), p := p)
                    )) AS e
             FROM part WHERE p_partkey % 2 = 1
         ),
+        occ AS (
+            SELECT DISTINCT e.g AS g,
+                   'L' || CAST(left_id AS VARCHAR) AS n FROM lg
+            UNION
+            SELECT DISTINCT e.g AS g,
+                   'R' || CAST(right_id AS VARCHAR) AS n FROM rg
+        ),
+        dfreq AS (SELECT g, COUNT(*) AS df FROM occ GROUP BY g),
+        lpfx AS (
+            SELECT left_id, name_l, len_l, lg.e.g AS g, lg.e.p AS p,
+                   row_number() OVER (
+                       PARTITION BY left_id
+                       ORDER BY dfreq.df ASC, lg.e.g ASC, lg.e.p ASC
+                   ) AS pr
+            FROM lg JOIN dfreq ON lg.e.g = dfreq.g
+        ),
+        rpfx AS (
+            SELECT right_id, name_r, len_r, rg.e.g AS g, rg.e.p AS p,
+                   row_number() OVER (
+                       PARTITION BY right_id
+                       ORDER BY dfreq.df ASC, rg.e.g ASC, rg.e.p ASC
+                   ) AS pr
+            FROM rg JOIN dfreq ON rg.e.g = dfreq.g
+        ),
+        lp AS (
+            SELECT DISTINCT left_id, name_l, len_l, g,
+                   (p // 4) + probes.d AS pb
+            FROM lpfx, (VALUES (-1), (0), (1)) AS probes(d)
+            WHERE pr <= 10 AND (p // 4) + probes.d >= 0
+        ),
         rp AS (
-            SELECT DISTINCT right_id, name_r, len_r, e.g AS g, e.pb AS pb
-            FROM r
+            SELECT DISTINCT right_id, name_r, len_r, g, p // 4 AS pb
+            FROM rpfx WHERE pr <= 10
         ),
         cand AS (
             SELECT DISTINCT left_id, right_id, name_l, name_r,
