@@ -358,7 +358,18 @@ def fuzzy_best_match(
     -> smaller right id). Returns (left id, right id, both names, dist).
 
     The naive formulation is an O(n·m) similarity cross-join — unusable at
-    scale. This is the standard blocking decomposition instead:
+    scale. This is the standard blocking decomposition instead, applied
+    over DISTINCT NAMES (round 11): candidate generation runs on the
+    deduplicated name sets with min(right id) precomputed per right
+    name — best-match semantics collapse exactly (equal names have
+    equal distances, so the (dist, right_id) winner per left name is
+    the winning right name's minimal id) — and the per-name winner
+    broadcasts back onto rows as one keyed join. On dirty catalogs the
+    distinct-name count is the INTRINSIC problem size (this corpus: 64
+    names across 200k rows; the 2.34B "true candidates" the r10
+    rehearsal measured were almost entirely identical-name row pairs),
+    so every generator below now pays candidates proportional to
+    distinct-name pairs, not row pairs:
 
     - **block keys** = the name's last ``n_block_tokens`` whitespace
       tokens (head noun first — its most-discriminating token), so
@@ -424,6 +435,28 @@ def fuzzy_best_match(
         raise ValueError(f"unknown blocking generator: {blocking!r}")
     bucket = max_dist + 1
 
+    # NAME COLLAPSE (round 11 — the fix the r10 "intrinsic blocking
+    # limit" was pointing at): every generator below runs on DISTINCT
+    # names, not rows. Dirty catalogs have name cardinality far below
+    # row cardinality (this corpus: 64 distinct part names across 200k
+    # rows — the 2.34B "true candidates" r10 measured were almost
+    # entirely identical-name row pairs), and best-match semantics
+    # collapse exactly: all rows sharing name_r have the same distance
+    # to any left name, so the (dist asc, right_id asc) winner for a
+    # left NAME is the minimal right id of the winning right NAME —
+    # precompute min(right_id) per name_r, rank names, then broadcast
+    # the per-name winner back onto left rows. Candidate work now
+    # scales with distinct-name pairs (the intrinsic quantity); the
+    # O(rows) tail is one keyed join.
+    L = left.select(
+        F.col(left_id).alias("__out_left_id"),
+        F.col(name_col).alias("name_l"),
+    )
+    dleft = L.select("name_l").distinct()
+    dright = right.groupBy(F.col(name_col).alias("name_r")).agg(
+        F.min(F.col(right_id)).alias("right_id")
+    )
+
     if blocking == "qgram":
         # RARITY-PREFIX emission (the ED-Join count filter — Xiao, Wang,
         # Lin, "Ed-Join: An Efficient Algorithm for Similarity Joins
@@ -439,11 +472,9 @@ def fuzzy_best_match(
         # unless a name has nothing rarer to offer.
         prefix = max_dist * qgram + 1
 
-        def emissions(df: DataFrame, id_col_: str, id_alias: str, name_alias: str):
+        def emissions(df: DataFrame, name_alias: str):
             base = df.select(
-                F.col(id_col_).alias(id_alias),
-                F.col(name_col).alias(name_alias),
-                F.length(name_col).alias(f"__len_{name_alias[-1]}"),
+                "*", F.length(name_alias).alias(f"__len_{name_alias[-1]}")
             )
             return base.select(
                 "*",
@@ -456,24 +487,23 @@ def fuzzy_best_match(
                 ).alias("__p", "__g"),
             )
 
-        le = emissions(left, left_id, "left_id", "name_l")
-        re_ = emissions(right, right_id, "right_id", "name_r")
+        le = emissions(dleft, "name_l")
+        re_ = emissions(dright, "name_r")
         # global gram document frequency over BOTH catalogs (distinct
         # names containing the gram) — one aggregation, broadcast back
         occ = (
-            le.select("__g", F.concat(F.lit("L"), F.col("left_id").cast("string")).alias("__n"))
+            le.select("__g", F.concat(F.lit("L"), F.col("name_l")).alias("__n"))
             .union(
                 re_.select(
-                    "__g",
-                    F.concat(F.lit("R"), F.col("right_id").cast("string")).alias("__n"),
+                    "__g", F.concat(F.lit("R"), F.col("name_r")).alias("__n")
                 )
             )
             .distinct()
         )
         dfreq = occ.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
 
-        def take_prefix(e: DataFrame, id_alias: str) -> DataFrame:
-            w_pref = Window.partitionBy(id_alias).orderBy(
+        def take_prefix(e: DataFrame, name_alias: str) -> DataFrame:
+            w_pref = Window.partitionBy(name_alias).orderBy(
                 F.col("__df").asc(), F.col("__g").asc(), F.col("__p").asc()
             )
             return (
@@ -484,9 +514,8 @@ def fuzzy_best_match(
             )
 
         l = (
-            take_prefix(le, "left_id")
+            take_prefix(le, "name_l")
             .select(
-                "left_id",
                 "name_l",
                 "__len_l",
                 "__g",
@@ -501,7 +530,7 @@ def fuzzy_best_match(
             .distinct()
         )
         r = (
-            take_prefix(re_, "right_id")
+            take_prefix(re_, "name_r")
             .select("right_id", "name_r", "__len_r", "__g", "__pb")
             .distinct()
         )
@@ -520,7 +549,7 @@ def fuzzy_best_match(
                     <= F.lit(max_dist)
                 ),
             )
-            .select("left_id", "right_id", "name_l", "name_r")
+            .select("name_l", "right_id", "name_r")
             .distinct()
             .withColumn("dist", F.levenshtein("name_l", "name_r"))
         )
@@ -532,11 +561,10 @@ def fuzzy_best_match(
             )
 
         l = (
-            left.select(
-                F.col(left_id).alias("left_id"),
-                F.col(name_col).alias("name_l"),
-                F.explode(blks(name_col)).alias("__blk"),
-                F.length(name_col).alias("__len_l"),
+            dleft.select(
+                "name_l",
+                F.explode(blks("name_l")).alias("__blk"),
+                F.length("name_l").alias("__len_l"),
             )
             .select(
                 "*",
@@ -552,11 +580,11 @@ def fuzzy_best_match(
             # dropping them is a pure input-size saving (ADVICE r10)
             .where(F.col("__lb") >= 0)
         )
-        r = right.select(
-            F.col(right_id).alias("right_id"),
-            F.col(name_col).alias("name_r"),
-            F.explode(blks(name_col)).alias("__blk"),
-            F.length(name_col).alias("__len_r"),
+        r = dright.select(
+            "right_id",
+            "name_r",
+            F.explode(blks("name_r")).alias("__blk"),
+            F.length("name_r").alias("__len_r"),
         ).withColumn("__lb", F.expr(f"__len_r div {bucket}"))
         rc = r.groupBy("__blk", "__lb").agg(F.count(F.lit(1)).alias("__bn"))
         r = r.join(
@@ -573,18 +601,28 @@ def fuzzy_best_match(
                     <= F.lit(max_dist)
                 ),
             )
-            .select("left_id", "right_id", "name_l", "name_r")
+            .select("name_l", "right_id", "name_r")
             .distinct()
             .withColumn("dist", F.levenshtein("name_l", "name_r"))
         )
     scored = cand.where(F.col("dist") <= max_dist)
-    w = Window.partitionBy("left_id").orderBy(
+    # rank per left NAME; ties on dist resolve to the smaller right id,
+    # which the per-name min() above made exact at row granularity
+    w = Window.partitionBy("name_l").orderBy(
         F.col("dist").asc(), F.col("right_id").asc()
     )
-    return (
+    best = (
         scored.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") == 1)
-        .select("left_id", "right_id", "name_l", "name_r", "dist")
+        .select("name_l", "right_id", "name_r", "dist")
+    )
+    # broadcast-back: the O(rows) tail is this one keyed join
+    return L.join(best, "name_l").select(
+        F.col("__out_left_id").alias("left_id"),
+        "right_id",
+        "name_l",
+        "name_r",
+        "dist",
     )
 
 
