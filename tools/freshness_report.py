@@ -85,7 +85,9 @@ BEHAVIOR_CHANGED_SINCE: dict[str, tuple[int, str]] = {
     "join_fuzzy_match": (
         11,
         "r10 length-bucket block sharding (sf1 0-rows cliff fix) + r11 "
-        "__lb >= 0 probe filter (ADVICE r10; value-identical, plan change)",
+        "distinct-name collapse rewrite (value-identical at driver SFs, "
+        "brute-force-verified; fixes a silent sf1 cap-drop recall loss) "
+        "and the ADVICE r10 __lb >= 0 probe filter",
     ),
 }
 
