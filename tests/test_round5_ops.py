@@ -400,18 +400,32 @@ def test_fuzzy_best_match_blocking_and_threshold(spark):
 def test_fuzzy_best_match_block_cap_drops_hot_block(spark):
     from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import joins as j
 
-    left = spark.createDataFrame([(1, "a widget")], ["id", "name"])
+    # r11 distinct-name collapse: the cap now guards DISTINCT-NAME
+    # blocks (identical names collapse to one entry and are never a
+    # quadratic risk), so the hot block must carry 6 DISTINCT names
+    # sharing the (tail-token, length-bucket) key
+    left = spark.createDataFrame([(1, "aa widget")], ["id", "name"])
     right = spark.createDataFrame(
-        [(i, "a widget") for i in range(10, 16)], ["id", "name"]
+        [(10 + i, f"a{c} widget") for i, c in enumerate("bcdefg")],
+        ["id", "name"],
     )
     capped = j.fuzzy_best_match(
         left, right, "id", "id", "name", max_dist=3, block_cap=3
     ).collect()
-    assert capped == []  # 6-row block > cap of 3 → dropped, not scored
+    assert capped == []  # 6-name block > cap of 3 → dropped, not scored
     uncapped = j.fuzzy_best_match(
         left, right, "id", "id", "name", max_dist=3
     ).collect()
     assert uncapped[0]["right_id"] == 10
+    # identical-name fan-in collapses instead of tripping the cap: ONE
+    # distinct right name never exceeds any cap, every left row matches
+    fanin = spark.createDataFrame(
+        [(i, "a widget") for i in range(10, 16)], ["id", "name"]
+    )
+    out = j.fuzzy_best_match(
+        left, fanin, "id", "id", "name", max_dist=3, block_cap=3
+    ).collect()
+    assert len(out) == 1 and out[0]["right_id"] == 10
 
 
 def test_sq_int8_codes_bounded_and_extremes(spark):
