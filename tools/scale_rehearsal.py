@@ -154,6 +154,19 @@ TARGETS = [
     # (10x parts on both sides), recall-vs-cost measured side by side
     # with join_fuzzy_match.
     "join_fuzzy_qgram",
+    # round-11 rotation: the heaviest sweep rows that scale with the
+    # replica and had never been rehearsed (the embeddings family stays
+    # excluded — fixed-size corpus). funnel_report is the e2e gate's
+    # observability twin; simhash_pairs is the last unrehearsed
+    # candidate-pair generator; theil_sen carries the O(n^2 sample)
+    # slope pairs; the three text-law gates are corpus-statistics scans.
+    "pipeline_funnel_report",
+    "dedup_simhash_pairs",
+    "orders_theil_sen",
+    "text_bigram_lm",
+    "text_zipf_fit",
+    "text_heaps_law",
+    "pipeline_curate",
 ]
 
 # Queries whose construction itself executes jobs (streaming runs,
@@ -187,6 +200,9 @@ EAGER = {
     # duplicate_clusters' min-label loop is eager at plan build too
     "dedup_keep_best",
     "dedup_keep_best_lsh",
+    "pipeline_curate",
+    # e2e_funnel_flags runs the large-star fixpoint at plan build
+    "pipeline_funnel_report",
 }
 
 # (table, [(col, shift_base)], text_col) — shift_base scales each copy's
