@@ -480,7 +480,7 @@ def _bands_cte() -> str:
     return f"bands AS ({band_selects})"
 
 
-def _minhash_pairs_sql(max_bucket: int | None = None) -> str:
+def _minhash_pairs_sql(max_bucket: int | str | None = None) -> str:
     """CTE chain ``bands → … → pairs(id_a, id_b, est_jaccard)`` over an
     existing ``sig`` CTE (from ``_minhash_sig_sql``) — the SQL twin of
     ``dedup.minhash_lsh_pairs`` minus the shingle/signature prefix, so
@@ -492,15 +492,51 @@ def _minhash_pairs_sql(max_bucket: int | None = None) -> str:
     eq_sum = " + ".join(
         f"CAST((sa.mh{i} = sb.mh{i}) AS INT)" for i in range(nh)
     )
-    cap_ctes = (
-        f"""bkept AS (
+    if max_bucket == "advised":
+        # the cap-advisor census INSIDE the oracle (round 11): mirror of
+        # dedup.bucket_cap_advisor — advised = greatest(entry-weighted
+        # modal occupancy above singletons, majority occupancy) — so the
+        # oracle self-adapts to the corpus exactly like the Spark side's
+        # max_bucket_size="advised" path. All integer arithmetic.
+        cap_ctes = """bcounts AS (
+            SELECT band, key, CAST(COUNT(*) AS BIGINT) AS bsz
+            FROM bands GROUP BY band, key
+        ),
+        bcensus AS (
+            SELECT bsz, CAST(COUNT(*) AS BIGINT) AS nb
+            FROM bcounts GROUP BY bsz
+        ),
+        bc2 AS (
+            SELECT bsz, nb, CAST(bsz * nb AS BIGINT) AS ne FROM bcensus
+        ),
+        bc3 AS (
+            SELECT *, CAST(SUM(ne) OVER (
+                ORDER BY bsz
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS BIGINT) AS ce FROM bc2
+        ),
+        btot AS (SELECT CAST(SUM(ne) AS BIGINT) AS t FROM bc2),
+        bmaxe AS (SELECT MAX(ne) AS me FROM bc2 WHERE bsz >= 2),
+        bmodal AS (
+            SELECT COALESCE(MAX(bc2.bsz), 1) AS m FROM bc2, bmaxe
+            WHERE bc2.bsz >= 2 AND bc2.ne = bmaxe.me
+        ),
+        bmaj AS (
+            SELECT MIN(bsz) AS j FROM bc3, btot WHERE ce * 3 >= 2 * t
+        ),
+        badv AS (SELECT GREATEST(m, j) AS cap FROM bmodal, bmaj),
+        bkept AS (
+            SELECT band, key FROM bcounts, badv WHERE bsz <= cap
+        ),
+        bandsk AS (SELECT b.* FROM bands b JOIN bkept USING (band, key)),"""
+    elif max_bucket is not None:
+        cap_ctes = f"""bkept AS (
             SELECT band, key FROM bands GROUP BY band, key
             HAVING COUNT(*) <= {max_bucket}
         ),
         bandsk AS (SELECT b.* FROM bands b JOIN bkept USING (band, key)),"""
-        if max_bucket is not None
-        else "bandsk AS (SELECT * FROM bands),"
-    )
+    else:
+        cap_ctes = "bandsk AS (SELECT * FROM bands),"
     return f"""
         {_bands_cte()},
         {cap_ctes}

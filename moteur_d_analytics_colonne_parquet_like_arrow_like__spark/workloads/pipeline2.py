@@ -920,11 +920,12 @@ def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["pipeline_end_to_end"] = q_pipeline_end_to_end
 
 
-def _e2e_ctes() -> str:
+def _e2e_ctes(max_bucket: int | str = 4) -> str:
     """The composed funnel's full CTE chain (``WITH RECURSIVE`` … ``c``)
-    — shared by the ``pipeline_end_to_end`` span oracle and the
-    ``pipeline_funnel_report`` stage-count oracle so the two gates can
-    never drift apart on funnel semantics."""
+    — shared by the ``pipeline_end_to_end`` span oracle, the
+    ``pipeline_funnel_report`` stage-count oracle, and (with
+    ``max_bucket="advised"``) the ``pipeline_end_to_end_advised`` oracle
+    so the gates can never drift apart on funnel semantics."""
     from .pipeline import (
         _H60,
         _minhash_pairs_sql,
@@ -945,7 +946,7 @@ def _e2e_ctes() -> str:
         ),
         {_shingle_cte(3, src="s1")},
         {_minhash_sig_sql(16)},
-        {_minhash_pairs_sql(max_bucket=4)},
+        {_minhash_pairs_sql(max_bucket=max_bucket)},
         {_CLUSTERS_SQL},
         s2 AS (
             SELECT s1.* FROM s1
@@ -1027,6 +1028,36 @@ def _e2e_ctes() -> str:
 # naive global cumsum the two-phase packing must equal.
 ORACLES["pipeline_end_to_end"] = f"""
         {_e2e_ctes()}
+        SELECT doc_id, source, n_tok AS n_tokens,
+               round(keep_frac, 9) AS keep_frac_r,
+               (cum - n_tok) // 512 AS start_seq,
+               (cum - n_tok) % 512 AS start_off,
+               (cum - 1) // 512 AS end_seq
+        FROM c ORDER BY doc_id
+    """
+
+
+def q_pipeline_end_to_end_advised(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The composed curation pipeline with the CENSUS-ADVISED bucket cap
+    (VERDICT r10 item 3, closed end-to-end): identical DAG to
+    ``pipeline_end_to_end`` but the near-dup stage's hot-bucket cap
+    comes from ``bucket_cap_advisor`` instead of a frozen literal —
+    the configuration a growing corpus can never silently outgrow. The
+    DuckDB oracle recomputes the SAME census and advised cap in SQL
+    (``_minhash_pairs_sql(max_bucket="advised")``), so the driver
+    verifies the advisor, the cap application, and the full downstream
+    funnel in one hash."""
+    return e2e_stage_frames(spark, sf_dir, max_bucket_size="advised")[
+        "s5"
+    ].orderBy("doc_id")
+
+
+QUERIES["pipeline_end_to_end_advised"] = q_pipeline_end_to_end_advised
+
+ORACLES["pipeline_end_to_end_advised"] = f"""
+        {_e2e_ctes(max_bucket="advised")}
         SELECT doc_id, source, n_tok AS n_tokens,
                round(keep_frac, 9) AS keep_frac_r,
                (cum - n_tok) // 512 AS start_seq,
