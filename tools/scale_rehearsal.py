@@ -167,6 +167,8 @@ TARGETS = [
     "text_zipf_fit",
     "text_heaps_law",
     "pipeline_curate",
+    # round-11 late registration: the advisor composed into the e2e DAG
+    "pipeline_end_to_end_advised",
 ]
 
 # Queries whose construction itself executes jobs (streaming runs,
@@ -203,6 +205,8 @@ EAGER = {
     "pipeline_curate",
     # e2e_funnel_flags runs the large-star fixpoint at plan build
     "pipeline_funnel_report",
+    # advisor collect + components fixpoint at plan build
+    "pipeline_end_to_end_advised",
 }
 
 # (table, [(col, shift_base)], text_col) — shift_base scales each copy's
