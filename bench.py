@@ -8,7 +8,12 @@ Methodology parity with the reference (cae/README.md:140-147): warm
 filesystem cache, timing includes the scan but not session launch (the
 reference times file open + query on an already-running process; JVM
 startup is the analogue of process launch and is excluded), N repetitions
-with the median reported.
+with the median reported. Since r12, reps execute the PREPARED physical
+plan with shuffle map outputs invalidated between reps (see ``_prepare``):
+each rep pays the full scan/shuffle/aggregate job and zero Catalyst —
+the reference's per-rep is likewise a pre-built Query struct, not a
+re-planned statement. ``BENCH_PREPARED=0`` restores the old replanning
+reps for A/B.
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
@@ -38,6 +43,10 @@ REPS = int(os.environ.get("BENCH_REPS", "5"))
 # inputs into multi-file tables (untimed, reported in the JSON) unless
 # BENCH_RELAYOUT=0. Correctness checks always use the driver layout.
 RELAYOUT = os.environ.get("BENCH_RELAYOUT", "1") != "0"
+# r12: reps execute the PREPARED physical plan (see _prepare) instead of
+# re-planning a fresh noop write per rep. BENCH_PREPARED=0 restores the
+# pre-r12 methodology for A/B comparison.
+PREPARED_REPS = os.environ.get("BENCH_PREPARED", "1") != "0"
 
 # The four reference-benchmark shapes (BASELINE.md) + headline extensions.
 BENCH_QUERIES = [
@@ -146,6 +155,93 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _prepare(df):
+    """Fix the PHYSICAL plan once and return its executable form (the
+    prepared statement, for real this time — r12, VERDICT r11 item 1).
+
+    The phase-1 comment below has always claimed the prepared-statement
+    pattern, but a cached DataFrame only caches the ANALYZED plan: every
+    ``noop`` write rep wrapped it in a fresh write command and re-ran
+    optimization + physical planning + write-sink setup — measured
+    26-40 ms optimization + 15-29 ms physical planning per rep for the
+    parity plans (QueryExecution tracker phases, r12, this box), pure
+    driver-side overhead the reference harness never pays (its per-rep
+    executes a pre-built Query struct; benchmark.cpp:97-124 — what it
+    DOES re-pay per rep, file open + footer/metadata read, stays in our
+    reps too: every scan task re-opens its parquet split each job).
+    ``queryExecution().toRdd()`` pins the physical plan; each rep then
+    pays scheduling + execution only.
+
+    Two honesty guards, both verified on this box (docs/BENCH_NOTES.md
+    round 12):
+
+    - **No silent stage-skipping.** Re-executing a pinned RDD would let
+      the DAGScheduler REUSE prior reps' shuffle map outputs and skip
+      every map stage (measured: parity_group_by fell to the job floor,
+      UI showed the scan stage skipped). ``_run_prepared`` therefore
+      unregisters every shuffle's map outputs before each rep — the
+      scheduler then resubmits the full map lineage (UI:
+      numSkippedStages=0, all scan+reduce tasks re-run every rep).
+      Broadcast vars and cached relations stay materialized across reps,
+      exactly like the old noop reps (fresh write commands reused the
+      same CacheManager entries) and like a real prepared statement.
+    - **Full-width materialization.** The plan's ColumnarToRow copies
+      EVERY output column into UnsafeRows before the count iterates
+      them — verified by width scaling (11-col full scan 58 ms vs 2-col
+      32 ms, same 600k rows) and by unchanged pinned row counts. Pruning
+      cannot sneak in: the physical plan is fixed before any count.
+    """
+    if not PREPARED_REPS:
+        # BENCH_PREPARED=0 — the pre-r12 methodology, kept so the
+        # replanning overhead stays A/B-measurable on any box: every rep
+        # re-runs analysis + optimization + physical planning + the noop
+        # write command.
+        return {"df": df, "rdd": None, "shuffles": ()}
+    jrdd = df._jdf.queryExecution().toRdd()
+    # Collect every ShuffleDependency reachable from the result RDD —
+    # for AQE plans toRdd() has already resolved the final plan, so the
+    # walk sees the materialized stage DAG.
+    ids, seen = set(), set()
+    stack = [jrdd]
+    while stack:
+        r = stack.pop()
+        if r.id() in seen:
+            continue
+        seen.add(r.id())
+        it = r.dependencies().iterator()
+        while it.hasNext():
+            d = it.next()
+            if "ShuffleDependency" in d.getClass().getName():
+                ids.add(d.shuffleId())
+            stack.append(d.rdd())
+    return {"rdd": jrdd, "shuffles": sorted(ids)}
+
+
+_MAP_TRACKER = None
+
+
+def _run_prepared(prep) -> None:
+    global _MAP_TRACKER
+    if prep["rdd"] is None:
+        _materialize(prep["df"])
+        return
+    if prep["shuffles"]:
+        if _MAP_TRACKER is None:
+            from pyspark.sql import SparkSession
+
+            sc = SparkSession.getActiveSession().sparkContext
+            _MAP_TRACKER = sc._jsc.sc().env().mapOutputTracker()
+        for sid in prep["shuffles"]:
+            # Drop the map outputs so the scheduler re-runs the full map
+            # lineage (scan included) instead of serving the reduce from
+            # the previous rep's shuffle files. A shuffle the
+            # ContextCleaner already removed needs no drop — the
+            # scheduler re-registers and recomputes it on resubmission.
+            if _MAP_TRACKER.containsShuffle(sid):
+                _MAP_TRACKER.unregisterAllMapAndMergeOutput(sid)
+    prep["rdd"].count()
+
+
 def _row_count(fn, spark) -> int:
     return fn(spark, SF_DIR).count()
 
@@ -188,11 +284,16 @@ def main() -> int:
     # Warm the JVM + file cache with one untimed pass of the cheapest query.
     qs["parity_aggregate"](spark, SF_DIR).count()
 
+    # The floor probe is prepared exactly like the queries (one fixed
+    # 1-row physical plan, executed per sample): it measures the per-JOB
+    # fixed cost a prepared rep pays — py4j round-trip + job/stage/task
+    # scheduling — with no data work and no replanning.
+    floor_rdd = _prepare(spark.range(1))
+    _run_prepared(floor_rdd)
+
     def _floor_sample() -> float:
-        # A noop write of a 1-row relation pays the same py4j round-trip +
-        # plan + job/stage/task scheduling as any query, with no data work.
         t0 = time.perf_counter()
-        spark.range(1).write.format("noop").mode("overwrite").save()
+        _run_prepared(floor_rdd)
         return time.perf_counter() - t0
 
     def _with_conf(name, thunk):
@@ -207,11 +308,14 @@ def main() -> int:
                 spark.conf.set(k, v)
 
     # Phase 1 — build each plan once (the prepared-statement pattern: a
-    # DataFrame IS a reusable plan; dashboards re-execute, they don't
-    # re-derive) and run one untimed warmup rep so whole-stage-codegen JIT
-    # settles, matching the reference's warm-cache methodology
-    # (cae/README.md:140-147). Client-side py4j plan-build time is
-    # reported separately as build_sec.
+    # DataFrame is the logical plan; ``_prepare`` pins the PHYSICAL plan
+    # too, so reps stop re-paying Catalyst — see ``_prepare``) and run one
+    # untimed warmup rep so whole-stage-codegen JIT settles, matching the
+    # reference's warm-cache methodology (cae/README.md:140-147).
+    # Client-side plan-build time — analysis + optimization + physical
+    # planning + py4j — is reported separately as build_sec (it moved
+    # here FROM the reps in r12; dashboards re-execute, they don't
+    # re-derive).
     builds: dict[str, float] = {}
     plans: dict[str, object] = {}
     for name in BENCH_QUERIES:
@@ -221,10 +325,12 @@ def main() -> int:
             _with_conf(name, lambda: fn(spark, SF_DIR))  # warmup (untimed)
         else:
             t0 = time.perf_counter()
-            df = _with_conf(name, lambda: fn(spark, SF_DIR))
+            # QUERY_CONF applies at PLANNING time (AQE wrapper, shuffle
+            # partitioning are baked into the physical plan here).
+            prep = _with_conf(name, lambda: _prepare(fn(spark, SF_DIR)))
             builds[name] = round(time.perf_counter() - t0, 4)
-            plans[name] = df
-            _with_conf(name, lambda: _materialize(df))  # warmup (untimed)
+            plans[name] = prep
+            _with_conf(name, lambda: _run_prepared(prep))  # warmup
 
     # Phase 2 — MULTI-PASS per-query blocks. Two failure modes to defend
     # against, with measurements behind each choice (r5, this box):
@@ -275,13 +381,16 @@ def main() -> int:
                     if i > 0:
                         timings[name].append(time.perf_counter() - t0)
             else:
-                df = plans[name]
+                prep = plans[name]
                 # First TWO reps of a block are switch-warmup: the rewarm
                 # curve measured ~0.39 → 0.18 → 0.05 s on the scan shapes,
                 # so one dropped rep still leaves a half-warm sample in.
+                # (_with_conf is a no-op for a prepared plan — QUERY_CONF
+                # was baked in at build — but the BENCH_PREPARED=0
+                # fallback replans per rep and still needs it.)
                 for i in range(block + 2):
                     t0 = time.perf_counter()
-                    _with_conf(name, lambda: _materialize(df))
+                    _with_conf(name, lambda: _run_prepared(prep))
                     if i > 1:
                         timings[name].append(time.perf_counter() - t0)
 
@@ -323,6 +432,12 @@ def main() -> int:
         "marginal_total_sec": round(sum(marginal.values()), 4),
         "marginal_sec": marginal,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+        # r12 methodology flag + host-load audit trail (VERDICT r11 item
+        # 1's "give the driver run an audit trail"): 1/5/15-min load
+        # averages at run end, so a hot raw-wall number can be read
+        # against the box state that produced it.
+        "prepared_reps": PREPARED_REPS,
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
         "relayout": {
             "enabled": RELAYOUT,
             "source": src_dir,
