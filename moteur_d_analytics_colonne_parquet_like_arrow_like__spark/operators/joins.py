@@ -398,10 +398,14 @@ def fuzzy_best_match(
       buckets| instead of corpus/|tokens|.
     - **block cap**: a degenerate block (empty-ish names, one mega-noun)
       turns back into the quadratic join; (token, length-bucket) blocks
-      with more right rows than ``block_cap`` are dropped via an
-      explicit filter, the same hot-bucket guard as MinHash LSH's
-      ``cap_bucket_size``. At 100 TB you alert on the dropped blocks and
-      route them to a sharper key.
+      holding more right-side entries than ``block_cap`` are dropped via
+      an explicit filter, the same hot-bucket guard as MinHash LSH's
+      ``cap_bucket_size``. UNIT (changed in r11 with the distinct-name
+      collapse — ADVICE r11): ``block_cap`` counts DISTINCT RIGHT NAMES
+      per block, not right rows; a caller that tuned it to row counts on
+      a duplicate-heavy catalog should re-tune (the same cap value now
+      retains blocks it previously dropped). At 100 TB you alert on the
+      dropped blocks and route them to a sharper key.
     - ``blocking="qgram"`` IS that sharper key — the next rung of the
       blocking ladder the r10 rehearsal called for after measuring this
       corpus's token-blocking limit (2.34B true candidates across 16
@@ -412,8 +416,13 @@ def fuzzy_best_match(
       edits destroy at most d*q occurrences, so two names within
       distance d each keep >= 1 prefix occurrence of a shared unedited
       gram, and that gram's position shifts by at most d = one position
-      bucket (``pos div (max_dist+1)``, left probes ±1) — recall
-      LOSSLESS, verified against the brute-force twin. The rarity
+      bucket (``pos div (max_dist+1)``, left probes ±1). That count-
+      filter bound is only positive for names with > d*q gram
+      occurrences (length >= q*(d+1)); shorter names route through an
+      exhaustive length-class fallback block (ADVICE r11, see the
+      GUARANTEE REGIME note in the emission code), so recall is
+      LOSSLESS over the whole length range — verified against the
+      brute-force twin — subject only to ``block_cap``. The rarity
       prefix is load-bearing at scale, not an optimization: without it
       the replica corpus's shared boilerplate suffix put every copy
       behind the same hot trigram keys and the sf1 candidate join ran
@@ -470,7 +479,29 @@ def fuzzy_best_match(
         # candidate pairing behind common trigrams before this prefix
         # landed, vs 73 s for token blocking) never enter a block key
         # unless a name has nothing rarer to offer.
+        #
+        # GUARANTEE REGIME (ADVICE r11): the count-filter bound is only
+        # positive when a name has MORE than max_dist*q gram
+        # occurrences, i.e. length >= q*(max_dist+1). A shorter name can
+        # lose EVERY gram to max_dist spread-out edits ('abcdefghi' vs
+        # 'xbcxefxhi': dist 3, zero common trigrams), so gram blocking
+        # is structurally lossy for it no matter the prefix policy.
+        # Below-guarantee names therefore ALSO route through an
+        # exhaustive LENGTH-CLASS fallback block: every name short
+        # enough to sit in a within-band pair whose smaller member is
+        # below guarantee (len <= q*(max_dist+1) + max_dist - 1) emits a
+        # sentinel key ('\x00fb', its length bucket); the left side
+        # probes +-1 buckets as usual, so any such pair meets there
+        # regardless of gram survival. Pairs whose members BOTH sit in
+        # the guarantee regime still meet via the rarity prefix — recall
+        # is lossless again, subject only to ``block_cap`` (which caps
+        # fallback blocks exactly like gram blocks; fallback-block
+        # occupancy is the count of below-threshold-length DISTINCT
+        # names per length bucket, so a corpus of mostly-short names
+        # degrades toward length-class blocking and the cap alerts).
         prefix = max_dist * qgram + 1
+        guarantee_len = qgram * (max_dist + 1)
+        fallback_len = guarantee_len + max_dist - 1
 
         def emissions(df: DataFrame, name_alias: str):
             base = df.select(
@@ -534,6 +565,37 @@ def fuzzy_best_match(
             .select("right_id", "name_r", "__len_r", "__g", "__pb")
             .distinct()
         )
+        # Length-class fallback emissions for the no-guarantee regime
+        # (see GUARANTEE REGIME above): sentinel gram key, length bucket
+        # as the position bucket, left probing +-1 like the gram path.
+        # The sentinel is LONGER than qgram, so no real gram (a <= qgram
+        # char substring) can ever collide with it.
+        fb_key = F.lit("#" * (qgram + 1))
+        l_fb = (
+            dleft.where(F.length("name_l") <= fallback_len)
+            .select(
+                "name_l",
+                F.length("name_l").alias("__len_l"),
+                fb_key.alias("__g"),
+                F.explode(
+                    F.array(
+                        F.expr(f"length(name_l) div {bucket} - 1"),
+                        F.expr(f"length(name_l) div {bucket}"),
+                        F.expr(f"length(name_l) div {bucket} + 1"),
+                    )
+                ).alias("__pb"),
+            )
+            .where(F.col("__pb") >= 0)
+        )
+        r_fb = dright.where(F.length("name_r") <= fallback_len).select(
+            "right_id",
+            "name_r",
+            F.length("name_r").alias("__len_r"),
+            fb_key.alias("__g"),
+            F.expr(f"length(name_r) div {bucket}").alias("__pb"),
+        )
+        l = l.unionByName(l_fb)
+        r = r.unionByName(r_fb)
         rc = r.groupBy("__g", "__pb").agg(F.count(F.lit(1)).alias("__bn"))
         r = r.join(
             F.broadcast(rc.where(F.col("__bn") <= block_cap)),

@@ -1060,38 +1060,49 @@ ORACLES = {
         ORDER BY o_orderkey
     """,
     "join_fuzzy_qgram": """
-        WITH lg AS (
-            SELECT p_partkey AS left_id, p_name AS name_l,
-                   length(p_name) AS len_l,
-                   unnest(list_transform(
-                       generate_series(0, greatest(length(p_name) - 3, 0)),
-                       p -> struct_pack(
-                           g := substring(p_name, p + 1, 3), p := p)
-                   )) AS e
+        -- mirrors operators/joins.fuzzy_best_match(blocking='qgram'):
+        -- DISTINCT-NAME generation (ADVICE r11: gram document frequency
+        -- over distinct names, matching the r11 collapse, not per row),
+        -- rarity-prefix positional grams for the ED-Join guarantee
+        -- regime, the '####' length-class fallback for names below it,
+        -- and the per-name winner broadcast back onto left rows.
+        WITH lrows AS (
+            SELECT p_partkey AS out_left_id, p_name AS name_l
             FROM part WHERE p_partkey % 2 = 0
         ),
-        rg AS (
-            SELECT p_partkey AS right_id, p_name AS name_r,
-                   length(p_name) AS len_r,
+        dl AS (SELECT DISTINCT name_l FROM lrows),
+        dr AS (
+            SELECT p_name AS name_r, MIN(p_partkey) AS right_id
+            FROM part WHERE p_partkey % 2 = 1 GROUP BY p_name
+        ),
+        lg AS (
+            SELECT name_l, length(name_l) AS len_l,
                    unnest(list_transform(
-                       generate_series(0, greatest(length(p_name) - 3, 0)),
+                       generate_series(0, greatest(length(name_l) - 3, 0)),
                        p -> struct_pack(
-                           g := substring(p_name, p + 1, 3), p := p)
+                           g := substring(name_l, p + 1, 3), p := p)
                    )) AS e
-            FROM part WHERE p_partkey % 2 = 1
+            FROM dl
+        ),
+        rg AS (
+            SELECT right_id, name_r, length(name_r) AS len_r,
+                   unnest(list_transform(
+                       generate_series(0, greatest(length(name_r) - 3, 0)),
+                       p -> struct_pack(
+                           g := substring(name_r, p + 1, 3), p := p)
+                   )) AS e
+            FROM dr
         ),
         occ AS (
-            SELECT DISTINCT e.g AS g,
-                   'L' || CAST(left_id AS VARCHAR) AS n FROM lg
+            SELECT DISTINCT e.g AS g, 'L' || name_l AS n FROM lg
             UNION
-            SELECT DISTINCT e.g AS g,
-                   'R' || CAST(right_id AS VARCHAR) AS n FROM rg
+            SELECT DISTINCT e.g AS g, 'R' || name_r AS n FROM rg
         ),
         dfreq AS (SELECT g, COUNT(*) AS df FROM occ GROUP BY g),
         lpfx AS (
-            SELECT left_id, name_l, len_l, lg.e.g AS g, lg.e.p AS p,
+            SELECT name_l, len_l, lg.e.g AS g, lg.e.p AS p,
                    row_number() OVER (
-                       PARTITION BY left_id
+                       PARTITION BY name_l
                        ORDER BY dfreq.df ASC, lg.e.g ASC, lg.e.p ASC
                    ) AS pr
             FROM lg JOIN dfreq ON lg.e.g = dfreq.g
@@ -1099,37 +1110,54 @@ ORACLES = {
         rpfx AS (
             SELECT right_id, name_r, len_r, rg.e.g AS g, rg.e.p AS p,
                    row_number() OVER (
-                       PARTITION BY right_id
+                       PARTITION BY name_r
                        ORDER BY dfreq.df ASC, rg.e.g ASC, rg.e.p ASC
                    ) AS pr
             FROM rg JOIN dfreq ON rg.e.g = dfreq.g
         ),
         lp AS (
-            SELECT DISTINCT left_id, name_l, len_l, g,
-                   (p // 4) + probes.d AS pb
+            SELECT DISTINCT name_l, len_l, g, (p // 4) + probes.d AS pb
             FROM lpfx, (VALUES (-1), (0), (1)) AS probes(d)
             WHERE pr <= 10 AND (p // 4) + probes.d >= 0
+            UNION
+            SELECT DISTINCT name_l, length(name_l) AS len_l,
+                   '####' AS g,
+                   (length(name_l) // 4) + probes.d AS pb
+            FROM dl, (VALUES (-1), (0), (1)) AS probes(d)
+            WHERE length(name_l) <= 14
+              AND (length(name_l) // 4) + probes.d >= 0
         ),
         rp AS (
             SELECT DISTINCT right_id, name_r, len_r, g, p // 4 AS pb
             FROM rpfx WHERE pr <= 10
+            UNION
+            SELECT right_id, name_r, length(name_r) AS len_r,
+                   '####' AS g, length(name_r) // 4 AS pb
+            FROM dr WHERE length(name_r) <= 14
         ),
+        rc AS (
+            SELECT g, pb FROM rp GROUP BY g, pb
+            HAVING COUNT(*) <= 10000
+        ),
+        rpk AS (SELECT rp.* FROM rp JOIN rc USING (g, pb)),
         cand AS (
-            SELECT DISTINCT left_id, right_id, name_l, name_r,
+            SELECT DISTINCT name_l, right_id, name_r,
                    levenshtein(name_l, name_r) AS dist
-            FROM lp JOIN rp
-              ON lp.g = rp.g AND lp.pb = rp.pb
+            FROM lp JOIN rpk
+              ON lp.g = rpk.g AND lp.pb = rpk.pb
              AND abs(len_l - len_r) <= 3
         ),
         best AS (
             SELECT *, row_number() OVER (
-                       PARTITION BY left_id
+                       PARTITION BY name_l
                        ORDER BY dist ASC, right_id ASC
                    ) AS rk
             FROM cand WHERE dist <= 3
         )
-        SELECT left_id, right_id, name_l, name_r, dist
-        FROM best WHERE rk = 1 ORDER BY left_id
+        SELECT lrows.out_left_id AS left_id, best.right_id,
+               best.name_l, best.name_r, best.dist
+        FROM lrows JOIN best ON lrows.name_l = best.name_l
+        WHERE best.rk = 1 ORDER BY left_id
     """,
     "join_fuzzy_match": """
         WITH l AS (

@@ -463,12 +463,11 @@ def _quality_kept_sql() -> str:
 # ------------------------------------------------------------------- oracles
 
 
-def _bands_cte() -> str:
+def _bands_cte(nh: int = 16, bands: int = 4) -> str:
     """``bands(doc_id, band, key)`` over an existing ``sig`` CTE — the
     LSH band-entry relation on its own, shared by ``_minhash_pairs_sql``
     and the ``pipeline_cap_advisor`` census oracle so the advisor
     audits the IDENTICAL key space the pairing join caps."""
-    nh, bands = 16, 4
     rpb = nh // bands
     band_selects = "\nUNION ALL\n".join(
         "SELECT doc_id, {b} AS band, concat_ws('-', {cols}) AS key FROM sig".format(
@@ -480,7 +479,12 @@ def _bands_cte() -> str:
     return f"bands AS ({band_selects})"
 
 
-def _minhash_pairs_sql(max_bucket: int | str | None = None) -> str:
+def _minhash_pairs_sql(
+    max_bucket: int | str | None = None,
+    nh: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> str:
     """CTE chain ``bands → … → pairs(id_a, id_b, est_jaccard)`` over an
     existing ``sig`` CTE (from ``_minhash_sig_sql``) — the SQL twin of
     ``dedup.minhash_lsh_pairs`` minus the shingle/signature prefix, so
@@ -488,7 +492,6 @@ def _minhash_pairs_sql(max_bucket: int | str | None = None) -> str:
     over a filtered doc set. The bucket-cap CTE mirrors
     ``dedup.cap_bucket_size``: drop (band, key) buckets over the cap
     before candidate pairing."""
-    nh = 16
     eq_sum = " + ".join(
         f"CAST((sa.mh{i} = sb.mh{i}) AS INT)" for i in range(nh)
     )
@@ -538,7 +541,7 @@ def _minhash_pairs_sql(max_bucket: int | str | None = None) -> str:
     else:
         cap_ctes = "bandsk AS (SELECT * FROM bands),"
     return f"""
-        {_bands_cte()},
+        {_bands_cte(nh, bands)},
         {cap_ctes}
         cand AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -546,11 +549,11 @@ def _minhash_pairs_sql(max_bucket: int | str | None = None) -> str:
               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
         ),
         pairs AS (
-            SELECT id_a, id_b, ({eq_sum}) / 16.0 AS est_jaccard
+            SELECT id_a, id_b, ({eq_sum}) / {nh}.0 AS est_jaccard
             FROM cand
             JOIN sig sa ON sa.doc_id = id_a
             JOIN sig sb ON sb.doc_id = id_b
-            WHERE ({eq_sum}) / 16.0 >= 0.5
+            WHERE ({eq_sum}) / {nh}.0 >= {threshold}
         )
     """
 

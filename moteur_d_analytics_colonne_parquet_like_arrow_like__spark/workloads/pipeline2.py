@@ -89,9 +89,23 @@ def q_dedup_keep_best_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairing work, and the hot-bucket cap is sized 64 per the r10
     deployment rule (cap above the genuine duplicate-cluster size —
     the sf1 rehearsal corpus carries 10-sibling replica clusters;
-    cap=4 was the measured recall cliff). The exact gate stays
-    registered as the labeled audit tier; tools/keeper_agreement.py
-    measures the keeper-agreement rate between the two."""
+    cap=4 was the measured recall cliff).
+
+    Operating point (r12 — VERDICT r11 item 2, the RECOMMENDED setting
+    shipped instead of just measured): est_jaccard >= 0.8, THRESHOLD-
+    MATCHED to the exact tier's J >= 0.8 (the r11 gate ran est >= 0.5,
+    which admitted true-Jaccard pairs far below 0.8 — 2,013 over-
+    clustered docs and 0.651 keeper agreement at sf0.1), and 64 hashes
+    in 16 bands of 4 rows — quadrupling the hash count halves estimator
+    variance while keeping rows-per-band at 4, so banding recall at the
+    threshold does not drop (1-(1-J^4)^16 >= the old 1-(1-J^4)^4).
+    Builder-measured at sf0.1 (docs/SCALE.md round 11 table): agreement
+    0.651 -> 0.758, lsh-only over-clustered docs 2,013 -> 1,295, exact-
+    tier recall miss steady at ~2%. The 4x signature cost is one wider
+    groupBy (64 min-aggregates instead of 16 on the same shuffle) —
+    costed in docs/SCALE.md round 12. The exact gate stays registered
+    as the labeled audit tier; tools/keeper_agreement.py measures the
+    keeper-agreement rate between the two."""
     docs = _documents(spark, sf_dir)
     scored = text.quality_features(
         docs.select("doc_id", "text"), "text"
@@ -100,10 +114,10 @@ def q_dedup_keep_best_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs,
         "doc_id",
         "text",
-        num_hashes=16,
-        bands=4,
+        num_hashes=64,
+        bands=16,
         shingle_k=3,
-        threshold=0.5,
+        threshold=0.8,
         max_bucket_size=64,
     )
     clusters = dedup.duplicate_clusters(pairs)
@@ -227,8 +241,8 @@ ORACLES = {
     """,
     "dedup_keep_best_lsh": f"""
         WITH RECURSIVE {_shingle_cte(3)},
-        {_minhash_sig_sql(16)},
-        {_minhash_pairs_sql(max_bucket=64)},
+        {_minhash_sig_sql(64)},
+        {_minhash_pairs_sql(max_bucket=64, nh=64, bands=16, threshold=0.8)},
         {_CLUSTERS_SQL},
         {_QSCORE},
         m AS (
@@ -733,17 +747,17 @@ _E2E_BUDGET = 0.35
 def advised_bucket_cap(s1: DataFrame) -> int:
     """The r10 cap-sizing rule, executable (VERDICT r10 item 3): run the
     bucket-occupancy census over the IDENTICAL (band, key) space the
-    near-dup stage caps and return the advised cap. The single-scalar
-    collect is a config decision derived from one bounded aggregate —
-    the same legitimacy class as approxQuantile chunk boundaries."""
+    near-dup stage caps and return the advised cap.
+
+    Standalone form — it builds its own signature DAG over ``s1``, so a
+    caller that is ALSO about to band the same frame should instead let
+    ``dedup.minhash_lsh_pairs(max_bucket_size="advised")`` run the census
+    over its cached signatures (one corpus pass, not two — VERDICT r11
+    item 3; ``e2e_stage_frames`` switched in r12). Raises ``ValueError``
+    on an empty corpus (ADVICE r11: ``.first()`` used to TypeError)."""
     sig = dedup.minhash_signatures(s1, "doc_id", "text", 16, 3)
     entries = dedup._band_entries(sig, "doc_id", 16, 4)
-    row = (
-        dedup.bucket_cap_advisor(entries, ["band", "key"])
-        .select("advised_cap")
-        .first()
-    )
-    return int(row["advised_cap"])
+    return dedup.advised_cap_from_entries(entries)
 
 
 def e2e_stage_frames(
@@ -811,22 +825,15 @@ def e2e_stage_frames(
     frames = {"s1": s1}
     if upto == "s1":
         return frames
-    if max_bucket_size == "advised":
-        max_bucket_size = advised_bucket_cap(s1)
-    elif check_cap:
-        # the r10 deployment rule as an assertion: a pinned cap below
-        # the census's duplicate-cluster estimate is the measured
-        # recall cliff — fail loudly instead of silently no-op'ing the
-        # near-dup stage (the failure mode r10 caught by eye at sf1)
-        advised = advised_bucket_cap(s1)
-        if max_bucket_size < advised:
-            raise ValueError(
-                f"near-dup bucket cap {max_bucket_size} is below the "
-                f"census-advised {advised} on this corpus — the r10 "
-                "recall cliff; raise the cap or pass 'advised'"
-            )
     # stage 2: MinHash-LSH near-dup (hot buckets capped) → components →
-    # drop every doc whose component label is a smaller id
+    # drop every doc whose component label is a smaller id. The advised /
+    # check_cap census runs INSIDE minhash_lsh_pairs over its cached
+    # signature relation (one corpus pass, not a separate signature DAG
+    # — VERDICT r11 item 3; the r11 form cost the advised gate 2.4-3×
+    # the plain gate wall). check_cap=True is the r10 deployment rule as
+    # an assertion: a pinned cap below the census's duplicate-cluster
+    # estimate is the measured recall cliff — fail loudly instead of
+    # silently no-op'ing the near-dup stage.
     pairs = dedup.minhash_lsh_pairs(
         s1,
         "doc_id",
@@ -836,6 +843,7 @@ def e2e_stage_frames(
         shingle_k=3,
         threshold=0.5,
         max_bucket_size=max_bucket_size,
+        assert_cap_advised=check_cap,
     )
     clusters = dedup.duplicate_clusters_star(pairs)
     dropped = clusters.where(F.col("node") != F.col("label")).select(

@@ -87,12 +87,11 @@ def test_inventory_count_matches_registry(report):
 def test_signature_tail_cannot_regrow(report):
     # VERDICT r7 item 3: a rolling max-signature-age bar. With the next
     # driver round N = newest signed round + 1, every entry signed before
-    # round N-7 must sit inside the next sample so the burn-down retires
-    # it. Why 7: the registry (~302) cycles through the ~50/round budget
-    # in 6 rounds when every sample is spent oldest-first, so 6 is the
-    # tightest steady-state age and 7 leaves one round of slack for
-    # priority items (red fixes, behavior changes, new registrations)
-    # that jump the queue. The r6 order's explicit schedule (after r8 no
+    # round N-6 must sit inside the next sample so the burn-down retires
+    # it. Why 6: the registry (~316) cycles through the ~50/round budget
+    # in ~6.3 rounds when every sample is spent oldest-first, so 6 is
+    # the steady-state age with priority items (red fixes, behavior
+    # changes, new registrations) jumping the queue inside that cycle. The r6 order's explicit schedule (after r8 no
     # signature predates r2, after r9 none predates r3) is tighter than
     # this floor and is carried by the _VERIFY_FIRST ordering itself;
     # this assertion is the backstop that keeps the tail from regrowing
@@ -108,7 +107,7 @@ def test_signature_tail_cannot_regrow(report):
             "without driver artifacts) — nothing to age-check"
         )
     next_round = max(rounds) + 1
-    floor = next_round - 7
+    floor = next_round - 6
     too_old = [
         e["name"]
         for e in report["entries"]
@@ -129,10 +128,15 @@ def test_signature_tail_cannot_regrow(report):
     # asserting it directly catches the failure mode where an old entry
     # is IN the sample but the driver round doesn't land (stall, crash)
     # and the tuple is then regenerated without it.
-    # (r11 tightening, VERDICT r10 item 5: 8 -> 7 — the r4 tail burns
-    # this round, so the cap tracks the burn-down with zero slack lost:
-    # before the r11 driver lands the floor is r4 = today's minimum; the
-    # round after, r5 = the post-burn minimum.)
+    # (r11 tightening, VERDICT r10 item 5: 8 -> 7. The r12 order asked
+    # for 7 -> 6 here too, but 6 is arithmetically infeasible at steady
+    # state: 316 gates / 50 per round = a 6.3-round full cycle, so the
+    # post-burn minimum vintage after round N is N-6 — e.g. after r12
+    # lands, 24 r6-vintage signatures legitimately remain (50 r6 minus
+    # the 26 the r12 sample covers after 3 behavior-changed + 21 r5
+    # slots) and next_round - 6 = 7 would red them by construction.
+    # The ROLLING rule above did tighten 7 -> 6; this absolute backstop
+    # keeps the one slack round the cycle length forces.)
     hard_floor = next_round - 7
     ancient = [
         e["name"]

@@ -1,0 +1,140 @@
+"""Round-12 tests: the q-gram blocking's short-name fallback (ADVICE r11
+— the ED-Join count-filter bound is vacuous below length q*(d+1)), the
+shared-census advised LSH cap (VERDICT r11 item 3 — one corpus pass, not
+a separate signature DAG), and the empty-corpus advisor guard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import (
+    dedup,
+    joins,
+)
+
+
+# ------------------------------------------- q-gram short-name fallback
+
+
+def _pair_frames(spark, left_names, right_names):
+    l = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(left_names)], "id bigint, name string"
+    )
+    r = spark.createDataFrame(
+        [(100 + i, n) for i, n in enumerate(right_names)],
+        "id bigint, name string",
+    )
+    return l, r
+
+
+def test_qgram_fallback_recovers_destroyed_gram_pair(spark):
+    """The ADVICE r11 adversarial pair: 'abcdefghi' vs 'xbcxefxhi' is
+    Levenshtein distance 3 with ZERO common trigrams (3 spread-out edits
+    destroy all 7 occurrences — the name is below the q*(d+1)=12
+    guarantee length). The r11 gram-only blocking silently dropped it;
+    the length-class fallback must route it."""
+    l, r = _pair_frames(spark, ["abcdefghi"], ["xbcxefxhi"])
+    out = joins.fuzzy_best_match(
+        l, r, "id", "id", "name", max_dist=3, blocking="qgram"
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["right_id"] == 100 and out[0]["dist"] == 3
+
+
+def test_qgram_fallback_short_vs_long_partner(spark):
+    """A below-guarantee name (len 9) paired with an in-guarantee name
+    (len 12, within the +-max_dist band) must meet in the fallback block
+    — both sides emit it because the emission range extends to
+    q*(d+1)+d-1 = 14."""
+    # dist('abcdefghi', 'abcdefghixyz') = 3 inserts
+    l, r = _pair_frames(spark, ["abcdefghi"], ["abcdefghixyz"])
+    out = joins.fuzzy_best_match(
+        l, r, "id", "id", "name", max_dist=3, blocking="qgram"
+    ).collect()
+    assert len(out) == 1 and out[0]["dist"] == 3
+
+
+def test_qgram_guarantee_regime_still_prefix_blocked(spark):
+    """Long names (>= 15 chars, above the fallback range) still match via
+    the rarity-prefix gram path — the fallback does not take over the
+    guarantee regime."""
+    a = "industrial widget alpha"
+    b = "industrial widget alphx"  # dist 1
+    l, r = _pair_frames(spark, [a], [b])
+    out = joins.fuzzy_best_match(
+        l, r, "id", "id", "name", max_dist=3, blocking="qgram"
+    ).collect()
+    assert len(out) == 1 and out[0]["dist"] == 1
+
+
+def test_qgram_fallback_respects_block_cap(spark):
+    """Fallback blocks are capped like gram blocks: with block_cap=1 and
+    two right names in the same length bucket, the fallback block is
+    dropped and a no-common-gram pair stays unmatched (the documented
+    recall/cost trade)."""
+    l, r = _pair_frames(
+        spark, ["abcdefghi"], ["xbcxefxhi", "ybcyefyhi"]
+    )
+    out = joins.fuzzy_best_match(
+        l, r, "id", "id", "name", max_dist=3, blocking="qgram", block_cap=1
+    ).collect()
+    assert out == []
+
+
+# --------------------------------------------- shared-census advised cap
+
+
+def test_minhash_advised_matches_explicit_cap(spark, sf_dir):
+    """max_bucket_size='advised' must produce exactly the pairs of the
+    explicit cap the census recommends (the census runs inside the
+    operator over its cached signatures — same keys, same cap)."""
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.catalog import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, "doc_id", "text", 16, 3)
+    entries = dedup._band_entries(sig, "doc_id", 16, 4)
+    advised = dedup.advised_cap_from_entries(entries)
+    assert advised >= 1
+
+    a = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", 16, 4, 3, 0.5, max_bucket_size="advised"
+    )
+    b = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", 16, 4, 3, 0.5, max_bucket_size=advised
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_minhash_assert_cap_advised_raises_below_census(spark, sf_dir):
+    """assert_cap_advised turns the r10 recall cliff into a hard error:
+    a cap of 1 sits below any real corpus's advised value."""
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.catalog import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # the census is part of plan construction (its .first() is the one
+    # eager point), so the raise happens at build time
+    with pytest.raises(ValueError, match="census-advised"):
+        dedup.minhash_lsh_pairs(
+            docs,
+            "doc_id",
+            "text",
+            16,
+            4,
+            3,
+            0.5,
+            max_bucket_size=1,
+            assert_cap_advised=True,
+        )
+
+
+def test_advised_cap_empty_corpus_raises_value_error(spark):
+    """ADVICE r11: an empty corpus used to TypeError on .first(); it must
+    raise a clear ValueError from the census helper."""
+    empty = spark.createDataFrame([], "band int, key string, __id bigint")
+    with pytest.raises(ValueError, match="empty corpus"):
+        dedup.advised_cap_from_entries(empty)

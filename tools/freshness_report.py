@@ -89,6 +89,28 @@ BEHAVIOR_CHANGED_SINCE: dict[str, tuple[int, str]] = {
         "brute-force-verified; fixes a silent sf1 cap-drop recall loss) "
         "and the ADVICE r10 __lb >= 0 probe filter",
     ),
+    # r12: the shipped recommended operating points + ADVICE r11 fixes
+    "dedup_keep_best_lsh": (
+        12,
+        "r12 threshold-matched operating point (est>=0.8, 64 hashes / 16 "
+        "bands — VERDICT r11 item 2); output changes by design (tighter "
+        "threshold -> fewer clusters), oracle re-pointed in step",
+    ),
+    "join_fuzzy_qgram": (
+        12,
+        "r12 length-class fallback for the ED-Join no-guarantee regime "
+        "(ADVICE r11) + oracle document frequency recomputed over "
+        "DISTINCT NAMES to match the implementation (ADVICE r11); "
+        "output value-identical at driver SFs (cross-generator symdiff "
+        "0), blocking + oracle rewrite nonetheless",
+    ),
+    "pipeline_end_to_end_advised": (
+        12,
+        "r12 census moved inside minhash_lsh_pairs over cached "
+        "signatures (one corpus pass — VERDICT r11 item 3); output "
+        "value-identical (45 rows sf0.01, oracle green), plan rewrite "
+        "nonetheless",
+    ),
 }
 
 

@@ -22,6 +22,12 @@ Per doc clustered by BOTH tiers, compare the keeper it resolves to:
                 consequence of the disagreement
 
 Usage: python tools/keeper_agreement.py [sf_dir] [out.json]
+           [num_hashes bands est_threshold [max_bucket]]
+
+Defaults to the SHIPPED gate operating point (r12 — VERDICT r11 item 2:
+64 hashes / 16 bands / est >= 0.8 threshold-matched to the exact tier's
+J >= 0.8 / cap 64); pass explicit params to reproduce the r11 table's
+other rows (e.g. ``16 4 0.5 64`` for the retired r11 gate point).
 """
 
 from __future__ import annotations
@@ -56,6 +62,10 @@ def assignments(spark, docs, scored, pairs):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_path = sys.argv[2] if len(sys.argv) > 2 else "keeper_agreement.json"
+    num_hashes = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    bands = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+    est_threshold = float(sys.argv[5]) if len(sys.argv) > 5 else 0.8
+    max_bucket = int(sys.argv[6]) if len(sys.argv) > 6 else 64
     spark = get_spark("keeper_agreement")
     docs = load_table(spark, sf_dir, "documents")
     scored = text.quality_features(
@@ -78,11 +88,11 @@ def main() -> int:
             docs,
             "doc_id",
             "text",
-            num_hashes=16,
-            bands=4,
+            num_hashes=num_hashes,
+            bands=bands,
             shingle_k=3,
-            threshold=0.5,
-            max_bucket_size=64,
+            threshold=est_threshold,
+            max_bucket_size=max_bucket,
         ),
     ).cache()
 
@@ -128,11 +138,11 @@ def main() -> int:
         "params": {
             "exact": {"shingle_k": 3, "jaccard": 0.8},
             "lsh": {
-                "num_hashes": 16,
-                "bands": 4,
+                "num_hashes": num_hashes,
+                "bands": bands,
                 "shingle_k": 3,
-                "est_jaccard": 0.5,
-                "max_bucket_size": 64,
+                "est_jaccard": est_threshold,
+                "max_bucket_size": max_bucket,
             },
         },
     }
