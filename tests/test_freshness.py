@@ -181,3 +181,28 @@ def test_every_entry_has_oracle_or_is_known_weak(report):
     known_rows_only = {e["name"] for e in report["entries"] if not e["has_oracle"]}
     # Keep this list short and intentional — additions need a reason.
     assert len(known_rows_only) <= 5, sorted(known_rows_only)
+
+
+def test_audit_tiers_name_live_non_audit_twins():
+    # VERDICT r11 item 4: every deliberate exact-audit gate must name a
+    # scale-safe twin that (a) is itself a registered gate and (b) is
+    # not an audit tier — so the audit/production pairing is closed
+    # under the registry and a rename/removal of a production twin
+    # breaks the build instead of silently orphaning the audit gate.
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark import (
+        workloads,
+    )
+
+    registry = set(workloads.all_queries())
+    tiers = workloads.AUDIT_TIERS
+    assert tiers, "AUDIT_TIERS must not be empty (7 known audit gates)"
+    for audit, twin in tiers.items():
+        assert audit in registry, f"audit gate {audit!r} not registered"
+        assert twin in registry, (
+            f"audit gate {audit!r} names twin {twin!r} which is not a "
+            "registered gate"
+        )
+        assert twin not in tiers, (
+            f"audit gate {audit!r} names twin {twin!r} which is itself "
+            "an audit tier — twins must be production gates"
+        )

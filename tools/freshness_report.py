@@ -194,6 +194,13 @@ def build_report() -> dict:
                 "latest_pass": sig[1] if sig else None,
                 "has_oracle": name in oracles,
                 "behavior_changed_since": stale_why,
+                # VERDICT r11 item 4: deliberate exact audit tiers carry
+                # their scale-safe twin; everything else is production.
+                "tier": (
+                    f"audit (twin: {workloads.AUDIT_TIERS[name]})"
+                    if name in workloads.AUDIT_TIERS
+                    else "production"
+                ),
             }
         )
 
@@ -299,7 +306,12 @@ def render_markdown(rep: dict) -> str:
     if rep["orphan_signatures"]:
         lines += ["## Orphan signatures (name no longer registered)", ""]
         lines += [f"- `{n}`" for n in rep["orphan_signatures"]] + [""]
-    lines += ["## Full table", "", "| entry | pos | newest sig | latest |", "|---|---|---|---|"]
+    lines += [
+        "## Full table",
+        "",
+        "| entry | pos | newest sig | latest | tier |",
+        "|---|---|---|---|---|",
+    ]
     for e in rep["entries"]:
         sig = f"r{e['newest_round']}" if e["newest_round"] else "never"
         ok = (
@@ -307,7 +319,10 @@ def render_markdown(rep: dict) -> str:
             if e["latest_pass"]
             else ("FAIL" if e["latest_pass"] is False else "—")
         )
-        lines.append(f"| `{e['name']}` | {e['sample_position']} | {sig} | {ok} |")
+        lines.append(
+            f"| `{e['name']}` | {e['sample_position']} | {sig} | {ok} "
+            f"| {e.get('tier', 'production')} |"
+        )
     lines.append("")
     return "\n".join(lines)
 
