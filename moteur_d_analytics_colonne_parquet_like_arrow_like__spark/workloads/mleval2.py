@@ -378,8 +378,17 @@ def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # n_tris needs NO trigram strings: a doc with n >= 3 tokens has
+    # exactly n-2 trigrams (r12 — the size(tris) form re-ran the whole
+    # transform/concat_ws pipeline per row just to measure the array,
+    # a second full tokenization pass of the corpus).
+    ntok = F.size(toks)
     per_doc = docs.select(
-        F.col("doc_id"), F.size(tris).cast("bigint").alias("n_tris")
+        F.col("doc_id"),
+        F.when(ntok >= 3, ntok - 2)
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_tris"),
     )
     first = (
         docs.select(F.col("doc_id"), F.explode(tris).alias("t"))
@@ -421,32 +430,39 @@ def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,9)")
         .alias("y"),
     )
-    fit = pts.agg(
-        F.count(F.lit(1)).cast("bigint").alias("np"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    # OLS sums as UNBOUNDED WINDOW aggregates over the 10-row checkpoint
+    # frame instead of agg + crossJoin-back (r12 — VERDICT r11 item 5):
+    # the crossJoin form put the pts subtree into the plan TWICE (once
+    # under the fit, once for the output rows), and each evaluation
+    # re-ran the trigram explode + first-occurrence shuffle — exchange
+    # reuse hid it at sf0.1's 4-file layout but not at the sf1
+    # rehearsal's 32 files (full query 2× the first-occurrence stage
+    # there; docs/SCALE.md round 12). The single-partition window is
+    # bounded by construction: pts has exactly 10 checkpoint rows.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
+    np_ = F.count(F.lit(1)).over(w).cast("bigint")
+    sx = F.sum("x").over(w)
+    sy = F.sum("y").over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
     beta = (
-        F.col("np") * F.col("sxy").cast("double")
-        - F.col("sx").cast("double") * F.col("sy").cast("double")
+        np_ * sxy.cast("double") - sx.cast("double") * sy.cast("double")
     ) / (
-        F.col("np") * F.col("sxx").cast("double")
-        - F.col("sx").cast("double") * F.col("sx").cast("double")
+        np_ * sxx.cast("double") - sx.cast("double") * sx.cast("double")
     )
-    intercept = (
-        F.col("sy").cast("double") - beta * F.col("sx").cast("double")
-    ) / F.col("np")
-    coefs = fit.select(
+    intercept = (sy.cast("double") - beta * sx.cast("double")) / np_
+    return pts.select(
+        "k",
+        "boundary_doc",
+        "cum_trigrams",
+        "vocab",
         (F.round(beta, 6) + 0.0).alias("beta_r"),
         F.round(F.exp(intercept), 4).alias("k_coef_r"),
-    )
-    return (
-        pts.select("k", "boundary_doc", "cum_trigrams", "vocab")
-        .crossJoin(F.broadcast(coefs))
-        .orderBy("k")
-    )
+    ).orderBy("k")
 
 
 QUERIES["text_heaps_law"] = q_text_heaps_law

@@ -111,6 +111,14 @@ BEHAVIOR_CHANGED_SINCE: dict[str, tuple[int, str]] = {
         "value-identical (45 rows sf0.01, oracle green), plan rewrite "
         "nonetheless",
     ),
+    "text_heaps_law": (
+        12,
+        "r12 OLS fit as window aggregates (kills the duplicated pts "
+        "subtree / second explode) + n_tris from token count instead of "
+        "size(tris) (kills the second tokenization pass) — VERDICT r11 "
+        "item 5, sf1 ratio 3.90x -> 1.66x; output value-identical, "
+        "oracle green, plan rewrite nonetheless",
+    ),
 }
 
 
