@@ -7,6 +7,8 @@ helpers so the oracle constants stay single-sourced.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators import dedup, text
@@ -760,6 +762,64 @@ def advised_bucket_cap(s1: DataFrame) -> int:
     return dedup.advised_cap_from_entries(entries)
 
 
+#: Materialization scale guard for ``materialize="auto"`` (VERDICT r11
+#: item 7), in CORPUS PARQUET FILE BYTES. What the r12 4-arm A/B
+#: (pipeline_e2e_ab.json) actually shows: at both fixture corpora (0.6 MB
+#: and 5.9 MB on disk — parquet compresses the synthetic text ~30x, so
+#: the r11 "525 MB" was SCANNED bytes, not writable bytes)
+#: materialization wins or ties (sf0.1: 7.73 vs lazy 8.48 s; sf1: 12.33
+#: vs 12.85 s — note the sf1 sign FLIPPED from r11's +1.6 s lazy-favoring
+#: gap, i.e. the sf1 arms sit inside host scatter at fixture scale and
+#: the r11 prose rule "lazy wins at sf1" was scatter, now corrected by
+#: re-measurement). What is NOT scatter: stage-write cost grows with
+#: survivor bytes while the lazy plan's re-read penalty is capped by the
+#: OS cache, so far above the fixture scale the writes must lose — at
+#: 100 TB materialize-everything is certainly wrong. The guard keeps
+#: auto on the measured-winning side below 64 MB of corpus parquet and
+#: deliberately lazy above it, where no measurement exists; the A/B tool
+#: re-measures all four arms each round so a drift shows up as an
+#: auto-mode mispick in pipeline_e2e_ab.json.
+AUTO_MAT_MAX_BYTES = 64 * 1024 * 1024
+
+
+def auto_materialize(docs: DataFrame, reuse_count: int = 15) -> bool:
+    """The r11 A/B's prose rule, executable (VERDICT r11 item 7): decide
+    whether stage-boundary materialization will beat the lazy composed
+    plan for THIS corpus. Benefit scales with reuse_count (the lazy
+    plan's ~15 corpus re-derivations across union branches; measured
+    r10) while cost scales with the bytes each stage must write, so with
+    fewer than 2 reuses materialization can never win, and above the
+    scale guard (see ``AUTO_MAT_MAX_BYTES``) the stage writes must
+    outweigh the re-derivation they save. Corpus bytes come from
+    the relation's input files (the ``session.small_scan_slices``
+    mechanism); unknown sizes (remote stores, non-file sources) fall
+    back to lazy — the safe default at 100 TB, where they are certainly
+    over the crossover."""
+    if reuse_count < 2:
+        return False
+    import urllib.parse
+
+    try:
+        files = docs.inputFiles()
+    except Exception:
+        return False
+    if not files:
+        return False
+    total = 0
+    for f in files:
+        if f.startswith("file:"):
+            path = urllib.parse.unquote(urllib.parse.urlparse(f).path)
+        elif "://" in f:
+            return False
+        else:
+            path = f
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return False
+    return total <= AUTO_MAT_MAX_BYTES
+
+
 def e2e_stage_frames(
     spark: SparkSession,
     sf_dir: str,
@@ -768,6 +828,7 @@ def e2e_stage_frames(
     materialize_dir: str | None = None,
     check_cap: bool = False,
     persist_stages: bool = False,
+    materialize: str = "explicit",
 ) -> dict[str, DataFrame]:
     """The curation funnel, one DataFrame per cumulative stage — shared
     by the ``pipeline_end_to_end`` gate (which returns the final frame)
@@ -797,7 +858,11 @@ def e2e_stage_frames(
     composed plan; blanket persist was A/B-refuted because the cache
     barrier defeats pruning). Default None keeps the single lazy plan —
     the right choice until reuse counts grow past the measured
-    crossover (docs/SCALE.md round 11)."""
+    crossover (docs/SCALE.md round 11). ``materialize="auto"`` applies
+    that measured crossover rule itself (VERDICT r11 item 7,
+    ``auto_materialize``): materialize_dir becomes a scratch hint the
+    rule uses when the corpus sits under the byte crossover and
+    declines (falls back lazy) above it."""
     from ..functions import words
     from ..operators import sampling
 
@@ -817,6 +882,22 @@ def e2e_stage_frames(
         return df
 
     docs = _documents(spark, sf_dir).select("doc_id", "source", "text")
+    if materialize == "auto":
+        # VERDICT r11 item 7: apply the measured crossover rule instead
+        # of making the caller eyeball pipeline_e2e_ab.json —
+        # materialize_dir becomes a SCRATCH hint the rule may decline.
+        if materialize_dir is None:
+            raise ValueError(
+                "materialize='auto' needs a scratch materialize_dir to "
+                "write into when the rule picks materialization"
+            )
+        if not auto_materialize(docs):
+            materialize_dir = None
+    elif materialize != "explicit":
+        raise ValueError(
+            f"unknown materialize mode {materialize!r} "
+            "(expected 'explicit' or 'auto')"
+        )
     # stage 1: exact dedup — keep the smallest id per identical content
     keepers = dedup.exact_dedup(docs, "doc_id", ["text"]).select(
         F.col("keeper_id").alias("doc_id")

@@ -138,3 +138,61 @@ def test_advised_cap_empty_corpus_raises_value_error(spark):
     empty = spark.createDataFrame([], "band int, key string, __id bigint")
     with pytest.raises(ValueError, match="empty corpus"):
         dedup.advised_cap_from_entries(empty)
+
+
+# --------------------------------------------- materialize="auto" mode
+
+
+def test_auto_materialize_decision_and_identity(spark, sf_dir, tmp_path):
+    """auto mode: below the scale guard the rule picks materialization
+    (stage files appear), output identical to the lazy plan; a reuse
+    count under 2 or an over-guard corpus declines to lazy."""
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.catalog import (
+        load_table,
+    )
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import (
+        pipeline2,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert pipeline2.auto_materialize(docs) is True  # tiny fixture corpus
+    assert pipeline2.auto_materialize(docs, reuse_count=1) is False
+
+    import os as _os
+
+    lazy = pipeline2.e2e_stage_frames(spark, sf_dir)["s5"]
+    mat_dir = str(tmp_path / "auto_mat")
+    auto = pipeline2.e2e_stage_frames(
+        spark, sf_dir, materialize_dir=mat_dir, materialize="auto"
+    )["s5"]
+    assert _os.path.exists(mat_dir)  # the rule picked materialization
+    assert lazy.exceptAll(auto).count() == 0
+    assert auto.exceptAll(lazy).count() == 0
+
+
+def test_auto_materialize_declines_above_scale_guard(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import (
+        pipeline2,
+    )
+
+    monkeypatch.setattr(pipeline2, "AUTO_MAT_MAX_BYTES", 1)
+    mat_dir = str(tmp_path / "never_mat")
+    pipeline2.e2e_stage_frames(
+        spark, sf_dir, upto="s1", materialize_dir=mat_dir, materialize="auto"
+    )
+    import os as _os
+
+    assert not _os.path.exists(mat_dir)  # declined: stayed lazy
+
+
+def test_auto_materialize_requires_scratch_dir(spark, sf_dir):
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import (
+        pipeline2,
+    )
+
+    with pytest.raises(ValueError, match="scratch"):
+        pipeline2.e2e_stage_frames(spark, sf_dir, materialize="auto")
+    with pytest.raises(ValueError, match="unknown materialize mode"):
+        pipeline2.e2e_stage_frames(spark, sf_dir, materialize="bogus")

@@ -49,8 +49,11 @@ def _run(spark, sf_dir: str, mode: str) -> tuple[float, dict]:
         spark,
         sf_dir,
         max_bucket_size=CAP,
-        materialize_dir=MAT_DIR if mode == "materialize" else None,
+        materialize_dir=(
+            MAT_DIR if mode in ("materialize", "auto") else None
+        ),
         persist_stages=(mode == "persist"),
+        materialize="auto" if mode == "auto" else "explicit",
     )
     frames["s5"].write.format("noop").mode("overwrite").save()
     wall = time.perf_counter() - t0
@@ -59,14 +62,30 @@ def _run(spark, sf_dir: str, mode: str) -> tuple[float, dict]:
 
 
 def measure(spark, sf_dir: str, label: str) -> dict:
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.catalog import (
+        load_table,
+    )
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads.pipeline2 import (
+        auto_materialize,
+    )
+
     out: dict = {"sf_dir": sf_dir, "cap": CAP}
     s1 = e2e_stage_frames(spark, sf_dir, upto="s1")["s1"]
     advised = advised_bucket_cap(s1)
     out["advised_cap"] = advised
+    out["auto_picked"] = (
+        "materialize"
+        if auto_materialize(load_table(spark, sf_dir, "documents"))
+        else "lazy"
+    )
     assert CAP >= advised, (
         f"production cap {CAP} below census-advised {advised} on {sf_dir}"
     )
-    for mode in ("lazy", "persist", "materialize"):
+    # "auto" (r12 — VERDICT r11 item 7) applies workloads.pipeline2
+    # .auto_materialize; the confirmation check is that its wall matches
+    # the WINNING explicit arm at each SF (picked materialize at the
+    # 17 MB corpus, lazy at the 525 MB one).
+    for mode in ("lazy", "persist", "materialize", "auto"):
         walls, bts = [], None
         _run(spark, sf_dir, mode)  # warmup
         for _ in range(3):
