@@ -1156,6 +1156,40 @@ ORACLES["pipeline_end_to_end_advised"] = f"""
     """
 
 
+def q_pipeline_end_to_end_auto(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The composed curation pipeline under ``materialize="auto"``
+    (VERDICT r11 item 7 as a driver-signed gate): identical semantics
+    to ``pipeline_end_to_end`` — same cap, same funnel — but each
+    stage's survivor frame MAY be written to parquet and re-read per
+    the measured materialization rule (``auto_materialize``; at driver
+    SFs the corpus sits under the scale guard, so the materialized
+    path IS what this gate exercises). The DuckDB oracle is the plain
+    e2e oracle verbatim: materialization is an execution strategy, and
+    this gate's hash-match is the proof it never changes a value."""
+    sf = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return e2e_stage_frames(
+        spark,
+        sf_dir,
+        materialize_dir=f"/tmp/e2e_auto_mat_{sf}",
+        materialize="auto",
+    )["s5"].orderBy("doc_id")
+
+
+QUERIES["pipeline_end_to_end_auto"] = q_pipeline_end_to_end_auto
+
+ORACLES["pipeline_end_to_end_auto"] = f"""
+        {_e2e_ctes(max_bucket=4)}
+        SELECT doc_id, source, n_tok AS n_tokens,
+               round(keep_frac, 9) AS keep_frac_r,
+               (cum - n_tok) // 512 AS start_seq,
+               (cum - n_tok) % 512 AS start_off,
+               (cum - 1) // 512 AS end_seq
+        FROM c ORDER BY doc_id
+    """
+
+
 def e2e_funnel_flags(
     spark: SparkSession, sf_dir: str, max_bucket_size: int = 4
 ) -> DataFrame:

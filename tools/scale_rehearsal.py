@@ -169,6 +169,8 @@ TARGETS = [
     "pipeline_curate",
     # round-11 late registration: the advisor composed into the e2e DAG
     "pipeline_end_to_end_advised",
+    # round-12 registration: the materialize="auto" arm as a gate
+    "pipeline_end_to_end_auto",
 ]
 
 # Queries whose construction itself executes jobs (streaming runs,
@@ -207,6 +209,8 @@ EAGER = {
     "pipeline_funnel_report",
     # advisor collect + components fixpoint at plan build
     "pipeline_end_to_end_advised",
+    # auto-materialize decision + stage writes + fixpoint at plan build
+    "pipeline_end_to_end_auto",
 }
 
 # (table, [(col, shift_base)], text_col) — shift_base scales each copy's
