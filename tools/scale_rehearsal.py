@@ -171,6 +171,11 @@ TARGETS = [
     "pipeline_end_to_end_advised",
     # round-12 registration: the materialize="auto" arm as a gate
     "pipeline_end_to_end_auto",
+    # round-12 rotation: a 6-table join shape, a sessionized cohort
+    # self-join, and the line-level dedup's global explode
+    "tpch_q9_profit",
+    "events_retention_cohorts",
+    "dedup_lines_global",
 ]
 
 # Queries whose construction itself executes jobs (streaming runs,
