@@ -196,3 +196,50 @@ def test_auto_materialize_requires_scratch_dir(spark, sf_dir):
         pipeline2.e2e_stage_frames(spark, sf_dir, materialize="auto")
     with pytest.raises(ValueError, match="unknown materialize mode"):
         pipeline2.e2e_stage_frames(spark, sf_dir, materialize="bogus")
+
+
+# ----------------------------------------------- bench prepared-rep reps
+
+
+def test_bench_prepared_reps_rerun_full_lineage(spark):
+    """The r12 bench methodology's two honesty guards, pinned: _prepare
+    finds the plan's shuffles, and _run_prepared re-executes the FULL
+    map lineage each rep (an accumulator-instrumented scan must fire
+    again on rep 2 — without the unregister step the DAGScheduler would
+    serve the reduce from rep 1's map outputs and the scan would not
+    re-run)."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo")
+    import bench
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(x):
+        acc.add(1)
+        return x
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    bump_udf = F.udf(bump, LongType())
+    df = (
+        spark.range(0, 1000, 1, 4)
+        .select(bump_udf(F.col("id")).alias("id"))
+        .groupBy((F.col("id") % 3).alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    prep = bench._prepare(df)
+    assert prep["shuffles"], "group-by plan must expose a shuffle id"
+    bench._run_prepared(prep)
+    first = acc.value
+    assert first >= 1000
+    # the delta of a SUBSEQUENT rep is the honest signal (rep 1 may
+    # double-count under AQE's eager stage materialization): without
+    # the unregister step the scheduler serves the reduce from rep 1's
+    # map outputs and the scan-side UDF never fires again.
+    bench._run_prepared(prep)
+    assert acc.value - first >= 1000, (
+        "rep 2 did not re-run the scan — shuffle invalidation failed "
+        f"(rows touched: rep1={first}, total={acc.value})"
+    )
