@@ -112,18 +112,12 @@ def get_spark(
 SMALL_SCAN_TASK_BYTES = 1_600_000
 
 
-def small_scan_slices(df, min_task_bytes: int = SMALL_SCAN_TASK_BYTES):
-    """Derived scan-coalesce policy (replaces the bench's hand-pinned
-    ``scan_slices=8`` constant): if the scan's total input bytes are so
-    small that the default split would give each task less than
-    ``min_task_bytes`` of work, return the number of fat slices that
-    restores that floor; return ``None`` (no-op) otherwise.
-
-    Sizing comes from the relation's actual input files, so the policy
-    self-deactivates exactly when it should: at 100 TB (or any input
-    where bytes/task already exceeds the floor, or where file sizes
-    aren't locally knowable — object stores, streaming sources) it
-    returns ``None`` and the scan keeps full parallelism.
+def local_input_bytes(df) -> int | None:
+    """Total on-disk bytes of a relation's input files, or ``None`` when
+    they aren't locally knowable (no files, remote store scheme, missing
+    path). Shared by the small-scan coalesce policy below and the
+    pipeline's ``auto_materialize`` rule — any policy keyed on "how big
+    is this input, really" must fail to the same safe ``None``.
     """
     try:
         files = df.inputFiles()
@@ -149,6 +143,26 @@ def small_scan_slices(df, min_task_bytes: int = SMALL_SCAN_TASK_BYTES):
             total += os.path.getsize(path)
         except OSError:
             return None
+    return total
+
+
+def small_scan_slices(df, min_task_bytes: int = SMALL_SCAN_TASK_BYTES):
+    """Derived scan-coalesce policy (replaces the bench's hand-pinned
+    ``scan_slices=8`` constant): if the scan's total input bytes are so
+    small that the default split would give each task less than
+    ``min_task_bytes`` of work, return the number of fat slices that
+    restores that floor; return ``None`` (no-op) otherwise.
+
+    Sizing comes from the relation's actual input files
+    (:func:`local_input_bytes`), so the policy self-deactivates exactly
+    when it should: at 100 TB (or any input where bytes/task already
+    exceeds the floor, or where file sizes aren't locally knowable —
+    object stores, streaming sources) it returns ``None`` and the scan
+    keeps full parallelism.
+    """
+    total = local_input_bytes(df)
+    if total is None:
+        return None
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
     slices = max(1, -(-total // min_task_bytes))  # ceil

@@ -7,8 +7,6 @@ helpers so the oracle constants stay single-sourced.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators import dedup, text
@@ -791,33 +789,16 @@ def auto_materialize(docs: DataFrame, reuse_count: int = 15) -> bool:
     fewer than 2 reuses materialization can never win, and above the
     scale guard (see ``AUTO_MAT_MAX_BYTES``) the stage writes must
     outweigh the re-derivation they save. Corpus bytes come from
-    the relation's input files (the ``session.small_scan_slices``
-    mechanism); unknown sizes (remote stores, non-file sources) fall
-    back to lazy — the safe default at 100 TB, where they are certainly
-    over the crossover."""
+    ``session.local_input_bytes`` (the same mechanism as the small-scan
+    coalesce policy); unknown sizes (remote stores, non-file sources)
+    fall back to lazy — the safe default at 100 TB, where they are
+    certainly over the crossover."""
     if reuse_count < 2:
         return False
-    import urllib.parse
+    from ..session import local_input_bytes
 
-    try:
-        files = docs.inputFiles()
-    except Exception:
-        return False
-    if not files:
-        return False
-    total = 0
-    for f in files:
-        if f.startswith("file:"):
-            path = urllib.parse.unquote(urllib.parse.urlparse(f).path)
-        elif "://" in f:
-            return False
-        else:
-            path = f
-        try:
-            total += os.path.getsize(path)
-        except OSError:
-            return False
-    return total <= AUTO_MAT_MAX_BYTES
+    total = local_input_bytes(docs)
+    return total is not None and total <= AUTO_MAT_MAX_BYTES
 
 
 def e2e_stage_frames(
