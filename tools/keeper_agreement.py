@@ -2,9 +2,10 @@
 (VERDICT r10 item 1's "measured keeper-agreement rate").
 
 Both `dedup_keep_best` (exact n-gram Jaccard >= 0.8 pairs) and
-`dedup_keep_best_lsh` (MinHash 16/4 banding, est_jaccard >= 0.5,
-bucket cap 64) resolve near-dup clusters to their highest-quality
-member through the SAME generator-agnostic `keep_best_per_cluster`.
+`dedup_keep_best_lsh` (since r12: MinHash 64/16 banding, est_jaccard
+>= 0.8 threshold-matched to the exact tier, bucket cap 64 — VERDICT
+r11 item 2) resolve near-dup clusters to their highest-quality member
+through the SAME generator-agnostic `keep_best_per_cluster`.
 This tool quantifies how much keeper choice changes when the pair
 generator is swapped — the number that says what the 11.77x-cheaper
 LSH feed costs in curation terms, not just recall terms.
@@ -15,8 +16,10 @@ Per doc clustered by BOTH tiers, compare the keeper it resolves to:
   exact_only  = docs the exact tier clusters that LSH misses
                 (LSH false negatives: banding/threshold recall)
   lsh_only    = docs LSH clusters that the exact tier does not
-                (est_jaccard >= 0.5 admits pairs below true J=0.8 —
-                a threshold-semantics difference, not an error)
+                (a too-low est threshold admits pairs below true J=0.8
+                — a threshold-semantics difference, not an error; the
+                r11 gate point est >= 0.5 measured 2,013 such docs at
+                sf0.1, the shipped matched point 1,295)
   kept_flip   = docs the exact tier REMOVES (non-keeper members) that
                 the LSH tier KEEPS, and vice versa — the corpus-level
                 consequence of the disagreement
