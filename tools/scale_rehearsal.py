@@ -176,6 +176,13 @@ TARGETS = [
     "tpch_q9_profit",
     "events_retention_cohorts",
     "dedup_lines_global",
+    # round-12 rotation batch 2: the ANN production path (IVF), the
+    # Arrow mapInPandas multimodal decode, a wide grouping-sets agg,
+    # and the distribution-window family
+    "sim_topk_ivf",
+    "multimodal_decode",
+    "agg_grouping_sets",
+    "window_distribution",
 ]
 
 # Queries whose construction itself executes jobs (streaming runs,
