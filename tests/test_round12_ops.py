@@ -243,3 +243,86 @@ def test_bench_prepared_reps_rerun_full_lineage(spark):
         "rep 2 did not re-run the scan — shuffle invalidation failed "
         f"(rows touched: rep1={first}, total={acc.value})"
     )
+
+
+def test_qgram_blocking_recall_lossless_vs_brute_force(spark):
+    """Randomized (seeded) recall property for the fallback-completed
+    q-gram blocking: over a corpus of names spanning the no-guarantee
+    and guarantee length regimes — with adversarial spread-out edits
+    that destroy grams — the blocked join must return EXACTLY the
+    brute-force best match for every left name (same right_id and
+    dist). This is the 'recall LOSSLESS subject to block_cap' claim as
+    a property, not an anecdote (block_cap left at its default, far
+    above these block sizes)."""
+    import random
+
+    rng = random.Random(412)
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+
+    def rand_name(n):
+        return "".join(rng.choice(alphabet) for _ in range(n))
+
+    def edit(name, d):
+        # d random single-char edits (sub/ins/del), spread anywhere —
+        # the adversarial class that can zero out shared grams
+        s = list(name)
+        for _ in range(d):
+            op = rng.choice("sid")
+            if op == "s" and s:
+                i = rng.randrange(len(s))
+                s[i] = rng.choice(alphabet)
+            elif op == "i":
+                i = rng.randrange(len(s) + 1)
+                s.insert(i, rng.choice(alphabet))
+            elif s:
+                del s[rng.randrange(len(s))]
+        return "".join(s)
+
+    rights = [rand_name(rng.randint(5, 20)) for _ in range(40)]
+    lefts = [edit(r, rng.randint(0, 3)) for r in rights] + [
+        rand_name(rng.randint(5, 20)) for _ in range(10)
+    ]
+    l = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(lefts)], "id bigint, name string"
+    )
+    r = spark.createDataFrame(
+        [(100 + i, n) for i, n in enumerate(rights)],
+        "id bigint, name string",
+    )
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import (
+        joins as J,
+    )
+
+    blocked = {
+        row["left_id"]: (row["right_id"], row["dist"])
+        for row in J.fuzzy_best_match(
+            l, r, "id", "id", "name", max_dist=3, blocking="qgram"
+        ).collect()
+    }
+    # brute force truth (python-side: 50x40 pairs)
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    truth = {}
+    for li, ln in enumerate(lefts):
+        best = None
+        for ri, rn in enumerate(rights):
+            d = lev(ln, rn)
+            if d <= 3 and (best is None or (d, 100 + ri) < best):
+                best = (d, 100 + ri)
+        if best is not None:
+            truth[li] = (best[1], best[0])
+    assert blocked == truth, (
+        f"blocked result diverges from brute force: "
+        f"missing={set(truth) - set(blocked)}, "
+        f"extra={set(blocked) - set(truth)}, "
+        f"diff={ {k: (blocked.get(k), truth.get(k)) for k in truth if blocked.get(k) != truth.get(k)} }"
+    )
