@@ -197,7 +197,14 @@ def _prepare(df):
         # re-runs analysis + optimization + physical planning + the noop
         # write command.
         return {"df": df, "rdd": None, "shuffles": ()}
-    jrdd = df._jdf.queryExecution().toRdd()
+    try:
+        jrdd = df._jdf.queryExecution().toRdd()
+    except Exception:
+        # Safety valve: if a plan ever refuses the prepared path (an
+        # exotic physical shape, a py4j surface change), that ONE query
+        # falls back to the replanning noop rep — visibly (the JSON's
+        # prepared_fallback list) — instead of redlining the whole run.
+        return {"df": df, "rdd": None, "shuffles": (), "fallback": True}
     # Collect every ShuffleDependency reachable from the result RDD —
     # for AQE plans toRdd() has already resolved the final plan, so the
     # walk sees the materialized stage DAG.
@@ -437,6 +444,14 @@ def main() -> int:
         # averages at run end, so a hot raw-wall number can be read
         # against the box state that produced it.
         "prepared_reps": PREPARED_REPS,
+        # queries whose plan refused the prepared path and ran the old
+        # replanning noop reps instead (see _prepare's safety valve) —
+        # their walls are NOT comparable to prepared-rep walls
+        "prepared_fallback": sorted(
+            n
+            for n, p in plans.items()
+            if isinstance(p, dict) and p.get("fallback")
+        ),
         "loadavg": [round(x, 2) for x in os.getloadavg()],
         "relayout": {
             "enabled": RELAYOUT,
