@@ -527,3 +527,40 @@ def test_geo_nearest_broadcasts_bucketed_suppliers(spark, sf_dir):
     plan = plans.formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bench_groupby_conf_bakes_single_reduce_partition(spark, sf_dir):
+    """The bench pins QUERY_CONF at PLANNING time (r12 prepared reps):
+    under the parity_group_by overrides (AQE off, 1 shuffle partition)
+    the prepared physical RDD must end in exactly one partition — the
+    3-group reduce the baseline contract assumes. A regression here
+    (conf applied at exec time, AQE re-wrapping the plan) would silently
+    re-widen the exchange."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo")
+    import bench
+
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads.parity import (
+        q_group_by,
+    )
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in bench.QUERY_CONF["parity_group_by"]
+    }
+    for k, v in bench.QUERY_CONF["parity_group_by"].items():
+        spark.conf.set(k, v)
+    try:
+        prep = bench._prepare(q_group_by(spark, sf_dir))
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert prep["rdd"] is not None and not prep.get("fallback")
+    # At the pytest fixture's tiny SF the small-scan policy coalesces
+    # the scan to ONE slice, whose SinglePartition output satisfies the
+    # aggregation's distribution — Catalyst elides the exchange and the
+    # plan is genuinely single-stage (shuffles == []); at bench SFs the
+    # multi-slice scan keeps the 1-partition exchange. Both shapes must
+    # end in exactly one partition.
+    assert prep["rdd"].getNumPartitions() == 1
