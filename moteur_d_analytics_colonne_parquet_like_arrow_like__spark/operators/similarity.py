@@ -1155,6 +1155,81 @@ def ivfpq_topk_trained(
     )
 
 
+def ivfpq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    shortlist: int = 100,
+    dim: int = 64,
+    m: int = 32,
+    n_codes: int = 64,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    train_iterations: int = 2,
+    cells: DataFrame | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF+PQ shortlist + EXACT re-rank — the re-rank rung of the ANN
+    ladder (VERDICT r12 item 4). Pure PQ/ADC recall@10 plateaus at
+    0.65–0.71 on this corpus (sim_pq_recall / sim_ivfpq_recall: the
+    residual is quantization error, not directory pruning), and the
+    standard production fix (FAISS ``IndexRefine``; also the re-rank
+    stage of every two-tower retrieval stack) is exactly this: take the
+    top-``shortlist`` candidates by compressed ADC score, then re-score
+    ONLY those with the exact dot product on the raw vectors and keep
+    the true top-``k``. Quantization error now only matters if it
+    pushes a true neighbour out of the whole shortlist, so recall
+    approaches the directory's pruning-only ceiling while the exact
+    arithmetic touches ``queries x shortlist`` rows instead of the
+    corpus.
+
+    Scale shape: ``ivfpq_topk_trained``'s plan is unchanged (broadcast
+    directory, bucket equi-join, integer ADC) with only the per-query
+    window widened k -> shortlist; the re-rank is ONE keyed equi-join
+    of the (queries x shortlist)-row candidate list against the corpus
+    raw vectors on the corpus id — at 100 TB that is a point-lookup
+    join against the embeddings table, broadcast-able on the candidate
+    side, no new shuffle shape. Output schema + ranking contract match
+    ``cosine_topk_exact_baseline`` (rounded cosine desc, id
+    tie-break), so ``recall_report`` composes directly and the DuckDB
+    oracle re-scores with the same ``list_reduce`` fold.
+
+    Reference exposes dense brute-force only
+    (cae/src/execution.cpp:23-120); this rung is the repo's ANN
+    extension family."""
+    cand = ivfpq_topk_trained(
+        corpus,
+        queries,
+        id_col,
+        vec_col,
+        k=shortlist,
+        dim=dim,
+        m=m,
+        n_codes=n_codes,
+        n_cells=n_cells,
+        nprobe=nprobe,
+        train_iterations=train_iterations,
+        cells=cells,
+    )
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    joined = (
+        cand.select("query_id", "corpus_id")
+        .join(c, "corpus_id")
+        .join(F.broadcast(q), "query_id")
+    )
+    cos = F.round(
+        dot_product(F.col("qvec"), F.col("cvec")), round_digits
+    )
+    return _ranked(joined.withColumn("cosine_r", cos), k, round_digits)
+
+
 def kcenter_greedy(
     corpus: DataFrame,
     id_col: str,

@@ -3039,7 +3039,7 @@ def _ivfpq_probe_ctes(m: int, base, tag, flips: int, nbits: int = 4) -> str:
                    ) AS rnk
             FROM cand{tag} c
 {joins}
-        ) WHERE rnk <= 10
+        ) WHERE rnk <= {k}
     )"""
 
 
@@ -3308,7 +3308,7 @@ def _ivfkm_dir_ctes(n_cells: int = 16, dirtag: str = "") -> str:
 
 
 def _ivfkm_probe_ctes(
-    m: int, base, tag, nprobe: int, dirtag: str = ""
+    m: int, base, tag, nprobe: int, dirtag: str = "", k: int = 10
 ) -> str:
     """Trained-directory candidate restriction + ADC ranking over
     _pq_base_ctes(base) — the SQL twin of similarity.ivfpq_topk_trained's
@@ -3316,7 +3316,8 @@ def _ivfkm_probe_ctes(
     dkm3{dirtag}, candidates bucket-joined through bkm{dirtag}, per-query
     top-10 by integer ADC. No DISTINCT: a corpus vector lives in exactly
     one cell and probe cells are distinct, so pairs are unique by
-    construction."""
+    construction. ``k`` widens the per-query cut (top-10 default; the
+    re-rank oracle takes the full ADC shortlist)."""
     cols = ", ".join(f"a.c{s}" for s in range(m))
     joins = "\n".join(
         f"            JOIN dt{base} t{s} ON t{s}.query_id = c.query_id"
@@ -3350,7 +3351,7 @@ def _ivfkm_probe_ctes(
                    ) AS rnk
             FROM cand{tag} c
 {joins}
-        ) WHERE rnk <= 10
+        ) WHERE rnk <= {k}
     )"""
 
 

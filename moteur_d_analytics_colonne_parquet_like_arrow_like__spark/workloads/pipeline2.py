@@ -805,7 +805,7 @@ def e2e_stage_frames(
     spark: SparkSession,
     sf_dir: str,
     upto: str = "s5",
-    max_bucket_size: int | str = 4,
+    max_bucket_size: int | str = "advised",
     materialize_dir: str | None = None,
     check_cap: bool = False,
     persist_stages: bool = False,
@@ -819,17 +819,20 @@ def e2e_stage_frames(
     ``upto`` stops construction after that stage — the components
     fixpoint in s2 executes jobs at plan-BUILD time (localCheckpoint per
     round), so a caller timing the s1 prefix must not pay it.
-    ``max_bucket_size`` is the LSH hot-bucket cap: the gate pins 4 (the
-    capped-gate contract, deliberately small at driver SFs so the cap is
-    provably live); a production run sizes it ABOVE the expected genuine
-    duplicate-cluster size — the sf1 rehearsal measures both settings,
-    where cap=4 visibly swallows the 10-sibling replica clusters.
-    Passing ``"advised"`` makes that rule executable: the bucket census
-    (``advised_bucket_cap``) picks the cap, so a growing corpus can
-    never silently outgrow a frozen config value (the r10 cliff class);
-    ``check_cap=True`` keeps an explicit cap but asserts it against the
-    census (cap >= advised), turning the r10 eyeball-discovery into a
-    hard failure.
+    ``max_bucket_size`` is the LSH hot-bucket cap. The DEFAULT is
+    ``"advised"`` (r13, VERDICT r12 item 2): the bucket census
+    (``advised_bucket_cap``) picks the cap from the corpus's own
+    occupancy histogram, so a growing corpus can never silently outgrow
+    a frozen config value — the r10 cliff class. The r12 evidence that
+    forced the flip: at sf1 a pinned cap=4 silently skips the
+    occupancy-10 replica clusters (5,651 survivors vs the census-sized
+    run's 1,475 — 4,176 near-dup docs leak through), while the census
+    itself costs 0.96× the fixed-cap wall since it runs over the
+    operator's cached signature relation. Pass an explicit int to pin a
+    cap (a production run sizing it ABOVE the expected genuine
+    duplicate-cluster size); ``check_cap=True`` keeps an explicit cap
+    but asserts it against the census (cap >= advised), turning the r10
+    eyeball-discovery into a hard failure.
 
     ``materialize_dir`` turns on stage-boundary materialization (VERDICT
     r10 item 2): each stage's survivor frame is written to parquet under
@@ -961,7 +964,10 @@ def e2e_stage_frames(
 def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation as ONE composed job: exact dedup
     (keep min id per content hash) → MinHash-LSH near-dup with the
-    production bucket cap → connected components (large-star/small-star,
+    CENSUS-ADVISED bucket cap (the self-sizing default since r13 —
+    VERDICT r12 item 2: the old pinned cap=4 default carried the r10
+    recall cliff, silently passing 4,176 near-dup docs at sf1 while the
+    census costs 0.96×) → connected components (large-star/small-star,
     the billion-edge path) keeping one doc per cluster → Gopher quality
     cut → weighted mixture sample → pack into 512-token sequences.
     Returns each surviving document's source, mixture keep fraction, and
@@ -990,12 +996,13 @@ def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["pipeline_end_to_end"] = q_pipeline_end_to_end
 
 
-def _e2e_ctes(max_bucket: int | str = 4) -> str:
+def _e2e_ctes(max_bucket: int | str = "advised") -> str:
     """The composed funnel's full CTE chain (``WITH RECURSIVE`` … ``c``)
     — shared by the ``pipeline_end_to_end`` span oracle, the
-    ``pipeline_funnel_report`` stage-count oracle, and (with
-    ``max_bucket="advised"``) the ``pipeline_end_to_end_advised`` oracle
-    so the gates can never drift apart on funnel semantics."""
+    ``pipeline_funnel_report`` stage-count oracle, and the
+    ``pipeline_end_to_end_advised`` / ``_auto`` oracles so the gates can
+    never drift apart on funnel semantics. Default ``max_bucket`` tracks
+    ``e2e_stage_frames``'s default (census-advised since r13)."""
     from .pipeline import (
         _H60,
         _minhash_pairs_sql,
@@ -1111,11 +1118,16 @@ def q_pipeline_end_to_end_advised(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """The composed curation pipeline with the CENSUS-ADVISED bucket cap
-    (VERDICT r10 item 3, closed end-to-end): identical DAG to
-    ``pipeline_end_to_end`` but the near-dup stage's hot-bucket cap
-    comes from ``bucket_cap_advisor`` instead of a frozen literal —
-    the configuration a growing corpus can never silently outgrow. The
-    DuckDB oracle recomputes the SAME census and advised cap in SQL
+    passed EXPLICITLY (VERDICT r10 item 3, closed end-to-end): the
+    near-dup stage's hot-bucket cap comes from ``bucket_cap_advisor``
+    instead of a frozen literal — the configuration a growing corpus can
+    never silently outgrow. Since r13 this is also ``e2e_stage_frames``'s
+    DEFAULT (VERDICT r12 item 2 flipped the proven-better setting on),
+    so this gate is now the explicit spelling of the default composition
+    — kept registered because its oracle + sweep history is the standing
+    proof the advised path never drifted, and because an explicit
+    ``"advised"`` survives any future default change. The DuckDB oracle
+    recomputes the SAME census and advised cap in SQL
     (``_minhash_pairs_sql(max_bucket="advised")``), so the driver
     verifies the advisor, the cap application, and the full downstream
     funnel in one hash."""
@@ -1148,12 +1160,24 @@ def q_pipeline_end_to_end_auto(
     SFs the corpus sits under the scale guard, so the materialized
     path IS what this gate exercises). The DuckDB oracle is the plain
     e2e oracle verbatim: materialization is an execution strategy, and
-    this gate's hash-match is the proof it never changes a value."""
-    sf = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    this gate's hash-match is the proof it never changes a value.
+
+    The scratch dir is a fresh ``mkdtemp`` per run (ADVICE r12: a fixed
+    world-shared /tmp path let two concurrent runs at the same SF
+    overwrite each other's stage files between the write and the
+    re-read, and a predictable /tmp name is a pre-creation hazard on
+    shared boxes). It is NOT eagerly deleted: the returned frame is
+    lazy and its lineage reads the stage parquet, so deletion belongs
+    to whoever consumes the frame — uniqueness (not cleanup) is what
+    closes the clobber/symlink hazard; the per-process dirs are bytes-
+    bounded by the fixture corpus and live under the OS tmp reaper."""
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="e2e_auto_mat_")
     return e2e_stage_frames(
         spark,
         sf_dir,
-        materialize_dir=f"/tmp/e2e_auto_mat_{sf}",
+        materialize_dir=scratch,
         materialize="auto",
     )["s5"].orderBy("doc_id")
 
@@ -1161,7 +1185,7 @@ def q_pipeline_end_to_end_auto(
 QUERIES["pipeline_end_to_end_auto"] = q_pipeline_end_to_end_auto
 
 ORACLES["pipeline_end_to_end_auto"] = f"""
-        {_e2e_ctes(max_bucket=4)}
+        {_e2e_ctes()}
         SELECT doc_id, source, n_tok AS n_tokens,
                round(keep_frac, 9) AS keep_frac_r,
                (cum - n_tok) // 512 AS start_seq,
@@ -1172,7 +1196,7 @@ ORACLES["pipeline_end_to_end_auto"] = f"""
 
 
 def e2e_funnel_flags(
-    spark: SparkSession, sf_dir: str, max_bucket_size: int = 4
+    spark: SparkSession, sf_dir: str, max_bucket_size: int | str = "advised"
 ) -> DataFrame:
     """One pass over the exact-dedup survivors annotating every doc with
     its downstream funnel memberships: ``n_tok`` (token count, computed

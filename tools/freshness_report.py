@@ -119,6 +119,30 @@ BEHAVIOR_CHANGED_SINCE: dict[str, tuple[int, str]] = {
         "item 5, sf1 ratio 3.90x -> 1.66x; output value-identical, "
         "oracle green, plan rewrite nonetheless",
     ),
+    # r13: the proven-better default flipped on (VERDICT r12 item 2) —
+    # e2e_stage_frames / e2e_funnel_flags default bucket cap is now
+    # census-advised, and the three gates that consumed the old pinned
+    # cap=4 default (end_to_end, _auto, funnel_report) + their oracles
+    # moved with it. Output CHANGES BY DESIGN (sf0.01 span gate 42 ->
+    # 45 rows: the advised cap pairs buckets the pinned cap truncated,
+    # shifting which docs reach the mixture); oracles recompute the
+    # same census, local re-check ALL GREEN at sf0.01.
+    "pipeline_end_to_end": (
+        13,
+        "r13 default bucket cap pinned-4 -> census-advised (VERDICT r12 "
+        "item 2); oracle re-pointed to the advised CTE chain",
+    ),
+    "pipeline_end_to_end_auto": (
+        13,
+        "r13 default bucket cap pinned-4 -> census-advised + mkdtemp "
+        "scratch dir (ADVICE r12); oracle re-pointed to the advised CTE",
+    ),
+    "pipeline_funnel_report": (
+        13,
+        "r13 e2e_funnel_flags default cap pinned-4 -> census-advised so "
+        "the observability report tracks the production funnel; oracle "
+        "re-pointed to the advised CTE chain",
+    ),
 }
 
 
