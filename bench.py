@@ -164,13 +164,25 @@ def _prepare(df):
     ``noop`` write rep wrapped it in a fresh write command and re-ran
     optimization + physical planning + write-sink setup — measured
     26-40 ms optimization + 15-29 ms physical planning per rep for the
-    parity plans (QueryExecution tracker phases, r12, this box), pure
-    driver-side overhead the reference harness never pays (its per-rep
-    executes a pre-built Query struct; benchmark.cpp:97-124 — what it
-    DOES re-pay per rep, file open + footer/metadata read, stays in our
-    reps too: every scan task re-opens its parquet split each job).
+    parity plans (QueryExecution tracker phases, r12, this box).
     ``queryExecution().toRdd()`` pins the physical plan; each rep then
     pays scheduling + execution only.
+
+    METHODOLOGY NOTE (ADVICE r12 corrected an earlier mischaracterization
+    here): the reference harness is NOT a rep loop over a pre-built
+    query — ``benchmark.cpp:96-124`` runs each query ONCE and times
+    FileReader + QueryExecutor CONSTRUCTION inside the timed region
+    (its README: "Timing includes all overhead"). Excluding Catalyst
+    planning from our timed reps is therefore a deliberate divergence,
+    not reference parity: planning is one-time per-query work in any
+    long-lived deployment, so it is reported ONCE per query as
+    ``build_sec`` in the JSON rather than multiplied into every rep,
+    while the reference's single-shot wall folds its (much cheaper,
+    ~zero-ms C++ constructor) setup in. When comparing raw walls to
+    BASELINE.md, note the reference walls include that per-run setup.
+    What our reps DO still re-pay each rep, like the reference's one
+    run: file open + footer/metadata reads — every scan task re-opens
+    its parquet split each job.
 
     Two honesty guards, both verified on this box (docs/BENCH_NOTES.md
     round 12):

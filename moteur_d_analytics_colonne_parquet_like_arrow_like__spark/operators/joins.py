@@ -490,7 +490,10 @@ def fuzzy_best_match(
         # exhaustive LENGTH-CLASS fallback block: every name short
         # enough to sit in a within-band pair whose smaller member is
         # below guarantee (len <= q*(max_dist+1) + max_dist - 1) emits a
-        # sentinel key ('\x00fb', its length bucket); the left side
+        # sentinel key ('#' * (qgram+1) — one char LONGER than any real
+        # gram, so it can never collide with one; ADVICE r12 fixed this
+        # comment, which used to name a nonexistent '\x00fb' key) plus
+        # its length bucket; the left side
         # probes +-1 buckets as usual, so any such pair meets there
         # regardless of gram survival. Pairs whose members BOTH sit in
         # the guarantee regime still meet via the rarity prefix — recall

@@ -2995,7 +2995,9 @@ def _ivf_bucket_sql(nbits: int) -> str:
     )
 
 
-def _ivfpq_probe_ctes(m: int, base, tag, flips: int, nbits: int = 4) -> str:
+def _ivfpq_probe_ctes(
+    m: int, base, tag, flips: int, nbits: int = 4, k: int = 10
+) -> str:
     """IVF candidate restriction + ADC ranking over _pq_base_ctes(base):
     bucket-join candidates against the bk{nbits} cell directory
     (multi-probe when flips=1, deduped) then the per-query top-10 — the
@@ -3422,6 +3424,130 @@ ORACLES["sim_ivfpq_recall"] = f"""
     LEFT JOIN h ON h.directory = s.directory AND h.cells = s.cells
                AND h.probe = s.probe AND h.query_id = kk.query_id
     ORDER BY s.directory, s.cells, s.probe, kk.query_id
+"""
+
+
+def q_sim_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The re-rank rung of the ANN ladder (VERDICT r12 item 4): per-query
+    recall@10 of the trained IVF+PQ ranking BEFORE and AFTER exact
+    re-ranking of its ADC shortlist, against the exact cosine baseline.
+    Pure PQ/ADC recall@10 plateaus at 0.65-0.71 on this corpus (the
+    sim_pq_recall / sim_ivfpq_recall grids; cause isolated r10 as
+    quantization error, not directory pruning), and this gate shows the
+    standard production fix closing the gap: take the top-100 candidates
+    by compressed ADC score (``stage='adc'`` is the same ranking cut at
+    10), re-score only those with the exact rounded-cosine fold on the
+    raw vectors (``operators/similarity.ivfpq_rerank_topk`` — one keyed
+    equi-join against the embeddings table), keep the true top-10
+    (``stage='rerank'``). Recall now only loses a true neighbour that
+    misses the WHOLE 100-deep shortlist, so the rerank rows sit at the
+    directory's pruning-only ceiling. Measured mean recall@10: adc 0.68
+    -> rerank **0.87** at sf0.01, adc 0.65 -> rerank **0.98** at sf0.1
+    — the re-rank removes the quantization loss entirely; the sf0.01
+    residual (0.13) is pure directory pruning (500 vectors / 16 cells /
+    nprobe=4 probes ~125 candidates, so the 100-deep shortlist already
+    holds nearly every candidate and what's missing never entered a
+    probed cell — the nprobe dial's territory, not the re-rank's).
+    Cost: the probe plan is unchanged with the per-query window widened
+    10 -> 100, plus a (queries x 100)-row re-score join — bounded by 2x
+    the bare probe (measured in docs/SCALE.md r13).
+
+    Same directory (kmeans, 16 cells, 2 Lloyd iterations), probe width
+    (nprobe=4) and code budget (m=32 x 64 codewords) as the
+    sim_ivfpq_recall kmeans rows, trained once and shared by both
+    stages, so the adc-vs-rerank delta is purely the re-score."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk_exact_baseline(
+        emb, queries, "vec_id", "embedding", k=10
+    )
+    cells = similarity.train_ivf_directory(
+        emb, "vec_id", "embedding", n_cells=16, iterations=2, dim=64
+    ).localCheckpoint(eager=True)
+    adc = similarity.ivfpq_topk_trained(
+        emb, queries, "vec_id", "embedding",
+        k=10, dim=64, m=32, n_codes=64,
+        n_cells=16, nprobe=4, cells=cells,
+    )
+    rerank = similarity.ivfpq_rerank_topk(
+        emb, queries, "vec_id", "embedding",
+        k=10, shortlist=100, dim=64, m=32, n_codes=64,
+        n_cells=16, nprobe=4, cells=cells,
+    )
+    out = (
+        similarity.recall_report(adc, exact)
+        .withColumn("stage", F.lit("adc"))
+        .unionByName(
+            similarity.recall_report(rerank, exact).withColumn(
+                "stage", F.lit("rerank")
+            )
+        )
+    )
+    return out.select(
+        "stage", "query_id", "hits", "k", "recall_r"
+    ).orderBy("stage", "query_id")
+
+
+QUERIES["sim_ivfpq_rerank"] = q_sim_ivfpq_rerank
+
+# Both stages rebuilt in SQL from ONE shortlist CTE: the trained-directory
+# probe CTEs cut at the 100-deep shortlist; the adc stage is that ranking's
+# first 10 rows (identical ordering), the rerank stage re-scores the
+# shortlist with the same list_reduce dot-product fold the exact baseline
+# uses and re-ranks. Recall arithmetic matches recall_report (hits/k in
+# integers, one rounded division).
+ORACLES["sim_ivfpq_rerank"] = f"""
+    WITH stats AS (SELECT {_SQ_STATS} FROM embeddings),
+    q AS MATERIALIZED (
+        SELECT vec_id, [{_SQ_CODES}] AS qv
+        FROM embeddings CROSS JOIN stats
+    ),
+    exact AS MATERIALIZED (
+        SELECT query_id, corpus_id FROM (
+            SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY round({_RDOT}, 6) DESC, a.vec_id ASC
+                   ) AS rnk
+            FROM embeddings a JOIN embeddings b
+              ON b.vec_id < 10 AND a.vec_id <> b.vec_id
+        ) WHERE rnk <= 10
+    ),{_pq_base_ctes(32, 64, "ip")},{_ivfkm_dir_ctes(16)},{_ivfkm_probe_ctes(32, "ip", "sl", 4, k=100)},
+    rr AS (
+        SELECT query_id, corpus_id FROM (
+            SELECT p.query_id, p.corpus_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY round({_RDOT}, 6) DESC, p.corpus_id ASC
+                   ) AS rnk
+            FROM approxsl p
+            JOIN embeddings a ON a.vec_id = p.corpus_id
+            JOIN embeddings b ON b.vec_id = p.query_id
+        ) WHERE rnk <= 10
+    ),
+    un AS (
+        SELECT 'adc' AS stage, query_id, corpus_id
+        FROM approxsl WHERE rnk <= 10
+        UNION ALL
+        SELECT 'rerank', query_id, corpus_id FROM rr
+    ),
+    kk AS (
+        SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k
+        FROM exact GROUP BY 1
+    ),
+    h AS (
+        SELECT u.stage, e.query_id, CAST(COUNT(*) AS BIGINT) AS hits
+        FROM exact e JOIN un u
+          ON e.query_id = u.query_id AND e.corpus_id = u.corpus_id
+        GROUP BY 1, 2
+    )
+    SELECT s.stage, kk.query_id,
+           CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits, kk.k,
+           round(CAST(COALESCE(h.hits, 0) AS DOUBLE) / kk.k, 6) AS recall_r
+    FROM (SELECT 'adc' AS stage UNION ALL SELECT 'rerank') s
+    CROSS JOIN kk
+    LEFT JOIN h ON h.stage = s.stage AND h.query_id = kk.query_id
+    ORDER BY s.stage, kk.query_id
 """
 
 

