@@ -77,7 +77,7 @@ def _bytes_between(before: dict, after: dict) -> dict[str, int]:
     }
 
 
-def _run_once(spark, sf_dir: str, upto: str, cap: int) -> float:
+def _run_once(spark, sf_dir: str, upto: str, cap: int | str) -> float:
     """Build the funnel fresh (ONLY up to the requested stage — the
     components fixpoint executes at plan build) and execute that prefix.
     The signature cache from minhash_lsh_pairs is cleared first so every
@@ -89,13 +89,14 @@ def _run_once(spark, sf_dir: str, upto: str, cap: int) -> float:
     return time.perf_counter() - t0
 
 
-def _median3(spark, sf_dir: str, upto: str, cap: int) -> float:
+def _median3(spark, sf_dir: str, upto: str, cap: int | str) -> float:
     _run_once(spark, sf_dir, upto, cap)  # warmup
     times = sorted(_run_once(spark, sf_dir, upto, cap) for _ in range(3))
     return round(times[1], 3)
 
 
-def measure(spark, sf_dir: str, cap: int = 4) -> dict:
+def measure(spark, sf_dir: str, cap: int | str = "advised") -> dict:
+    # default tracks e2e_stage_frames (census-advised since r13)
     out: dict = {"cap": cap, "prefix_sec": {}, "marginal_sec": {}, "rows": {}}
     prev = 0.0
     for st in STAGES:
