@@ -1181,10 +1181,15 @@ def q_pipeline_end_to_end_auto(
     lazy and its lineage reads the stage parquet, so deletion belongs
     to whoever consumes the frame — uniqueness (not cleanup) is what
     closes the clobber/symlink hazard; the per-process dirs are bytes-
-    bounded by the fixture corpus and live under the OS tmp reaper."""
+    bounded by the fixture corpus, reaped at interpreter exit (atexit —
+    by then every consumer of the lazy frame has run), and covered by
+    the OS tmp reaper if the process dies hard."""
+    import atexit
+    import shutil
     import tempfile
 
     scratch = tempfile.mkdtemp(prefix="e2e_auto_mat_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
     return e2e_stage_frames(
         spark,
         sf_dir,
