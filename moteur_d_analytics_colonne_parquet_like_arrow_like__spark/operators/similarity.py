@@ -1219,8 +1219,15 @@ def ivfpq_rerank_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
+    # The candidate list is (queries x shortlist) rows — the small side
+    # by construction. Pin it as the broadcast build side: cand derives
+    # from a window over a join, so Catalyst's static size estimate is
+    # far above the broadcast threshold and, without the hint, a
+    # sort-merge join would shuffle the ENTIRE corpus by id for what is
+    # a point-lookup of ~queries*shortlist ids (the scale contract in
+    # the docstring). The corpus side streams; no corpus shuffle.
     joined = (
-        cand.select("query_id", "corpus_id")
+        F.broadcast(cand.select("query_id", "corpus_id"))
         .join(c, "corpus_id")
         .join(F.broadcast(q), "query_id")
     )

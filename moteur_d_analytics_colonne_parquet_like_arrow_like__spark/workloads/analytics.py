@@ -3001,7 +3001,10 @@ def _ivfpq_probe_ctes(
     """IVF candidate restriction + ADC ranking over _pq_base_ctes(base):
     bucket-join candidates against the bk{nbits} cell directory
     (multi-probe when flips=1, deduped) then the per-query top-10 — the
-    SQL twin of similarity.ivfpq_topk at 2^nbits cells."""
+    SQL twin of similarity.ivfpq_topk at 2^nbits cells. ``k`` mirrors
+    the kmeans helper's shortlist cut for symmetry (pytest-pinned);
+    every production oracle here uses the default 10 — it is reserved
+    for a future sign-directory rerank rung."""
     bk = f"bk{nbits}"
     if flips == 0:
         probes = (

@@ -1183,7 +1183,11 @@ def q_pipeline_end_to_end_auto(
     closes the clobber/symlink hazard; the per-process dirs are bytes-
     bounded by the fixture corpus, reaped at interpreter exit (atexit —
     by then every consumer of the lazy frame has run), and covered by
-    the OS tmp reaper if the process dies hard."""
+    the OS tmp reaper if the process dies hard. Accumulation bound: one
+    dir per GATE INVOCATION until exit (a handful in any driver/sweep
+    process); a long-lived service replaying this query should call
+    ``e2e_stage_frames`` directly with its own materialize_dir
+    lifecycle policy instead of this test-gate wrapper."""
     import atexit
     import shutil
     import tempfile

@@ -93,6 +93,38 @@ def test_rerank_equals_exact_when_probe_covers_corpus(spark, sf_dir):
     assert e == g
 
 
+def test_rerank_adds_no_shuffle_join_over_probe(spark, sf_dir):
+    """The re-score step must be a broadcast hash join with the
+    (queries x shortlist) candidate list as build side — NOT a
+    sort-merge join shuffling the corpus by id (the candidate frame
+    derives from a window over a join, so Catalyst's static size
+    estimate blocks auto-broadcast; the operator pins the hint).
+    Pinned as plan shape: the rerank plan may not contain more
+    SortMergeJoin nodes than the bare probe plan it extends, and must
+    add at least one BroadcastHashJoin (the re-score join itself)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 3)
+    cells = similarity.train_ivf_directory(
+        emb, "vec_id", "embedding", n_cells=16, iterations=2, dim=64
+    ).localCheckpoint(eager=True)
+    common = dict(
+        dim=64, m=32, n_codes=64, n_cells=16, nprobe=4, cells=cells
+    )
+    probe = similarity.ivfpq_topk_trained(
+        emb, queries, "vec_id", "embedding", k=100, **common
+    )
+    rerank = similarity.ivfpq_rerank_topk(
+        emb, queries, "vec_id", "embedding",
+        k=10, shortlist=100, **common,
+    )
+    p = probe._jdf.queryExecution().executedPlan().toString()
+    r = rerank._jdf.queryExecution().executedPlan().toString()
+    assert r.count("SortMergeJoin") <= p.count("SortMergeJoin"), (
+        "re-score join regressed to a corpus shuffle"
+    )
+    assert r.count("BroadcastHashJoin") > p.count("BroadcastHashJoin")
+
+
 def test_probe_cte_helpers_take_k():
     """The SQL probe helpers' per-query cut is parameterized (the rerank
     oracle takes the full 100-deep shortlist); default stays 10."""
@@ -141,10 +173,13 @@ def _load_tool(name):
 
 
 def test_gen_verify_first_front_then_oldest():
-    """compute_order puts --front names first (in the given order), the
-    result is a permutation of the live registry, and the non-front tail
-    is sorted by (newest driver signature round, name) — the mechanical
-    form of the burn-down rule the freshness backstop enforces."""
+    """compute_order puts --front names first (in the given order),
+    follows with the AUTO front (stale behavior-changed entries +
+    never-signed registrations, so a forgotten --front cannot sort a
+    behavior-changed entry out of the driver sample), the result is a
+    permutation of the live registry, and the remaining tail is sorted
+    by (newest driver signature round, name) — the mechanical form of
+    the burn-down rule the freshness backstop enforces."""
     tool = _load_tool("gen_verify_first")
     fr = _load_tool("freshness_report")
     from moteur_d_analytics_colonne_parquet_like_arrow_like__spark import (
@@ -157,8 +192,22 @@ def test_gen_verify_first_front_then_oldest():
     assert order[:2] == front
     assert sorted(order) == sorted(registry)
     sigs = fr.load_signatures()
+    auto = [
+        n
+        for n in registry
+        if n not in set(front)
+        and (
+            n not in sigs
+            or (
+                n in fr.BEHAVIOR_CHANGED_SINCE
+                and sigs[n][0] < fr.BEHAVIOR_CHANGED_SINCE[n][0]
+            )
+        )
+    ]
+    assert order[2 : 2 + len(auto)] == auto
     keys = [
-        (sigs.get(n, (-1, False))[0], n) for n in order[2:]
+        (sigs.get(n, (-1, False))[0], n)
+        for n in order[2 + len(auto) :]
     ]
     assert keys == sorted(keys)
 

@@ -7,10 +7,13 @@ freshness backstop (tests/test_freshness.py) reds the build when old
 signatures sit outside that sample. Rounds r12 and earlier regenerated the
 tuple by hand; this tool makes the burn-down mechanical:
 
-  priority order = (a) names passed via --front (this round's
-  behavior-changed entries and new registrations, in the order given),
-  then (b) every other entry oldest driver signature first (never-checked
-  entries count as oldest), alphabetical within a round.
+  priority order = (a) names passed via --front, then (b) the AUTO
+  front — every BEHAVIOR_CHANGED_SINCE entry whose newest signature
+  predates its needs_round and every never-signed registration, in
+  registry order (derived from freshness_report, so forgetting --front
+  can no longer sort a behavior-changed entry out of the driver
+  sample), then (c) every other entry oldest driver signature first,
+  alphabetical within a round.
 
 Usage:
   python tools/gen_verify_first.py                       # print the tuple
@@ -49,10 +52,30 @@ def compute_order(front: list[str]) -> list[str]:
     if missing:
         raise SystemExit(f"--front names not in registry: {missing}")
 
-    rest = [n for n in registry if n not in set(front)]
+    # Derive the mandatory front automatically (a forgotten --front used
+    # to sort a behavior-changed entry to the tuple's END — outside the
+    # driver sample — surfacing only when test_freshness reds later):
+    # every BEHAVIOR_CHANGED_SINCE entry whose newest signature predates
+    # its needs_round, plus every never-signed registration, in registry
+    # order. Explicit --front names come first and may duplicate these.
+    auto = [
+        n
+        for n in registry
+        if n not in set(front)
+        and (
+            n not in sigs
+            or (
+                n in fr.BEHAVIOR_CHANGED_SINCE
+                and sigs[n][0] < fr.BEHAVIOR_CHANGED_SINCE[n][0]
+            )
+        )
+    ]
+    head = list(front) + auto
+
+    rest = [n for n in registry if n not in set(head)]
     # never-checked sorts before every real round; alphabetical within
     rest.sort(key=lambda n: (sigs.get(n, (-1, False))[0], n))
-    return list(front) + rest
+    return head + rest
 
 
 def render(names: list[str]) -> str:

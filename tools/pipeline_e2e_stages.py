@@ -98,6 +98,19 @@ def _median3(spark, sf_dir: str, upto: str, cap: int | str) -> float:
 def measure(spark, sf_dir: str, cap: int | str = "advised") -> dict:
     # default tracks e2e_stage_frames (census-advised since r13)
     out: dict = {"cap": cap, "prefix_sec": {}, "marginal_sec": {}, "rows": {}}
+    if cap == "advised":
+        # record the integer the census resolves to — two runs on
+        # different corpora (advised=2 vs advised=10) must be
+        # distinguishable in the artifact (same fix pipeline_e2e_ab.py
+        # carries as advised_cap). The census runs over the SAME s1
+        # (exact-dedup survivor) banding space the composed stage uses.
+        from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads.pipeline2 import (
+            advised_bucket_cap,
+        )
+
+        out["advised_cap"] = advised_bucket_cap(
+            e2e_stage_frames(spark, sf_dir, upto="s1")["s1"]
+        )
     prev = 0.0
     for st in STAGES:
         sec = _median3(spark, sf_dir, st, cap)
@@ -145,15 +158,17 @@ def main() -> int:
     build_sf1(spark)
     src = SRC if os.path.exists(SRC) else RAW
     report = {}
-    # the gate cap (4) at both SFs, plus a production-sized cap (64) at
-    # sf1: the 10x replica gives every doc 10 near-identical siblings, so
-    # a bucket cap below the genuine cluster size swallows the very
-    # duplicates the stage exists to find — the rehearsal measures the
-    # recall the small cap costs and the wall the big cap pays.
+    # The PRODUCTION composition (census-advised — what the
+    # pipeline_end_to_end gate actually runs since the r13 default
+    # flip) at both SFs, plus the pinned cap=4 arm at sf1 kept as the
+    # measured recall-cliff exhibit: the 10x replica gives every doc 10
+    # near-identical siblings, so a bucket cap below the genuine
+    # cluster size swallows the very duplicates the stage exists to
+    # find — the cap=4 rows show the survivors that cliff leaks.
     for label, d, cap in (
-        ("sf0.1", src, 4),
-        ("sf1", DST, 4),
-        ("sf1_cap64", DST, 64),
+        ("sf0.1", src, "advised"),
+        ("sf1", DST, "advised"),
+        ("sf1_cap4_cliff", DST, 4),
     ):
         report[label] = measure(spark, d, cap)
         m = report[label]
