@@ -183,6 +183,23 @@ TARGETS = [
     "multimodal_decode",
     "agg_grouping_sets",
     "window_distribution",
+    # round-13 continuation: the v4 fixture finally scales the
+    # embeddings corpus (10x near-dup siblings, see REPLICATION), so
+    # the ANN family gets its first GENUINE 10x rows — including a
+    # re-row of sim_topk_ivf, whose r12 row was measured against the
+    # old straight-copied (same-size) embeddings and therefore showed a
+    # same-corpus wall ratio, not sub-linearity. Plus the round's new
+    # re-rank rung and the heaviest never-rehearsed documents-scaling
+    # sweep rows.
+    "sim_ivfpq_rerank",
+    "sim_ivf_sq",
+    "dedup_embedding_lsh",
+    "dedup_clusters_star",
+    "pipeline_contamination",
+    "text_fingerprint",
+    "sketch_heavy_hitters",
+    "stream_stateful_multibatch",
+    "constraint_report",
 ]
 
 # Queries whose construction itself executes jobs (streaming runs,
@@ -219,6 +236,12 @@ EAGER = {
     "pipeline_curate",
     # e2e_funnel_flags runs the large-star fixpoint at plan build
     "pipeline_funnel_report",
+    # IVF directory training localCheckpoints eagerly at plan build
+    "sim_ivfpq_rerank",
+    # the large-star/small-star fixpoint localCheckpoints per round
+    "dedup_clusters_star",
+    # 8 real micro-batches execute at plan build (availableNow stream)
+    "stream_stateful_multibatch",
     # advisor collect + components fixpoint at plan build
     "pipeline_end_to_end_advised",
     # auto-materialize decision + stage writes + fixpoint at plan build
@@ -243,15 +266,34 @@ REPLICATION = {
     # foreign keys above (o_custkey / l_suppkey) so joins stay closed.
     "customer": ([("c_custkey", 10**9)], None),
     "supplier": ([("s_suppkey", 10**9)], None),
+    # v4 (r13): embeddings finally replicates — every earlier "fixed-size
+    # embeddings corpus" exclusion comment above is historical. Copies
+    # i>0 get one vector component perturbed (+i*1e-3 on dim i%64) so
+    # each vector gains 9 NEAR-duplicate siblings (cosine ~0.99998) —
+    # the same replica philosophy as documents' " copyv{i}" suffix: ANN
+    # structure stays realistic (clones cluster, don't exactly tie) and
+    # the corpus genuinely carries 10x distinct points through train/
+    # encode/probe. Queries stay the 10 originals (vec_id < 10), so
+    # query count is constant while the corpus scales.
+    "embeddings": ([("vec_id", 10**9)], None),
 }
 
 
 def build_sf1(spark) -> None:
-    # v3: customer + supplier joined REPLICATION (round-6 continuation 3)
-    # — a marker bump rebuilds the whole fixture once.
-    marker = os.path.join(DST, "_DONE_v3")
+    # v4: embeddings joined REPLICATION (r13) — a marker bump rebuilds
+    # the whole fixture once. v4 also invalidates the /tmp ANN layout
+    # caches derived from the OLD fixed-size sf1 embeddings (ivf_layout_*
+    # / ivfsq_*, keyed on md5(sf_dir) so their content would silently go
+    # stale against the replicated corpus).
+    marker = os.path.join(DST, "_DONE_v4")
     if os.path.exists(marker):
         return
+    import hashlib
+    import shutil
+
+    tag = hashlib.md5(DST.encode()).hexdigest()[:10]
+    for prefix in ("ivf_layout", "ivfsq"):
+        shutil.rmtree(f"/tmp/{prefix}_{tag}", ignore_errors=True)
     src = SRC if os.path.exists(SRC) else RAW
     for table, (shifts, text_col) in REPLICATION.items():
         df = spark.read.parquet(os.path.join(src, f"{table}.parquet"))
@@ -265,6 +307,20 @@ def build_sf1(spark) -> None:
                     text_col,
                     F.concat(F.col(text_col), F.lit(f" copyv{i}")),
                 )
+            if table == "embeddings" and i > 0:
+                # near-dup sibling, not an exact clone (see REPLICATION).
+                # (Factory closure: F.transform inspects the lambda's
+                # arity, so the copy index can't ride a default arg.)
+                def _perturb(_i):
+                    return lambda x, j: (
+                        F.when(j == F.lit(_i % 64), x + F.lit(_i * 1e-3))
+                        .otherwise(x)
+                        .cast("float")
+                    )
+
+                c = c.withColumn(
+                    "embedding", F.transform("embedding", _perturb(i))
+                )
             parts.append(c)
         out = parts[0]
         for p in parts[1:]:
@@ -277,7 +333,6 @@ def build_sf1(spark) -> None:
     for t in (
         "region",
         "nation",
-        "embeddings",
     ):
         spark.read.parquet(os.path.join(src, f"{t}.parquet")).write.mode(
             "overwrite"
