@@ -1008,14 +1008,37 @@ def q_sim_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ratio = d2_projected / (16 · d2_original)`` should concentrate
     around 1. One audit row: pair count, min/avg/max ratio, and how
     many pairs distort beyond ±0.5 — the measured dial for choosing
-    the projected dimension."""
+    the projected dimension.
+
+    The sample is SIZE-BOUNDED (r13): 50 ids per side — the smallest
+    vec_ids of each modulus class — not every %10 id. The original
+    %10-only filter made the sample corpus-PROPORTIONAL, so the pair
+    join grew quadratically with the corpus (the v4 rehearsal fixture
+    measured 36.9x wall at 10x data before this cut). The statistic
+    audits the DATA-INDEPENDENT sign matrix, so a fixed deterministic
+    sample measures it at any scale, and only the sampled ≤100
+    vectors are projected here; at sf0.01 (50 ids per class exactly)
+    the output is value-identical to the unbounded form."""
     from ..operators import similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
-    proj = similarity.jl_project(
-        emb, "vec_id", "embedding", in_dim=64, out_dim=16
+    sa = (
+        emb.where(F.col("vec_id") % 10 == 0)
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(50)
     )
-    q = emb.select(
+    sb = (
+        emb.where(F.col("vec_id") % 10 == 5)
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(50)
+    )
+    sample = emb.join(F.broadcast(sa.unionAll(sb)), "vec_id")
+    proj = similarity.jl_project(
+        sample, "vec_id", "embedding", in_dim=64, out_dim=16
+    )
+    q = sample.select(
         F.col("vec_id").alias("vid"),
         F.posexplode(
             F.expr(
@@ -1081,10 +1104,16 @@ def q_sim_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["sim_jl_distortion"] = q_sim_jl_distortion
 
 ORACLES["sim_jl_distortion"] = """
-WITH q AS MATERIALIZED (
+WITH sample AS MATERIALIZED (
+  SELECT vec_id FROM (SELECT vec_id FROM embeddings
+                      WHERE vec_id % 10 = 0 ORDER BY vec_id LIMIT 50)
+  UNION ALL
+  SELECT vec_id FROM (SELECT vec_id FROM embeddings
+                      WHERE vec_id % 10 = 5 ORDER BY vec_id LIMIT 50)
+), q AS MATERIALIZED (
   SELECT vec_id AS vid, i - 1 AS i,
          CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS qv
-  FROM embeddings, UNNEST(range(1, 65)) AS t(i)
+  FROM embeddings JOIN sample USING (vec_id), UNNEST(range(1, 65)) AS t(i)
 ), signs AS MATERIALIZED (
   SELECT i.i, j.j,
          CASE WHEN substr(md5(i.i || '_' || j.j), 1, 1) < '8'

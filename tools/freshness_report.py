@@ -143,6 +143,18 @@ BEHAVIOR_CHANGED_SINCE: dict[str, tuple[int, str]] = {
         "the observability report tracks the production funnel; oracle "
         "re-pointed to the advised CTE chain",
     ),
+    # r13 continuation: the v4 rehearsal fixture (embeddings finally
+    # replicated) exposed the JL audit's pair sample as corpus-
+    # proportional (36.9x wall at 10x data); bounded to 50 smallest
+    # vids per modulus class, oracle bounded identically. Output
+    # value-identical at sf0.01 (exactly 50 ids per class there);
+    # CHANGES at sf0.1 (was 200x200 pairs, now 50x50).
+    "sim_jl_distortion": (
+        13,
+        "r13 size-bounded 50x50 audit sample (v4 fixture exposed the "
+        "corpus-proportional %10 sample: 36.9x at 10x); oracle bounded "
+        "in step",
+    ),
 }
 
 

@@ -200,6 +200,16 @@ TARGETS = [
     "sketch_heavy_hitters",
     "stream_stateful_multibatch",
     "constraint_report",
+    # r13 continuation batch 2: the rest of the formerly-excluded ANN
+    # family on the v4 replicated corpus — the heaviest never-rehearsed
+    # gate overall (kcenter's 6 sequential full-corpus argmax rounds),
+    # the trained-directory recall grid, the mutual-kNN shuffle join,
+    # and the JL pair-sample audit (whose corpus-proportional %10
+    # sample the fixed-size fixture had been hiding).
+    "sim_kcenter_coreset",
+    "sim_ivfpq_recall",
+    "sim_knn_graph",
+    "sim_jl_distortion",
 ]
 
 # Queries whose construction itself executes jobs (streaming runs,
@@ -242,6 +252,10 @@ EAGER = {
     "dedup_clusters_star",
     # 8 real micro-batches execute at plan build (availableNow stream)
     "stream_stateful_multibatch",
+    # 6 greedy rounds localCheckpoint per pick at plan build
+    "sim_kcenter_coreset",
+    # trains the kmeans cell directories eagerly at plan build
+    "sim_ivfpq_recall",
     # advisor collect + components fixpoint at plan build
     "pipeline_end_to_end_advised",
     # auto-materialize decision + stage writes + fixpoint at plan build
