@@ -76,6 +76,36 @@ def bucket_id(vec_col: str | Column, dims: tuple[int, ...] = DEFAULT_BUCKET_DIMS
     return out
 
 
+def auto_bucket_dims(
+    n_vectors: int,
+    target_occupancy: int = 10,
+    vec_dim: int = 64,
+) -> tuple[int, ...]:
+    """Occupancy-tracking hyperplane count — the executable form of the
+    r13 sim_knn_graph disposition (docs/SCALE.md), the same move
+    bucket_cap_advisor made for the r10 cap rule. 2^len(dims) sign
+    buckets is a FIXED denominator, so per-bucket occupancy — and with
+    it every bucket-local self-join's quadratic term — grows linearly
+    with the corpus under a frozen plane count. Size planes so mean
+    occupancy stays ~``target_occupancy``:
+
+        planes = ceil(log2(n_vectors / target_occupancy)),
+        clamped to [1, vec_dim]
+
+    Measured (SCALE.md r13 continuation): at a 10x corpus the fixed
+    8-plane layout ran 24.7x; the 11 planes this rule picks there ran
+    4.6x faster at equal recall (mutual edges within 0.1%) — near-
+    linear scaling restored. Deployments call this at build time from
+    the corpus count, exactly like sizing shuffle partitions; the
+    fixed-plane defaults stay for gate reproducibility."""
+    import math
+
+    if n_vectors <= 0:
+        return (0,)
+    planes = max(1, math.ceil(math.log2(max(1.0, n_vectors / target_occupancy))))
+    return tuple(range(min(planes, vec_dim)))
+
+
 def ivf_write(
     corpus: DataFrame,
     id_col: str,

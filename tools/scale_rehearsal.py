@@ -210,6 +210,18 @@ TARGETS = [
     "sim_ivfpq_recall",
     "sim_knn_graph",
     "sim_jl_distortion",
+    # r13 continuation batch 3: the remaining never-rehearsed heavy
+    # sweep rows — the PQ/OPQ recall grids and ADC rankings (trained
+    # per rep like their ivfpq siblings), the min-label components
+    # twin, the t-digest/HLL/CMS sketch battery, and the all-columns
+    # profiler.
+    "sim_pq_recall",
+    "sim_opq_recall",
+    "sim_pq_adc",
+    "sim_ivfpq_adc",
+    "dedup_clusters",
+    "agg_approx_sketches",
+    "table_profile",
 ]
 
 # Queries whose construction itself executes jobs (streaming runs,
@@ -256,6 +268,14 @@ EAGER = {
     "sim_kcenter_coreset",
     # trains the kmeans cell directories eagerly at plan build
     "sim_ivfpq_recall",
+    # codebook/rotation/directory training at plan build (siblings of
+    # sim_ivfpq_recall — keep training inside the timer)
+    "sim_pq_recall",
+    "sim_opq_recall",
+    "sim_pq_adc",
+    "sim_ivfpq_adc",
+    # min-label propagation fixpoint localCheckpoints per round
+    "dedup_clusters",
     # advisor collect + components fixpoint at plan build
     "pipeline_end_to_end_advised",
     # auto-materialize decision + stage writes + fixpoint at plan build
