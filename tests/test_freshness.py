@@ -195,7 +195,7 @@ def test_audit_tiers_name_live_non_audit_twins():
 
     registry = set(workloads.all_queries())
     tiers = workloads.AUDIT_TIERS
-    assert tiers, "AUDIT_TIERS must not be empty (7 known audit gates)"
+    assert tiers, "AUDIT_TIERS must not be empty (8 known audit gates)"
     for audit, twin in tiers.items():
         assert audit in registry, f"audit gate {audit!r} not registered"
         assert twin in registry, (

@@ -222,6 +222,16 @@ TARGETS = [
     "dedup_clusters",
     "agg_approx_sketches",
     "table_profile",
+    # r13 continuation batch 4: the rest of the embeddings family under
+    # v4 — including the exact all-pairs audit tier (dedup_embedding,
+    # the deliberate scale-killer: its sf1 row is the labeled cost of
+    # the truth side, head-to-head with the LSH twin on the same
+    # corpus), the power-iteration PCA, Lloyd k-means, and the IVF+SQ
+    # recall dial.
+    "dedup_embedding",
+    "embedding_pca_power",
+    "kmeans_iterate",
+    "sim_ivf_recall",
 ]
 
 # Queries whose construction itself executes jobs (streaming runs,
@@ -276,6 +286,10 @@ EAGER = {
     "sim_ivfpq_adc",
     # min-label propagation fixpoint localCheckpoints per round
     "dedup_clusters",
+    # centroids localCheckpoint between Lloyd rounds at plan build
+    "kmeans_iterate",
+    # 8 power-iteration rounds checkpoint the iterate at plan build
+    "embedding_pca_power",
     # advisor collect + components fixpoint at plan build
     "pipeline_end_to_end_advised",
     # auto-materialize decision + stage writes + fixpoint at plan build
