@@ -232,6 +232,16 @@ TARGETS = [
     "embedding_pca_power",
     "kmeans_iterate",
     "sim_ivf_recall",
+    # r13 continuation batch 5: the mid-tier never-rehearsed rotation —
+    # streaming KMV distinct, simhash fingerprints, the corpus report,
+    # n-gram lang-ID, Arrow mapInPandas audio VAD, and the weighted
+    # median's two-phase chunks.
+    "stream_kmv_distinct",
+    "dedup_simhash",
+    "pipeline_corpus_report",
+    "text_lang_id",
+    "multimodal_audio_vad",
+    "lineitem_weighted_median",
 ]
 
 # Queries whose construction itself executes jobs (streaming runs,
@@ -288,6 +298,8 @@ EAGER = {
     "dedup_clusters",
     # centroids localCheckpoint between Lloyd rounds at plan build
     "kmeans_iterate",
+    # availableNow stream executes at plan build
+    "stream_kmv_distinct",
     # 8 power-iteration rounds checkpoint the iterate at plan build
     "embedding_pca_power",
     # advisor collect + components fixpoint at plan build
