@@ -1,0 +1,199 @@
+"""Round-13 optimization A/B harness.
+
+Compares query variants under the EXACT bench methodology (prepared
+physical plan, shuffle map outputs invalidated per rep, block reps with
+switch-warmup drops, median reported) so a variant's number is directly
+comparable to the bench series. Also verifies the variants are
+ROW-IDENTICAL (collected, order-sensitive) before timing — an
+optimization that changes output is a regression, not a win.
+
+Usage: python tools/abtest_r13.py <experiment> [reps]
+Experiments live in EXPERIMENTS below; each returns {name: builder}
+where builder(spark, sf_dir) -> DataFrame. The first variant is the
+shipped query (control).
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from pyspark.sql import functions as F
+
+from moteur_d_analytics_colonne_parquet_like_arrow_like__spark import get_spark
+
+import bench
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/tmp/bench_layout_sf0.1")
+
+
+def _median_block(prep, reps: int) -> list[float]:
+    ts = []
+    for i in range(reps + 2):
+        t0 = time.perf_counter()
+        bench._run_prepared(prep)
+        if i > 1:
+            ts.append(time.perf_counter() - t0)
+    return ts
+
+
+def run(variants: dict, reps: int = 7, passes: int = 3, check_rows: bool = True):
+    spark = get_spark("abtest_r13")
+    qs = {}
+    # Row-identity check (order-sensitive collect).
+    rows0 = None
+    for name, fn in variants.items():
+        df = fn(spark, SF_DIR)
+        if check_rows:
+            rows = [tuple(r) for r in df.collect()]
+            if rows0 is None:
+                rows0 = rows
+                print(f"{name}: {len(rows)} rows (control)")
+            else:
+                same_set = sorted(map(repr, rows)) == sorted(map(repr, rows0))
+                same_order = rows == rows0
+                print(
+                    f"{name}: {len(rows)} rows, set-identical={same_set}, "
+                    f"order-identical={same_order}"
+                )
+                if not same_set:
+                    raise SystemExit(f"VARIANT {name} CHANGES RESULTS — abort")
+        qs[name] = bench._prepare(df)
+        bench._run_prepared(qs[name])  # warmup
+
+    timings = {n: [] for n in variants}
+    for _ in range(passes):
+        for name in variants:
+            timings[name].extend(_median_block(qs[name], reps))
+    print()
+    for name, ts in timings.items():
+        ts.sort()
+        med = ts[len(ts) // 2]
+        print(
+            f"{name:40s} median {med*1000:8.1f} ms   "
+            f"min {ts[0]*1000:7.1f}  p75 {ts[int(len(ts)*0.75)]*1000:7.1f}  n={len(ts)}"
+        )
+    spark.stop()
+
+
+# --- experiments ---
+
+
+def exp_window_topk():
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import (
+        all_queries,
+    )
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.catalog import (
+        load_table,
+    )
+
+    control = all_queries()["window_topk_per_group"]
+
+    def range_once(spark, sf_dir):
+        # One range exchange establishes BOTH the window clustering and the
+        # presentation order: RangePartitioning(o_custkey) satisfies the
+        # window's ClusteredDistribution, and within a custkey the window
+        # order (price desc, orderkey) IS rnk order, so the filtered output
+        # is already globally ordered by (o_custkey, rnk).
+        from pyspark.sql import Window
+
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderkey", "o_totalprice"
+        )
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+        )
+        return (
+            orders.repartitionByRange(n, "o_custkey")
+            .sortWithinPartitions(
+                "o_custkey", F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+            )
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3)
+        )
+
+    def no_aqe(spark, sf_dir):
+        return control(spark, sf_dir)
+
+    return {"control": control, "range_once": range_once}
+
+
+def exp_text_quality():
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import (
+        all_queries,
+    )
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.catalog import (
+        load_table,
+    )
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.functions import (
+        normalize_text,
+    )
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators.text import (
+        LANG_PROFILES,
+        _count_in,
+    )
+
+    control = all_queries()["text_quality"]
+
+    _KEEP = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+    def translate_counts(spark, sf_dir):
+        # punct/digit counts via single-pass translate() instead of two
+        # regexp_replace passes: translate removes exactly the same ASCII
+        # char sets the regexes match, so counts are value-identical.
+        df = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        norm_stage = df.select("*", normalize_text("text").alias("__norm"))
+        ws_stage = norm_stage.select(
+            "*", F.split(F.col("__norm"), " ").alias("__ws")
+        )
+        base = ws_stage.select(
+            "*",
+            F.length(F.col("__norm")).alias("__nc"),
+            F.size(F.col("__ws")).alias("__nw"),
+            F.length(F.translate(F.col("__norm"), _KEEP, "")).alias("__punct"),
+            (
+                F.length(F.col("__norm"))
+                - F.length(F.translate(F.col("__norm"), "0123456789", ""))
+            ).alias("__digits"),
+            _count_in(F.col("__ws"), LANG_PROFILES["en"]).alias("__stop"),
+        )
+        n_chars, n_words = F.col("__nc"), F.col("__nw")
+        punct_ratio = F.col("__punct") / n_chars
+        digit_ratio = F.col("__digits") / n_chars
+        stop_ratio = F.col("__stop") / n_words
+        len_norm = F.least(n_words.cast("double"), F.lit(100.0)) / F.lit(100.0)
+        score = (
+            F.lit(0.4) * stop_ratio
+            + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+            + F.lit(0.2) * len_norm
+            + F.lit(0.1) * (F.lit(1.0) - digit_ratio)
+        )
+        return base.select(
+            "doc_id",
+            n_chars.cast("bigint").alias("q_chars"),
+            n_words.cast("bigint").alias("q_words"),
+            (n_chars / n_words).alias("q_mean_word_len"),
+            punct_ratio.alias("q_punct_ratio"),
+            digit_ratio.alias("q_digit_ratio"),
+            stop_ratio.alias("q_stop_ratio"),
+            score.alias("q_score"),
+        ).orderBy("doc_id")
+
+    return {"control": control, "translate_counts": translate_counts}
+
+
+EXPERIMENTS = {
+    "window_topk": exp_window_topk,
+    "text_quality": exp_text_quality,
+}
+
+
+if __name__ == "__main__":
+    name = sys.argv[1]
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 7
+    run(EXPERIMENTS[name](), reps=reps)
