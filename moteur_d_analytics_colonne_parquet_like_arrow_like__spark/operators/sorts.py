@@ -27,3 +27,16 @@ def order_by(df: DataFrame, order_cols: list[Column]) -> DataFrame:
 
 def limit(df: DataFrame, n: int) -> DataFrame:
     return df.limit(n)
+
+
+def order_by_bounded(df: DataFrame, order_cols: list[Column | str]) -> DataFrame:
+    """Total order for a relation whose row count is bounded by a DOMAIN
+    (flag/status cross product, a dimension table, queries x k) rather than
+    by input size: coalesce(1) + partition-local sort — the same total
+    order as ``order_by`` with one whole stage fewer (no range-bounds
+    sampling job, no range exchange; r13 optimization round, guide §2.4
+    "an orderBy used only to make output deterministic"). Same rule as
+    ``query.execute_group_by(low_cardinality=True)``, exposed for workload
+    tails. ONLY for provably bounded outputs — a result that scales with
+    the corpus must keep the range-partitioned ``order_by``."""
+    return df.coalesce(1).sortWithinPartitions(*order_cols)

@@ -134,8 +134,15 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 10)
-    return similarity.cosine_topk_exact_baseline(emb, queries, "vec_id", "embedding", k=5).orderBy(
-        "query_id", "rnk"
+    # Output bounded by |queries| x k (50 rows at any SF): coalesce(1) +
+    # local sort replaces the presentation orderBy's range exchange
+    # (r13 opt: 160 -> 116 ms median, order-identical).
+    return (
+        similarity.cosine_topk_exact_baseline(
+            emb, queries, "vec_id", "embedding", k=5
+        )
+        .coalesce(1)
+        .sortWithinPartitions("query_id", "rnk")
     )
 
 

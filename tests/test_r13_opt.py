@@ -8,9 +8,21 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import (
+    sorts,
     text,
     windows,
 )
+
+
+def test_order_by_bounded_equals_order_by(spark):
+    """coalesce(1) + local sort must produce the same TOTAL order as the
+    range-partitioned orderBy it replaces on bounded-output tails —
+    including null keys and ties."""
+    rows = [(None, 1.0), ("b", 2.0), ("a", 3.0), ("a", 1.0), ("c", None)]
+    df = spark.createDataFrame(rows, "k string, v double").repartition(5)
+    old = df.orderBy("k", "v").collect()
+    new = sorts.order_by_bounded(df, ["k", "v"]).collect()
+    assert [tuple(r) for r in new] == [tuple(r) for r in old]
 
 
 def test_top_k_per_group_ordered_equals_orderby_form(spark):

@@ -187,9 +187,130 @@ def exp_text_quality():
     return {"control": control, "translate_counts": translate_counts}
 
 
+def exp_tpch_q1():
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import (
+        all_queries,
+    )
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads.relational import (
+        q_tpch_q1,
+    )
+
+    control = all_queries()["tpch_q1"]
+
+    def coalesce_sort(spark, sf_dir):
+        # group count bounded by |returnflag| x |linestatus| (6): the final
+        # presentation sort can be coalesce(1) + local sort instead of a
+        # range exchange — same rule as query.py execute_group_by
+        # low_cardinality.
+        df = control(spark, sf_dir)
+        # Rebuild without the trailing orderBy: easiest is to re-derive
+        # from the plan's child — instead just re-implement the tail here.
+        from pyspark.sql import functions as F
+        from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads.relational import (
+            _t,
+        )
+        from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import (
+            aggregates,
+        )
+
+        li = _t(spark, sf_dir, "lineitem").where(
+            F.col("l_shipdate") <= F.lit("1998-09-02")
+        )
+        disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        charge = disc_price * (1 + F.col("l_tax"))
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").cast("double").alias("sum_qty"),
+                aggregates.exact_money_sum("l_extendedprice").alias("sum_base_price"),
+                F.sum(disc_price.cast("decimal(18,4)")).cast("double").alias("sum_disc_price"),
+                F.sum(charge.cast("decimal(18,6)")).cast("double").alias("sum_charge"),
+                (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+                (
+                    F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                    .cast("double")
+                    / F.count(F.lit(1))
+                ).alias("avg_price"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+            .coalesce(1)
+            .sortWithinPartitions("l_returnflag", "l_linestatus")
+        )
+
+    return {"control": control, "coalesce_sort": coalesce_sort}
+
+
+def exp_join_multiway():
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import (
+        all_queries,
+    )
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.catalog import (
+        load_table,
+    )
+
+    control = all_queries()["join_multiway"]
+
+    def coalesce_sort(spark, sf_dir):
+        lineitem = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        customer = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey"
+        )
+        nation = load_table(spark, sf_dir, "nation")
+        region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+        revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        return (
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+            .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy("n_name")
+            .agg(
+                F.sum(revenue.cast("decimal(18,4)")).cast("double").alias("revenue"),
+                F.count(F.lit(1)).alias("n_items"),
+            )
+            .coalesce(1)
+            .sortWithinPartitions("n_name")
+        )
+
+    return {"control": control, "coalesce_sort": coalesce_sort}
+
+
+def exp_sim_topk():
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import (
+        all_queries,
+    )
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.catalog import (
+        load_table,
+    )
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import (
+        similarity,
+    )
+
+    control = all_queries()["sim_topk_bruteforce"]
+
+    def coalesce_sort(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.where(F.col("vec_id") < 10)
+        return (
+            similarity.cosine_topk_exact_baseline(
+                emb, queries, "vec_id", "embedding", k=5
+            )
+            .coalesce(1)
+            .sortWithinPartitions("query_id", "rnk")
+        )
+
+    return {"control": control, "coalesce_sort": coalesce_sort}
+
+
 EXPERIMENTS = {
     "window_topk": exp_window_topk,
     "text_quality": exp_text_quality,
+    "tpch_q1": exp_tpch_q1,
+    "join_multiway": exp_join_multiway,
+    "sim_topk": exp_sim_topk,
 }
 
 
