@@ -91,34 +91,33 @@ def exp_window_topk():
         load_table,
     )
 
-    control = all_queries()["window_topk_per_group"]
-
-    def range_once(spark, sf_dir):
-        # One range exchange establishes BOTH the window clustering and the
-        # presentation order: RangePartitioning(o_custkey) satisfies the
-        # window's ClusteredDistribution, and within a custkey the window
-        # order (price desc, orderkey) IS rnk order, so the filtered output
-        # is already globally ordered by (o_custkey, rnk).
-        from pyspark.sql import Window
+    def control(spark, sf_dir):
+        # The pre-r13 formulation: hash-exchange window + presentation
+        # orderBy (kept here as the A/B control after the gate moved to
+        # the ordered single-exchange form).
+        from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import (
+            windows,
+        )
 
         orders = load_table(spark, sf_dir, "orders").select(
             "o_custkey", "o_orderkey", "o_totalprice"
         )
-        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        w = Window.partitionBy("o_custkey").orderBy(
-            F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
-        )
-        return (
-            orders.repartitionByRange(n, "o_custkey")
-            .sortWithinPartitions(
-                "o_custkey", F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
-            )
-            .withColumn("rnk", F.row_number().over(w))
-            .where(F.col("rnk") <= 3)
+        return windows.top_k_per_group(
+            orders,
+            ["o_custkey"],
+            [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+            k=3,
+        ).orderBy("o_custkey", "rnk")
+
+    def range_once(spark, sf_dir):
+        # The shipped r13 form (windows.top_k_per_group_ordered): one range
+        # exchange establishes BOTH the window clustering and the
+        # presentation order.
+        from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import (
+            all_queries,
         )
 
-    def no_aqe(spark, sf_dir):
-        return control(spark, sf_dir)
+        return all_queries()["window_topk_per_group"](spark, sf_dir)
 
     return {"control": control, "range_once": range_once}
 
@@ -305,12 +304,77 @@ def exp_sim_topk():
     return {"control": control, "coalesce_sort": coalesce_sort}
 
 
+def exp_dedup_minhash():
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import (
+        all_queries,
+    )
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.catalog import (
+        load_table,
+    )
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import (
+        dedup,
+    )
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators.dedup import (
+        _band_entries,
+        cap_bucket_size,
+        minhash_signatures,
+    )
+
+    control = all_queries()["dedup_minhash_lsh"]
+
+    def range_distinct(spark, sf_dir):
+        # One range exchange serves BOTH the candidate-pair dedup
+        # (RangePartitioning(id_a,id_b) satisfies the distinct's
+        # ClusteredDistribution) and the presentation order (broadcast
+        # joins + filter preserve the partitioning; a final in-partition
+        # sort yields the global (id_a,id_b) order) — drops the separate
+        # range exchange the gate's orderBy planned.
+        df = load_table(spark, sf_dir, "documents")
+        num_hashes, bands, shingle_k, threshold = 16, 4, 3, 0.5
+        sig = minhash_signatures(df, "doc_id", "text", num_hashes, shingle_k).cache()
+        band_entries = _band_entries(sig, "doc_id", num_hashes, bands)
+        a = band_entries.alias("a")
+        b = band_entries.alias("b")
+        candidates = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.__id") < F.col("b.__id")),
+            )
+            .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+            .repartitionByRange("id_a", "id_b")
+            .distinct()
+        )
+        sa = sig.select(F.col("doc_id").alias("id_a"), F.col("signature").alias("sig_a"))
+        sb = sig.select(F.col("doc_id").alias("id_b"), F.col("signature").alias("sig_b"))
+        est = F.aggregate(
+            F.zip_with(
+                F.col("sig_a"),
+                F.col("sig_b"),
+                lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ) / F.lit(float(num_hashes))
+        return (
+            candidates.join(F.broadcast(sa), "id_a")
+            .join(F.broadcast(sb), "id_b")
+            .select("id_a", "id_b", est.alias("est_jaccard"))
+            .where(F.col("est_jaccard") >= threshold)
+            .sortWithinPartitions("id_a", "id_b")
+        )
+
+    return {"control": control, "range_distinct": range_distinct}
+
+
 EXPERIMENTS = {
     "window_topk": exp_window_topk,
     "text_quality": exp_text_quality,
     "tpch_q1": exp_tpch_q1,
     "join_multiway": exp_join_multiway,
     "sim_topk": exp_sim_topk,
+    "dedup_minhash": exp_dedup_minhash,
 }
 
 
