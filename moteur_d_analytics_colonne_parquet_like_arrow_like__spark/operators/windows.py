@@ -58,14 +58,18 @@ def top_k_per_group_ordered(
     the unordered form + explicit sort. One exchange wins whenever rows/key
     is moderate (the bench shape: ~10 rows/key).
     """
+    from ..session import explicit_shuffle_width
+
     w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
     # Explicit partition count: without it AQE coalesces this range
     # exchange to ~1 partition (4 MB of keys fits one advisory chunk) and
     # the sort + window run single-task — measured 0.32 s vs 0.15 s on the
-    # bench shape. The session's shuffle-partition conf is the scale knob
-    # (cores locally, cluster-sized in production), same sizing the
-    # two-exchange form's window exchange used.
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # bench shape. The width is data-derived (bytes-per-task floor, capped
+    # at the session shuffle-partition conf): widths 4-8 measured flat-best
+    # at bench scale where conf-width 32 paid 1.4-2x in tiny-task
+    # scheduling, and at production scale the cap (the cluster-sized conf)
+    # is what's used — see session.explicit_shuffle_width.
+    n = explicit_shuffle_width(df)
     return (
         df.repartitionByRange(n, *[F.col(c) for c in partition_cols])
         .sortWithinPartitions(*[F.col(c) for c in partition_cols], *order_cols)

@@ -169,6 +169,31 @@ def small_scan_slices(df, min_task_bytes: int = SMALL_SCAN_TASK_BYTES):
     return int(slices) if slices < par else None
 
 
+#: Floor on useful bytes-per-task for an EXPLICIT exchange (repartition /
+#: repartitionByRange — widths AQE cannot coalesce). Measured knee on the
+#: bench window shape (orders, 2.7 MB input, 32 cores, r13 optimization
+#: round): widths 4-8 are flat-best (85-143 ms medians across passes),
+#: width 32 pays 1.4-2x in tiny-task scheduling. 340 KB of input per task
+#: reproduces the measured knee; any TB-scale input saturates the session
+#: cap immediately, so production width stays the cluster-sized conf.
+RANGE_TASK_BYTES = 340_000
+
+
+def explicit_shuffle_width(df, min_task_bytes: int = RANGE_TASK_BYTES) -> int:
+    """Data-derived width for an explicit exchange: one task per
+    ``min_task_bytes`` of the relation's actual input, capped at the
+    session shuffle-partition conf (the cluster-scale knob, sized by the
+    deployment). Same self-deactivation rule as ``small_scan_slices``:
+    when input bytes aren't locally knowable (object stores, no files)
+    the conf width is used unchanged."""
+    spark = df.sparkSession
+    cap = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    total = local_input_bytes(df)
+    if total is None:
+        return cap
+    return max(1, min(cap, int(-(-total // min_task_bytes))))
+
+
 def coalesce_small_scan(df, min_task_bytes: int = SMALL_SCAN_TASK_BYTES):
     """Apply :func:`small_scan_slices` — coalesce a provably-tiny scan to
     fat slices, pass everything else through untouched."""

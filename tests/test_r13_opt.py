@@ -14,6 +14,30 @@ from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.operators import 
 )
 
 
+def test_explicit_shuffle_width_policy(spark, sf_dir):
+    """Data-derived explicit-exchange width: bytes-per-task floor, capped
+    at the session conf; conf width when bytes aren't knowable."""
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.session import (
+        RANGE_TASK_BYTES,
+        explicit_shuffle_width,
+        local_input_bytes,
+    )
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.catalog import (
+        load_table,
+    )
+
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    orders = load_table(spark, sf_dir, "orders")
+    b = local_input_bytes(orders)
+    assert b is not None and b > 0
+    n = explicit_shuffle_width(orders)
+    assert 1 <= n <= cap
+    assert n == max(1, min(cap, -(-b // RANGE_TASK_BYTES)))
+    # No local files -> conf width unchanged.
+    mem = spark.range(10)
+    assert explicit_shuffle_width(mem) == cap
+
+
 def test_order_by_bounded_equals_order_by(spark):
     """coalesce(1) + local sort must produce the same TOTAL order as the
     range-partitioned orderBy it replaces on bounded-output tails —
