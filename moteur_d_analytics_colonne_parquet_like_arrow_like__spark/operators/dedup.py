@@ -242,6 +242,29 @@ def minhash_signatures(
     )
 
 
+def _cached_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int, shingle_k: int
+) -> DataFrame:
+    """Signature relation sized for its consumers, then cached (r13
+    optimization round): ``minhash_signatures`` ends in a group-by at the
+    session shuffle width, so the cached relation — and with it EVERY
+    downstream stage of the banding/scoring DAG, which inherits the
+    cache's partitioning — carried conf-width partitions however small the
+    corpus (32 partitions of a 5k-doc signature table; each bench rep paid
+    ~6 stages x 32 tiny tasks of pure scheduling). Coalescing to the
+    data-derived width before caching (one partition per ~340 KB of input,
+    capped at the conf — session.explicit_shuffle_width, the
+    small_scan_slices rule applied to an exchange) cut the bench gate
+    679-1296 -> 245-309 ms at identical output. The coalesce lands on the
+    group-by's FINAL aggregate only: the expensive map side (shingle
+    explode + md5) keeps full scan parallelism, and at-scale inputs
+    saturate the cap so production width stays the cluster conf."""
+    from ..session import explicit_shuffle_width
+
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    return sig.coalesce(explicit_shuffle_width(df)).cache()
+
+
 def _band_entries(
     sig: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
@@ -300,12 +323,8 @@ def minhash_lsh_ingest_pairs(
     the signature-agreement scorer."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must divide evenly into bands")
-    sig_c = minhash_signatures(
-        corpus, id_col, text_col, num_hashes, shingle_k
-    ).cache()
-    sig_n = minhash_signatures(
-        incoming, id_col, text_col, num_hashes, shingle_k
-    ).cache()
+    sig_c = _cached_signatures(corpus, id_col, text_col, num_hashes, shingle_k)
+    sig_n = _cached_signatures(incoming, id_col, text_col, num_hashes, shingle_k)
     bc = cap_bucket_size(
         _band_entries(sig_c, id_col, num_hashes, bands),
         ["band", "key"],
@@ -407,7 +426,7 @@ def minhash_lsh_pairs(
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must divide evenly into bands")
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).cache()
+    sig = _cached_signatures(df, id_col, text_col, num_hashes, shingle_k)
 
     band_entries = _band_entries(sig, id_col, num_hashes, bands)
     if max_bucket_size == "advised":
