@@ -94,6 +94,25 @@ def get_spark(
         # 128 MB default is correct for TB-scale inputs and stays.
         conf.setdefault("spark.sql.files.maxPartitionBytes", "4m")
         conf.setdefault("spark.sql.files.openCostInBytes", "512k")
+        # Checksum-free local filesystem (r14, guide §6): Hadoop's default
+        # file:// implementation (ChecksumFileSystem) writes AND re-reads a
+        # .crc sidecar for every file — pure overhead on a local disk whose
+        # kernel already guarantees integrity, and the dominant fixed cost
+        # of the streaming checkpoint's many tiny files (measured on the
+        # bounded tumbling replay, 7-rep medians: state commit 146 → 83 ms,
+        # walCommit 35 → 20, commitOffsets 35 → 21, latestOffset 37 → 22).
+        # Both APIs need the override: FileSystem (scans, writes, state
+        # store) and AbstractFileSystem (the FileContext-based streaming
+        # checkpoint manager). Cluster deployments keep their checkpoint on
+        # HDFS/object stores, so this stays scoped to local mode.
+        conf.setdefault(
+            "spark.hadoop.fs.file.impl",
+            "org.apache.hadoop.fs.RawLocalFileSystem",
+        )
+        conf.setdefault(
+            "spark.hadoop.fs.AbstractFileSystem.file.impl",
+            "org.apache.hadoop.fs.local.RawLocalFs",
+        )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
