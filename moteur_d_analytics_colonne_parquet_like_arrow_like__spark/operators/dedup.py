@@ -258,7 +258,15 @@ def _cached_signatures(
     679-1296 -> 245-309 ms at identical output. The coalesce lands on the
     group-by's FINAL aggregate only: the expensive map side (shingle
     explode + md5) keeps full scan parallelism, and at-scale inputs
-    saturate the cap so production width stays the cluster conf."""
+    saturate the cap so production width stays the cluster conf.
+
+    Sizing proxy note (ADVICE r13): the width derives from the RAW
+    DOCUMENT relation's input bytes, while the cached relation is the much
+    smaller signature table (id + num_hashes ints). That is deliberate: a
+    cached partition must also absorb the downstream band-explode (x
+    bands) and self-join fan-out, so the document bytes act as a cheap
+    UPPER BOUND that errs toward more partitions — never fewer — and the
+    signature relation has no on-disk files to size directly."""
     from ..session import explicit_shuffle_width
 
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)

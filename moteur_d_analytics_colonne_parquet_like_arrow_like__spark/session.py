@@ -206,7 +206,13 @@ def explicit_shuffle_width(df, min_task_bytes: int = RANGE_TASK_BYTES) -> int:
     when input bytes aren't locally knowable (object stores, no files)
     the conf width is used unchanged."""
     spark = df.sparkSession
-    cap = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    try:
+        cap = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    except (TypeError, ValueError):
+        # Deployments may set the conf to a non-numeric value ("auto" on
+        # some platforms); degrade to the scheduler's parallelism instead
+        # of raising deep inside an operator (ADVICE r13).
+        cap = max(1, spark.sparkContext.defaultParallelism)
     total = local_input_bytes(df)
     if total is None:
         return cap

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions import HASH31_PRIME, MINHASH_COEFFS, PERM_PRIME
-from ..operators import dedup, multimodal, similarity, text
+from ..operators import dedup, multimodal, similarity, sorts, text
 from ..sources.catalog import load_table
 
 # ---------------------------------------------------------------- SQL pieces
@@ -134,15 +134,15 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 10)
-    # Output bounded by |queries| x k (50 rows at any SF): coalesce(1) +
-    # local sort replaces the presentation orderBy's range exchange
-    # (r13 opt: 160 -> 116 ms median, order-identical).
-    return (
+    # Output bounded by |queries| x k (50 rows at any SF):
+    # order_by_bounded (coalesce(1) + local sort) replaces the
+    # presentation orderBy's range exchange (r13 opt: 160 -> 116 ms
+    # median, order-identical).
+    return sorts.order_by_bounded(
         similarity.cosine_topk_exact_baseline(
             emb, queries, "vec_id", "embedding", k=5
-        )
-        .coalesce(1)
-        .sortWithinPartitions("query_id", "rnk")
+        ),
+        ["query_id", "rnk"],
     )
 
 

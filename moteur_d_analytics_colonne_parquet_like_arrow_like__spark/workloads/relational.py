@@ -301,7 +301,7 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- extended aggregation (§2.5) ---
 
 
-def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _tpch_q1_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 pricing summary: multi-agg group-by with computed exprs."""
     li = _t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= F.lit("1998-09-02")
@@ -328,11 +328,19 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        # Output bounded by |returnflag| x |linestatus| (6 rows at any SF):
-        # coalesce(1) + local sort, not a range exchange (r13 opt:
-        # 220 -> 174 ms median under load, min 137 -> 111; order-identical).
-        .coalesce(1)
-        .sortWithinPartitions("l_returnflag", "l_linestatus")
+    )
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: multi-agg group-by with computed exprs.
+
+    Output bounded by |returnflag| x |linestatus| (6 rows at any SF):
+    ``order_by_bounded`` (coalesce(1) + local sort), not a range exchange
+    (r13 opt: 220 -> 174 ms A/B median under load; r14 re-measure under
+    bench methodology settled the r13 driver blip as load scatter —
+    115.4 vs 115.6 ms median, min 79.6 vs 84.7, order-identical)."""
+    return sorts.order_by_bounded(
+        _tpch_q1_agg(spark, sf_dir), ["l_returnflag", "l_linestatus"]
     )
 
 

@@ -21,6 +21,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
 
@@ -28,7 +29,9 @@ from moteur_d_analytics_colonne_parquet_like_arrow_like__spark import get_spark
 
 import bench
 
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/tmp/bench_layout_sf0.1")
+from common import sf_dir as _default_sf_dir
+
+SF_DIR = _default_sf_dir()
 
 
 def _median_block(prep, reps: int) -> list[float]:

@@ -23,6 +23,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from moteur_d_analytics_colonne_parquet_like_arrow_like__spark import get_spark
 from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import (
@@ -31,9 +32,12 @@ from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads import 
 
 import bench
 
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+from common import sf_dir as _default_sf_dir
+
+SF_DIR = _default_sf_dir()
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "..", "plans", "r13"
+    os.path.dirname(os.path.abspath(__file__)), "..", "plans",
+    os.environ.get("PLANS_ROUND", "r14"),
 )
 
 
