@@ -769,7 +769,13 @@ def duplicate_clusters(
     tests/test_r14_opt.py — and the recursive-CTE oracle states the
     labeling, not the algorithm.
     """
-    sym = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    # Checkpoint the raw pair list ONCE before deriving anything: both the
+    # node set and the edge set read it, and an unchckpointed reference
+    # would re-run the (potentially expensive) candidate-pair DAG a second
+    # time for the roots anti-join.
+    sym = pairs.select(
+        F.col(id_a).alias("u"), F.col(id_b).alias("v")
+    ).localCheckpoint(eager=True)
     # Old-contract node set: every endpoint, BEFORE dropping self-loops —
     # a node appearing only in self-pairs still gets its (node, node) row.
     all_nodes = (

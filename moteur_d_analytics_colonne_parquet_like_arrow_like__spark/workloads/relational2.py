@@ -158,17 +158,40 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT values plus booleans asserting each sketch landed within its
     documented error bound (the oracle emits the exact values and literal
     TRUE): HLL++ at rsd=0.02 checked against a 10% bound; percentile_approx
-    at accuracy=1000 checked against max(5% relative, 1.0 absolute)."""
+    at accuracy=1000 checked against max(5% relative, 1.0 absolute).
+
+    r14 (VERDICT r13 item 7): the exact COUNT(DISTINCT) no longer rides
+    the same aggregate as the sketches. Spark's single-distinct-column
+    plan re-keys the WHOLE aggregation by (group, distinct-col) before
+    the final group-by — which dragged every imperative buffer
+    (percentile counts-map, two QuantileSummaries, the HLL registers)
+    through a ~200k-group partial aggregate, one buffer set per
+    (returnflag, partkey): the measured 18 s sf0.1 / 63 s sf1 wall was
+    buffer churn, not truth-side arithmetic. Split form: the sketch +
+    exact-percentile pass stays keyed by the 3-value flag alone (3
+    buffers per task), and the distinct count runs its own expand-free
+    two-phase distinct→count, broadcast-joined back on the 3-row output.
+    Value note: HLL register-max merges and exact-percentile counts-map
+    merges are order-independent, so those columns are bit-identical;
+    percentile_approx partial-merge TOPOLOGY changes, but only the
+    within-bound BOOLEANS are emitted (accuracy=1000 ≈ 0.1% error vs the
+    5% bound) — oracle unchanged, hash-identical at both SFs."""
     li = _t(spark, sf_dir, "lineitem")
     tol = lambda exact: F.greatest(F.abs(exact) * 0.05, F.lit(1.0))  # noqa: E731
-    agg = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    sketches = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("_hll"),
         F.expr("percentile(l_quantity, 0.5)").alias("exact_p50"),
         F.percentile_approx("l_quantity", 0.5, 1000).alias("_p50"),
         F.expr("percentile(l_extendedprice, 0.9)").alias("exact_p90_price"),
         F.percentile_approx("l_extendedprice", 0.9, 1000).alias("_p90"),
     )
+    exact_parts = (
+        li.select("l_returnflag", "l_partkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_parts"))
+    )
+    agg = sketches.join(F.broadcast(exact_parts), "l_returnflag")
     return agg.select(
         "l_returnflag",
         "exact_parts",
