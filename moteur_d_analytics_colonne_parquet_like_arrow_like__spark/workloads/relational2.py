@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import stable_hash60
+from ..operators import sorts
 from ..sources.catalog import load_table
 from .. import streaming as S
 
@@ -192,7 +193,7 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("exact_parts"))
     )
     agg = sketches.join(F.broadcast(exact_parts), "l_returnflag")
-    return agg.select(
+    out = agg.select(
         "l_returnflag",
         "exact_parts",
         (
@@ -208,7 +209,9 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("_p90") - F.col("exact_p90_price"))
             <= tol(F.col("exact_p90_price"))
         ).alias("p90_within_bound"),
-    ).orderBy("l_returnflag")
+    )
+    # 3-row flag-domain-bounded output: local sort, not a range exchange.
+    return sorts.order_by_bounded(out, ["l_returnflag"])
 
 
 def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -67,6 +67,54 @@ _GRAPHS = {
 }
 
 
+def test_agg_approx_sketches_split_distinct_identity(spark, sf_dir):
+    """The r14 split form (sketch aggregate keyed by flag alone + an
+    expand-free distinct count broadcast-joined back) must emit the same
+    rows as the pre-r14 single-aggregate form: exact columns bit-identical
+    (order-independent merges), booleans identical (approx values move
+    within a fraction of their bound)."""
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.sources.catalog import (
+        load_table,
+    )
+    from moteur_d_analytics_colonne_parquet_like_arrow_like__spark.workloads.relational2 import (
+        q_approx_sketches,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    tol = lambda exact: F.greatest(F.abs(exact) * 0.05, F.lit(1.0))  # noqa: E731
+    old = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("_hll"),
+            F.expr("percentile(l_quantity, 0.5)").alias("exact_p50"),
+            F.percentile_approx("l_quantity", 0.5, 1000).alias("_p50"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("exact_p90_price"),
+            F.percentile_approx("l_extendedprice", 0.9, 1000).alias("_p90"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("_hll") - F.col("exact_parts"))
+                <= F.col("exact_parts") * 0.10
+            ).alias("hll_within_bound"),
+            "exact_p50",
+            (
+                F.abs(F.col("_p50") - F.col("exact_p50")) <= tol(F.col("exact_p50"))
+            ).alias("p50_within_bound"),
+            "exact_p90_price",
+            (
+                F.abs(F.col("_p90") - F.col("exact_p90_price"))
+                <= tol(F.col("exact_p90_price"))
+            ).alias("p90_within_bound"),
+        )
+        .orderBy("l_returnflag")
+    )
+    new = q_approx_sketches(spark, sf_dir)
+    assert [tuple(r) for r in new.collect()] == [tuple(r) for r in old.collect()]
+
+
 def test_duplicate_clusters_star_contraction_identity(spark):
     """The star-contraction duplicate_clusters must reproduce the
     propagation reference's (node, label) rows EXACTLY on adversarial
